@@ -1,0 +1,172 @@
+"""Projections / filters / enrichment over the canonical change stream.
+
+Covers SURVEY §2.2 (F1-F8) and the scalar helpers X1-X8. The design
+rule: every reference extension point that was *runtime-compiled Scala*
+becomes a **SQL expression string** here — same expressive power over
+(db, table, op), but compiled by Catalyst into codegen'd predicates
+instead of arbitrary code execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def include_events(df: DataFrame, condition: str | None) -> DataFrame:
+    """F1 — the include-event-condition whitelist/blacklist filter.
+
+    The reference compiles a Scala source string from config into a
+    ``(db, table) => Boolean`` at runtime
+    (mysql/binaryLogConsumerTraits.scala:41-55, util/Eval.scala:6-13).
+    Here the config string IS a Spark SQL boolean expression over the
+    event columns (``database``, ``table``, ``op``, ...), e.g.::
+
+        include_events(df, "database = 'mypipe' AND table IN ('user')")
+
+    Catalyst compiles it — and pushes it into the source scan when the
+    source supports it, which the reference's post-hoc skip never could.
+    ``None``/empty keeps everything (F2 no-op behaviour).
+    """
+    if not condition:
+        return df
+    return df.filter(F.expr(condition))
+
+
+def demux_by_type(df: DataFrame) -> dict[str, DataFrame]:
+    """F3 — per-mutation-type dispatch (insert/update/delete).
+
+    The reference dispatches on the class/magic byte per event
+    (event/package.scala:163-191); columnar form is three filtered
+    views sharing one scan."""
+    return {op: df.filter(F.col("op") == op) for op in ("insert", "update", "delete")}
+
+
+def primary_key_string(pk_columns: list[str], image: str = "new") -> Column:
+    """F7 — composite PK rendered ``pk1.pk2`` (dot-joined).
+
+    reference: event/package.scala:66-74 (primaryKeyAsString). Values
+    are looked up in the generic envelope maps of the given image."""
+    parts = [
+        F.coalesce(
+            F.col(f"{image}_integers").getItem(c).cast("string"),
+            F.col(f"{image}_longs").getItem(c).cast("string"),
+            F.col(f"{image}_strings").getItem(c),
+        )
+        for c in pk_columns
+    ]
+    return F.concat_ws(".", *parts)
+
+
+def with_topic(df: DataFrame, template: str = "${database}_${table}_generic") -> DataFrame:
+    """X7 — topic-name templating.
+
+    The reference Eval-compiles an interpolated-string template from
+    config (KafkaUtil.scala:7-27). Here ``${col}`` placeholders become
+    a concat expression; arbitrary SQL functions are allowed inside
+    because the template is translated to ``format_string``-free pure
+    column concat, e.g. ``${database}_${table}_generic``.
+    """
+    import re
+
+    parts: list[Column] = []
+    pos = 0
+    for m in re.finditer(r"\$\{(\w+)\}", template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        parts.append(F.col(m.group(1)).cast("string"))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return df.withColumn("topic", F.concat(*parts))
+
+
+def enrich_header(df: DataFrame) -> DataFrame:
+    """F6 — ensure every outgoing record carries the envelope header
+    (database/table/table_id/txid), as KafkaAvroSerializer.scala:117-129
+    does per record. In columnar form this is a select of the already-
+    present columns plus the 16-byte txid encoding (X5)."""
+    return df.withColumn("txid_bytes", uuid_to_bytes(F.col("txid")))
+
+
+def uuid_to_bytes(uuid_col: Column) -> Column:
+    """X5 — UUID string → 16-byte fixed encoding (wire Guid,
+    mutations.avsc:2-7; KafkaAvroSerializer.scala:123-128)."""
+    return F.unhex(F.regexp_replace(uuid_col, "-", ""))
+
+
+def bytes_to_uuid(bytes_col: Column) -> Column:
+    """Inverse of :func:`uuid_to_bytes` — 16 bytes → canonical UUID."""
+    h = F.lower(F.hex(bytes_col))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def _fmt_map_entries(map_col: Column, quote: bool) -> Column:
+    """Render a payload map as ``k='v', ...`` / ``k=v, ...`` fragments."""
+    tmpl = "{k}='{v}'" if quote else "{k}={v}"
+    return F.transform(
+        F.map_entries(map_col),
+        lambda e: F.format_string(
+            tmpl.replace("{k}", "%s").replace("{v}", "%s"), e["key"], e["value"].cast("string")
+        ),
+    )
+
+
+def render_sql(df: DataFrame) -> DataFrame:
+    """F8 — mutation → SQL text (the stdout producer's rendering,
+    StdoutProducer.scala:33-101): INSERT lists columns/values, UPDATE
+    renders SET from the new image with WHERE from the old, DELETE
+    renders WHERE from the old image. Output column: ``sql_text``.
+
+    Faithful in shape, not byte-identical (the reference interleaves
+    per-type map iteration order; we sort keys for determinism).
+    """
+
+    def kv_pairs(prefix: str) -> Column:
+        # union of the typed maps, sorted by key for stable output
+        merged = F.map_concat(
+            F.coalesce(F.col(f"{prefix}_strings"), F.expr("map()")),
+            F.coalesce(
+                F.transform_values(F.col(f"{prefix}_integers"), lambda _, v: v.cast("string")),
+                F.expr("map()"),
+            ),
+            F.coalesce(
+                F.transform_values(F.col(f"{prefix}_longs"), lambda _, v: v.cast("string")),
+                F.expr("map()"),
+            ),
+        )
+        return F.array_sort(
+            F.transform(
+                F.map_entries(merged),
+                lambda e: F.concat(e["key"], F.lit("='"), e["value"], F.lit("'")),
+            )
+        )
+
+    qualified = F.concat(F.col("database"), F.lit("."), F.col("table"))
+    insert_sql = F.concat(
+        F.lit("INSERT INTO "), qualified,
+        F.lit(" SET "), F.array_join(kv_pairs("new"), ", "),
+    )
+    update_sql = F.concat(
+        F.lit("UPDATE "), qualified,
+        F.lit(" SET "), F.array_join(kv_pairs("new"), ", "),
+        F.lit(" WHERE "), F.array_join(kv_pairs("old"), " AND "),
+    )
+    delete_sql = F.concat(
+        F.lit("DELETE FROM "), qualified,
+        F.lit(" WHERE "), F.array_join(kv_pairs("old"), " AND "),
+    )
+    return df.withColumn(
+        "sql_text",
+        F.when(F.col("op") == "insert", insert_sql)
+        .when(F.col("op") == "update", update_sql)
+        .when(F.col("op") == "delete", delete_sql)
+        .otherwise(F.upper(F.col("op"))),
+    )

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mypipe_spark.changelog import changelog_df
+from mypipe_spark.operators.decode import (
+    classify_query,
+    decode_query_events,
+    mutations_only,
+)
+from mypipe_spark.operators.filters import (
+    bytes_to_uuid,
+    demux_by_type,
+    include_events,
+    primary_key_string,
+    render_sql,
+    uuid_to_bytes,
+    with_topic,
+)
+
+
+def test_classify_query(spark):
+    rows = [
+        ("BEGIN",), ("begin",), ("COMMIT /* xid=7 */",), ("rollback",),
+        ("ALTER TABLE mypipe.user ADD COLUMN email varchar(128)",),
+        ("CREATE TABLE foo (x int)",), ("  Begin  ",),
+    ]
+    df = spark.createDataFrame(rows, "sql string")
+    got = [r[0] for r in df.select(classify_query(F.col("sql"))).collect()]
+    assert got == ["begin", "begin", "commit", "rollback", "alter", "unknown", "begin"]
+
+
+def test_decode_query_events_alter_extraction(spark):
+    rows = [
+        (1, "unknown", "otherdb", None, "ALTER TABLE mypipe.user ADD COLUMN email varchar(128)"),
+        (2, "unknown", "mypipe", None, "alter table `user` drop column email"),
+        (3, "unknown", "mypipe", None, "ALTER IGNORE TABLE db2.t2 ADD x int"),
+        (4, "unknown", "mypipe", "user", "BEGIN"),
+    ]
+    df = spark.createDataFrame(rows, "seq long, op string, database string, table string, sql string")
+    out = {r["seq"]: r for r in decode_query_events(df).collect()}
+    assert out[1]["op"] == "alter" and out[1]["database"] == "mypipe" and out[1]["table"] == "user"
+    # unqualified ALTER falls back to the session database
+    assert out[2]["database"] == "mypipe" and out[2]["table"] == "user"
+    assert out[3]["database"] == "db2" and out[3]["table"] == "t2"
+    assert out[4]["op"] == "begin" and out[4]["table"] == "user"
+
+
+def test_include_events_and_demux(spark):
+    df = changelog_df(spark, num_transactions=20)
+    kept = include_events(df, "database = 'mypipe' AND op != 'update'")
+    assert kept.filter(F.col("op") == "update").count() == 0
+    # no-op condition keeps everything (F2)
+    assert include_events(df, None).count() == df.count()
+
+    parts = demux_by_type(mutations_only(df))
+    total = sum(p.count() for p in parts.values())
+    assert total == mutations_only(df).count()
+    assert parts["insert"].filter(F.col("op") != "insert").count() == 0
+
+
+def test_pk_string_and_topic(spark):
+    df = changelog_df(spark, num_transactions=5)
+    ins = mutations_only(df).filter(F.col("op") == "insert")
+    row = ins.select(primary_key_string(["id"]).alias("pk")).limit(1).collect()[0]
+    assert row["pk"].isdigit()
+    # composite pk joins with '.'
+    row2 = ins.select(primary_key_string(["id", "login_count"]).alias("pk")).limit(1).collect()[0]
+    assert "." in row2["pk"]
+
+    t = with_topic(ins).select("topic").limit(1).collect()[0][0]
+    assert t == "mypipe_user_generic"
+    t2 = with_topic(ins, "cdc.${database}.${table}").select("topic").limit(1).collect()[0][0]
+    assert t2 == "cdc.mypipe.user"
+
+
+def test_uuid_roundtrip(spark):
+    df = spark.createDataFrame([("bdd640fb-0667-4ad1-9c80-317fa3b1799d",)], "u string")
+    out = df.select(
+        F.length(uuid_to_bytes(F.col("u"))).alias("n"),
+        bytes_to_uuid(uuid_to_bytes(F.col("u"))).alias("back"),
+    ).collect()[0]
+    assert out["n"] == 16
+    assert out["back"] == "bdd640fb-0667-4ad1-9c80-317fa3b1799d"
+
+
+def test_render_sql(spark):
+    df = changelog_df(spark, num_transactions=10)
+    rendered = render_sql(mutations_only(df))
+    ins = rendered.filter(F.col("op") == "insert").select("sql_text").limit(1).collect()[0][0]
+    assert ins.startswith("INSERT INTO mypipe.user SET ")
+    assert "username='username0'" in ins
+    upd = rendered.filter(F.col("op") == "update").select("sql_text").limit(1).collect()[0][0]
+    assert upd.startswith("UPDATE mypipe.user SET ") and " WHERE " in upd
+    dele = rendered.filter(F.col("op") == "delete").select("sql_text").limit(1).collect()[0][0]
+    assert dele.startswith("DELETE FROM mypipe.user WHERE ")
