@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries (QueryDef.bench=True)
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set after a warmup
+pass of the smallest query (JVM/codegen warm); per-query numbers are
+the fastest of ``--repeat`` runs (default 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mypipe_spark.plans.catalog import all_queries
+    from mypipe_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    spark = get_spark("mypipe-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = {name: qd for name, qd in all_queries().items() if qd.bench}
+
+    # warmup: smallest bench query end-to-end (JIT, codegen, parquet footers)
+    warm = qs.get("dedup_exact") or next(iter(qs.values()))
+    warm.fn(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name, qd in sorted(qs.items()):
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = qd.fn(spark, sf_dir)
+            df.count()  # full materialization without driver collect
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,11 +58,17 @@ class ChangeLogGenerator:
     commit-restamping semantics are all testable.
     """
 
-    def __init__(self, seed: int = 42, rollback_prob: float = 0.1, max_tx_size: int = 5):
+    def __init__(
+        self,
+        seed: int = 42,
+        rollback_prob: float = 0.1,
+        max_tx_size: int = 5,
+        seq_start: int = 0,
+    ):
         self.rng = random.Random(seed)
         self.rollback_prob = rollback_prob
         self.max_tx_size = max_tx_size
-        self.seq = 0
+        self.seq = seq_start
         self.next_user_id = 1
         self.live_users: dict[int, int] = {}  # user_id -> version
 
@@ -175,9 +181,10 @@ def changelog_df(
     seed: int = 42,
     rollback_prob: float = 0.1,
     alter_every: int = 0,
+    seq_start: int = 0,
 ) -> DataFrame:
     """Materialize a deterministic change-log as a DataFrame."""
-    gen = ChangeLogGenerator(seed=seed, rollback_prob=rollback_prob)
+    gen = ChangeLogGenerator(seed=seed, rollback_prob=rollback_prob, seq_start=seq_start)
     rows = gen.generate(num_transactions, alter_every=alter_every)
     return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
 
@@ -189,9 +196,10 @@ def write_changelog(
     seed: int = 42,
     rollback_prob: float = 0.1,
     num_files: int = 4,
+    seq_start: int = 0,
 ) -> None:
     """Write a change-log as parquet split into several files, so a
     Structured Streaming file source can replay it file-by-file
     (``maxFilesPerTrigger=1``) as if events were arriving live."""
-    df = changelog_df(spark, num_transactions, seed, rollback_prob)
+    df = changelog_df(spark, num_transactions, seed, rollback_prob, seq_start=seq_start)
     df.repartitionByRange(num_files, "seq").write.mode("overwrite").parquet(path)

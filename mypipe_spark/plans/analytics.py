@@ -1,0 +1,501 @@
+"""Relational analytics surface (SURVEY.md §7 Stage 8).
+
+The reference performs no joins/aggregations (SURVEY.md §2.3-2.4) — a
+user switching to this engine gets them from Spark. Each query here is
+a declarative DataFrame plan with an exact DuckDB-oracle twin.
+
+Cross-engine determinism rules used throughout (Spark vs DuckDB must
+hash-match value-for-value):
+- money sums: per-value cast to DECIMAL(38,6) (deterministic), exact
+  decimal SUM, ROUND(...,2), cast back to DOUBLE;
+- averages: exact decimal SUM cast to DOUBLE, divided by COUNT, then
+  ROUND(...,4) — never engine-native AVG (decimal scale rules differ);
+- top-k: ORDER BY carries a unique tiebreak column so the selected SET
+  is identical even under ties.
+
+Scale notes (100 TB): dims (region/nation/supplier) are broadcast so
+fact scans never shuffle for them; all aggregates allow map-side
+partial aggregation; filters and projections sit directly on the scan
+so Parquet pushdown/pruning applies (verified via explain in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import load_tables, register
+
+_DEC = "decimal(38,6)"
+
+
+def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
+    """Exact-decimal sum rounded to ``scale`` — see module docstring."""
+    return F.round(F.sum(col.cast(_DEC)), scale).cast("double").alias(alias)
+
+
+def _avg(col: F.Column, alias: str) -> F.Column:
+    return F.round(
+        F.sum(col.cast(_DEC)).cast("double") / F.count(col), 4
+    ).cast("double").alias(alias)
+
+
+def _sql_money(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,6))), {scale}) AS DOUBLE) AS {alias}"
+
+
+def _sql_avg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}), 4) AS DOUBLE) AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 analog) — full-scan groupBy aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_money('l_quantity', 'sum_qty')},
+           {_sql_money('l_extendedprice', 'sum_base_price')},
+           {_sql_money('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_sql_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_sql_avg('l_quantity', 'avg_qty')},
+           {_sql_avg('l_extendedprice', 'avg_price')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy aggregate: 6 measures over ~4 groups. At 100 TB this
+    is the canonical map-side-combine query — partial aggregation
+    reduces each scan partition to ≤4 rows before the single tiny
+    shuffle; the shipdate filter and 7-column projection push into the
+    Parquet reader (PushedFilters/ReadSchema verified in tests)."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.col("l_quantity"), "sum_qty"),
+            _money(F.col("l_extendedprice"), "sum_base_price"),
+            _money(disc_price, "sum_disc_price"),
+            _money(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            _avg(F.col("l_quantity"), "avg_qty"),
+            _avg(F.col("l_extendedprice"), "avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3: top unshipped-revenue orders (TPC-H Q3 analog) — join + agg + top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {_sql_money('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate + deterministic top-10. The customer side
+    is filtered to one segment then broadcast (a ~1/5 slice of the
+    second-smallest fact table); orders⋈lineitem co-shuffles on
+    orderkey once, and AQE picks broadcast automatically when the
+    filtered side fits. Top-k uses a global sort of the ~aggregated~
+    rows only (TakeOrderedAndProject), never of the fact table."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    line = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5: revenue by nation (TPC-H Q5 analog) — star join over broadcast dims
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {_sql_money('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+    bench=True,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: one big fact (lineitem) against orders plus four
+    dimensions. region/nation/supplier are broadcast explicitly — at
+    100 TB the only shuffle is lineitem⋈orders on orderkey; every
+    dimension lookup is map-side. customer is the one dim that grows
+    with SF, so it stays a shuffle join and AQE downgrades it to
+    broadcast when the region filter makes it small."""
+    t = load_tables(spark, sf_dir)
+    nr = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+    tags=("window",),
+    bench=True,
+)
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via ROW_NUMBER — the 'latest state per key'
+    pattern (the Kafka-log-compaction analog, SURVEY.md §2.5). One
+    shuffle on the partition key; at 100 TB AQE handles hot customers
+    (skew) by splitting oversized partitions."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_customer_order_rank_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_first_orders,
+           {_sql_money('o_totalprice', 'first_order_revenue')}
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1
+    GROUP BY o_orderpriority
+    """,
+    tags=("window", "agg"),
+)
+def q_customer_order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's chronologically-first order, aggregated by
+    priority — window + reaggregation in one plan (the shuffle on
+    o_custkey is reused by nothing downstream; the second agg is tiny)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_first_orders"),
+            _money(F.col("o_totalprice"), "first_order_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS). At scale the orders side reduces to
+    distinct custkeys before the join — Catalyst rewrites the anti join
+    to aggregate-then-join; no row explosion is possible."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    tags=("join", "semi"),
+)
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) with the filter pushed below the join."""
+    t = load_tables(spark, sf_dir)
+    open_orders = t["orders"].filter(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_setop_fulfilled_not_open",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def q_setop_fulfilled_not_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers with fulfilled but no open orders."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@register(
+    "q_setop_both_segments_nations",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    tags=("setop",),
+)
+def q_setop_both_segments_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — nations present in both market segments."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+        .intersect(c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_part_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_type, 1, 5) AS type_pfx,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           CAST(ROUND(p_retailprice * 1.1, 2) AS DOUBLE) AS price_infl,
+           p_size % 7 AS size_mod,
+           CASE WHEN p_size > 25 THEN 'L'
+                WHEN p_size > 10 THEN 'M'
+                ELSE 'S' END AS size_class,
+           ABS(p_size - 25) AS size_dist
+    FROM part
+    WHERE p_name LIKE '%ol%'
+    """,
+    tags=("scalar", "project"),
+)
+def q_part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/conditional scalar surface (SURVEY.md §2.8 analog of
+    X1-X3) — all JVM-side whole-stage-codegen expressions, zero UDFs."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_name").like("%ol%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_pfx"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.round(F.col("p_retailprice") * 1.1, 2).cast("double").alias("price_infl"),
+            (F.col("p_size") % 7).alias("size_mod"),
+            F.when(F.col("p_size") > 25, "L")
+            .when(F.col("p_size") > 10, "M")
+            .otherwise("S")
+            .alias("size_class"),
+            F.abs(F.col("p_size") - 25).alias("size_dist"),
+        )
+    )
+
+
+@register(
+    "q_orders_date_functions",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+           COUNT(*) AS n_orders,
+           {_sql_money('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("scalar", "date", "agg"),
+)
+def q_orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + aggregate; at 100 TB this benefits from
+    partition pruning when orders is date-partitioned."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        )
+        .agg(F.count("*").alias("n_orders"), _money(F.col("o_totalprice"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / distinct aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rollup_returns",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           {_sql_money('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — Catalyst expands to a single Expand +
+    hash aggregate (one pass over the fact table, no self-union)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), _money(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "q_distinct_customers_per_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+)
+def q_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst plans partial-distinct expansion; at
+    100 TB prefer approx_count_distinct when 2% error is acceptable
+    (exposed separately as q_approx below, rows-only check)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_approx_distinct_parts",
+    oracle=None,  # HLL sketch — engine-specific estimate, rows-only check
+    tags=("agg", "approx"),
+)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute
+    for exact distinct counts: mergeable sketch, no distinct-expansion
+    shuffle. Estimates are engine-specific, so no SQL oracle; pytest
+    pins the estimate within rsd of the exact count."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )

@@ -1,0 +1,101 @@
+"""Query catalog — the engine's analytics surface registry.
+
+The reference has no SQL front end (SURVEY.md §2.3-2.8: no joins, no
+aggregations); its "queries" are streaming dataflow stages. The rebuilt
+engine exposes those stages *plus* a real relational surface over the
+canonical tables (SURVEY.md §7 Stage 8), each entry registered here as
+
+    name -> QueryDef(fn: (SparkSession, sf_dir) -> DataFrame,
+                     oracle: ANSI-SQL string DuckDB can run | None)
+
+``oracle`` is the ground-truth twin of the Spark plan; queries whose
+semantics are not SQL-expressible (stateful streaming, hash-dependent
+sketches) set ``oracle=None`` and are covered by pytest instead.
+
+Scale notes (100 TB design intent, verified on local[32]):
+- every query is declarative DataFrame/SQL — Catalyst handles pushdown,
+  pruning, join planning; AQE handles skew and runtime re-planning;
+- dimension tables (region/nation/supplier, centroids) are explicitly
+  ``broadcast()`` so fact-table scans never shuffle for them;
+- aggregates are expressed so partial (map-side) aggregation applies —
+  no ``collect()`` in any data path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and register them as temp views
+    (same names the DuckDB oracle pre-registers), so registered queries
+    can use either the DataFrame API or ``spark.sql``."""
+    # The driver's parquet carries TIMESTAMP(NANOS) columns, which the
+    # Spark reader rejects by default; this (dynamic) conf reads them
+    # as timestamp_ntz — naive, matching the DuckDB oracle exactly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Nano-precision columns surface as BIGINT under nanosAsLong
+        # (micro-precision ones surface as timestamp_ntz directly);
+        # normalize to timestamp_ntz at micro precision — the same
+        # truncation DuckDB's CAST(ts_ns AS TIMESTAMP) applies, so
+        # oracle comparisons stay exact.
+        from pyspark.sql import functions as F
+
+        for col, dtype in df.dtypes:
+            if col == "ts" and dtype == "bigint":
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz")
+                )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under ``name`` with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def _load_all_plan_modules() -> None:
+    """Import every plan module for its registration side effects."""
+    from . import analytics, cdc, dedup, similarity, textops  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryDef]:
+    _load_all_plan_modules()
+    return dict(QUERIES)

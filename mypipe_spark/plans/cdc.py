@@ -1,0 +1,246 @@
+"""CDC operators re-expressed as oracle-checkable queries.
+
+The reference's data-plane stages (SURVEY.md §2.2, §2.9) — predicate
+event filtering (F1), per-type demux (F3), topic routing (X7), and
+latest-state materialization (the Kafka-compaction analog,
+README.md:12) — exercised over the driver's ``events`` stream table so
+the DuckDB oracle can verify them. The same transforms run unchanged on
+a streaming DataFrame (see mypipe_spark.operators / streaming.pipe and
+tests/test_pipe.py for the streaming form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import load_tables, register
+
+
+@register(
+    "cdc_filter_route",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CONCAT('app_', event_type, '_generic') AS topic
+    FROM events
+    WHERE event_type <> 'error' AND user_id % 2 = 0
+    """,
+    tags=("cdc", "filter", "route"),
+)
+def cdc_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 include-event predicate + X7 topic templating. The reference
+    runtime-compiles a Scala predicate and an interpolated topic string
+    (binaryLogConsumerTraits.scala:41-55, KafkaUtil.scala:7-27); here
+    both are Catalyst expressions — same dynamism (strings from
+    config), compiled by codegen instead of the Scala compiler."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.expr("event_type <> 'error' AND user_id % 2 = 0"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.concat(F.lit("app_"), F.col("event_type"), F.lit("_generic")).alias("topic"),
+        )
+    )
+
+
+@register(
+    "cdc_type_demux_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("cdc", "demux", "agg"),
+)
+def cdc_type_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 per-mutation-type demux as a typed aggregate — the
+    insert/update/delete dispatch (event/package.scala:163-191) is a
+    groupBy on the discriminator column."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events)
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ev)
+    WHERE rn = 1
+    """,
+    tags=("cdc", "window", "compaction"),
+    bench=True,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state materialization: change stream → current table,
+    the engine-side analog of mypipe's Kafka log-compaction guidance
+    (README.md:12). One shuffle on the key; at 100 TB this is the
+    standard CDC-merge pattern and AQE splits skewed hot keys."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+
+
+@register(
+    "cdc_sessionize",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("cdc", "window", "session"),
+    bench=True,
+)
+def cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of Structured Streaming's session_window (T14 notes the
+    reference has no windowing at all; this engine adds it). A single
+    shuffle on user_id serves both window passes and the final agg —
+    Catalyst reuses the child partitioning across all three."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "cdc_event_funnel",
+    oracle=f"""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END), 2) AS DOUBLE)
+             AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("cdc", "pivot", "agg"),
+)
+def cdc_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate pivot (funnel counts per user) — the
+    many-sinks fan-out (T12) expressed as one pass with N conditional
+    measures instead of N filtered scans."""
+    t = load_tables(spark, sf_dir)
+
+    def n_of(et: str, alias: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(alias)
+
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            n_of("signup", "n_signup"),
+            n_of("view", "n_view"),
+            n_of("click", "n_click"),
+            n_of("purchase", "n_purchase"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(38,6)"),
+                    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "cdc_props_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("cdc", "json"),
+)
+def cdc_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction — the generic-envelope
+    map-lookup pattern (F4/K5: typed maps carry any table's columns)
+    applied to a JSON props column; get_json_object stays JVM-side."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -1,0 +1,435 @@
+"""Document deduplication operators over the ``documents`` table.
+
+Large-scale training-data pipeline ops (not present in the reference,
+which has no document plane — these are the engine's scale-out
+additions): exact dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Cross-engine determinism tricks that make the sketch ops ORACLE-CHECKABLE
+(rare for MinHash implementations):
+- **MinHash over md5 strings**: md5 renders as fixed-width lowercase
+  hex in both Spark and DuckDB, so the *lexicographic* min of
+  ``md5(seed || ':' || shingle)`` is a valid, engine-identical minhash.
+  No murmur/xxhash mismatch, no integer conversions.
+- **Quantized-integer cosine** (see also plans.similarity): embeddings
+  are quantized to BIGINT (round(x*10000)); dot products and norms are
+  then *exact integer sums* — independent of summation order — and the
+  single final division+sqrt on identical integers is bit-identical.
+
+Scale notes (100 TB): everything is shuffle-on-key (shingle / band /
+hash / bucket); no cross join ever touches the full corpus. Pair
+generation is bounded by an inverted-index join (docs sharing a
+shingle/band), the standard web-scale dedup topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_tables, register
+
+# 3-word shingles; docs shorter than 3 words are kept verbatim (no pairs).
+_SHINGLE_WORDS = 3
+# MinHash: 16 hashes in 4 bands of 4 rows.
+_MINHASH_K = 16
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+_JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# shared shingle plumbing (Spark side)
+# ---------------------------------------------------------------------------
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-word shingles per document.
+
+    Built-in higher-order functions only (no UDF): split → transform
+    over an index sequence → distinct → explode. Stays inside
+    whole-stage codegen."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"""
+                array_distinct(transform(
+                  sequence(1, greatest(size(split(text, ' ')) - {_SHINGLE_WORDS - 1}, 0)),
+                  i -> array_join(slice(split(text, ' '), i, {_SHINGLE_WORDS}), ' ')
+                ))
+                """
+            ).alias("shingles"),
+        )
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+
+
+# DuckDB twin of _with_shingles (1-based list indexing, same output).
+_SQL_SHINGLES = f"""
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - {_SHINGLE_WORDS - 2}, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]))) AS shingle
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id
+    as canonical. One shuffle on the 128-bit content hash — uniformly
+    distributed, so no skew at any scale; this is the 100 TB-safe way
+    to dedup (never a self-join on raw text)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                / (ca.n_sh + cb.n_sh - i.n_common), 4) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common)
+          >= {_JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "jaccard"),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index
+    self-join on shingles (docs must share ≥1 shingle to pair — never
+    a cross join). Jaccard = |∩| / (|A|+|B|-|∩|) from integer counts,
+    so the value is engine-exact before the final rounding.
+
+    100 TB note: the shingle join's fanout is Σ_s C(df_s, 2); stop-
+    shingle removal (drop shingles with df > cap) bounds it — at these
+    SFs the raw join is small enough that the cap is not applied."""
+    t = load_tables(spark, sf_dir)
+    sh = _with_shingles(t["documents"])
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (oracle-checkable via md5-string minhash)
+# ---------------------------------------------------------------------------
+
+def _minhash_cols_spark() -> list[F.Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+        for i in range(_MINHASH_K)
+    ]
+
+
+def _band_exprs(prefix: str = "") -> list[str]:
+    """band_j = md5 of its _LSH_ROWS concatenated minhashes."""
+    out = []
+    for bnd in range(_LSH_BANDS):
+        cols = [f"{prefix}h{bnd * _LSH_ROWS + r}" for r in range(_LSH_ROWS)]
+        out.append(f"md5({' || '.join(cols)})")
+    return out
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASH_K)
+    )
+    bands = _band_exprs()
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bnd} AS band_key, {j} AS band_id FROM sigs"
+        for j, bnd in enumerate(bands)
+    )
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sigs AS (
+      SELECT doc_id, {mh}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(CAST(i.n_common AS DOUBLE)
+                / (ca.n_sh + cb.n_sh - i.n_common), 4) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common)
+          >= {_JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 16 md5-string minhashes → 4
+    bands of 4 → band-bucket join → candidate pairs → exact-Jaccard
+    verification of candidates only.
+
+    This is the 100 TB dedup path: the only joins are (a) docs sharing
+    an LSH band (tiny buckets by construction) and (b) the shingle
+    intersection of *candidate* pairs — the full pairwise space is
+    never materialized. The md5-string minhash (see module docstring)
+    makes the whole pipeline engine-deterministic, hence the SQL
+    oracle."""
+    t = load_tables(spark, sf_dir)
+    sh = _with_shingles(t["documents"])
+    sigs = sh.groupBy("doc_id").agg(*_minhash_cols_spark())
+    bands = None
+    for j, bexpr in enumerate(_band_exprs()):
+        part = sigs.select(
+            "doc_id",
+            F.expr(bexpr).alias("band_key"),
+            F.lit(j).alias("band_id"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id"))
+              & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (hash-dependent sketch — rows-only check + pytest ground truth)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # murmur3-based sketch: not portable to DuckDB; pytest
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per doc + near-dup pairs at Hamming ≤ 3.
+
+    Per doc: murmur3-hash each shingle (F.hash — JVM-side), take each
+    of 32 bits as ±1 votes, sign of the vote sum per bit is the
+    fingerprint bit. Pairs are generated by banding the fingerprint
+    into 4 bytes (pigeonhole: Hamming ≤ 3 ⇒ ≥1 identical byte), then
+    verified with bit_count(xor) — never a cross join.
+
+    Engine-specific hashing ⇒ no SQL oracle; tests/test_dedup.py pins
+    recall against the exact-Jaccard pairs."""
+    t = load_tables(spark, sf_dir)
+    sh = _with_shingles(t["documents"])
+    bits = sh.select(
+        "doc_id",
+        *[
+            (F.shiftright(F.hash("shingle"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(_SIMHASH_BITS)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(_SIMHASH_BITS)]
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    fps = votes.select("doc_id", F.expr(fp_expr).alias("simhash"))
+    banded = None
+    for byte in range(4):
+        part = fps.select(
+            "doc_id",
+            "simhash",
+            F.lit(byte).alias("band_id"),
+            F.shiftright("simhash", byte * 8).bitwiseAND(F.lit(0xFF)).alias("band_key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (quantized-integer cosine — oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_COSINE_THRESHOLD = 0.4  # corpus max within-cell cosine is ~0.51 at sf0.1
+_QSCALE = 10_000
+
+
+def _cosine_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT)) AS qv
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, qv,
+             (SELECT SUM(x * x) FROM (SELECT UNNEST(qv) AS x)) AS nrm2
+      FROM q),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             (SELECT SUM(a.qv[i] * b.qv[i])
+              FROM (SELECT UNNEST(range(1, len(a.qv) + 1)) AS i)) AS dot,
+             a.nrm2 AS na, b.nrm2 AS nb
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           CAST(ROUND(dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4)
+                AS DOUBLE) AS cosine
+    FROM pairs
+    WHERE dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= {_COSINE_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_cosine_oracle(),
+    tags=("dedup", "embedding", "ann"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ {threshold} pairs, blocked by the
+    ``label`` column (the coarse-quantizer/IVF cell — pairs are only
+    formed within a cell, never across the corpus).
+
+    Quantized-integer cosine (module docstring): dot and norms are
+    exact BIGINT sums → order-independent → bit-identical across
+    engines; one final double division+sqrt, rounded.
+
+    100 TB note: within-cell self-join shuffles on label; cells are
+    bounded (corpus/n_cells), and finer quantization (more cells)
+    keeps bucket sizes constant as the corpus grows."""
+    t = load_tables(spark, sf_dir)
+    q = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT))").alias("qv"),
+    )
+    n = q.withColumn(
+        "nrm2",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"),
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    cos = dot / F.sqrt(F.col("a.nrm2").cast("double") * F.col("b.nrm2").cast("double"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine_raw", 4).cast("double").alias("cosine"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Approximate-nearest-neighbor surface for a training-data pipeline:
+brute-force cosine top-k as the correctness baseline, and an
+IVF-style cluster-pruned variant as the scale path.
+
+Both use the quantized-integer cosine from plans.dedup (round(x*1e4)
+→ BIGINT; exact integer dots/norms; one final double op) so results
+are bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_tables, register
+
+_QSCALE = 10_000
+_QUERY_VEC_ID = 0  # the corpus vector used as the search query
+_TOP_K = 10
+_IVF_NPROBE = 2  # clusters searched in the IVF variant
+
+_SQL_QUANT = f"""
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+"""
+
+_SQL_NORM = """
+      SELECT vec_id, label, qv,
+             (SELECT SUM(x * x) FROM (SELECT UNNEST(qv) AS x)) AS nrm2
+      FROM q
+"""
+
+
+def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    q = t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT))").alias("qv"),
+    )
+    return q.withColumn(
+        "nrm2", F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    )
+
+
+def _cos(a_qv: str, a_n: str, b_qv: str, b_n: str) -> F.Column:
+    dot = F.expr(
+        f"aggregate(zip_with({a_qv}, {b_qv}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return dot / F.sqrt(F.col(a_n).cast("double") * F.col(b_n).cast("double"))
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS ({_SQL_QUANT}),
+    n AS ({_SQL_NORM}),
+    qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT n.vec_id, n.label,
+             (SELECT SUM(n.qv[i] * qry.qqv[i])
+              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+      FROM n, qry
+      WHERE n.vec_id <> {_QUERY_VEC_ID})
+    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("ann", "similarity"),
+    bench=True,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector: broadcast the
+    query (single row), score every corpus vector map-side, then
+    TakeOrderedAndProject — the exact-recall baseline.
+
+    At 100 TB this pattern still works for *batched* queries: broadcast
+    the query batch, one pass over the corpus, per-partition top-k then
+    global top-k merge (Spark's sort-limit already does partial top-k
+    per partition — no full sort is materialized)."""
+    n = _spark_quantized(spark, sf_dir)
+    qry = F.broadcast(
+        n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("qv").alias("qqv"), F.col("nrm2").alias("qn")
+        )
+    )
+    return (
+        n.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(qry)
+        .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+    )
+
+
+def _ivf_oracle() -> str:
+    """IVF: label = coarse cell; centroid = per-dim ROUND(AVG) of the
+    quantized vectors (exact integer sums → identical centroids);
+    probe the top-N cells by query·centroid cosine; exact search
+    inside probed cells only."""
+    return f"""
+    WITH q AS ({_SQL_QUANT}),
+    n AS ({_SQL_NORM}),
+    qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
+    cexp AS (
+      SELECT label, i, SUM(qv[i]) AS s, COUNT(*) AS c
+      FROM q, (SELECT UNNEST(range(1, 65)) AS i)
+      GROUP BY label, i),
+    cent AS (
+      SELECT label, list(CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT) ORDER BY i) AS cv
+      FROM cexp GROUP BY label),
+    cscore AS (
+      SELECT cent.label,
+             (SELECT SUM(cent.cv[i] * qry.qqv[i])
+              FROM (SELECT UNNEST(range(1, 65)) AS i))
+             / SQRT(CAST((SELECT SUM(x*x) FROM (SELECT UNNEST(cent.cv) AS x)) AS DOUBLE)
+                    * CAST(qry.qn AS DOUBLE)) AS csim
+      FROM cent, qry),
+    probed AS (
+      SELECT label FROM cscore ORDER BY csim DESC, label LIMIT {_IVF_NPROBE}),
+    scored AS (
+      SELECT n.vec_id, n.label,
+             (SELECT SUM(n.qv[i] * qry.qqv[i])
+              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+      FROM n JOIN probed USING (label), qry
+      WHERE n.vec_id <> {_QUERY_VEC_ID})
+    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id
+    LIMIT {_TOP_K}
+    """
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=_ivf_oracle(),
+    tags=("ann", "similarity", "ivf"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-k: treat ``label`` as the coarse-quantizer cell
+    (in production the cells come from k-means over a sample), rank
+    cells by query·centroid similarity, exact-search only the top
+    {nprobe} cells.
+
+    100 TB path: centroids are a tiny per-cell aggregate (one map-side
+    combine over the corpus, reusable across queries); the probe set
+    turns a full-corpus scan into cells/nprobe of it; partition the
+    corpus BY cell on disk and probing becomes partition pruning —
+    the scan never reads unprobed cells."""
+    n = _spark_quantized(spark, sf_dir)
+    qry = F.broadcast(
+        n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("qv").alias("qqv"), F.col("nrm2").alias("qn")
+        )
+    )
+    # centroids: posexplode → exact integer per-dim sums → repack ordered
+    cexp = (
+        n.select("label", F.posexplode("qv").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+    )
+    cent = (
+        cexp.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, "
+                "CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT) AS v))), p -> p.v)"
+            ).alias("cv")
+        )
+        .withColumn(
+            "cn2", F.expr("aggregate(cv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+        )
+    )
+    probed = (
+        cent.crossJoin(qry)
+        .withColumn("csim", _cos("cv", "cn2", "qqv", "qn"))
+        .orderBy(F.desc("csim"), "label")
+        .limit(_IVF_NPROBE)
+        .select("label")
+    )
+    return (
+        n.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(qry)
+        .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+    )
