@@ -200,6 +200,22 @@ def write_changelog(
 ) -> None:
     """Write a change-log as parquet split into several files, so a
     Structured Streaming file source can replay it file-by-file
-    (``maxFilesPerTrigger=1``) as if events were arriving live."""
+    (``maxFilesPerTrigger=1``) as if events were arriving live.
+
+    The file source replays in modification-time order, so the part
+    files (range-partitioned by seq — file k holds the k-th seq range)
+    get strictly increasing mtimes, exactly like a live tap appending
+    segment files. This preserves the binlog-order precondition the
+    tx-grouping state machine shares with the reference (a commit must
+    not be seen before its transaction's mutations)."""
     df = changelog_df(spark, num_transactions, seed, rollback_prob, seq_start=seq_start)
     df.repartitionByRange(num_files, "seq").write.mode("overwrite").parquet(path)
+
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    parts = sorted(_glob.glob(path + "/part-*.parquet"))
+    for i, f in enumerate(parts):
+        _os.utime(f, (now + i, now + i))

@@ -1,0 +1,77 @@
+"""Producer (sink) registry — SURVEY §2.10 K1-K6 and §2.12's pluggable
+producer extension point.
+
+The reference loads producer classes reflectively from config
+(PipeRunner.scala:174-187) with a small Producer trait
+(api/producer/Producer.scala:6-11: queue/flush/handleAlter). Here a
+producer is a named factory ``(DataFrame, options) -> DataStreamWriter``
+— the registry maps config names to factories, and anything custom
+registers with :func:`register_producer`.
+
+Delivery contract: Structured Streaming's checkpoint protocol commits
+offsets only after a microbatch's sink write succeeds — the same
+flush-then-save-position gate as the reference (Pipe.scala:62-72), but
+strictly stronger (atomic per batch, T4/T13 for free).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+ProducerFactory = Callable[[DataFrame, dict], DataStreamWriter]
+
+_PRODUCERS: dict[str, ProducerFactory] = {}
+
+
+def register_producer(name: str) -> Callable[[ProducerFactory], ProducerFactory]:
+    def deco(fn: ProducerFactory) -> ProducerFactory:
+        _PRODUCERS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_producer(name: str) -> ProducerFactory:
+    if name not in _PRODUCERS:
+        raise KeyError(f"unknown producer '{name}'; known: {sorted(_PRODUCERS)}")
+    return _PRODUCERS[name]
+
+
+@register_producer("console")
+def console_producer(df: DataFrame, options: dict) -> DataStreamWriter:
+    """K2 — stdout producer (StdoutProducer.scala:9-107). Callers
+    usually compose with operators.filters.render_sql first to match
+    the reference's SQL-text output."""
+    return df.writeStream.format("console").option(
+        "truncate", str(options.get("truncate", True)).lower()
+    )
+
+
+@register_producer("memory")
+def memory_producer(df: DataFrame, options: dict) -> DataStreamWriter:
+    """K3 — in-memory queue producer (QueueProducer.scala:10-30);
+    query results land in an in-memory table named by ``queryName``."""
+    return df.writeStream.format("memory")
+
+
+@register_producer("parquet")
+def parquet_producer(df: DataFrame, options: dict) -> DataStreamWriter:
+    """File-landing producer: the canonical change stream written as
+    parquet (what downstream analytics read). ``path`` required."""
+    return df.writeStream.format("parquet").option("path", options["path"])
+
+
+@register_producer("kafka")
+def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
+    """K4-K6 — Kafka producer: expects ``topic`` and ``value`` columns
+    (from operators.filters.with_topic + sinks.wire.encode_generic).
+    Per-(db,table) topics preserve per-table ordering exactly like the
+    reference's topic scheme (README.md:119-124)."""
+    return (
+        df.selectExpr("topic", "CAST(value AS BINARY) as value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", options["brokers"])
+    )
