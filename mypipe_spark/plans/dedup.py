@@ -47,15 +47,17 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
     Built-in higher-order functions only (no UDF): split → transform
     over an index sequence → distinct → explode. Stays inside
-    whole-stage codegen."""
+    whole-stage codegen. The split runs once per row (``words`` is a
+    named intermediate, not re-evaluated per shingle)."""
     return (
-        docs.select(
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
             "doc_id",
             F.expr(
                 f"""
                 array_distinct(transform(
-                  sequence(1, greatest(size(split(text, ' ')) - {_SHINGLE_WORDS - 1}, 0)),
-                  i -> array_join(slice(split(text, ' '), i, {_SHINGLE_WORDS}), ' ')
+                  sequence(1, greatest(size(words) - {_SHINGLE_WORDS - 1}, 0)),
+                  i -> array_join(slice(words, i, {_SHINGLE_WORDS}), ' ')
                 ))
                 """
             ).alias("shingles"),
@@ -142,7 +144,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle removal (drop shingles with df > cap) bounds it — at these
     SFs the raw join is small enough that the cap is not applied."""
     t = load_tables(spark, sf_dir)
-    sh = _with_shingles(t["documents"])
+    # three consumers (counts + both join sides): persist the explode
+    sh = _with_shingles(t["documents"]).persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -242,16 +245,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the whole pipeline engine-deterministic, hence the SQL
     oracle."""
     t = load_tables(spark, sf_dir)
-    sh = _with_shingles(t["documents"])
-    sigs = sh.groupBy("doc_id").agg(*_minhash_cols_spark())
-    bands = None
-    for j, bexpr in enumerate(_band_exprs()):
-        part = sigs.select(
-            "doc_id",
-            F.expr(bexpr).alias("band_key"),
-            F.lit(j).alias("band_id"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Shingles feed four consumers (signatures, counts, and both sides
+    # of the verification join) — persist so the explode+split runs
+    # once. At 100 TB the equivalent is a materialized shingle table
+    # (computed once per corpus snapshot, shared by every dedup op).
+    sh = _with_shingles(t["documents"]).persist()
+    # one aggregation produces both the 16 minhashes and the shingle
+    # count per doc — a single shuffle instead of two
+    sigs = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"), *_minhash_cols_spark()
+    )
+    # bands as one posexplode over an array literal of band keys — one
+    # pass over sigs instead of a 4-way union
+    band_arr = F.array(*[F.expr(bx) for bx in _band_exprs()])
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_key")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -264,7 +273,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    counts = sigs.select("doc_id", "n_sh")
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (
