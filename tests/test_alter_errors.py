@@ -1,0 +1,157 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from mypipe_spark.changelog import write_changelog
+from mypipe_spark.model import specific_subject
+from mypipe_spark.registry import SchemaRegistry
+from mypipe_spark.sources.stream import changelog_stream
+from mypipe_spark.streaming.alter import AlterOrchestrator, evolve_schema
+from mypipe_spark.streaming.errors import (
+    ErrorPolicy,
+    dead_letter_split,
+    run_pipe_with_dead_letter,
+    run_with_error_handling,
+)
+from mypipe_spark.streaming.pipe import Pipe
+
+USER_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType(), True),
+        StructField("username", StringType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# evolve_schema (the ALTER → StructType step)
+# ---------------------------------------------------------------------------
+
+def test_evolve_schema_add_drop():
+    s2 = evolve_schema(USER_SCHEMA, "ALTER TABLE mypipe.user ADD COLUMN email varchar(128)")
+    assert s2.fieldNames() == ["id", "username", "email"]
+    assert isinstance(s2["email"].dataType, StringType)
+    s3 = evolve_schema(s2, "ALTER TABLE mypipe.user DROP COLUMN email")
+    assert s3.fieldNames() == ["id", "username"]
+    # idempotent add; unknown forms are no-ops
+    assert evolve_schema(s2, "ALTER TABLE mypipe.user ADD COLUMN email text").fieldNames() == s2.fieldNames()
+    assert evolve_schema(USER_SCHEMA, "ALTER TABLE mypipe.user ENGINE=InnoDB") == USER_SCHEMA
+
+
+def test_evolve_schema_types():
+    s = evolve_schema(USER_SCHEMA, "alter table user add login_total bigint")
+    assert s["login_total"].dataType.typeName() == "long"
+    s = evolve_schema(USER_SCHEMA, "alter table user add bio text")
+    assert s["bio"].dataType.typeName() == "binary"  # TEXT→bytes like the reference
+
+
+# ---------------------------------------------------------------------------
+# AlterOrchestrator end-to-end: DDL mid-stream → registry v2 + restart
+# ---------------------------------------------------------------------------
+
+def test_alter_orchestrator_registers_and_restarts(spark, tmp_path):
+    path = str(tmp_path / "cl")
+    from mypipe_spark.changelog import changelog_df
+
+    df = changelog_df(spark, num_transactions=6, alter_every=3)
+    df.repartitionByRange(3, "seq").write.parquet(path)
+    import glob
+    import os
+    import time
+
+    for i, f in enumerate(sorted(glob.glob(path + "/part-*.parquet"))):
+        os.utime(f, (time.time() + i, time.time() + i))
+
+    registry = SchemaRegistry()
+    out = str(tmp_path / "out")
+    orch = AlterOrchestrator(
+        # parquet sink: supports checkpoint recovery across the restarts
+        # (memory sinks do not — they cannot resume from offsets)
+        source=lambda s: changelog_stream(s, path, max_files_per_trigger=1),
+        sink=lambda df, ckpt: (
+            df.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append")
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        registry=registry,
+        table_schemas={("mypipe", "user"): USER_SCHEMA},
+    )
+    restarts = orch.run_available(spark)
+    assert restarts >= 1  # the stream carried ALTERs
+    # every event was delivered exactly once across restarts
+    delivered = spark.read.parquet(out)
+    assert delivered.count() == df.count()
+    assert delivered.groupBy("seq").count().filter(F.col("count") > 1).count() == 0
+    # schema v2 (email column) registered for all three mutation subjects
+    for mtype in ("insert", "update", "delete"):
+        latest = registry.get_latest(specific_subject("mypipe", "user", mtype))
+        assert latest is not None
+        assert "email" in latest[1]
+    # orchestrator's view of the table evolved too
+    assert "email" in orch.table_schemas[("mypipe", "user")].fieldNames()
+
+
+# ---------------------------------------------------------------------------
+# dead-letter + quit-on-error
+# ---------------------------------------------------------------------------
+
+def test_dead_letter_split_null_is_dead(spark):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None), (3, "bad")], "id int, status string"
+    )
+    valid, dead = dead_letter_split(df, "status = 'ok'")
+    assert [r["id"] for r in valid.collect()] == [1]
+    assert sorted(r["id"] for r in dead.collect()) == [2, 3]
+    assert dead.columns[-1] == "dlq_reason"
+
+
+def test_run_pipe_with_dead_letter(spark, tmp_path):
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=10, num_files=2)
+    pipe = Pipe(
+        pipe_id="dlq_main",
+        source=lambda s: changelog_stream(s, src),
+        producer="memory",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # treat deletes as "invalid" to exercise the split
+    run_pipe_with_dead_letter(
+        spark, pipe, "op <> 'delete'", str(tmp_path / "dlq")
+    )
+    total = spark.read.parquet(src).count()
+    deletes = spark.read.parquet(src).filter(F.col("op") == "delete").count()
+    main_n = spark.sql("select count(*) c from dlq_main").collect()[0].c
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert main_n == total - deletes
+    assert dlq.count() == deletes
+    assert dlq.select("dlq_reason").distinct().collect()[0][0].startswith("failed:")
+
+
+def test_quit_on_error_policy(spark, tmp_path):
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=3, num_files=1)
+
+    def poison(df):
+        return df.withColumn("boom", F.expr("raise_error('poisoned batch')"))
+
+    def bad(ckpt: str) -> Pipe:
+        return Pipe(
+            pipe_id="poison",
+            source=lambda s: changelog_stream(s, src),
+            transforms=[poison],
+            producer="memory",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    # quit=True (reference default): the error propagates
+    with pytest.raises(Exception, match="poisoned"):
+        run_with_error_handling(
+            spark, bad("ckpt1"), ErrorPolicy(quit_on_event_handle_failure=True)
+        )
+    # quit=False: captured for inspection instead of propagating
+    exc = run_with_error_handling(
+        spark, bad("ckpt2"), ErrorPolicy(quit_on_event_handle_failure=False)
+    )
+    assert exc is not None and "poisoned" in str(exc)

@@ -1,0 +1,62 @@
+"""Pytest twin of the driver's correctness gate: every registered
+query runs on Spark AND through its DuckDB oracle at sf0.001; row
+count, column set, and order-insensitive values must agree.
+
+(tools/check_oracle.py is the same comparison as a CLI, usable at any
+SF; this test keeps the gate inside `pytest tests/`.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from mypipe_spark.plans.catalog import TABLE_NAMES, all_queries
+
+_QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows):
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    return sorted(
+        (tuple(norm(v) for v in r) for r in rows),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    qd = _QUERIES[name]
+    sdf = qd.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    if qd.oracle is None:
+        # rows-only contract: it must at least execute and be stable
+        assert isinstance(srows, list)
+        return
+    res = duck.execute(qd.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    sidx = [sdf.columns.index(c) for c in sorted(sdf.columns)]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    s_n = _normalize(tuple(r[i] for i in sidx) for r in srows)
+    o_n = _normalize(tuple(r[i] for i in oidx) for r in orows)
+    assert len(s_n) == len(o_n)
+    assert s_n == o_n

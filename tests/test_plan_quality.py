@@ -1,0 +1,101 @@
+"""Physical-plan assertions — the scale contract, not just results.
+
+Each check pins a property that decides whether the plan survives a
+100×-1000× scale-up: filters/projections reaching the parquet scan,
+dimensions broadcast instead of shuffled, partial (map-side)
+aggregation present, whole-stage codegen covering the hot path, and no
+accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mypipe_spark.plans.catalog import all_queries
+
+_QUERIES = all_queries()
+
+
+def _plan(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
+    df = _QUERIES[name].fn(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    """Count physical operators via their formatted-mode detail headers
+    ("(3) Exchange") — the tree section repeats each node, so a raw
+    substring count double-counts."""
+    return len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.MULTILINE))
+
+
+def test_q1_scan_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    # shipdate filter reaches the parquet reader
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+    # column pruning: the 16-col table is read as only the needed 7
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert read_schema.count(",") <= 7
+    # partial aggregation before the exchange (map-side combine)
+    assert _n_nodes(plan, "HashAggregate") >= 2
+    # expression-only plan: nothing drops to Python row evaluation
+    assert "EvalPython" not in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, "q5_nation_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_no_cartesian_and_topk(spark, sf_dir):
+    plan = _plan(spark, "q3_top_revenue_orders", sf_dir)
+    assert "CartesianProduct" not in plan
+    # LIMIT over ORDER BY compiles to top-k, never a full global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    anti = _plan(spark, "q_customers_without_orders", sf_dir)
+    assert "LeftAnti" in anti
+    semi = _plan(spark, "q_customers_with_open_orders", sf_dir)
+    assert "LeftSemi" in semi
+
+
+def test_ann_broadcasts_query_vector(spark, sf_dir):
+    plan = _plan(spark, "ann_topk_bruteforce", sf_dir)
+    # single-row query side must broadcast (BroadcastNestedLoopJoin on
+    # a 1-row build side is a map-side pass, not a shuffle)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_single_expand_pass(spark, sf_dir):
+    plan = _plan(spark, "q_rollup_returns", sf_dir)
+    assert "Expand" in plan
+    # one scan of lineitem, not one per grouping set
+    assert _n_nodes(plan, "Scan parquet") == 1
+
+
+def test_dedup_exact_partial_agg(spark, sf_dir):
+    plan = _plan(spark, "dedup_exact", sf_dir)
+    assert _n_nodes(plan, "HashAggregate") >= 2
+
+
+def test_latest_state_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "cdc_latest_state", sf_dir)
+    # one exchange for the window partitioning — no extra repartitions
+    assert _n_nodes(plan, "Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q5_nation_revenue", "cdc_latest_state"]
+)
+def test_no_python_udfs_in_hot_paths(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mypipe_spark.sources.snapshot import (
+    Split,
+    changelog_resume_position,
+    compute_splits,
+    integer_splits,
+    pick_split_column,
+    snapshot_table,
+    to_insert_mutations,
+)
+
+
+def test_integer_splits_even_and_remainder():
+    # exact division
+    s = integer_splits(0, 99, 4)
+    assert [(x.lo, x.hi) for x in s] == [(0, 25), (25, 50), (50, 75), (75, None)]
+    # remainder spread over the first splits (Sqoop/IntegerSplitter rule)
+    s = integer_splits(1, 10, 3)  # span 10 -> 4,3,3
+    assert [(x.lo, x.hi) for x in s] == [(1, 5), (5, 8), (8, None)]
+    # more splits than values collapses
+    s = integer_splits(5, 6, 10)
+    assert len(s) == 2
+    # predicates are closed-open except the last
+    assert s[0].predicate("id") == "id >= 5 AND id < 6"
+    assert s[1].predicate("id") == "id >= 6"
+
+
+def test_integer_splits_cover_all_values():
+    for lo, hi, n in [(0, 999, 7), (-50, 50, 4), (3, 3, 5)]:
+        splits = integer_splits(lo, hi, n)
+        covered = set()
+        for s in splits:
+            top = hi + 1 if s.hi is None else s.hi
+            covered.update(range(s.lo, top))
+        assert covered == set(range(lo, hi + 1))
+
+
+def test_compute_splits_on_table(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    splits = compute_splits(df, "c_custkey", num_splits=5)
+    assert len(splits) == 5
+    # every row lands in exactly one split
+    total = sum(df.filter(s.predicate("c_custkey")).count() for s in splits)
+    assert total == df.count()
+
+
+def test_compute_splits_all_null(spark):
+    df = spark.range(3).select(F.lit(None).cast("long").alias("k"))
+    assert compute_splits(df, "k") == [Split(0, None)]
+
+
+def test_pick_split_column(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert pick_split_column(df, ["c_custkey"]) == "c_custkey"
+    with pytest.raises(ValueError, match="composite"):
+        pick_split_column(df, ["c_custkey", "c_name"])
+    with pytest.raises(ValueError, match="non-integer"):
+        pick_split_column(df, ["c_name"])
+
+
+def test_to_insert_mutations_bucketing(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    snap = to_insert_mutations(
+        snapshot_table(cust, "c_custkey", num_splits=4), "tpch", "customer", 7
+    )
+    assert snap.count() == cust.count()
+    row = snap.limit(1).collect()[0]
+    assert row["op"] == "insert" and row["database"] == "tpch"
+    assert row["ts"].year == 1970  # InsertMutation(ts=0) semantics
+    # bigint -> longs map; int -> integers; string -> strings;
+    # double (c_acctbal) dropped like unsupported types in the reference
+    assert "c_custkey" in row["new_longs"]
+    assert "c_nationkey" in row["new_integers"]
+    assert "c_name" in row["new_strings"] and "c_mktsegment" in row["new_strings"]
+    assert row["new_bytes"] is None
+
+
+def test_changelog_resume_position(spark, tmp_path):
+    from mypipe_spark.changelog import write_changelog
+
+    path = str(tmp_path / "cl")
+    write_changelog(spark, path, num_transactions=5, num_files=2)
+    pos = changelog_resume_position(spark, path)
+    mx = spark.read.parquet(path).agg(F.max("seq")).collect()[0][0]
+    assert pos == mx > 0
