@@ -281,3 +281,52 @@ def cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("new_strings", "c_mktsegment").alias("c_mktsegment"),
         F.element_at("new_longs", "c_custkey").cast("string").alias("pk"),
     )
+
+
+def _wire_insert_schema_id() -> int:
+    from ..model import generic_subject
+    from ..registry import in_memory_repo
+
+    latest = in_memory_repo().get_latest(generic_subject("insert"))
+    return latest[0] if latest else 0
+
+
+@register(
+    "cdc_wire_roundtrip",
+    oracle=f"""
+    SELECT c_custkey, c_name, 'insert' AS op,
+           1 AS mtype, TRUE AS magic_ok,
+           {_wire_insert_schema_id()} AS schema_id
+    FROM customer
+    """,
+    tags=("cdc", "wire", "serde"),
+)
+def cdc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/K7/K9 end-to-end: snapshot rows → generic envelope → framed
+    wire bytes ``[0x0][mtype][schema_id BE][payload]`` → unframe +
+    decode → typed columns again. The oracle is the identity check:
+    decode(encode(x)) must reproduce the source table exactly, plus the
+    header constants (mtype=0x1 for insert, magic ok, registry schema
+    id). All pure binary/JSON column expressions — no UDFs, no
+    shuffle beyond the snapshot repartition."""
+    from ..registry import in_memory_repo
+    from ..sinks.wire import decode_generic, encode_generic
+    from ..sources.snapshot import snapshot_table, to_insert_mutations
+
+    t = load_tables(spark, sf_dir)
+    muts = to_insert_mutations(
+        snapshot_table(t["customer"], "c_custkey", num_splits=4),
+        database="tpch",
+        table="customer",
+        table_id=1,
+    )
+    encoded = encode_generic(muts, in_memory_repo()).select("value")
+    decoded = decode_generic(encoded)
+    return decoded.select(
+        F.element_at("payload.longs", "c_custkey").alias("c_custkey"),
+        F.element_at("payload.strings", "c_name").alias("c_name"),
+        "op",
+        "mtype",
+        "magic_ok",
+        "schema_id",
+    )

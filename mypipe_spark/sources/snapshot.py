@@ -191,6 +191,9 @@ def to_insert_mutations(
             pairs.append(F.col(nm).cast(cast) if cast else F.col(nm))
         return F.create_map(*pairs)
 
+    def null_map(cast: str) -> F.Column:
+        return F.lit(None).cast(f"map<string,{cast}>")
+
     return df.select(
         F.lit("insert").alias("op"),
         F.lit(database).alias("database"),
@@ -198,6 +201,13 @@ def to_insert_mutations(
         F.lit(table_id).cast("long").alias("table_id"),
         F.lit(None).cast("string").alias("txid"),
         F.timestamp_seconds(F.lit(0)).alias("ts"),
+        # inserts have no before image; null old_* maps keep the full
+        # canonical change-event column set so every downstream stage
+        # (envelope, wire, tx grouping) accepts snapshot rows unchanged
+        null_map("int").alias("old_integers"),
+        null_map("bigint").alias("old_longs"),
+        null_map("string").alias("old_strings"),
+        null_map("binary").alias("old_bytes"),
         typed_map(ints, "int").alias("new_integers"),
         typed_map(longs, "bigint").alias("new_longs"),
         typed_map(strs).alias("new_strings"),

@@ -1,0 +1,81 @@
+"""Event-time windows + watermarks over the change stream
+(SURVEY.md §2.9 T14 — absent in the reference because binlog order made
+them unnecessary; the rebuilt engine exposes them because real feeds
+(Kafka fan-in, multi-source union) are NOT globally ordered).
+
+All three are thin declarative layers over Structured Streaming's
+windowing; state (open windows) lives in the state store and is purged
+by the watermark — bounded memory at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_mutation_counts(
+    df: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) event-time counts
+    of mutations per (database, table, op). Late events beyond the
+    watermark are dropped; with append output mode a window only emits
+    once it can no longer change — exactly-once window totals."""
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        df.withWatermark("ts", watermark)
+        .filter(F.col("op").isin("insert", "update", "delete"))
+        .groupBy(win.alias("win"), "database", "table", "op")
+        .agg(F.count("*").alias("n_mutations"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "database",
+            "table",
+            "op",
+            "n_mutations",
+        )
+    )
+
+
+def session_mutation_windows(
+    df: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per transaction id: a txid's events that arrive
+    within ``gap`` of each other form one session — the streaming
+    analog of the batch gaps-and-islands query (plans.cdc
+    cdc_sessionize), using the built-in session_window state machine."""
+    return (
+        df.withWatermark("ts", watermark)
+        .filter(F.col("txid").isNotNull())
+        .groupBy(F.session_window("ts", gap).alias("win"), "txid")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "txid",
+            "n_events",
+        )
+    )
+
+
+def throughput_per_trigger(df: DataFrame) -> DataFrame:
+    """Processing-rate probe: mutation counts by op only — the
+    LatencySpec analog (reference asserts <10ms/mutation over 100 rows,
+    LatencySpec.scala:169-172); in Spark the comparable signal is
+    rows/microbatch from StreamingQueryProgress, and this tiny global
+    aggregate gives the per-op split."""
+    return (
+        df.filter(F.col("op").isin("insert", "update", "delete"))
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mypipe_spark.changelog import write_changelog
+from mypipe_spark.sources.stream import changelog_batch, changelog_stream
+from mypipe_spark.streaming.windows import (
+    session_mutation_windows,
+    throughput_per_trigger,
+    windowed_mutation_counts,
+)
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=30, num_files=3)
+
+    q = (
+        windowed_mutation_counts(changelog_stream(spark, src), "1 minute", "2 minutes")
+        .writeStream.format("memory").queryName("winagg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["window_start"], r["op"]): r["n_mutations"]
+        for r in spark.sql("select * from winagg").collect()
+    }
+    batch = changelog_batch(spark, src).filter(
+        F.col("op").isin("insert", "update", "delete")
+    )
+    expected = {
+        (r["w"]["start"], r["op"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 minute").alias("w"), "op")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+    # windows are aligned minute boundaries
+    assert all(ws.second == 0 for ws, _ in got)
+
+
+def test_session_windows_per_txid(spark, tmp_path):
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=10, num_files=1)
+    q = (
+        session_mutation_windows(changelog_stream(spark, src), gap="5 minutes")
+        .writeStream.format("memory").queryName("sesswin")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("select * from sesswin").collect()
+    # every event of a txid is within one session (1s spacing << 5m gap)
+    batch = changelog_batch(spark, src).filter(F.col("txid").isNotNull())
+    per_tx = {r["txid"]: r["n"] for r in batch.groupBy("txid").agg(F.count("*").alias("n")).collect()}
+    assert {r["txid"]: r["n_events"] for r in rows} == per_tx
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_throughput_probe(spark, tmp_path):
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=10, num_files=1)
+    q = (
+        throughput_per_trigger(changelog_stream(spark, src))
+        .writeStream.format("memory").queryName("tput")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    got = {r["op"]: r["n"] for r in spark.sql("select * from tput").collect()}
+    batch = changelog_batch(spark, src)
+    for op in got:
+        assert got[op] == batch.filter(F.col("op") == op).count()
