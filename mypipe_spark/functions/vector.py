@@ -1,0 +1,60 @@
+"""Vectorized embedding kernels (Arrow/Pandas UDF path).
+
+The expression-based cosine in plans.dedup/plans.similarity
+(``aggregate(zip_with(...))``) is pure JVM but evaluates element-wise
+per row. For wide embeddings or big batches the faster shape is one
+numpy matmul per Arrow batch — this module provides that kernel with
+EXACTLY the same quantized-integer arithmetic (round(x*1e4) → int64;
+integer dots/norms; one final double op), so results are bit-identical
+to the expression path and share its DuckDB oracle.
+
+This is the pattern the guide calls out: when Python is unavoidable
+(or profitable), Arrow-batched and columnar — never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QSCALE = 10_000
+
+
+def _quantize_batch(embs: pd.Series) -> np.ndarray:
+    """(batch, dim) int64 matrix with round-half-away-from-zero —
+    matching Spark's ROUND(double) and DuckDB's ROUND semantics
+    (np.round alone is banker's rounding, which would diverge)."""
+    m = np.stack(embs.to_numpy()).astype(np.float64) * QSCALE
+    return (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+
+
+def cosine_scores_vectorized(
+    df: DataFrame,
+    query_vec: list[float],
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cos_raw`` (double) — cosine of each row's embedding
+    against one query vector, computed as a single int64 matrix-vector
+    product per Arrow batch. mapInPandas keeps all other columns."""
+    q = np.asarray(query_vec, dtype=np.float64) * QSCALE
+    q = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+    qn = float(np.sqrt(float(q @ q)))
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cos_raw double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _quantize_batch(pdf[emb_col])
+            dots = m @ q  # exact int64
+            norms = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+            pdf = pdf.copy()
+            pdf["cos_raw"] = dots.astype(np.float64) / (norms * qn)
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)

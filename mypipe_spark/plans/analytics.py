@@ -499,3 +499,49 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# array / higher-order functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4)
+                AS DOUBLE) AS max_val,
+           CAST(ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4)
+                AS DOUBLE) AS min_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_val
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface over the embedding column —
+    size, extrema, lambda filter, element access, all JVM expressions
+    (the building blocks the similarity/dedup plans compose). Extrema
+    compare exact float32 values; only display rounding at the end."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.array_max("embedding").cast("double"), 4)
+            .cast("double")
+            .alias("max_val"),
+            F.round(F.array_min("embedding").cast("double"), 4)
+            .cast("double")
+            .alias("min_val"),
+            F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4)
+            .cast("double")
+            .alias("first_val"),
+        )
+    )

@@ -195,3 +195,49 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
     )
+
+
+@register(
+    "ann_topk_pandas",
+    oracle=f"""
+    WITH q AS ({_SQL_QUANT}),
+    n AS ({_SQL_NORM}),
+    qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT n.vec_id, n.label,
+             (SELECT SUM(n.qv[i] * qry.qqv[i])
+              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+      FROM n, qry
+      WHERE n.vec_id <> {_QUERY_VEC_ID})
+    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id
+    LIMIT {_TOP_K}
+    """,
+    tags=("ann", "similarity", "pandas-udf"),
+)
+def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized twin of ann_topk_bruteforce: one int64
+    matrix-vector product per Arrow batch (functions.vector) instead of
+    per-row JVM expressions. Identical quantized arithmetic ⇒ identical
+    results ⇒ the same oracle — the two plans are interchangeable and
+    the faster one wins at a given embedding width/batch shape."""
+    from ..functions.vector import cosine_scores_vectorized
+    from .catalog import load_tables as _lt
+
+    t = _lt(spark, sf_dir)
+    emb = t["embeddings"]
+    qvec = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    scored = cosine_scores_vectorized(
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID), list(qvec)
+    )
+    return (
+        scored.orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+    )

@@ -1,0 +1,140 @@
+"""Config-driven pipe runner — the PipeRunner analog (SURVEY.md §3.1).
+
+The reference wires pipes from HOCON: ``mypipe.producers``,
+``mypipe.consumers``, ``mypipe.pipes`` with reflective class loading
+(runner/PipeRunner.scala:22-140, Conf.scala:63-71). Here the config is
+a plain dict (JSON/TOML-friendly — no extra deps), and "reflective
+loading" is the named registries:
+
+    config = {
+      "consumers": {
+        "cl":   {"type": "changelog", "path": "/data/cl"},
+        "k1":   {"type": "kafka", "brokers": "...", "topics": "t"},
+      },
+      "pipes": {
+        "p1": {
+          "consumer": "cl",
+          "include-event-condition": "database = 'mypipe'",
+          "group-mutations-by-tx": false,
+          "topic-template": "${database}_${table}_generic",
+          "producer": {"name": "parquet", "path": "/out"},
+          "checkpoint": "/ckpt/p1",
+          "flush-interval-seconds": 10
+        }
+      }
+    }
+
+Config keys deliberately mirror the reference's reference.conf names
+(include-event-condition README.md:422-429, group-mutations-by-tx
+reference.conf:14-21, flush-interval-seconds reference.conf:11-12) so a
+mypipe user's mental model transfers.
+
+Each pipe becomes one checkpointed StreamingQuery; the reference's
+single-consumer-per-pipe restriction (PipeRunner.scala:110-122) holds.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.decode import mutations_only
+from .operators.filters import include_events, with_topic
+from .operators.txgroup import tx_group_stream
+from .streaming.pipe import Pipe
+
+ConsumerFactory = Callable[[SparkSession, dict], DataFrame]
+
+_CONSUMERS: dict[str, ConsumerFactory] = {}
+
+
+def register_consumer(name: str) -> Callable[[ConsumerFactory], ConsumerFactory]:
+    """Pluggable consumer extension point (the reference loads consumer
+    classes with a (Config) ctor, PipeRunner.scala:146-172)."""
+
+    def deco(fn: ConsumerFactory) -> ConsumerFactory:
+        _CONSUMERS[name] = fn
+        return fn
+
+    return deco
+
+
+@register_consumer("changelog")
+def _changelog_consumer(spark: SparkSession, conf: dict) -> DataFrame:
+    from .sources.stream import changelog_stream
+
+    return changelog_stream(
+        spark, conf["path"], max_files_per_trigger=conf.get("max-files-per-trigger", 1)
+    )
+
+
+@register_consumer("kafka")
+def _kafka_consumer(spark: SparkSession, conf: dict) -> DataFrame:
+    from .sources.stream import kafka_stream
+
+    return kafka_stream(
+        spark,
+        conf["brokers"],
+        conf["topics"],
+        starting_offsets=conf.get("starting-offsets", "earliest"),
+    )
+
+
+def build_pipes(config: dict[str, Any]) -> list[Pipe]:
+    """Dict config → Pipe objects (not yet started)."""
+    consumers: dict[str, dict] = config.get("consumers", {})
+    pipes: list[Pipe] = []
+    for pipe_id, pconf in config.get("pipes", {}).items():
+        cname = pconf["consumer"]
+        if cname not in consumers:
+            raise KeyError(f"pipe '{pipe_id}': unknown consumer '{cname}'")
+        cconf = consumers[cname]
+        ctype = cconf.get("type", "changelog")
+        if ctype not in _CONSUMERS:
+            raise KeyError(
+                f"pipe '{pipe_id}': unknown consumer type '{ctype}'; "
+                f"known: {sorted(_CONSUMERS)}"
+            )
+        cfactory = _CONSUMERS[ctype]
+
+        transforms: list[Callable[[DataFrame], DataFrame]] = []
+        cond = pconf.get("include-event-condition")
+        if cond:
+            transforms.append(lambda df, _c=cond: include_events(df, _c))
+        if pconf.get("group-mutations-by-tx"):
+            transforms.append(tx_group_stream)
+        elif pconf.get("mutations-only", True):
+            transforms.append(mutations_only)
+        topic_template = pconf.get("topic-template")
+        if topic_template:
+            transforms.append(lambda df, _t=topic_template: with_topic(df, _t))
+
+        producer_conf = dict(pconf.get("producer", {"name": "memory"}))
+        producer_name = producer_conf.pop("name")
+        pipes.append(
+            Pipe(
+                pipe_id=pipe_id,
+                source=lambda s, _f=cfactory, _cc=cconf: _f(s, _cc),
+                transforms=transforms,
+                producer=producer_name,
+                producer_options=producer_conf,
+                checkpoint_dir=pconf.get("checkpoint"),
+                trigger_seconds=pconf.get("flush-interval-seconds"),
+            )
+        )
+    return pipes
+
+
+def run_from_config(
+    spark: SparkSession, config: dict[str, Any], block: bool = False
+) -> list:
+    """Start every configured pipe (PipeRunner.scala:22-60). With
+    ``block=True``, drain-and-stop each (deterministic batch mode);
+    otherwise return the live StreamingQuery handles."""
+    pipes = build_pipes(config)
+    if block:
+        for p in pipes:
+            p.run_available(spark)
+        return []
+    return [p.start(spark) for p in pipes]
