@@ -128,3 +128,41 @@ def register_table(
         (s := specific_subject(database, table, mtype)): reg.register(s, schema)
         for mtype in ("insert", "update", "delete")
     }
+
+
+# ---------------------------------------------------------------------------
+# persistence (file-backed store for the CLI / cross-process sharing)
+# ---------------------------------------------------------------------------
+
+
+def save_registry(reg: SchemaRegistry, path: str) -> None:
+    """Serialize the full versioned store to JSON — the durable
+    backing the reference gets from its AVRO-1124 REST repository
+    (GenericSchemaRepository.scala:42-260); here a plain file works
+    because the registry is tiny and read-mostly."""
+    import json
+
+    data = {
+        subject: {str(i): reg.get_schema(subject, i) for i in reg.versions(subject)}
+        for subject in reg.subjects()
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+
+
+def load_registry(path: str) -> SchemaRegistry:
+    """Rebuild a SchemaRegistry from :func:`save_registry` output,
+    preserving version ids (registration replays in id order)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    reg = SchemaRegistry()
+    for subject, versions in data.items():
+        for i in sorted(versions, key=int):
+            assigned = reg.register(subject, versions[i])
+            if assigned != int(i):
+                raise ValueError(
+                    f"non-contiguous version ids for {subject}: {sorted(versions)}"
+                )
+    return reg

@@ -104,3 +104,19 @@ def test_registry_id_overflow():
     reg._store["s"] = sub
     with pytest.raises(OverflowError):
         reg.register("s", "one-too-many")
+
+
+def test_registry_save_load_roundtrip(tmp_path):
+    from mypipe_spark.registry import load_registry, save_registry
+
+    reg = SchemaRegistry()
+    reg.register("a", "s1")
+    reg.register("a", "s2")
+    reg.register("b", "x1")
+    path = str(tmp_path / "reg.json")
+    save_registry(reg, path)
+    back = load_registry(path)
+    assert back.subjects() == ["a", "b"]
+    assert back.get_latest("a") == (2, "s2")
+    assert back.get_schema("a", 1) == "s1"
+    assert back.versions("b") == [1]
