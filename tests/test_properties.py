@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels —
+the reference has none (SURVEY.md §5: no property-based tests); the
+rebuild adds them where invariants are crisp and execution is cheap
+(no SparkSession involved)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from mypipe_spark.changelog import ChangeLogGenerator
+from mypipe_spark.sources.snapshot import integer_splits
+from mypipe_spark.streaming.alter import alter_target, evolve_schema
+
+bounds = st.integers(min_value=-(10**12), max_value=10**12)
+
+
+@settings(max_examples=200)
+@given(lo=bounds, hi=bounds, n=st.integers(min_value=1, max_value=64))
+def test_integer_splits_partition_the_range(lo, hi, n):
+    if lo > hi:
+        lo, hi = hi, lo
+    splits = integer_splits(lo, hi, n)
+    # contiguous, ordered, non-overlapping, covering [lo, hi]
+    assert splits[0].lo == lo
+    assert splits[-1].hi is None
+    for a, b in zip(splits, splits[1:]):
+        assert a.hi == b.lo
+        assert a.lo < a.hi
+    assert len(splits) <= n
+    # sizes differ by at most 1 (even distribution)
+    sizes = [
+        (s.hi if s.hi is not None else hi + 1) - s.lo for s in splits
+    ]
+    assert max(sizes) - min(sizes) <= 1
+
+
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@settings(max_examples=100)
+@given(db=ident, table=ident, col=ident)
+def test_alter_add_then_drop_is_identity(db, table, col):
+    base = StructType([StructField("id", IntegerType(), True)])
+    add = f"ALTER TABLE {db}.{table} ADD COLUMN {col} varchar(64)"
+    drop = f"ALTER TABLE {db}.{table} DROP COLUMN {col}"
+    evolved = evolve_schema(base, add)
+    if col == "id":  # add of an existing column is a no-op
+        assert evolved == base
+    else:
+        assert evolved.fieldNames() == ["id", col]
+        assert isinstance(evolved[col].dataType, StringType)
+        assert evolve_schema(evolved, drop) == base
+    assert alter_target(add) == (db, table)
+
+
+@settings(max_examples=50)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    n=st.integers(min_value=1, max_value=30),
+    rb=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_changelog_generator_invariants(seed, n, rb):
+    gen = ChangeLogGenerator(seed=seed, rollback_prob=rb)
+    events = gen.generate(n)
+    # seq strictly increasing; ts monotone with seq
+    seqs = [e["seq"] for e in events]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    # every tx is a well-formed BEGIN [mutations]+ (COMMIT|ROLLBACK)
+    open_tx = None
+    saw_mutation = False
+    for e in events:
+        if e["op"] == "begin":
+            assert open_tx is None
+            open_tx, saw_mutation = e["txid"], False
+        elif e["op"] in ("commit", "rollback"):
+            assert e["txid"] == open_tx and saw_mutation
+            open_tx = None
+        elif e["op"] in ("insert", "update", "delete"):
+            assert e["txid"] == open_tx
+            saw_mutation = True
+            # images consistent with op
+            if e["op"] == "insert":
+                assert e["new_integers"] and e["old_integers"] is None
+            elif e["op"] == "delete":
+                assert e["old_integers"] and e["new_integers"] is None
+            else:
+                assert e["old_integers"] and e["new_integers"]
+    assert open_tx is None
