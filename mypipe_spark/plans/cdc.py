@@ -300,6 +300,7 @@ def _wire_insert_schema_id() -> int:
     FROM customer
     """,
     tags=("cdc", "wire", "serde"),
+    bench=True,
 )
 def cdc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5/K7/K9 end-to-end: snapshot rows → generic envelope → framed

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Streaming throughput probe — the LatencySpec analog (BASELINE.md:
+the reference asserts <10 ms/mutation mean over 100 inserts; a Spark
+microbatch pipeline's comparable signal is end-to-end rows/sec through
+a checkpointed pipe).
+
+Replays a generated changelog through the full pipe (decode → filter →
+topic routing → memory sink) and prints one JSON line with rows/sec
+and per-batch stats from StreamingQueryProgress.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from mypipe_spark.changelog import write_changelog
+    from mypipe_spark.operators.decode import mutations_only
+    from mypipe_spark.operators.filters import include_events, with_topic
+    from mypipe_spark.session import get_spark
+    from mypipe_spark.sources.stream import changelog_stream
+    from mypipe_spark.streaming.pipe import Pipe
+
+    n_tx = int(os.environ.get("STREAM_BENCH_TX", "2000"))
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = tempfile.mkdtemp(prefix="stream_bench_")
+    write_changelog(spark, d + "/cl", num_transactions=n_tx, num_files=8)
+    total_events = spark.read.parquet(d + "/cl").count()
+
+    pipe = Pipe(
+        pipe_id="stream_bench",
+        source=lambda s: changelog_stream(s, d + "/cl", max_files_per_trigger=None),
+        transforms=[
+            mutations_only,
+            lambda df: include_events(df, "database = 'mypipe'"),
+            with_topic,
+        ],
+        producer="memory",
+        checkpoint_dir=d + "/ckpt",
+    )
+    t0 = time.perf_counter()
+    q = pipe.start(spark)
+    try:
+        q.processAllAvailable()
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+    wall = time.perf_counter() - t0
+
+    out_rows = spark.sql("select count(*) c from stream_bench").collect()[0].c
+    batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    print(
+        json.dumps(
+            {
+                "metric": "stream_pipe_throughput",
+                "unit": "rows/sec",
+                "value": round(total_events / wall, 1),
+                "input_events": total_events,
+                "emitted_mutations": out_rows,
+                "wall_sec": round(wall, 3),
+                "n_batches": len(batches),
+                "mean_batch_ms": round(
+                    sum(p["batchDuration"] for p in batches) / max(len(batches), 1), 1
+                ),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
