@@ -61,6 +61,44 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def scale_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism
+    when the scan yields fewer partitions than cores.
+
+    A small parquet file (one row group) reads as ONE input partition,
+    which serializes CPU-bound per-row work (md5 minhashing, shingling,
+    vector math) onto a single core no matter how many the session has.
+    At 100 TB the scan is naturally thousands of partitions and this is
+    a no-op (the guard keeps the extra shuffle off the big-data path);
+    at bench scale it unlocks the other 31 cores for ~KB of shuffle.
+
+    The guard uses ``inputFiles()`` (driver-side file listing — cheap)
+    rather than ``df.rdd.getNumPartitions()`` (forces a full plan →
+    RDD conversion per call). Scans split at
+    ``spark.sql.files.maxPartitionBytes`` boundaries, so a scan reads
+    as fewer partitions than cores only when it is also small."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plan: nothing to rebalance
+        return df
+    if files and len(files) < target:
+        import os
+
+        total = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                return df  # non-local URI; can't size cheaply — leave as is
+        if total // max_bytes + 1 < target:
+            return df.repartition(target)
+    return df
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 

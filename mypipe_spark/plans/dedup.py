@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register
+from .catalog import load_tables, register, scale_out
 
 # 3-word shingles; docs shorter than 3 words are kept verbatim (no pairs).
 _SHINGLE_WORDS = 3
@@ -42,15 +42,20 @@ _JACCARD_THRESHOLD = 0.5
 # shared shingle plumbing (Spark side)
 # ---------------------------------------------------------------------------
 
-def _with_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-word shingles per document.
+def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>, n_sh) — distinct 3-word
+    shingles per document, kept as an array.
 
     Built-in higher-order functions only (no UDF): split → transform
-    over an index sequence → distinct → explode. Stays inside
-    whole-stage codegen. The split runs once per row (``words`` is a
-    named intermediate, not re-evaluated per shingle)."""
+    over an index sequence → distinct. Stays inside whole-stage
+    codegen and involves NO shuffle — per-doc quantities (shingle
+    count, minhash signature) derive from this array with array_min /
+    size instead of an explode+groupBy round trip. The split runs once
+    per row (``words`` is a named intermediate, not re-evaluated per
+    shingle)."""
     return (
-        docs.select("doc_id", F.split("text", " ").alias("words"))
+        scale_out(docs)
+        .select("doc_id", F.split("text", " ").alias("words"))
         .select(
             "doc_id",
             F.expr(
@@ -62,7 +67,14 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
                 """
             ).alias("shingles"),
         )
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — exploded form, for inverted-index joins."""
+    return _with_shingle_arrays(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -144,26 +156,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle removal (drop shingles with df > cap) bounds it — at these
     SFs the raw join is small enough that the cap is not applied."""
     t = load_tables(spark, sf_dir)
-    # three consumers (counts + both join sides): persist the explode
-    sh = _with_shingles(t["documents"]).persist()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Carry n_sh alongside each exploded shingle row (computed from the
+    # array BEFORE the explode — free, no count-aggregation) so the
+    # final Jaccard needs no join back to a per-doc counts table. This
+    # trades a few bytes of shuffle width for two whole shuffle joins.
+    sh = _with_shingle_arrays(t["documents"]).select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
     jac = F.col("n_common").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= _JACCARD_THRESHOLD)
+        inter.filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )
 
@@ -172,9 +189,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH (oracle-checkable via md5-string minhash)
 # ---------------------------------------------------------------------------
 
-def _minhash_cols_spark() -> list[F.Column]:
+def _minhash_sig_cols() -> list[F.Column]:
+    """h_i = lexicographic min of md5('i:' || shingle) over the doc's
+    shingle ARRAY — array_min over a transform, evaluated row-local in
+    whole-stage codegen with no explode and no aggregation shuffle."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(f"h{i}")
+        F.expr(
+            f"array_min(transform(shingles,"
+            f" s -> md5(cast(concat('{i}:', s) as binary))))"
+        ).alias(f"h{i}")
         for i in range(_MINHASH_K)
     ]
 
@@ -245,16 +268,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the whole pipeline engine-deterministic, hence the SQL
     oracle."""
     t = load_tables(spark, sf_dir)
-    # Shingles feed four consumers (signatures, counts, and both sides
-    # of the verification join) — persist so the explode+split runs
-    # once. At 100 TB the equivalent is a materialized shingle table
-    # (computed once per corpus snapshot, shared by every dedup op).
-    sh = _with_shingles(t["documents"]).persist()
-    # one aggregation produces both the 16 minhashes and the shingle
-    # count per doc — a single shuffle instead of two
-    sigs = sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_sh"), *_minhash_cols_spark()
-    )
+    # Per-doc shingle ARRAYS feed the signature path and both sides of
+    # the verification join — persist so split+shingling runs once. At
+    # 100 TB the equivalent is a materialized shingle table (computed
+    # once per corpus snapshot, shared by every dedup op).
+    arr = _with_shingle_arrays(t["documents"]).persist()
+    # 16 minhashes + shingle count per doc, all row-local array
+    # expressions — the signature stage involves NO shuffle at all
+    # (the old form exploded shingles and re-aggregated by doc_id).
+    sigs = arr.select("doc_id", "n_sh", *_minhash_sig_cols())
     # bands as one posexplode over an array literal of band keys — one
     # pass over sigs instead of a 4-way union
     band_arr = F.array(*[F.expr(bx) for bx in _band_exprs()])
@@ -273,25 +295,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sigs.select("doc_id", "n_sh")
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
+    # Verify candidates only: pull both shingle arrays in by doc_id and
+    # count the overlap with array_intersect (arrays are distinct by
+    # construction, so |intersect| is the exact shingle intersection).
+    # Replaces the old exploded two-sided intersection join + re-agg +
+    # two count joins: five shuffles become two.
+    sa = arr.alias("sa")
+    sb = arr.alias("sb")
+    pairs = (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id"))
-              & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa.shingles", "sb.shingles")).alias("n_common"),
+            F.col("sa.n_sh").alias("na"),
+            F.col("sb.n_sh").alias("nb"),
+        )
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
     jac = F.col("n_common").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(jac >= _JACCARD_THRESHOLD)
+        pairs.filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )
 
@@ -416,7 +442,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (corpus/n_cells), and finer quantization (more cells)
     keeps bucket sizes constant as the corpus grows."""
     t = load_tables(spark, sf_dir)
-    q = t["embeddings"].select(
+    q = scale_out(t["embeddings"]).select(
         "vec_id",
         "label",
         F.expr(f"transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT))").alias("qv"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register
+from .catalog import load_tables, register, scale_out
 
 _QSCALE = 10_000
 _QUERY_VEC_ID = 0  # the corpus vector used as the search query
@@ -36,7 +36,7 @@ _SQL_NORM = """
 
 def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    q = t["embeddings"].select(
+    q = scale_out(t["embeddings"]).select(
         "vec_id",
         "label",
         F.expr(f"transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT))").alias("qv"),
@@ -227,7 +227,9 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import load_tables as _lt
 
     t = _lt(spark, sf_dir)
-    emb = t["embeddings"]
+    from .catalog import scale_out as _so
+
+    emb = _so(t["embeddings"])
     qvec = (
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select("embedding")
