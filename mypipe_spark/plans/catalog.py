@@ -33,10 +33,27 @@ TABLE_NAMES = (
 ).split()
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register them as temp views
     (same names the DuckDB oracle pre-registers), so registered queries
-    can use either the DataFrame API or ``spark.sql``."""
+    can use either the DataFrame API or ``spark.sql``.
+
+    Memoized per (session, sf_dir): the returned DataFrames are
+    immutable logical plans, and re-resolving 10 parquet footers on
+    every query call is pure driver overhead. The temp views are
+    re-registered on a cache hit only if the last call was for a
+    different sf_dir (view names are shared per session)."""
+    key = (id(spark), sf_dir)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        if getattr(load_tables, "_last_dir", None) != key:
+            for name, df in hit.items():
+                df.createOrReplaceTempView(name)
+            load_tables._last_dir = key
+        return hit
     # The driver's parquet carries TIMESTAMP(NANOS) columns, which the
     # Spark reader rejects by default; this (dynamic) conf reads them
     # as timestamp_ntz — naive, matching the DuckDB oracle exactly.
@@ -58,6 +75,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 )
         df.createOrReplaceTempView(name)
         out[name] = df
+    _TABLE_CACHE[key] = out
+    load_tables._last_dir = key
     return out
 
 
