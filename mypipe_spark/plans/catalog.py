@@ -150,7 +150,7 @@ def register(
 
 def _load_all_plan_modules() -> None:
     """Import every plan module for its registration side effects."""
-    from . import analytics, cdc, dedup, multimodal, similarity, textops  # noqa: F401
+    from . import analytics, cdc, dedup, multimodal, similarity, textops, tpch  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryDef]:

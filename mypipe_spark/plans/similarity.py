@@ -197,6 +197,123 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: rank-comparison hash family, band-OR candidate recall
+# ---------------------------------------------------------------------------
+
+# 8 hash tables × 8 bits; bit b of table t compares dims _LSH_PAIRS[t][b]
+# (1-based, derived from the fixed affine walk (17t+5b+3, 29t+11b+7) mod 64
+# so both engines hardcode identical constants). Rank comparisons
+# (qv[i] > qv[j]) are cosine-insensitive to vector norm and exact on the
+# quantized BIGINT values — no float in the signature.
+_LSH_PAIRS: list[list[tuple[int, int]]] = [
+    [
+        (
+            (17 * t + 5 * b + 3) % 64 + 1,
+            ((29 * t + 11 * b + 7) % 64 + (1 if (17 * t + 5 * b + 3) % 64 == (29 * t + 11 * b + 7) % 64 else 0)) % 64 + 1,
+        )
+        for b in range(8)
+    ]
+    for t in range(8)
+]
+
+
+def _lsh_bucket_exprs(qv: str) -> list[str]:
+    """One integer bucket id per hash table, as engine-neutral SQL
+    (DuckDB list indexing ``qv[i]`` vs Spark ``element_at``)."""
+    out = []
+    for table in _LSH_PAIRS:
+        bits = " + ".join(
+            f"(CASE WHEN {qv}[{i}] > {qv}[{j}] THEN {1 << b} ELSE 0 END)"
+            for b, (i, j) in enumerate(table)
+        )
+        out.append(f"({bits})")
+    return out
+
+
+def _lsh_bucket_exprs_spark(qv: str) -> list[str]:
+    out = []
+    for table in _LSH_PAIRS:
+        bits = " + ".join(
+            f"(CASE WHEN element_at({qv}, {i}) > element_at({qv}, {j})"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b, (i, j) in enumerate(table)
+        )
+        out.append(f"({bits})")
+    return out
+
+
+def _lsh_oracle() -> str:
+    n_buckets = _lsh_bucket_exprs("qv")
+    q_buckets = _lsh_bucket_exprs("qqv")
+    any_match = " OR ".join(
+        f"(n.b{t} = qry.qb{t})" for t in range(len(_LSH_PAIRS))
+    )
+    n_cols = ", ".join(f"{e} AS b{t}" for t, e in enumerate(n_buckets))
+    q_cols = ", ".join(f"{e} AS qb{t}" for t, e in enumerate(q_buckets))
+    return f"""
+    WITH q AS ({_SQL_QUANT}),
+    base AS ({_SQL_NORM}),
+    n AS (SELECT vec_id, label, qv, nrm2, {n_cols} FROM base),
+    qry AS (SELECT qv AS qqv, nrm2 AS qn, {q_cols}
+            FROM base WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT n.vec_id, n.label,
+             (SELECT SUM(n.qv[i] * qry.qqv[i])
+              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+      FROM n, qry
+      WHERE n.vec_id <> {_QUERY_VEC_ID} AND ({any_match}))
+    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id
+    LIMIT {_TOP_K}
+    """
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=_lsh_oracle(),
+    tags=("ann", "similarity", "lsh"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k: 8 hash tables of 8 rank-comparison bits
+    each; a corpus vector is a candidate iff it collides with the
+    query in at least one table, and only candidates are exactly
+    scored.
+
+    100 TB path: the bucket columns are computed once at ingest and the
+    corpus is bucket-partitioned on disk, so candidate retrieval is
+    partition-pruned — per query it reads ~(collision rate) of the
+    corpus instead of all of it, and the exact-scoring cost scales with
+    candidates, not corpus. Recall is tunable by tables×bits (more
+    tables → higher recall, more candidates); the pytest recall gate
+    pins recall@{_TOP_K} against the brute-force baseline."""
+    n = _spark_quantized(spark, sf_dir)
+    for t_i, e in enumerate(_lsh_bucket_exprs_spark("qv")):
+        n = n.withColumn(f"b{t_i}", F.expr(e))
+    qry = F.broadcast(
+        n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("qv").alias("qqv"),
+            F.col("nrm2").alias("qn"),
+            *[F.col(f"b{t_i}").alias(f"qb{t_i}") for t_i in range(len(_LSH_PAIRS))],
+        )
+    )
+    collide = None
+    for t_i in range(len(_LSH_PAIRS)):
+        c = F.col(f"b{t_i}") == F.col(f"qb{t_i}")
+        collide = c if collide is None else (collide | c)
+    return (
+        n.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(qry)
+        .filter(collide)
+        .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+    )
+
+
 @register(
     "ann_topk_pandas",
     oracle=f"""

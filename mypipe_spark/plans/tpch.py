@@ -1,0 +1,576 @@
+"""TPC-H-analog relational suite (SURVEY.md §7 Stage 8 widening).
+
+The reference has no relational surface (SURVEY.md §2.3-2.8: no joins,
+no aggregations, no subqueries) — these queries exercise the shapes a
+user gains by switching to this engine: selective scan aggregates,
+semi-join existence tests, grouped top-k over multi-way joins,
+conditional (pivot) aggregation, correlated-aggregate comparisons,
+HAVING pushback, disjunctive join predicates, global-scalar subqueries,
+exact interpolated percentiles, arg-max selection, and an as-of join.
+
+Numbered queries follow their TPC-H inspiration (q4/q6/q10/q14/q17/
+q18/q19/q22) adapted to the driver's slimmer star schema (TESTDATA.md:
+no partsupp, no ship/commit/receipt-date triple, single-type parts).
+
+Determinism rules match plans.analytics: exact decimal sums for money,
+unique-column tiebreaks on every top-k, comparisons only between
+identically-computed doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analytics import _avg, _money, _sql_avg, _sql_money
+from .catalog import load_tables, register
+
+_DEC = "decimal(38,6)"
+
+
+# ---------------------------------------------------------------------------
+# q6: forecasting revenue change — the canonical pushdown scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_sql_money('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "scan", "pushdown"),
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table selective aggregate. All three predicates
+    and the 3-column projection reach the Parquet reader (PushedFilters
+    + ReadSchema); the aggregate reduces every scan partition to one
+    row before a single-row exchange. At 100 TB this query is pure
+    scan bandwidth — no shuffle of any consequence."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_money(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4: order-priority checking — EXISTS via left-semi join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (returned-item existence instead of the
+    commit/receipt-date pair the fixture lacks). The EXISTS becomes a
+    left-semi join; Catalyst reduces the probe side to distinct
+    orderkeys, so no row multiplication is possible and the semi join
+    co-shuffles on orderkey once."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: returned-item revenue by customer — 4-way join + grouped top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_sql_money('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: who returned the most revenue. lineitem⋈orders
+    co-shuffles on orderkey (both filtered first); nation is broadcast;
+    customer joins on the already-aggregable custkey side. Top-20 runs
+    on aggregated rows only (TakeOrderedAndProject)."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14: promotion effect — conditional aggregation over a join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                             AS DECIMAL(38,6))
+                                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE), 4) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of revenue from promo parts in one month. The
+    shipdate filter prunes lineitem before the join; part joins on
+    partkey (AQE broadcasts it while it fits, shuffle-hash beyond).
+    Both sums ride one aggregate — a single pass, no self-join."""
+    t = load_tables(spark, sf_dir)
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    month = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    return (
+        month.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.round(
+                    100.0
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                            F.lit(0).cast(_DEC)
+                        )
+                    ).cast("double")
+                    / F.sum(disc).cast("double"),
+                    4,
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity-order revenue — per-group average comparison
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#13'),
+    pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+      FROM li GROUP BY l_partkey)
+    SELECT CAST(ROUND(
+             CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0,
+             2) AS DOUBLE) AS avg_yearly
+    FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+    WHERE li.l_quantity < 0.2 * pa.avg_qty
+    """,
+    tags=("join", "agg", "correlated"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost if small orders (below 20% of the part's
+    average quantity) were dropped. The correlated scalar subquery
+    becomes aggregate-then-rejoin on partkey — the brand filter shrinks
+    both sides first, and the per-part average is a map-side-combined
+    aggregate of the *already filtered* lineitems, reusing the same
+    shuffle key as the rejoin (one exchange feeds both)."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: large-volume orders — HAVING over a grouped fact, then enrich
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {_sql_money('t.sum_qty_raw', 'sum_qty')}
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty_raw
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300) t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "having", "topk"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers who placed very large orders. The HAVING
+    aggregate collapses lineitem to one row per qualifying order
+    *before* any join — at 100 TB the join input is thousands of rows,
+    not billions, and AQE broadcasts it into orders. Quantities are
+    integral doubles, so the HAVING comparison is exact in both
+    engines regardless of summation order."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_money(F.col("sum_qty_raw"), "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: discounted revenue — disjunctive multi-column join predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_sql_money('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_type = 'PROMO'    AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_type = 'SMALL'    AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_type = 'STANDARD' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "agg", "disjunctive"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides. Catalyst extracts
+    the common join key (partkey) and pushes the single-side conjuncts
+    it can derive (p_type IN (...), p_size <= 30, l_quantity <= 30)
+    below the join; the residual disjunction evaluates post-join in
+    whole-stage codegen. No Cartesian anywhere."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+    q, sz, ty = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
+    cond = (
+        ((ty == "PROMO") & sz.between(1, 10) & q.between(1, 11))
+        | ((ty == "SMALL") & sz.between(1, 20) & q.between(10, 20))
+        | ((ty == "STANDARD") & sz.between(1, 30) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22: global-ratio customers — scalar subquery + anti join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey, COUNT(*) AS n_customers,
+           {_sql_money('c.c_acctbal', 'total_bal')}
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "anti", "subquery", "agg"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: above-average-balance customers with no urgent
+    orders. The global average is a one-row aggregate broadcast into
+    the filter (scalar-subquery decorrelation); the NOT EXISTS is a
+    left-anti join whose orders side is filtered first and reduced to
+    distinct custkeys by Catalyst."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(
+            (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")).alias(
+                "v"
+            )
+        )
+    )
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _money(F.col("c_acctbal"), "total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot: per-day event-type matrix — conditional aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pivot_events_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+             AS purchase_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format daily event matrix — the pivot shape as conditional
+    aggregation (a fixed column set keeps the plan static; Spark's
+    .pivot() would scan once extra to discover values). One map-side
+    combinable aggregate, one tiny shuffle on day."""
+    t = load_tables(spark, sf_dir)
+
+    def n_of(ev: str, alias: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == ev, 1).otherwise(0)).alias(alias)
+
+    return (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            n_of("view", "n_view"),
+            n_of("click", "n_click"),
+            n_of("purchase", "n_purchase"),
+            n_of("signup", "n_signup"),
+            n_of("error", "n_error"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value").cast(_DEC)
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("purchase_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# arg-max selection: top customer per nation via max_by
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_top_customer_per_nation",
+    oracle="""
+    SELECT c_nationkey, c_name AS top_customer,
+           CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS top_acctbal
+    FROM (
+      SELECT c_nationkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      FROM customer)
+    WHERE rn = 1
+    """,
+    tags=("agg", "argmax"),
+)
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max as a single aggregate (max_by over a (value, tiebreak)
+    struct) — unlike the window-function form this allows map-side
+    partial aggregation: each partition reduces to ≤25 rows before the
+    shuffle, where ROW_NUMBER would shuffle every row. The oracle
+    states the same semantics in window form."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias(
+                "top_customer"
+            ),
+            F.round(F.max("c_acctbal"), 2).cast("double").alias("top_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact interpolated percentiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_quantity_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE) AS q50,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q75,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT quartiles per return flag. Quantities are
+    integral, so linear interpolation lands on exact quarter values in
+    both engines (deterministic despite float math). At 100 TB swap to
+    approx_percentile (mergeable t-digest-style sketch) — exact
+    percentile must collect each group's values."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(percentile(l_quantity, 0.25) AS DOUBLE)").alias("q25"),
+            F.expr("CAST(percentile(l_quantity, 0.50) AS DOUBLE)").alias("q50"),
+            F.expr("CAST(percentile(l_quantity, 0.75) AS DOUBLE)").alias("q75"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: latest click at-or-before each purchase
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_asof_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.click_id AS last_click_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS click_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof", "window"),
+    bench=True,
+)
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively (SURVEY.md §2.3:
+    the reference has no joins at all), composed from existing ops:
+    union both sides tagged, one sort within user partitions, and a
+    running last-non-null carry-forward. This is the scalable form —
+    one shuffle on the key, linear within partition — versus the naive
+    inequality join (quadratic per key) that range-join rewrites
+    produce. Clicks are pre-collapsed per (user, ts) with MAX(event_id)
+    so at-or-before ties resolve identically in both engines."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            "click_id",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+    )
+    # kind orders a click before a purchase at the same ts (>= semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "last_click_id")
+    )

@@ -77,3 +77,47 @@ def test_ann_ivf_structure_and_recall(spark, sf_dir):
     assert overlap, "IVF found none of the true top-10"
     for r in overlap:  # scores are the same exact arithmetic
         assert r["cosine"] == brute[r["vec_id"]]
+
+
+def test_lsh_ann_planted_neardup_recall():
+    """The LSH family's contract for near-dup retrieval: vectors at
+    cosine ≥ ~0.9 must collide in ≥1 of the 8 hash tables with high
+    probability. Verified numpy-side with planted noisy duplicates of
+    real fixture vectors (the SQL twin of the bucket math is
+    oracle-checked in test_oracle_parity)."""
+    import numpy as np
+
+    from mypipe_spark.plans.similarity import _LSH_PAIRS, _QSCALE
+
+    emb = (
+        duckdb_rows("SELECT embedding FROM read_parquet("
+                    "'/root/testdata/sf0.001/embeddings.parquet') ORDER BY vec_id")
+    )
+    V = np.array([r[0] for r in emb])
+
+    def buckets(M):
+        q = np.round(M * _QSCALE).astype(np.int64)
+        out = []
+        for table in _LSH_PAIRS:
+            acc = np.zeros(len(M), dtype=np.int64)
+            for b, (i, j) in enumerate(table):  # 1-based dims
+                acc += (q[:, i - 1] > q[:, j - 1]).astype(np.int64) << b
+            out.append(acc)
+        return np.stack(out, 1)
+
+    rng = np.random.RandomState(7)
+    W = V + rng.normal(0, 0.5 * V.std(), V.shape)
+    cos = (V * W).sum(1) / (np.linalg.norm(V, axis=1) * np.linalg.norm(W, axis=1))
+    assert cos.mean() > 0.85  # the planted pairs are genuine near-dups
+    recall = (buckets(V) == buckets(W)).any(1).mean()
+    assert recall >= 0.85
+
+
+def duckdb_rows(sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
