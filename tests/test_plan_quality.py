@@ -99,3 +99,43 @@ def test_no_python_udfs_in_hot_paths(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    # pure scan-aggregate: exactly one (single-row) exchange
+    assert _n_nodes(plan, "Exchange") <= 1
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    plan = _plan(spark, "q18_large_orders", sf_dir)
+    # the HAVING aggregate collapses lineitem before any join: the
+    # aggregate appears below the joins and top-k runs on final rows
+    assert "TakeOrderedAndProject" in plan
+    assert _n_nodes(plan, "HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+    # lineitem's groupBy(l_orderkey) is the plan's only shuffle
+    assert _n_nodes(plan, "Exchange") <= 1
+
+
+def test_asof_join_is_linear_not_quadratic(spark, sf_dir):
+    plan = _plan(spark, "q_asof_last_click", sf_dir)
+    # the union + carry-forward form: one Window, no join at all —
+    # never the O(n·m)-per-key inequality-join rewrite
+    assert _n_nodes(plan, "Window") == 1
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan
+    # both event filters reach the scan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("click" in p for p in pushed)
+    assert any("purchase" in p for p in pushed)
+
+
+def test_lsh_ann_broadcasts_query_and_prunes(spark, sf_dir):
+    plan = _plan(spark, "ann_topk_lsh", sf_dir)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
