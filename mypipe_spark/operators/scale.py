@@ -1,0 +1,84 @@
+"""Scale toolkit: shuffle-elimination and skew-mitigation helpers.
+
+The reference never joins (SURVEY.md §2.3), so it never faces the two
+dominant costs of a 100 TB join: the shuffle itself and the straggler
+partition a hot key creates. These helpers package the standard Spark
+remedies so pipelines built on this engine apply them declaratively:
+
+- ``write_bucketed`` / co-located reads: pre-shuffle a table ONCE at
+  write time (hash-bucketed by join key, sorted within buckets); every
+  later join/aggregation on that key reads bucket-aligned partitions
+  and skips its exchange entirely (proved by plan assertion in
+  tests/test_scale.py).
+- ``salted_join``: spread each hot key over ``n_salt`` sub-keys by
+  salting the skewed side and replicating the other side, bounding the
+  largest shuffle partition at 1/n_salt of the hot key's rows. AQE's
+  skew-join handles most cases automatically (split-on-read of
+  oversized partitions); explicit salting remains the tool when one
+  key exceeds what a single task can hold even post-split, or when
+  AQE is unavailable (e.g. inside a streaming foreachBatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and bucket-sorted) by ``key``.
+
+    This is the pay-once side of shuffle elimination: two tables
+    bucketed by their join key with the same bucket count join with
+    NO exchange on either side — the scan itself is the partitioning.
+    The parquet files land at ``path``; the table is registered in the
+    session catalog under ``table`` (external, so dropping the table
+    keeps the files)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.option("path", path).format("parquet").saveAsTable(table)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``skewed`` (the side with hot keys) to ``other`` on the
+    equi-key(s) ``on``, spreading every key across ``n_salt`` shuffle
+    sub-partitions.
+
+    The skewed side gets a uniform random salt in [0, n_salt); the
+    other side is replicated once per salt value via an exploded
+    sequence (so its shuffle volume grows n_salt×: keep ``other`` the
+    smaller side, and prefer plain broadcast when it fits). Supported
+    ``how``: inner / left / left_semi / left_anti — the salted column
+    pair extends the equi-join, which preserves exactly those
+    semantics; right/full would need the salt on the other side.
+
+    The salt is drawn with a fixed seed: correctness never depends on
+    WHICH salt a row gets (every salt value of a key meets every
+    replicated row of that key), so task retries re-drawing a
+    different value are harmless."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    left = skewed.withColumn(_SALT, (F.rand(42) * n_salt).cast("int"))
+    right = other.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = left.join(right, keys + [_SALT], how)
+    return joined.drop(_SALT)

@@ -1,0 +1,114 @@
+"""Scale-toolkit proofs: bucketing removes the join shuffle; salting
+rewrites the shuffle key; both preserve exact join semantics."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mypipe_spark.operators.scale import salted_join, write_bucketed
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jm = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jm)
+
+
+def _n_exchanges(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force real shuffle joins so the assertions see the exchanges."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_eliminates_both_exchanges(
+    spark, sf_dir, tmp_path, no_broadcast
+):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    # unbucketed baseline: the join shuffles both sides
+    base = li.join(od, li.l_orderkey == od.o_orderkey)
+    assert _n_exchanges(_plan(base)) == 2
+
+    write_bucketed(li, "li_b", "l_orderkey", 4, str(tmp_path / "li_b"))
+    write_bucketed(od, "od_b", "o_orderkey", 4, str(tmp_path / "od_b"))
+    try:
+        lb, ob = spark.table("li_b"), spark.table("od_b")
+        bucketed = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        # co-located: the bucketed scans ARE the partitioning — no
+        # exchange on either side
+        assert _n_exchanges(_plan(bucketed)) == 0
+        assert bucketed.count() == base.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir, no_broadcast):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    plain = li.join(od, "l_orderkey")
+    salted = salted_join(li, od, "l_orderkey", n_salt=8)
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    # spot-check a per-key aggregate is unchanged
+    agg = lambda df: sorted(  # noqa: E731
+        tuple(r)
+        for r in df.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+        .collect()
+    )
+    assert agg(salted) == agg(plain)
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir, no_broadcast):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plan = _plan(salted_join(li, od, "l_orderkey", n_salt=8))
+    # the exchange hashes (key, salt), not the bare hot key
+    assert "__salt" in plan
+    m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m and "__salt" in m.group(1)
+
+
+def test_salted_left_and_semi_joins(spark, sf_dir, no_broadcast):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    half = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    for how in ("left", "left_semi", "left_anti"):
+        s = salted_join(li, half, "l_orderkey", n_salt=4, how=how)
+        p = li.join(half, "l_orderkey", how)
+        assert s.count() == p.count(), how
+
+    with pytest.raises(ValueError):
+        salted_join(li, half, "l_orderkey", how="full")
