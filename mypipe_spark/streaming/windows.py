@@ -68,6 +68,33 @@ def session_mutation_windows(
     )
 
 
+def effectively_once(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("seq",),
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop redelivered duplicates
+    inside the watermark horizon.
+
+    The reference's delivery contract is at-least-once — a crash
+    between producer flush and position save replays events
+    (Pipe.scala:62-72; SURVEY.md §4 "backpressure/dedup: none,
+    duplicates possible"). Its suggested remedy (dedup on the stable
+    event identity downstream) is this operator:
+    ``dropDuplicatesWithinWatermark`` keyed on the binlog sequence
+    number (the (file, pos) analog — identical for a redelivery,
+    distinct for genuinely new events).
+
+    State is bounded: keys older than the watermark are evicted, so
+    memory is O(events per watermark window) per partition — the
+    100 TB-safe form of exactly-once-ish, vs. an unbounded
+    ``dropDuplicates`` whose state never shrinks."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def throughput_per_trigger(df: DataFrame) -> DataFrame:
     """Processing-rate probe: mutation counts by op only — the
     LatencySpec analog (reference asserts <10ms/mutation over 100 rows,

@@ -82,3 +82,35 @@ def test_throughput_probe(spark, tmp_path):
     batch = changelog_batch(spark, src)
     for op in got:
         assert got[op] == batch.filter(F.col("op") == op).count()
+
+
+def test_effectively_once_drops_redelivered_duplicates(spark, tmp_path):
+    """Replay the same change-log twice (the at-least-once crash-replay
+    scenario): the deduped stream must emit each seq exactly once,
+    the raw stream exactly twice."""
+    import shutil
+    from pathlib import Path
+
+    from mypipe_spark.streaming.windows import effectively_once
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=20, num_files=2)
+    # simulate redelivery: every segment appears a second time
+    for f in list(Path(src).glob("*.parquet")):
+        shutil.copy(f, f.with_name(f"redeliver_{f.name}"))
+
+    q = (
+        effectively_once(changelog_stream(spark, src))
+        .writeStream.format("memory").queryName("eo")
+        .option("checkpointLocation", str(tmp_path / "ckpt_eo"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("select seq, count(*) n from eo group by seq").collect()
+    n_unique = changelog_batch(spark, src).select("seq").distinct().count()
+    assert len(got) == n_unique
+    assert all(r["n"] == 1 for r in got)
+    # sanity: the raw (non-deduped) log really contains each seq twice
+    raw = changelog_batch(spark, src).groupBy("seq").count().collect()
+    assert all(r["count"] == 2 for r in raw)
