@@ -534,43 +534,26 @@ def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — an operator Spark lacks natively (SURVEY.md §2.3:
-    the reference has no joins at all), composed from existing ops:
-    union both sides tagged, one sort within user partitions, and a
-    running last-non-null carry-forward. This is the scalable form —
-    one shuffle on the key, linear within partition — versus the naive
+    the reference has no joins at all), provided by
+    :func:`mypipe_spark.operators.asof.asof_join`: union both sides
+    tagged, one sort within user partitions, and a running
+    last-non-null carry-forward. This is the scalable form — one
+    shuffle on the key, linear within partition — versus the naive
     inequality join (quadratic per key) that range-join rewrites
     produce. Clicks are pre-collapsed per (user, ts) with MAX(event_id)
     so at-or-before ties resolve identically in both engines."""
+    from ..operators.asof import asof_join
+
     t = load_tables(spark, sf_dir)
     ev = t["events"]
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("kind"),
-            "click_id",
-            F.lit(None).cast("long").alias("event_id"),
-        )
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("long").alias("click_id"),
-        "event_id",
+        "event_id", "user_id", "ts"
     )
-    # kind orders a click before a purchase at the same ts (>= semantics)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        clicks.unionByName(purchases)
-        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
-        .filter(F.col("kind") == 1)
-        .select("event_id", "user_id", "last_click_id")
+    return asof_join(purchases, clicks, on="user_id").select(
+        "event_id", "user_id", F.col("click_id").alias("last_click_id")
     )
