@@ -185,3 +185,40 @@ def test_range_join_plan_is_equi_not_nested_loop(spark, events, intervals):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_randomized_vs_python_reference(spark):
+    """Randomized equivalence against a pure-Python backward as-of
+    scan, covering shapes the fixture data may not hit: duplicate left
+    timestamps, keys with no reference rows, exact-tie matches."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rights = [
+            (rng.randrange(6), rng.randrange(100), i)  # key, ts, val
+            for i in range(40)
+        ]
+        # collapse (key, ts) dups like the operator contract requires
+        best = {}
+        for k, ts, v in rights:
+            best[(k, ts)] = max(best.get((k, ts), -1), v)
+        rights = [(k, ts, v) for (k, ts), v in best.items()]
+        lefts = [
+            (rng.randrange(8), rng.randrange(100), 1000 + i)  # key, ts, id
+            for i in range(60)
+        ]
+        ldf = spark.createDataFrame(
+            [(k, ts, i) for k, ts, i in lefts], "k int, t int, lid int"
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts, v) for k, ts, v in rights], "k int, t int, val int"
+        )
+        got = {
+            r["lid"]: r["val"]
+            for r in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t").collect()
+        }
+        for k, ts, lid in lefts:
+            eligible = [(rts, v) for rk, rts, v in rights if rk == k and rts <= ts]
+            want = max(eligible)[1] if eligible else None
+            assert got[lid] == want, (seed, k, ts, lid)

@@ -88,3 +88,24 @@ def test_changelog_generator_invariants(seed, n, rb):
             else:
                 assert e["old_integers"] and e["new_integers"]
     assert open_tx is None
+
+
+@settings(max_examples=200)
+@given(
+    ts=st.integers(min_value=0, max_value=10**9),
+    start=st.integers(min_value=0, max_value=10**9),
+    length=st.integers(min_value=1, max_value=10**6),
+    bucket=st.integers(min_value=1, max_value=10**5),
+)
+def test_range_join_bucketing_never_misses(ts, start, length, bucket):
+    """Completeness invariant of operators.asof.range_join: whenever a
+    point falls inside an interval, the point's bucket is inside the
+    interval's exploded bucket range — so the bucket equi-join can
+    only ever ADD candidates (removed by the residual filter), never
+    lose a true match."""
+    end = start + length
+    in_range = start <= ts < end
+    point_bucket = ts // bucket
+    lo, hi = start // bucket, end // bucket
+    if in_range:
+        assert lo <= point_bucket <= hi

@@ -112,3 +112,30 @@ def test_salted_left_and_semi_joins(spark, sf_dir, no_broadcast):
 
     with pytest.raises(ValueError):
         salted_join(li, half, "l_orderkey", how="full")
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
+    """Date-partitioned layout: a day filter must prune partitions at
+    planning time (PartitionFilters), reading only that day's files —
+    the on-disk analog of predicate pushdown, and the layout the
+    catalog queries assume at 100 TB."""
+    from mypipe_spark.plans.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+
+    part = spark.read.parquet(out)
+    one_day = part.filter(F.col("day") == "2024-01-05")
+    plan = _plan(one_day)
+    # the day predicate lands in PartitionFilters (directory pruning),
+    # NOT as a row-level PushedFilter — planning skips other days' files
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "day" in pf and "=" in pf
+    # ~1/30 of the layout remains: the one matching partition directory
+    from pathlib import Path
+
+    day_dirs = [p for p in Path(out).iterdir() if p.name.startswith("day=")]
+    assert len(day_dirs) == 30
+    n = one_day.count()
+    assert 0 < n == ev.filter(F.to_date("ts") == "2024-01-05").count()
