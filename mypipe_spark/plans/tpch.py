@@ -557,3 +557,48 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="user_id").select(
         "event_id", "user_id", F.col("click_id").alias("last_click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# range join: clicks inside the 2-hour window after each purchase
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_range_clicks_after_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts
+     AND c.ts <  p.ts + INTERVAL 2 HOUR
+    """,
+    tags=("join", "range"),
+)
+def q_range_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via
+    :func:`mypipe_spark.operators.asof.range_join`: each purchase opens
+    a [ts, ts+2h) attribution window; clicks landing inside pair up.
+    The operator rewrites the inequality as an equi-join on
+    (user, hour-bucket) + residual filter — shuffle-partitioned, never
+    the nested-loop plan the naive formulation produces (the oracle
+    states the naive form; results are identical)."""
+    from ..operators.asof import range_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return range_join(
+        clicks, purchases, "ts", "start_ts", "end_ts",
+        on="user_id", bucket_seconds=3600,
+    ).select("purchase_id", "click_id", "user_id")

@@ -139,3 +139,27 @@ def test_lsh_ann_broadcasts_query_and_prunes(spark, sf_dir):
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
+    """Global guard across the entire catalog: no registered query may
+    plan a CartesianProduct — the one operator shape that cannot
+    survive a 100× scale-up. (1-row broadcast sides compile to
+    BroadcastNestedLoopJoin, which is a map-side pass and fine.)"""
+    for name in sorted(_QUERIES):
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
+    """Python row/batch evaluation is the slow path: only the queries
+    that deliberately use the Arrow-vectorized kernel may contain a
+    Python eval operator; everything else must stay whole-stage
+    codegen JVM expressions."""
+    allowed = {"ann_topk_pandas", "multimodal_decode_stats"}
+    for name in sorted(_QUERIES):
+        plan = _plan(spark, name, sf_dir)
+        has_python = re.search(r"EvalPython|MapInPandas|ArrowEval", plan)
+        if name in allowed:
+            continue
+        assert not has_python, f"{name} drops to Python: {has_python.group(0)}"
