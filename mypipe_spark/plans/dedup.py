@@ -155,6 +155,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB note: the shingle join's fanout is Σ_s C(df_s, 2); stop-
     shingle removal (drop shingles with df > cap) bounds it — at these
     SFs the raw join is small enough that the cap is not applied."""
+    return _jaccard_pairs(spark, sf_dir)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs at ≥ threshold — shared by the
+    pair query above and the component-clustering step below."""
     t = load_tables(spark, sf_dir)
     # Carry n_sh alongside each exploded shingle row (computed from the
     # array BEFORE the explode — free, no count-aggregation) so the
@@ -468,3 +474,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 4).cast("double").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering (the canonical-doc assignment step)
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, component)`` where ``component`` is
+    the smallest doc_id reachable from ``doc_id`` (only vertices that
+    appear in an edge are labeled).
+
+    Iterative DataFrame algorithm (no collect of data — the driver
+    only checks a scalar convergence count per round): each round every
+    vertex takes the min of its own label and its neighbors' labels;
+    converges in O(component diameter) rounds. Each round persists its
+    label table and unpersists the previous one, so the plan/lineage
+    stays one-round deep — the standard Spark formulation of
+    MapReduce connected components.
+
+    100 TB note: rounds are shuffle-on-vertex joins; diameter of
+    near-dup clusters is tiny in practice (near-dups of a doc are
+    near-dups of each other), so 3-4 rounds dominate real corpora."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} iters")
+    sym.unpersist()
+    return labels
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common)
+            >= {_JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair graph, labeling every involved doc with the smallest doc_id
+    in its cluster (the canonical survivor). Spark runs iterative
+    min-label propagation; the oracle states the same fixpoint as a
+    recursive transitive closure — identical labels."""
+    return connected_components(_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"))

@@ -121,3 +121,24 @@ def duckdb_rows(sql: str):
         return con.execute(sql).fetchall()
     finally:
         con.close()
+
+
+def test_components_are_consistent_with_pair_graph(spark, sf_dir):
+    """Every near-dup pair's endpoints share a component, and each
+    component is labeled by its smallest member."""
+    from mypipe_spark.plans.dedup import _jaccard_pairs
+    from collections import defaultdict
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in _Q["dedup_components"].fn(spark, sf_dir).collect()
+    }
+    pairs = [(r["doc_a"], r["doc_b"]) for r in _jaccard_pairs(spark, sf_dir).collect()]
+    assert pairs, "fixture has near-dup pairs"
+    for a, b in pairs:
+        assert comp[a] == comp[b], (a, b)
+    members = defaultdict(list)
+    for d, c in comp.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
