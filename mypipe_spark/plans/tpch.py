@@ -227,10 +227,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue lost if small orders (below 20% of the part's
     average quantity) were dropped. The correlated scalar subquery
-    becomes aggregate-then-rejoin on partkey — the brand filter shrinks
-    both sides first, and the per-part average is a map-side-combined
-    aggregate of the *already filtered* lineitems, reusing the same
-    shuffle key as the rejoin (one exchange feeds both)."""
+    becomes a whole-partition window average: ONE exchange on partkey
+    serves both the per-part average and the row-level comparison
+    (the aggregate-then-rejoin form costs a second shuffle plus a
+    sort-merge join — plan-asserted in tests). The brand filter
+    broadcast-prunes lineitem before the exchange."""
     t = load_tables(spark, sf_dir)
     brand_parts = t["part"].filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     li = (
@@ -238,13 +239,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
-    pa = li.groupBy("l_partkey").agg(
-        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias(
-            "avg_qty"
-        )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double")
+        / F.count("*").over(w)
     )
     return (
-        li.join(pa, "l_partkey")
+        li.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2)

@@ -163,3 +163,12 @@ def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
         if name in allowed:
             continue
         assert not has_python, f"{name} drops to Python: {has_python.group(0)}"
+
+
+def test_q17_single_exchange_window_form(spark, sf_dir):
+    plan = _plan(spark, "q17_small_quantity_revenue", sf_dir)
+    # the per-part average rides the same shuffle as the comparison:
+    # one partkey exchange (+1 single-row exchange for the final agg),
+    # and no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
+    assert _n_nodes(plan, "Exchange") <= 2
