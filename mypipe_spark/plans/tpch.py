@@ -603,3 +603,159 @@ def q_range_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         clicks, purchases, "ts", "start_ts", "end_ts",
         on="user_id", bucket_seconds=3600,
     ).select("purchase_id", "click_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q7: volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_sql_money('volume', 'revenue')}
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+          OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "multiway"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two nations by direction and
+    year. supplier⋈nation and customer⋈nation are broadcast prunes
+    (only two nations survive); the residual OR over the two
+    directions evaluates post-join. The only real shuffle is
+    lineitem⋈orders on orderkey."""
+    t = load_tables(spark, sf_dir)
+    ns = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("cust_nation").isin("NATION_3", "NATION_7"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order-count distribution (zero-inclusive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg", "distribution"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed N (non-urgent) orders —
+    zero included, which is why the outer join is load-bearing (an
+    inner join would silently drop order-less customers). Double
+    aggregation: per-customer counts, then the histogram; both
+    map-side-combinable, second input is tiny."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier(s) by quarterly revenue — scalar-max subquery
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {_sql_money('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("join", "agg", "subquery", "argmax"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue
+    (ties all surface — no arbitrary pick). The revenue CTE aggregates
+    once; the scalar MAX is a one-row broadcast joined back as a
+    filter. Revenue is the exact-decimal rounded money value, so the
+    equality comparison is deterministic across engines."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("mx")))
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
