@@ -124,9 +124,9 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (
+             CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -172,10 +172,10 @@ def cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_event_funnel",
     oracle=f"""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
                     THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END), 2) AS DOUBLE)
              AS purchase_value

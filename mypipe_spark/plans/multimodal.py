@@ -188,7 +188,7 @@ from .catalog import load_tables, register  # noqa: E402
       FROM documents)
     SELECT media_type,
            COUNT(*) AS n_media,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT content_sha) AS n_unique
     FROM media
     GROUP BY media_type

@@ -25,7 +25,7 @@ _SW_SPARK = ", ".join(f"'{w}'" for w in _STOPWORDS)
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
                 / COUNT(*), 4) AS DOUBLE) AS avg_tokens,
            MAX(n_chars) AS max_chars

@@ -395,11 +395,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot_events_daily",
     oracle="""
     SELECT CAST(ts AS DATE) AS day,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
            CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
                                THEN CAST(value AS DECIMAL(38,6)) END), 2) AS DOUBLE)
              AS purchase_value
