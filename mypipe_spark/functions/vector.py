@@ -42,7 +42,7 @@ def cosine_scores_vectorized(
     product per Arrow batch. mapInPandas keeps all other columns."""
     q = np.asarray(query_vec, dtype=np.float64) * QSCALE
     q = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
-    qn = float(np.sqrt(float(q @ q)))
+    qn_sq = float(q @ q)
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -52,9 +52,13 @@ def cosine_scores_vectorized(
         for pdf in batches:
             m = _quantize_batch(pdf[emb_col])
             dots = m @ q  # exact int64
-            norms = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+            norms_sq = (m * m).sum(axis=1).astype(np.float64)
             pdf = pdf.copy()
-            pdf["cos_raw"] = dots.astype(np.float64) / (norms * qn)
+            # Denominator as sqrt(na*nb) — one sqrt over the exact
+            # integer product, matching the expression path and the
+            # DuckDB oracle bit-for-bit; sqrt(a)*sqrt(b) can differ in
+            # the last ulp and flip a ROUND boundary or top-k tie.
+            pdf["cos_raw"] = dots.astype(np.float64) / np.sqrt(norms_sq * qn_sq)
             yield pdf
 
     return df.mapInPandas(score, out_schema)

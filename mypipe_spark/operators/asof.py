@@ -54,6 +54,11 @@ def asof_join(
     rows share (key, ts), pre-collapse them first (e.g. groupBy max) —
     otherwise which one wins is unspecified, same as pandas.
 
+    All matched columns come from the *same* right row (the reference
+    is carried as one struct), so a NULL in one right value column is
+    returned as-is rather than stitched from an older row, and the
+    tolerance test uses that same row's timestamp.
+
     Scale: one exchange hash-partitions both sides by ``on``; the
     window is a single sort + linear scan per partition. Carried state
     never exceeds one row (the running reference), so hot keys cost
@@ -87,20 +92,29 @@ def asof_join(
         .orderBy("__t", _KIND)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the whole right row as ONE struct (null on left-tagged rows,
+    # so ignorenulls skips them): every matched column and the timestamp
+    # used for the tolerance test come from the same right row — never a
+    # composite stitched from different rows when some value is NULL.
+    ref = F.when(
+        F.col(_KIND) == 0,
+        F.struct(F.col("__rt").alias("__rt"), *[F.col(c).alias(c) for c in rvals]),
+    )
     carried = l_tagged.unionByName(r_tagged).select(
         "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}") for c in rvals],
-        F.last("__rt", ignorenulls=True).over(w).alias("__c_rt"),
+        F.last(ref, ignorenulls=True).over(w).alias("__ref"),
     )
     out = carried.filter(F.col(_KIND) == 1)
     if tolerance_seconds is not None:
-        stale = (_secs(F.col("__t")) - _secs(F.col("__c_rt"))) > tolerance_seconds
+        stale = (
+            _secs(F.col("__t")) - _secs(F.col("__ref.__rt"))
+        ) > tolerance_seconds
         picked = [
-            F.when(stale, F.lit(None)).otherwise(F.col(f"__c_{c}")).alias(c)
+            F.when(stale, F.lit(None)).otherwise(F.col(f"__ref.{c}")).alias(c)
             for c in rvals
         ]
     else:
-        picked = [F.col(f"__c_{c}").alias(c) for c in rvals]
+        picked = [F.col(f"__ref.{c}").alias(c) for c in rvals]
     return out.select(
         *keys, F.col("__t").alias(left_ts), *[F.col(c) for c in lvals], *picked
     )

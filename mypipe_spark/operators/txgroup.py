@@ -81,10 +81,20 @@ _TX_INPUT_COLS = ("txid", "seq", "op", "ts_epoch", "event_json")
 TX_OUTPUT_SCHEMA = (
     "txid string, seq long, op string, commit_ts_epoch double, event_json string"
 )
+# Grouped emission (`group-mutations-by-tx`, reference.conf:14-21;
+# AbstractBinaryLogConsumer.scala:152-177): one row per committed tx.
+# The mutation list crosses the state boundary as JSON so the operator
+# schema stays flat; tx_group_stream re-expands it to array<struct>.
+TX_GROUPED_OUTPUT_SCHEMA = (
+    "txid string, commit_ts_epoch double, n_mutations long, mutations_json string"
+)
+_TX_MUTATION_STRUCT = (
+    "array<struct<seq:bigint, op:string, database:string, table:string>>"
+)
 _TX_STATE_SCHEMA = "events string"
 
 
-def _make_tx_state_fn(reap_open_tx_ms: int | None):
+def _make_tx_state_fn(reap_open_tx_ms: int | None, group_by_tx: bool = False):
     def _tx_state_fn(
         key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -116,10 +126,38 @@ def _make_tx_state_fn(reap_open_tx_ms: int | None):
         if outcome == "commit":
             state.remove()
             if events:
-                out = pd.DataFrame(events)
-                out.insert(0, "txid", key[0])
-                out["commit_ts_epoch"] = commit_ts
-                yield out[["txid", "seq", "op", "commit_ts_epoch", "event_json"]]
+                # Restore original binlog order at commit time: a tx
+                # whose rows span several Arrow chunks (or microbatches)
+                # accumulates out of order; per-chunk sort_values alone
+                # does not cover that.
+                events.sort(key=lambda e: e["seq"])
+                if group_by_tx:
+                    muts = []
+                    for e in events:
+                        ej = json.loads(e["event_json"])
+                        muts.append(
+                            {
+                                "seq": e["seq"],
+                                "op": e["op"],
+                                "database": ej.get("database"),
+                                "table": ej.get("table"),
+                            }
+                        )
+                    yield pd.DataFrame(
+                        {
+                            "txid": [key[0]],
+                            "commit_ts_epoch": [commit_ts],
+                            "n_mutations": [len(muts)],
+                            "mutations_json": [json.dumps(muts)],
+                        }
+                    )
+                else:
+                    out = pd.DataFrame(events)
+                    out.insert(0, "txid", key[0])
+                    out["commit_ts_epoch"] = commit_ts
+                    yield out[
+                        ["txid", "seq", "op", "commit_ts_epoch", "event_json"]
+                    ]
         elif outcome == "rollback":
             state.remove()
         else:
@@ -130,12 +168,22 @@ def _make_tx_state_fn(reap_open_tx_ms: int | None):
     return _tx_state_fn
 
 
-def tx_group_stream(df: DataFrame, reap_open_tx_ms: int | None = None) -> DataFrame:
+def tx_group_stream(
+    df: DataFrame,
+    reap_open_tx_ms: int | None = None,
+    group_by_tx: bool = False,
+) -> DataFrame:
     """Streaming transaction grouping over the canonical change stream.
 
     Input: any (batch or streaming) DataFrame with CHANGE_EVENT_SCHEMA
     columns. Output: committed mutations only, with ``ts`` restamped to
     the commit time, in original binlog order per transaction.
+
+    ``group_by_tx=True`` emits ONE row per committed transaction —
+    ``(txid, ts, n_mutations, mutations array<struct>)`` — matching
+    :func:`committed_mutations(group_by_tx=True)` column-for-column
+    (the reference's ``group-mutations-by-tx`` flag, reference.conf:14-21;
+    AbstractBinaryLogConsumer.scala:152-177).
 
     The full event row rides through the state machine as JSON so the
     state store layout is schema-agnostic; callers re-expand with
@@ -157,8 +205,10 @@ def tx_group_stream(df: DataFrame, reap_open_tx_ms: int | None = None) -> DataFr
     ).filter(F.col("txid").isNotNull())
 
     grouped = keyed.groupBy("txid").applyInPandasWithState(
-        _make_tx_state_fn(reap_open_tx_ms),
-        outputStructType=TX_OUTPUT_SCHEMA,
+        _make_tx_state_fn(reap_open_tx_ms, group_by_tx=group_by_tx),
+        outputStructType=(
+            TX_GROUPED_OUTPUT_SCHEMA if group_by_tx else TX_OUTPUT_SCHEMA
+        ),
         stateStructType=_TX_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=(
@@ -167,6 +217,14 @@ def tx_group_stream(df: DataFrame, reap_open_tx_ms: int | None = None) -> DataFr
             else GroupStateTimeout.NoTimeout
         ),
     )
-    return grouped.withColumn(
+    stamped = grouped.withColumn(
         "ts", F.timestamp_seconds(F.col("commit_ts_epoch"))
     ).drop("commit_ts_epoch")
+    if group_by_tx:
+        stamped = stamped.select(
+            "txid",
+            "ts",
+            "n_mutations",
+            F.from_json("mutations_json", _TX_MUTATION_STRUCT).alias("mutations"),
+        )
+    return stamped

@@ -80,6 +80,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+_SIZE_SUFFIXES = {
+    "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50,
+}
+
+
+def _parse_bytes(value: str, default: int = 134217728) -> int:
+    """Spark size-string → bytes. Accepts bare ints, '...b', and the
+    k/m/g/t/p suffixes a user session may legally set
+    (maxPartitionBytes='128m'); never raises — a malformed conf value
+    falls back to Spark's 128 MB default rather than breaking every
+    catalog query that calls scale_out."""
+    try:
+        s = str(value).strip().lower().removesuffix("b")
+        mult = 1
+        if s and s[-1] in _SIZE_SUFFIXES:
+            mult = _SIZE_SUFFIXES[s[-1]]
+            s = s[:-1]
+        return int(s) * mult
+    except (ValueError, TypeError):
+        return default
+
+
 def scale_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism
     when the scan yields fewer partitions than cores.
@@ -98,7 +120,9 @@ def scale_out(df: DataFrame) -> DataFrame:
     as fewer partitions than cores only when it is also small."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
     try:
         files = df.inputFiles()
     except Exception:  # non-file-backed plan: nothing to rebalance

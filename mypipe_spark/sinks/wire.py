@@ -42,8 +42,20 @@ def _byte(value: int) -> Column:
 
 def _short_be(value_col: Column) -> Column:
     """Int column → 2-byte big-endian binary (the schema-id Short,
-    reference: KafkaGenericAvroSerializer.scala:32-33)."""
-    return F.unhex(F.lpad(F.hex(value_col.cast("int")), 4, "0"))
+    reference: KafkaGenericAvroSerializer.scala:32-33).
+
+    Ids outside [0, 0xFFFF] raise at execution time instead of being
+    silently truncated to the leftmost hex chars — a corrupted wire
+    header must never be produced."""
+    v = value_col.cast("int")
+    checked = F.when((v >= 0) & (v <= 0xFFFF), v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("schema id out of 2-byte range: "), v.cast("string")
+            )
+        )
+    )
+    return F.unhex(F.lpad(F.hex(checked), 4, "0"))
 
 
 def _short_be_decode(bin_col: Column) -> Column:

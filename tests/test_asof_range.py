@@ -110,6 +110,32 @@ def test_asof_join_tolerance_nulls_stale_matches(purchases, clicks):
     assert n_stale > 0  # the tolerance actually fired
 
 
+def test_asof_join_null_right_value_not_stitched_from_older_row(spark):
+    """A NULL in one right value column must come back NULL — the match
+    is the whole nearest-preceding right row, never a composite with
+    that column carried from an older row. Also pins the tolerance test
+    to the matched row's own timestamp."""
+    rdf = spark.createDataFrame(
+        [(1, 10, 5, "x"), (1, 20, None, "y")],
+        "k int, t int, a int, b string",
+    )
+    ldf = spark.createDataFrame([(1, 25, 99)], "k int, t int, lid int")
+    row = asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t").collect()[0]
+    assert row["b"] == "y"
+    assert row["a"] is None  # NOT 5 stitched from the ts=10 row
+
+    # tolerance uses the matched row's ts (20, age 5) — not the older
+    # row some column might have been stitched from
+    row = asof_join(
+        ldf, rdf, on="k", left_ts="t", right_ts="t", tolerance_seconds=6.0
+    ).collect()[0]
+    assert row["b"] == "y" and row["a"] is None
+    row = asof_join(
+        ldf, rdf, on="k", left_ts="t", right_ts="t", tolerance_seconds=2.0
+    ).collect()[0]
+    assert row["b"] is None and row["a"] is None
+
+
 def test_asof_join_rejects_column_collision(purchases, clicks):
     with pytest.raises(ValueError):
         asof_join(

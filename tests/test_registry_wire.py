@@ -94,6 +94,30 @@ def test_specific_projection(spark):
         assert row["id"] is not None
 
 
+def test_short_be_rejects_out_of_range_ids(spark):
+    """An id outside [0, 0xFFFF] must fail loudly at execution — never
+    silently truncate into a corrupted wire header."""
+    from mypipe_spark.sinks.wire import _short_be
+
+    ok = spark.range(1).select(_short_be(F.lit(0xFFFF)).alias("b")).collect()
+    assert ok[0]["b"] == b"\xff\xff"
+    for bad in (0x10000, -1):
+        with pytest.raises(Exception, match="schema id out of 2-byte range"):
+            spark.range(1).select(_short_be(F.lit(bad)).alias("b")).collect()
+
+
+def test_parse_bytes_size_suffixes():
+    """scale_out must survive legal Spark size strings like '128m'."""
+    from mypipe_spark.plans.catalog import _parse_bytes
+
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("512k") == 512 << 10
+    assert _parse_bytes("junk") == 134217728  # falls back, never raises
+    assert _parse_bytes("64") == 64
+
+
 def test_registry_id_overflow():
     # simulate a subject at the Short ceiling
     from mypipe_spark.registry import _Subject

@@ -89,6 +89,52 @@ def test_tx_group_stream_matches_batch(spark, tmp_path):
         assert parsed["database"] == "mypipe" and parsed["table"] == "user"
 
 
+def test_tx_group_stream_grouped_matches_batch(spark, tmp_path):
+    """Grouped emission (group-mutations-by-tx, reference.conf:14-21;
+    AbstractBinaryLogConsumer.scala:152-177): the stateful streaming
+    form must agree with committed_mutations(group_by_tx=True)
+    column-for-column — one row per committed tx, mutations in binlog
+    seq order."""
+    from mypipe_spark.changelog import write_changelog
+    from mypipe_spark.sources.stream import changelog_stream
+
+    path = str(tmp_path / "clg")
+    write_changelog(
+        spark, path, num_transactions=25, seed=11, rollback_prob=0.25, num_files=5
+    )
+
+    batch_df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(path)
+    expected = {
+        (r["txid"], r["ts"], r["n_mutations"], tuple(tuple(m) for m in r["mutations"]))
+        for r in committed_mutations(batch_df, group_by_tx=True).collect()
+    }
+
+    stream = changelog_stream(spark, path, max_files_per_trigger=2)
+    out = tx_group_stream(stream, group_by_tx=True)
+    assert out.columns == ["txid", "ts", "n_mutations", "mutations"]
+    q = (
+        out.writeStream.format("memory")
+        .queryName("txgg")
+        .option("checkpointLocation", str(tmp_path / "ckptg"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["txid"], r["ts"], r["n_mutations"], tuple(tuple(m) for m in r["mutations"]))
+        for r in spark.sql("select * from txgg").collect()
+    }
+    assert got == expected
+    # seq order inside every emitted group
+    for _, _, _, muts in got:
+        seqs = [m[0] for m in muts]
+        assert seqs == sorted(seqs)
+
+
 def test_tx_group_stream_open_tx_held_back(spark, tmp_path):
     """Mutations of a transaction whose commit hasn't arrived yet must
     NOT be emitted (the reference's position-gating semantics,
