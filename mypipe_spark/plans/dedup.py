@@ -24,7 +24,7 @@ shingle/band), the standard web-scale dedup topology.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_tables, register, scale_out
@@ -36,6 +36,16 @@ _MINHASH_K = 16
 _LSH_BANDS = 4
 _LSH_ROWS = 4
 _JACCARD_THRESHOLD = 0.5
+# Stop-shingle cap: shingles appearing in more documents than this are
+# dropped BEFORE the inverted-index self-join. The join's candidate
+# fanout is Σ_s C(df_s, 2) — one boilerplate shingle with df=10⁶ alone
+# yields ~5·10¹¹ pairs at 100 TB; the cap bounds every shingle's
+# contribution to C(cap, 2). A shingle shared by >cap documents carries
+# no near-dup signal anyway (it's corpus boilerplate), and because it is
+# removed from the INTERSECTION only (denominators keep the full shingle
+# counts) the approximation can only lower a pair's Jaccard — it never
+# creates a false positive.
+_STOP_SHINGLE_DF_CAP = 1000
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +98,24 @@ _SQL_SHINGLES = f"""
   FROM documents
 """
 
+# DuckDB twin of the capped inverted-index pair generation — shared by
+# the jaccard-pair and connected-components oracles so the stop-shingle
+# semantics stay in lockstep with the Spark path.
+_SQL_JACCARD_CTES = f"""
+    sh0 AS ({_SQL_SHINGLES}),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0)
+      WHERE df <= {_STOP_SHINGLE_DF_CAP}),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+"""
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -128,12 +156,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
-    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
+    WITH {_SQL_JACCARD_CTES}
     SELECT i.doc_a, i.doc_b,
            CAST(ROUND(CAST(i.n_common AS DOUBLE)
                 / (ca.n_sh + cb.n_sh - i.n_common), 4) AS DOUBLE) AS jaccard
@@ -152,22 +175,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cross join). Jaccard = |∩| / (|A|+|B|-|∩|) from integer counts,
     so the value is engine-exact before the final rounding.
 
-    100 TB note: the shingle join's fanout is Σ_s C(df_s, 2); stop-
-    shingle removal (drop shingles with df > cap) bounds it — at these
-    SFs the raw join is small enough that the cap is not applied."""
+    100 TB note: the shingle join's fanout is Σ_s C(df_s, 2); the
+    stop-shingle cap (_STOP_SHINGLE_DF_CAP — shingles above it dropped
+    before the self-join) bounds every term to C(cap, 2)."""
     return _jaccard_pairs(spark, sf_dir)
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard) pairs at ≥ threshold — shared by the
-    pair query above and the component-clustering step below."""
-    t = load_tables(spark, sf_dir)
+def jaccard_pairs_from(
+    docs: DataFrame, df_cap: int = _STOP_SHINGLE_DF_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs at ≥ threshold from any
+    (doc_id, text) DataFrame — shared by the registered query, the
+    component-clustering step, and the planted-skew tests."""
     # Carry n_sh alongside each exploded shingle row (computed from the
     # array BEFORE the explode — free, no count-aggregation) so the
     # final Jaccard needs no join back to a per-doc counts table. This
     # trades a few bytes of shuffle width for two whole shuffle joins.
-    sh = _with_shingle_arrays(t["documents"]).select(
+    sh = _with_shingle_arrays(docs).select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    # Stop-shingle cap: per-shingle document frequency via a window on
+    # the SAME hash-partitioning the self-join needs (no extra
+    # exchange); shingles above the cap never enter the join, so the
+    # quadratic fanout of corpus-boilerplate shingles is gone before it
+    # exists. Denominators keep the full n_sh, so the cap only ever
+    # lowers a score (false-negative-only at the threshold boundary).
+    sh = (
+        sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("__df") <= df_cap)
+        .drop("__df")
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -189,6 +225,11 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard_pairs_from over the fixture documents table."""
+    return jaccard_pairs_from(load_tables(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------
@@ -546,12 +587,7 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
 @register(
     "dedup_components",
     oracle=f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
     pairs AS (
       SELECT i.doc_a, i.doc_b
       FROM inter i

@@ -515,6 +515,38 @@ def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_quantity_quartiles_approx",
+    tags=("agg", "percentile", "sketch"),
+)
+def q_quantity_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile quartiles — the 100 TB-safe form of
+    q_quantity_quartiles. The sketch (Greenwald-Khanna) is mergeable,
+    so the aggregation is map-side-combinable with bounded memory per
+    group, where exact percentile must collect every group value into
+    the aggregation buffer. No oracle: sketch estimates are
+    engine-specific; the error bound vs the exact form is pinned by
+    pytest (test_oracle_parity.py)."""
+    t = load_tables(spark, sf_dir)
+    acc = 10_000  # 1/accuracy relative-error bound for the GK sketch
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"CAST(approx_percentile(l_quantity, 0.25, {acc}) AS DOUBLE)"
+            ).alias("q25"),
+            F.expr(
+                f"CAST(approx_percentile(l_quantity, 0.50, {acc}) AS DOUBLE)"
+            ).alias("q50"),
+            F.expr(
+                f"CAST(approx_percentile(l_quantity, 0.75, {acc}) AS DOUBLE)"
+            ).alias("q75"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join: latest click at-or-before each purchase
 # ---------------------------------------------------------------------------

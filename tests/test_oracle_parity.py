@@ -41,6 +41,27 @@ def _normalize(rows):
     )
 
 
+def test_approx_quartiles_within_error_of_exact(spark, sf_dir):
+    """The sketch twin of q_quantity_quartiles must sit within the GK
+    sketch's relative rank error of the exact quartiles. With accuracy
+    10000 the rank error is 1/10000, which on the integral 1..50
+    quantity domain means the approx value can differ from the exact
+    interpolated value by at most one quantity step."""
+    exact = {
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
+        for r in _QUERIES["q_quantity_quartiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["q25"], r["q50"], r["q75"])
+        for r in _QUERIES["q_quantity_quartiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, (e25, e50, e75) in exact.items():
+        a25, a50, a75 = approx[flag]
+        for e, a in ((e25, a25), (e50, a50), (e75, a75)):
+            assert abs(e - a) <= 1.0, (flag, e, a)
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     qd = _QUERIES[name]
