@@ -166,3 +166,185 @@ def load_registry(path: str) -> SchemaRegistry:
                     f"non-contiguous version ids for {subject}: {sorted(versions)}"
                 )
     return reg
+
+
+# ---------------------------------------------------------------------------
+# REST-backed repository (R2) — the caching HTTP client + a loopback server
+# ---------------------------------------------------------------------------
+
+# Wire protocol (JSON over HTTP, AVRO-1124-style like the reference's
+# GenericSchemaRepository.scala:42-260 backend):
+#   GET  /subjects                     -> ["subject", ...]
+#   GET  /subject/<s>/versions         -> [1, 2, ...]
+#   GET  /subject/<s>/id/<id>          -> {"id": n, "schema": text}
+#   GET  /subject/<s>/latest           -> {"id": n, "schema": text}
+#   POST /subject/<s>/register  body=schema text -> {"id": n}
+#   POST /subject/<s>/lookup    body=schema text -> {"id": n}
+# 404 with a JSON error body for unknown subject/id/schema.
+
+
+class RestSchemaRegistry:
+    """Caching REST client with the same surface as
+    :class:`SchemaRegistry` — the rebuild of the reference's caching
+    repository client (GenericSchemaRepository.scala:42-260):
+    bi-directional id↔schema caches per subject (populated on every
+    fetch, so repeat lookups never re-hit the network) and a
+    latest-schema cache whose explicit ``flush_cache=True`` re-read is
+    the flush-and-retry the Kafka serializer performs on a schema
+    mismatch (KafkaAvroSerializer.scala:41-67).
+
+    Ids and schemas are immutable once assigned, so the id↔schema
+    caches never go stale; only *latest* can (a newer version
+    registered by another client) — exactly the reference's cache
+    split."""
+
+    def __init__(self, base_url: str, timeout_s: float = 5.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+        self._cache: dict[str, _Subject] = {}
+        self._latest_cache: dict[str, tuple[int, str]] = {}
+        self._lock = threading.RLock()
+
+    # -- HTTP plumbing ------------------------------------------------------
+
+    def _http(self, method: str, path: str, body: str | None = None):
+        import json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url}{path}",
+            data=body.encode() if body is not None else None,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def _remember(self, subject: str, schema_id: int, text: str) -> None:
+        sub = self._cache.setdefault(subject, _Subject())
+        sub.by_id[schema_id] = text
+        sub.by_schema[text] = schema_id
+        sub.latest_id = max(sub.latest_id, schema_id)
+
+    # -- SchemaRegistry surface ----------------------------------------------
+
+    def register(self, subject: str, schema: str | StructType) -> int:
+        text = schema.json() if isinstance(schema, StructType) else schema
+        with self._lock:
+            sub = self._cache.get(subject)
+            if sub and text in sub.by_schema:
+                return sub.by_schema[text]
+            out = self._http("POST", f"/subject/{subject}/register", text)
+            new_id = int(out["id"])
+            self._remember(subject, new_id, text)
+            self._latest_cache[subject] = (new_id, text)
+            return new_id
+
+    def get_schema(self, subject: str, schema_id: int) -> str | None:
+        with self._lock:
+            sub = self._cache.get(subject)
+            if sub and schema_id in sub.by_id:
+                return sub.by_id[schema_id]
+            out = self._http("GET", f"/subject/{subject}/id/{schema_id}")
+            if out is None:
+                return None
+            self._remember(subject, schema_id, out["schema"])
+            return out["schema"]
+
+    def get_schema_id(self, subject: str, schema: str | StructType) -> int | None:
+        text = schema.json() if isinstance(schema, StructType) else schema
+        with self._lock:
+            sub = self._cache.get(subject)
+            if sub and text in sub.by_schema:
+                return sub.by_schema[text]
+            out = self._http("POST", f"/subject/{subject}/lookup", text)
+            if out is None:
+                return None
+            self._remember(subject, int(out["id"]), text)
+            return int(out["id"])
+
+    def get_latest(
+        self, subject: str, flush_cache: bool = False
+    ) -> tuple[int, str] | None:
+        with self._lock:
+            if flush_cache:
+                self._latest_cache.pop(subject, None)
+            if subject in self._latest_cache:
+                return self._latest_cache[subject]
+            out = self._http("GET", f"/subject/{subject}/latest")
+            if out is None:
+                return None
+            entry = (int(out["id"]), out["schema"])
+            self._remember(subject, *entry)
+            self._latest_cache[subject] = entry
+            return entry
+
+    def subjects(self) -> list[str]:
+        return list(self._http("GET", "/subjects"))
+
+    def versions(self, subject: str) -> list[int]:
+        out = self._http("GET", f"/subject/{subject}/versions")
+        return [int(i) for i in out] if out is not None else []
+
+
+def serve_registry(reg: SchemaRegistry, host: str = "127.0.0.1", port: int = 0):
+    """Expose a :class:`SchemaRegistry` over the REST protocol above on
+    a stdlib HTTP server. Returns ``(server, base_url)``; run with
+    ``threading.Thread(target=server.serve_forever, daemon=True)`` and
+    stop with ``server.shutdown()``. Loopback-tested stand-in for the
+    reference's schema-repo service."""
+    import json
+    import re
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def reply(handler, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        handler.send_response(code)
+        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args) -> None:  # quiet test output
+            pass
+
+        def do_GET(self) -> None:
+            if self.path == "/subjects":
+                return reply(self, 200, reg.subjects())
+            if m := re.fullmatch(r"/subject/([^/]+)/versions", self.path):
+                return reply(self, 200, reg.versions(m.group(1)))
+            if m := re.fullmatch(r"/subject/([^/]+)/latest", self.path):
+                latest = reg.get_latest(m.group(1), flush_cache=True)
+                if latest is None:
+                    return reply(self, 404, {"error": "no such subject"})
+                return reply(self, 200, {"id": latest[0], "schema": latest[1]})
+            if m := re.fullmatch(r"/subject/([^/]+)/id/(\d+)", self.path):
+                schema = reg.get_schema(m.group(1), int(m.group(2)))
+                if schema is None:
+                    return reply(self, 404, {"error": "no such schema id"})
+                return reply(self, 200, {"id": int(m.group(2)), "schema": schema})
+            reply(self, 404, {"error": "unknown route"})
+
+        def do_POST(self) -> None:
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length).decode()
+            if m := re.fullmatch(r"/subject/([^/]+)/register", self.path):
+                try:
+                    return reply(self, 200, {"id": reg.register(m.group(1), body)})
+                except OverflowError as e:
+                    return reply(self, 409, {"error": str(e)})
+            if m := re.fullmatch(r"/subject/([^/]+)/lookup", self.path):
+                sid = reg.get_schema_id(m.group(1), body)
+                if sid is None:
+                    return reply(self, 404, {"error": "schema not registered"})
+                return reply(self, 200, {"id": sid})
+            reply(self, 404, {"error": "unknown route"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, f"http://{server.server_address[0]}:{server.server_address[1]}"

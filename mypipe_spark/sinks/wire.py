@@ -26,9 +26,37 @@ from ..registry import SchemaRegistry
 try:  # optional fast path when the avro data source jar is present
     from pyspark.sql.avro.functions import from_avro, to_avro  # noqa: F401
 
-    HAVE_AVRO = True
+    _AVRO_IMPORTABLE = True
 except Exception:  # pragma: no cover
-    HAVE_AVRO = False
+    _AVRO_IMPORTABLE = False
+
+_AVRO_PROBE: dict[int, bool] = {}
+
+
+def avro_available(spark) -> bool:
+    """Functional probe for the spark-avro data source. The Python
+    module ``pyspark.sql.avro.functions`` always imports (it is shipped
+    with pyspark), but calling ``to_avro`` raises
+    AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE unless the external
+    spark-avro jar is on the JVM classpath — so availability must be
+    probed by executing, not importing. Cached per session."""
+    key = id(spark)
+    if key not in _AVRO_PROBE:
+        ok = False
+        if _AVRO_IMPORTABLE:
+            try:
+                spark.range(1).select(
+                    to_avro(F.struct(F.lit(1).alias("x")))
+                ).collect()
+                ok = True
+            except Exception:
+                ok = False
+        _AVRO_PROBE[key] = ok
+    return _AVRO_PROBE[key]
+
+
+# Import-level hint only — see avro_available() for the real check.
+HAVE_AVRO = _AVRO_IMPORTABLE
 
 # ---------------------------------------------------------------------------
 # byte-level helpers
@@ -91,6 +119,49 @@ _PAYLOAD_JSON_SCHEMA = (
 )
 
 
+# Avro twin of _PAYLOAD_JSON_SCHEMA — the reference's generic envelope
+# record (mypipe-avro/src/main/avro/mutations.avsc:10-148) as one union
+# record covering insert/update/delete. Used by the codec="avro" path.
+def _payload_avro_schema() -> str:
+    import json
+
+    def nullable(t):
+        return ["null", t]
+
+    def m(values):
+        return {"type": "map", "values": values}
+
+    fields = [
+        {"name": "database", "type": nullable("string"), "default": None},
+        {"name": "table", "type": nullable("string"), "default": None},
+        {"name": "tableId", "type": nullable("long"), "default": None},
+        {"name": "txid", "type": nullable("string"), "default": None},
+    ]
+    for prefix in ("", "old_", "new_"):
+        for name, vtype in (
+            ("bytes", "bytes"), ("integers", "int"),
+            ("strings", "string"), ("longs", "long"),
+        ):
+            fields.append(
+                {
+                    "name": f"{prefix}{name}",
+                    "type": nullable(m(vtype)),
+                    "default": None,
+                }
+            )
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "GenericMutation",
+            "namespace": "mypipe_spark.wire",
+            "fields": fields,
+        }
+    )
+
+
+PAYLOAD_AVRO_SCHEMA = _payload_avro_schema()
+
+
 def generic_envelope(df: DataFrame) -> DataFrame:
     """Project change events into the generic envelope struct column
     ``payload`` (header enrichment F6 + typed-map projection F4).
@@ -151,13 +222,31 @@ def frame(payload: Column, mtype: Column, schema_id: Column) -> Column:
     return F.concat(_byte(WIRE_MAGIC), mtype, _short_be(schema_id), payload)
 
 
-def encode_generic(df: DataFrame, registry: SchemaRegistry) -> DataFrame:
+def encode_generic(
+    df: DataFrame, registry: SchemaRegistry, codec: str = "json"
+) -> DataFrame:
     """Mutations → framed wire bytes in column ``value`` (K5+K7).
 
-    JSON payload codec (UTF-8 bytes); binary map values are base64
-    inside the JSON, which `decode_generic` round-trips."""
+    ``codec="json"`` (default): UTF-8 JSON payload; binary map values
+    are base64 inside the JSON, which `decode_generic` round-trips.
+    ``codec="avro"``: the reference's actual payload codec
+    (KafkaAvroSerializer.scala:189-201) via ``to_avro`` against
+    PAYLOAD_AVRO_SCHEMA — requires the external spark-avro jar (see
+    :func:`avro_available`; absent in this environment, so the path is
+    gated, not silently wrong)."""
     enveloped = with_schema_id(generic_envelope(df), registry)
-    payload_bytes = F.encode(F.to_json(F.col("payload")), "UTF-8")
+    if codec == "avro":
+        if not avro_available(df.sparkSession):
+            raise RuntimeError(
+                "codec='avro' needs the spark-avro jar on the JVM classpath "
+                "(pyspark ships the Python wrapper only); use codec='json' "
+                "or launch with --packages org.apache.spark:spark-avro_2.13"
+            )
+        payload_bytes = to_avro(F.col("payload"), PAYLOAD_AVRO_SCHEMA)
+    elif codec == "json":
+        payload_bytes = F.encode(F.to_json(F.col("payload")), "UTF-8")
+    else:
+        raise ValueError(f"unknown payload codec: {codec!r}")
     return enveloped.withColumn(
         "value", frame(payload_bytes, mtype_byte("op"), F.col("schema_id"))
     )
@@ -175,21 +264,33 @@ def unframe(value: Column) -> dict[str, Column]:
     }
 
 
-def decode_generic(df: DataFrame, value_col: str = "value") -> DataFrame:
+def decode_generic(
+    df: DataFrame, value_col: str = "value", codec: str = "json"
+) -> DataFrame:
     """Framed wire bytes → header columns + decoded envelope struct.
 
-    Validates the magic byte, extracts mtype/schema_id, JSON-decodes
-    the payload into the generic envelope struct (K9/K10)."""
+    Validates the magic byte, extracts mtype/schema_id, and decodes the
+    payload into the generic envelope struct (K9/K10) with the same
+    codec that framed it (see :func:`encode_generic`)."""
     v = F.col(value_col)
     payload_bytes = v.substr(F.lit(5), F.length(v))
+    if codec == "avro":
+        if not avro_available(df.sparkSession):
+            raise RuntimeError(
+                "codec='avro' needs the spark-avro jar on the JVM classpath"
+            )
+        payload = from_avro(payload_bytes, PAYLOAD_AVRO_SCHEMA)
+    elif codec == "json":
+        payload = F.from_json(
+            F.decode(payload_bytes, "UTF-8"), _PAYLOAD_JSON_SCHEMA
+        )
+    else:
+        raise ValueError(f"unknown payload codec: {codec!r}")
     df = (
         df.withColumn("magic_ok", F.substring(v, 1, 1) == _byte(WIRE_MAGIC))
         .withColumn("mtype", _short_be_decode(F.substring(v, 2, 1)))
         .withColumn("schema_id", _short_be_decode(F.substring(v, 3, 2)))
-        .withColumn(
-            "payload",
-            F.from_json(F.decode(payload_bytes, "UTF-8"), _PAYLOAD_JSON_SCHEMA),
-        )
+        .withColumn("payload", payload)
     )
     op = (
         F.when(F.col("mtype") == MUTATION_MAGIC["insert"], "insert")

@@ -94,6 +94,40 @@ def test_specific_projection(spark):
         assert row["id"] is not None
 
 
+def test_avro_codec_gated_by_functional_probe(spark):
+    """pyspark always ships the Python wrapper for to_avro, so import
+    success must NOT be trusted — availability is a functional probe.
+    When the spark-avro jar is absent the avro codec raises the clear
+    gate error instead of failing deep inside the plan; when present,
+    the avro payload must round-trip the same envelope as JSON."""
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import (
+        avro_available,
+        decode_generic,
+        encode_generic,
+    )
+
+    df = mutations_only(changelog_df(spark, num_transactions=5))
+    reg = in_memory_repo()
+    if not avro_available(spark):
+        with pytest.raises(RuntimeError, match="spark-avro jar"):
+            encode_generic(df, reg, codec="avro").collect()
+        return
+    # jar present: full round-trip parity with the JSON codec
+    encoded = encode_generic(df, reg, codec="avro")
+    decoded = decode_generic(encoded.select("value"), codec="avro")
+    assert decoded.filter(~F.col("magic_ok")).count() == 0
+    got = {
+        r["op"]: r["n"]
+        for r in decoded.groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r["op"]: r["n"]
+        for r in df.groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_short_be_rejects_out_of_range_ids(spark):
     """An id outside [0, 0xFFFF] must fail loudly at execution — never
     silently truncate into a corrupted wire header."""
