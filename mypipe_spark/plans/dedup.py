@@ -194,29 +194,38 @@ def jaccard_pairs_from(
     sh = _with_shingle_arrays(docs).select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
-    # Stop-shingle cap: per-shingle document frequency via a window on
-    # the SAME hash-partitioning the self-join needs (no extra
-    # exchange); shingles above the cap never enter the join, so the
-    # quadratic fanout of corpus-boilerplate shingles is gone before it
-    # exists. Denominators keep the full n_sh, so the cap only ever
-    # lowers a score (false-negative-only at the threshold boundary).
-    sh = (
-        sh.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
-        .filter(F.col("__df") <= df_cap)
-        .drop("__df")
+    # Inverted index as ONE aggregation: collect each shingle's posting
+    # list and emit candidate pairs from the sorted array with
+    # higher-order functions — half the shuffle of the classic
+    # self-join (one copy of the postings instead of two) and no
+    # sort-merge-join sort.
+    #
+    # Stop-shingle cap: size(docs) IS the document frequency, so the
+    # cap is a free filter here — shingles above it never generate
+    # pairs, bounding the quadratic fanout of corpus-boilerplate
+    # shingles (each term ≤ C(cap, 2)) AND the posting-list memory per
+    # group (≤ cap structs). Denominators keep the full n_sh, so the
+    # cap only ever lowers a score (false-negative-only at the
+    # threshold boundary).
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= df_cap))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("n_common"))
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(docs, (a, i) ->
+                  transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+                    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           a.n_sh AS na, b.n_sh AS nb))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count("*").alias("n_common")
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
