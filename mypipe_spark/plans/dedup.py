@@ -7,10 +7,13 @@ embedding-cosine near-dup.
 
 Cross-engine determinism tricks that make the sketch ops ORACLE-CHECKABLE
 (rare for MinHash implementations):
-- **MinHash over md5 strings**: md5 renders as fixed-width lowercase
-  hex in both Spark and DuckDB, so the *lexicographic* min of
-  ``md5(seed || ':' || shingle)`` is a valid, engine-identical minhash.
-  No murmur/xxhash mismatch, no integer conversions.
+- **MinHash via md5-seeded universal hashing**: md5 renders as
+  fixed-width lowercase hex in both Spark and DuckDB; its 7-char
+  prefix parses to the same 28-bit integer in both engines (Spark
+  ``conv(…,16,10)``, DuckDB ``CAST('0x'||… AS BIGINT)``), and the K
+  minhash orderings are ``(a_i·x + b_i) mod (2^31-1)`` over that one
+  digest — exact integer arithmetic, engine-identical, one md5 per
+  shingle instead of K.
 - **Quantized-integer cosine** (see also plans.similarity): embeddings
   are quantized to BIGINT (round(x*10000)); dot products and norms are
   then *exact integer sums* — independent of summation order — and the
@@ -242,34 +245,75 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (oracle-checkable via md5-string minhash)
+# MinHash + LSH (oracle-checkable via md5-seeded universal hashing)
 # ---------------------------------------------------------------------------
 
-def _minhash_sig_cols() -> list[F.Column]:
-    """h_i = lexicographic min of md5('i:' || shingle) over the doc's
-    shingle ARRAY — array_min over a transform, evaluated row-local in
-    whole-stage codegen with no explode and no aggregation shuffle."""
+# One md5 per shingle; the K minhash orderings derive from its leading
+# 28 bits through a universal hash family h_i(x) = (a_i·x + b_i) mod p.
+# This replaces K md5 calls per shingle with ONE (the digest work was
+# >90% of the signature stage) and keeps both engines in lockstep:
+# Spark parses the hex prefix with conv(…,16,10), DuckDB with
+# CAST('0x'||… AS BIGINT) — identical integers, identical mins.
+# p = 2^31-1 (Mersenne prime); a_i·x < 2^31·2^28 = 2^59 never
+# overflows BIGINT. Constants come from a fixed seeded PRNG so the
+# family is baked identically into the plan and the oracle SQL.
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def _minhash_constants() -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
     return [
-        F.expr(
-            f"array_min(transform(shingles,"
-            f" s -> md5(cast(concat('{i}:', s) as binary))))"
-        ).alias(f"h{i}")
-        for i in range(_MINHASH_K)
+        (rng.randrange(1, _MINHASH_PRIME), rng.randrange(0, _MINHASH_PRIME))
+        for _ in range(_MINHASH_K)
     ]
 
 
+_MINHASH_AB = _minhash_constants()
+
+
+def _minhash_sig_cols() -> list[F.Column]:
+    """h_i = min over the doc's shingle ARRAY of (a_i·md5int + b_i)
+    mod p — array_min over integer transforms of the shared ``md5i``
+    column, evaluated row-local in whole-stage codegen with no explode
+    and no aggregation shuffle. Requires a prior
+    ``.withColumn("md5i", _MD5_INT_ARRAY)`` so the digest runs once."""
+    return [
+        F.expr(
+            f"array_min(transform(md5i, h -> ({a}L * h + {b}L) % {_MINHASH_PRIME}L))"
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+
+
+def _md5_int_array() -> F.Column:
+    """28-bit integer per shingle from the md5 hex prefix (7 hex
+    chars). A function, not a module constant: F.expr needs an active
+    SparkContext."""
+    return F.expr(
+        "transform(shingles, s -> cast(conv(substring(md5(cast(s as binary)), 1, 7), 16, 10) as bigint))"
+    )
+
+
 def _band_exprs(prefix: str = "") -> list[str]:
-    """band_j = md5 of its _LSH_ROWS concatenated minhashes."""
+    """band_j = md5 of its _LSH_ROWS ':'-joined minhash integers.
+    Integers render as decimal strings under both engines' implicit
+    concat coercion, and both implicitly cast the joined string for
+    md5 — the expression text is valid Spark SQL *and* DuckDB SQL."""
+    sep = " || ':' || "
     out = []
     for bnd in range(_LSH_BANDS):
         cols = [f"{prefix}h{bnd * _LSH_ROWS + r}" for r in range(_LSH_ROWS)]
-        out.append(f"md5({' || '.join(cols)})")
+        out.append(f"md5({sep.join(cols)})")
     return out
 
 
 def _minhash_oracle() -> str:
     mh = ",\n           ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASH_K)
+        f"MIN(({a} * CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)"
+        f" + {b}) % {_MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
     )
     bands = _band_exprs()
     band_union = "\n      UNION ALL\n      ".join(
@@ -313,16 +357,16 @@ def _minhash_oracle() -> str:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 16 md5-string minhashes → 4
-    bands of 4 → band-bucket join → candidate pairs → exact-Jaccard
-    verification of candidates only.
+    """MinHash+LSH near-dup: shingle → one md5 each → 16 universal-hash
+    minhashes → 4 bands of 4 → band-bucket join → candidate pairs →
+    exact-Jaccard verification of candidates only.
 
     This is the 100 TB dedup path: the only joins are (a) docs sharing
     an LSH band (tiny buckets by construction) and (b) the shingle
     intersection of *candidate* pairs — the full pairwise space is
-    never materialized. The md5-string minhash (see module docstring)
-    makes the whole pipeline engine-deterministic, hence the SQL
-    oracle."""
+    never materialized. The md5-seeded integer hash family (see module
+    docstring) makes the whole pipeline engine-deterministic, hence
+    the SQL oracle, and costs one digest per shingle instead of 16."""
     t = load_tables(spark, sf_dir)
     # Per-doc shingle ARRAYS feed the signature path and both sides of
     # the verification join — persist so split+shingling runs once. At
@@ -332,7 +376,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16 minhashes + shingle count per doc, all row-local array
     # expressions — the signature stage involves NO shuffle at all
     # (the old form exploded shingles and re-aggregated by doc_id).
-    sigs = arr.select("doc_id", "n_sh", *_minhash_sig_cols())
+    # ``md5i`` is a named intermediate so the one-digest-per-shingle
+    # array is computed once and shared by all 16 minhash transforms.
+    sigs = arr.withColumn("md5i", _md5_int_array()).select(
+        "doc_id", "n_sh", *_minhash_sig_cols()
+    )
     # bands as one posexplode over an array literal of band keys — one
     # pass over sigs instead of a 4-way union
     band_arr = F.array(*[F.expr(bx) for bx in _band_exprs()])
