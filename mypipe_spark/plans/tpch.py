@@ -791,3 +791,456 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier per part — correlated-min + join-back
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             l.l_extendedprice / l.l_quantity AS unit
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'SMALL'),
+    mn AS (SELECT l_partkey, MIN(unit) AS mn_unit FROM li GROUP BY l_partkey)
+    SELECT DISTINCT li.l_partkey AS p_partkey, p.p_name, s.s_name, n.n_name,
+           CAST(ROUND(li.unit, 4) AS DOUBLE) AS min_unit_price
+    FROM li
+    JOIN mn ON mn.l_partkey = li.l_partkey AND li.unit = mn.mn_unit
+    JOIN part p     ON p.p_partkey = li.l_partkey
+    JOIN supplier s ON s.s_suppkey = li.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    """,
+    tags=("join", "correlated", "argmin"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted to the slim schema (no partsupp — the observed
+    unit price l_extendedprice/l_quantity on lineitem stands in for
+    ps_supplycost). The correlated MIN becomes a window over ONE
+    partkey exchange (the aggregate-rejoin form would shuffle twice);
+    ties keep every minimal supplier, exactly like Q2. supplier and
+    nation are broadcast; the part filter prunes before the exchange.
+    Unit price is a single IEEE division in both engines, so the
+    equality-to-min compare is deterministic."""
+    t = load_tables(spark, sf_dir)
+    small = t["part"].filter(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "SMALL")
+    )
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(small.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    best = li.withColumn("mn_unit", F.min("unit").over(w)).filter(
+        F.col("unit") == F.col("mn_unit")
+    )
+    sup = t["supplier"].join(
+        F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        best.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("unit", 4).cast("double").alias("min_unit_price"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8: nation market share within a region by year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(38,6))
+                           ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE), 4) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "conditional", "multiway"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's purchase volume per
+    year. Numerator and denominator ride ONE conditional aggregate
+    (never two passes); all four dimension joins broadcast, so the
+    only real shuffle is lineitem⋈orders on orderkey. Exact-decimal
+    sums divide once as doubles — deterministic in both engines."""
+    t = load_tables(spark, sf_dir)
+    asia_cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              (F.col("n_regionkey") == F.col("r_regionkey"))
+              & (F.col("r_name") == "ASIA"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(F.lit(0).cast(_DEC))).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).cast("double").alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT ns.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           {_sql_money(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.5 * p.p_retailprice * l.l_quantity', 'profit')}
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "agg", "multiway"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp: half the retail price stands in
+    for ps_supplycost). The p_name LIKE filter broadcast-prunes
+    lineitem FIRST, so the orderkey co-shuffle with orders moves only
+    matching rows; supplier and nation broadcast. Profit sums in
+    exact decimal."""
+    t = load_tables(spark, sf_dir)
+    gear = t["part"].filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_money(profit, "profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11: important parts — value share vs a global scalar
+# ---------------------------------------------------------------------------
+
+_Q11_AVG_MULTIPLE = 1.5
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey,
+             {_sql_money('l.l_extendedprice', 'value')}
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey AS p_partkey, value
+    FROM val
+    WHERE value > (SELECT {_Q11_AVG_MULTIPLE}
+                          * CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM val)
+    """,
+    tags=("join", "agg", "subquery", "having"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts representing a significant share of one
+    nation's stock value (lineitem extended price stands in for
+    availqty·supplycost). Per-part aggregation happens once; the
+    global total re-aggregates THOSE aggregated rows (tiny input, no
+    second scan) and broadcasts as a one-row scalar into the filter.
+    Value is the rounded money double in both engines, so the
+    threshold compare is deterministic."""
+    t = load_tables(spark, sf_dir)
+    nation3 = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(nation3), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(_money(F.col("l_extendedprice"), "value"))
+    )
+    # Scale-free threshold (TPC-H scales Q11's FRACTION by 1/SF for the
+    # same reason): a multiple of the average per-part value. Exact
+    # decimal sum, one double division — deterministic across engines.
+    total = F.broadcast(
+        val.agg(
+            (
+                _Q11_AVG_MULTIPLE
+                * F.sum(F.col("value").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("threshold")
+        )
+    )
+    return (
+        val.crossJoin(total)
+        .filter(F.col("value") > F.col("threshold"))
+        .select("p_partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12: late-shipment counts by order-priority class
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_late_shipments",
+    oracle="""
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (shipdate lag vs orderdate stands in for the
+    commit/receipt pair): did low-priority orders ship late more often?
+    Both counters ride one conditional aggregate after the single
+    orderkey co-shuffle; the shipdate filter prunes the scan."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            ).otherwise("low").alias("priority_class")
+        )
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(late, 0).otherwise(1)).alias("n_ontime"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier diversity per part attribute combination
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "agg", "distinct"),
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers ship each surviving
+    (brand, type, size) combination. The part-side filters prune
+    before the broadcast join; countDistinct expands to Spark's
+    two-phase distinct aggregation (partial dedup map-side, exact
+    count after one shuffle on the group keys)."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: suppliers shipping excess volume of a product line
+# ---------------------------------------------------------------------------
+
+_Q20_QTY_THRESHOLD = 50
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > {_Q20_QTY_THRESHOLD})
+    """,
+    tags=("join", "semi", "agg", "having"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (shipped quantity stands in for availqty):
+    suppliers who moved more than a threshold of PROMO parts in 1997.
+    The IN-subquery decorrelates to aggregate-then-left-semi: lineitem
+    collapses to ≤ |suppliers| rows BEFORE touching the supplier
+    table, and the semi join broadcasts those few rows. Quantities are
+    integral doubles — the HAVING compare is exact in both engines."""
+    t = load_tables(spark, sf_dir)
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    movers = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > _Q20_QTY_THRESHOLD)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: sole failing supplier per broken order
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_sole_failing_supplier",
+    oracle="""
+    WITH r AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R')
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM r r1
+    JOIN supplier s ON s.s_suppkey = r1.l_suppkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM r r2
+      WHERE r2.l_orderkey = r1.l_orderkey
+        AND r2.l_suppkey <> r1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    tags=("join", "anti", "agg", "window"),
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: on failed ('F') orders with returned items,
+    count per supplier the orders where it was the ONLY supplier with
+    a return — the classic exists/not-exists pair. The NOT EXISTS
+    ("no other failing supplier on this order") is answered by a
+    count-over-order window on the deduped (order, supplier) set —
+    ONE exchange on orderkey instead of the self-anti-join's second
+    shuffle plus inequality condition; the oracle states the textbook
+    NOT EXISTS form."""
+    t = load_tables(spark, sf_dir)
+    failed = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    r = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(failed), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        r.withColumn(
+            "n_supp", F.count("*").over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("n_supp") == 1)
+    )
+    return (
+        sole.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
