@@ -671,3 +671,50 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation; the oracle states the same fixpoint as a
     recursive transitive closure — identical labels."""
     return connected_components(_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# normalization + exact dedup (the canonicalizing variant)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+      FROM documents)
+    SELECT md5(ntext) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM norm
+    GROUP BY md5(ntext)
+    """,
+    tags=("dedup", "exact", "normalize"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text canonicalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — catches trivially
+    reformatted copies that byte-exact dedup misses. Normalization is
+    a pure codegen projection on the scan; then the same one-shuffle
+    hash-groupBy as dedup_exact. NOTE the DuckDB twin needs the 'g'
+    flag (its regexp_replace is first-match by default where Spark's
+    replaces all)."""
+    t = load_tables(spark, sf_dir)
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", ntext.alias("ntext"))
+        .groupBy(F.md5(F.col("ntext").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )

@@ -360,3 +360,116 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# batched ANN: top-k per query over a query SET (the production shape)
+# ---------------------------------------------------------------------------
+
+_BATCH_QUERY_STRIDE = 100  # vec_id % stride == 0 → a query vector
+_BATCH_TOP_K = 3
+
+
+@register(
+    "ann_topk_batch",
+    oracle=f"""
+    WITH q AS ({_SQL_QUANT}),
+    n AS ({_SQL_NORM}),
+    qry AS (SELECT vec_id AS query_id, qv AS qqv, nrm2 AS qn
+            FROM n WHERE vec_id % {_BATCH_QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT qry.query_id, n.vec_id,
+             (SELECT SUM(n.qv[i] * qry.qqv[i])
+              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+      FROM n, qry
+      WHERE n.vec_id <> qry.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, rk,
+           CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    FROM ranked WHERE rk <= {_BATCH_TOP_K}
+    """,
+    tags=("ann", "similarity", "batch"),
+)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched nearest-neighbor: top-{k} for EVERY query in a query
+    set, in one corpus pass — the shape a retrieval/dedup pipeline
+    actually runs (single-query top-k is the degenerate case). The
+    query set broadcasts (it is the small side by construction);
+    scoring is map-side against each corpus partition; the rank-≤-k
+    filter on the window triggers Spark's WindowGroupLimit pushdown,
+    so each partition keeps only k candidates per query BEFORE the
+    query-id shuffle — the shuffled volume is O(queries·k·partitions),
+    never the full scored cross product."""
+    n = _spark_quantized(spark, sf_dir)
+    from pyspark.sql import Window
+
+    qry = F.broadcast(
+        n.filter(F.col("vec_id") % _BATCH_QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qqv"),
+            F.col("nrm2").alias("qn"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        n.crossJoin(qry)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BATCH_TOP_K)
+        .select(
+            "query_id", "vec_id", "rk",
+            F.round("cos_raw", 4).cast("double").alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# centroid build: the IVF index-construction step as a first-class query
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+    WITH q AS ({_SQL_QUANT}),
+    cexp AS (
+      SELECT label, i, SUM(qv[i]) AS s, COUNT(*) AS c
+      FROM q, (SELECT UNNEST(range(1, 65)) AS i)
+      GROUP BY label, i)
+    SELECT label, CAST(i AS INT) AS dim,
+           CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT) AS centroid_q,
+           c AS n_vecs
+    FROM cexp
+    """,
+    tags=("ann", "similarity", "centroids", "index-build"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroid table (label = coarse cell), long format
+    (label, dim, centroid_q, n_vecs) — the index-construction half of
+    the IVF path as its own artifact, reusable across every query
+    batch. Centroids stay at the quantized 1e-4 integer scale (the
+    same formula the IVF probe uses), so the value is engine-exact —
+    re-scaling to a rounded double would land on half-ulp cases where
+    Spark (BigDecimal shortest-repr) and DuckDB (raw binary) round
+    differently. ONE map-side-combinable aggregation on (label, dim)
+    is the whole plan; at 100 TB this is the standard one-pass reduce
+    — no per-cell collect, no driver materialization."""
+    n = _spark_quantized(spark, sf_dir)
+    return (
+        n.select("label", F.posexplode("qv").alias("i0", "x"))
+        .groupBy("label", (F.col("i0") + 1).cast("int").alias("dim"))
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n_vecs"))
+        .select(
+            "label",
+            "dim",
+            F.expr("CAST(ROUND(CAST(s AS DOUBLE) / n_vecs) AS BIGINT)").alias(
+                "centroid_q"
+            ),
+            "n_vecs",
+        )
+    )

@@ -157,3 +157,210 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("bag_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# Keep 3 of every 10 hash buckets — a fixed, reproducible 30% sample.
+_SAMPLE_BUCKETS = 10
+_SAMPLE_KEEP = 3
+
+
+@register(
+    "text_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+          % {_SAMPLE_BUCKETS} < {_SAMPLE_KEEP}
+    """,
+    tags=("text", "sampling"),
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sampling — the reproducible form of
+    df.sample() a training pipeline needs (re-runs, audits, and
+    incremental appends must select the SAME documents; rand()-based
+    sampling can't). The doc_id md5 prefix parses to the same 28-bit
+    integer in both engines (conv vs CAST '0x'), so the sample is
+    engine-exact. A pure scan filter: no shuffle, fully pushdown-
+    compatible, trivially parallel at any scale. Stratification is
+    implicit — a uniform hash samples every (lang, source) stratum at
+    the same rate; the companion oracle-checked aggregate in
+    tests/test_oracle_parity.py pins per-stratum rates."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 7), 16, 10) as bigint)"
+        )
+        % _SAMPLE_BUCKETS
+    )
+    return t["documents"].filter(bucket < _SAMPLE_KEEP).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    runs AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM runs
+    """,
+    tags=("text", "packing", "window"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid head-to-
+    tail in doc_id order and cut into fixed token-budget training
+    sequences; each doc learns which sequence it starts in and at what
+    offset (the standard pre-training packing layout). One running-sum
+    window per ``lang`` partition — integer arithmetic, so both
+    engines agree exactly. 100 TB note: packing is per-stratum
+    (PARTITION BY lang), never a global single-partition sort; a real
+    pipeline packs per output shard the same way."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Integer floor-division on both sides: DuckDB's `/` is float
+    # division and its double→BIGINT cast ROUNDS (Spark's truncates),
+    # so the quotient must stay integral end-to-end.
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        t["documents"]
+        .select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("__start", start)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"__start div {_PACK_BUDGET}").cast("bigint").alias("seq_id"),
+            (F.col("__start") % _PACK_BUDGET).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# top bigrams per language
+# ---------------------------------------------------------------------------
+
+_TOP_BIGRAMS = 5
+
+
+@register(
+    "text_top_bigrams",
+    oracle=f"""
+    WITH words AS (
+      SELECT lang, string_split(text, ' ') AS ws FROM documents),
+    bigrams AS (
+      SELECT lang, UNNEST(list_transform(
+               range(1, greatest(len(ws), 1)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM words),
+    counts AS (
+      SELECT lang, bigram, COUNT(*) AS n
+      FROM bigrams GROUP BY lang, bigram),
+    ranked AS (
+      SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram) AS rk
+      FROM counts)
+    SELECT lang, bigram, n, rk FROM ranked WHERE rk <= {_TOP_BIGRAMS}
+    """,
+    tags=("text", "ngram", "topk"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: the {_TOP_BIGRAMS} most frequent word
+    bigrams per language (vocabulary/LM preprocessing). Bigrams emerge
+    from one higher-order transform (no UDF), counts map-side-combine
+    on (lang, bigram), and the top-k window runs over the already-
+    aggregated counts only — never the raw bigram stream. Ties break
+    lexicographically so both engines pick identical rows."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    bigram = F.expr(
+        """
+        transform(
+          sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+          i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i])
+        )
+        """
+    )
+    counts = (
+        t["documents"]
+        .select("lang", F.explode(bigram).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_BIGRAMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# regex marker counts (the PII/pattern-scan shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_pattern_counts",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, 'spark'))) AS BIGINT)
+             AS n_spark,
+           CAST(SUM(len(regexp_extract_all(text, '\\bthe\\b'))) AS BIGINT)
+             AS n_the,
+           CAST(SUM(len(regexp_extract_all(text, 'fast (sort|merge)'))) AS BIGINT)
+             AS n_fast_pair,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "regex", "scan"),
+)
+def text_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide regex occurrence counts — the PII-scan shape (email/
+    phone/URL detectors are the same plan with different patterns; this
+    fixture's vocabulary has word markers instead). regexp_count is a
+    JVM-side codegen expression over the scan, aggregated map-side:
+    the whole query is one pass, no shuffle beyond the 10-row final
+    exchange. Patterns use RE2-compatible syntax (word boundaries,
+    alternation) so Spark's Java regex and DuckDB's RE2 agree."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.sum(F.regexp_count("text", F.lit("spark"))).alias("n_spark"),
+            F.sum(F.regexp_count("text", F.lit(r"\bthe\b"))).alias("n_the"),
+            F.sum(F.regexp_count("text", F.lit("fast (sort|merge)"))).alias(
+                "n_fast_pair"
+            ),
+            F.count("*").alias("n_docs"),
+        )
+    )
