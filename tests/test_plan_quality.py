@@ -172,3 +172,70 @@ def test_q17_single_exchange_window_form(spark, sf_dir):
     # and no sort-merge join anywhere
     assert "SortMergeJoin" not in plan
     assert _n_nodes(plan, "Exchange") <= 2
+
+
+def test_sample_filter_is_pushdown_compatible_scan(spark, sf_dir):
+    """The deterministic sample is a pure scan filter: no shuffle, no
+    aggregation — the plan is Scan → Filter → Project only."""
+    plan = _plan(spark, "text_sample_stratified", sf_dir)
+    assert _n_nodes(plan, "Exchange") == 0
+    assert _n_nodes(plan, "HashAggregate") == 0
+    assert "EvalPython" not in plan
+
+
+def test_pack_sequences_partitions_by_stratum(spark, sf_dir):
+    """Packing must never be a single global-ordering window — the
+    running sum partitions by lang (hashpartitioning, not a lone
+    SinglePartition sort)."""
+    plan = _plan(spark, "text_pack_sequences", sf_dir)
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_batch_ann_group_limit_pushdown(spark, sf_dir):
+    """The rank-≤-k filter over the per-query window must engage
+    Spark's WindowGroupLimit so each partition prunes to k candidates
+    per query before the shuffle."""
+    plan = _plan(spark, "ann_topk_batch", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_bigrams_aggregates_before_rank_window(spark, sf_dir):
+    """Counts must aggregate (map-side combine included) before the
+    rank window touches them — the window input is the aggregated
+    (lang, bigram) table, never the raw bigram stream."""
+    plan = _plan(spark, "text_top_bigrams", sf_dir)
+    assert _n_nodes(plan, "HashAggregate") >= 2  # partial + final
+    assert "WindowGroupLimit" in plan
+
+
+def test_centroids_single_aggregation_pass(spark, sf_dir):
+    """Index build is one aggregation (partial + final) over the
+    exploded dims — no joins, no second pass."""
+    plan = _plan(spark, "embedding_centroids", sf_dir)
+    assert _n_nodes(plan, "HashAggregate") == 2
+    # one aggregation exchange (+ the deliberate scale_out round-robin
+    # rebalance, which disappears at real scan sizes)
+    assert _n_nodes(plan, "Exchange") <= 2
+
+
+def test_minhash_signature_stage_has_no_shuffle(spark, sf_dir):
+    """Signatures (one md5 per shingle + 16 integer transforms) are
+    row-local: from scan to band explode there is exactly the one
+    scale_out round-robin exchange, and no aggregation at all."""
+    from mypipe_spark.plans import dedup as D
+    from mypipe_spark.plans.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    arr = D._with_shingle_arrays(t["documents"])
+    sigs = arr.withColumn("md5i", D._md5_int_array()).select(
+        "doc_id", "n_sh", *D._minhash_sig_cols()
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = sigs._jdf.queryExecution().explainString(jmode)
+    assert _n_nodes(plan, "HashAggregate") == 0
+    assert _n_nodes(plan, "Window") == 0
