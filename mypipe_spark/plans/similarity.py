@@ -473,3 +473,115 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) cell construction — the IVF coarse quantizer itself
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+_DIMS = 64
+
+
+def _sq_dist_sql(qv: str, cv: str) -> str:
+    """Exact integer squared-L2 between two quantized lists (DuckDB)."""
+    return (
+        f"(SELECT SUM(({qv}[i] - {cv}[i]) * ({qv}[i] - {cv}[i]))"
+        f" FROM (SELECT UNNEST(range(1, {_DIMS + 1})) AS i))"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd's algorithm UNROLLED to fixed iterations as plain SQL —
+    init from the k smallest vec_ids, integer distances, ROUND-mean
+    centroid updates; ties break toward the smaller cell id. Being
+    fully deterministic integer math, even this iterative algorithm
+    is value-hash-checkable against Spark."""
+    sql = f"WITH q AS ({_SQL_QUANT}),\n"
+    sql += f"c0 AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < {_KMEANS_K}),\n"
+    prev = "c0"
+    for it in range(1, _KMEANS_ITERS + 1):
+        sql += f"""d{it} AS (
+      SELECT q.vec_id, c.cid, {_sq_dist_sql('q.qv', 'c.cqv')} AS dist
+      FROM q, {prev} c),
+    a{it} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{it})
+      WHERE rn = 1),\n"""
+        if it < _KMEANS_ITERS:
+            sql += f"""e{it} AS (
+      SELECT a.cluster AS cid, i, SUM(q.qv[i]) AS s, COUNT(*) AS c
+      FROM q JOIN a{it} a USING (vec_id),
+           (SELECT UNNEST(range(1, {_DIMS + 1})) AS i)
+      GROUP BY 1, 2),
+    c{it} AS (
+      SELECT cid, list(CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT)
+                       ORDER BY i) AS cqv
+      FROM e{it} GROUP BY cid),\n"""
+            prev = f"c{it}"
+    sql += f"""final AS (SELECT vec_id, cluster FROM a{_KMEANS_ITERS})
+    SELECT f.vec_id, f.cluster, COUNT(*) OVER (PARTITION BY f.cluster) AS cell_size
+    FROM final f"""
+    return sql
+
+
+@register(
+    "ann_kmeans_cells",
+    oracle=_kmeans_oracle(),
+    tags=("ann", "similarity", "kmeans", "iterative", "index-build"),
+)
+def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means coarse quantizer (Lloyd's, fixed {iters} iterations,
+    k={k}) assigning every vector to an IVF cell — the index-build
+    step that plans.ann_topk_ivf's ``label`` column presupposes.
+
+    Distributed shape (MLlib's own topology): each iteration is (a)
+    one row-local assignment pass against the k×{dims} centroid
+    matrix inlined as a broadcast literal — zero shuffle — and (b)
+    one map-side-combinable aggregation to re-derive centroids, whose
+    k rows are collected driver-side (k·{dims} integers — index
+    metadata, not data). Nothing else crosses the driver. Determinism:
+    init from the k smallest vec_ids, exact integer squared-L2,
+    ROUND-mean updates, ties to the smaller cell — so the UNROLLED
+    SQL oracle hash-matches an *iterative* algorithm."""
+    from pyspark.sql import Window
+
+    n = _spark_quantized(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in n.filter(F.col("vec_id") < _KMEANS_K)
+        .select("vec_id", "qv")
+        .collect()
+    ]
+    cents.sort()
+
+    def assign_col(cs: list[tuple[int, list[int]]]) -> F.Column:
+        entries = ", ".join(
+            f"struct(aggregate(zip_with(qv, array({', '.join(map(str, cqv))}),"
+            f" (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x) AS dist,"
+            f" {cid} AS cid)"
+            for cid, cqv in cs
+        )
+        return F.expr(f"array_min(array({entries})).cid")
+
+    assigned = None
+    for it in range(1, _KMEANS_ITERS + 1):
+        assigned = n.withColumn("cluster", assign_col(cents))
+        if it < _KMEANS_ITERS:
+            new_cents = (
+                assigned.select("cluster", F.posexplode("qv").alias("i", "x"))
+                .groupBy("cluster", "i")
+                .agg(F.expr("CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("v"))
+                .groupBy("cluster")
+                .agg(F.expr("transform(array_sort(collect_list(struct(i, v))), p -> p.v)").alias("cqv"))
+                .collect()
+            )
+            cents = sorted((int(r["cluster"]), [int(x) for x in r["cqv"]]) for r in new_cents)
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        "vec_id", "cluster", F.count("*").over(w).alias("cell_size")
+    )
