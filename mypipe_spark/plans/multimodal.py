@@ -208,3 +208,65 @@ def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.count_distinct("content_sha").alias("n_unique"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             CAST(24 + (CAST('0x' || substr(sha256(text), 1, 16) AS UBIGINT)
+                        >> 16) % 10000 AS INT) AS n_frames
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 2)
+    SELECT media_id,
+           CAST(UNNEST(range(0, greatest(n_frames - 1, 0) + 1, 24)) AS INT)
+             AS frame_idx
+    FROM vids
+    """,
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan driven end-to-end: blobs → mapInPandas
+    decode (stubbed codec yields n_frames) → sequence/explode into the
+    (media_id, frame_idx) work list the frame-decode stage would
+    consume. The oracle recomputes the stub's sha-derived frame count
+    with UBIGINT hex arithmetic — bit-for-bit the same integers — then
+    unnests the same stride; so the Python decode stage AND the
+    expansion arithmetic are both value-checked. At 100 TB the work
+    list is the shuffle unit: frames decode in (media_id, frame_idx)
+    batches without ever re-shuffling blobs."""
+    t = load_tables(spark, sf_dir)
+    meta = decode_media(synthetic_media(spark, t["documents"]))
+    return frame_sample_plan(meta, every_n=24).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@register(
+    "multimodal_media_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             sha256(text) AS content_sha,
+             strlen(text) AS n_bytes
+      FROM documents)
+    SELECT content_sha,
+           MIN(media_id) AS canonical_media_id,
+           COUNT(*) AS n_copies,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM media
+    GROUP BY content_sha
+    """,
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def multimodal_media_dedup(spark, sf_dir: str) -> DataFrame:
+    """Exact media dedup over the decode-stage content hash — the
+    document-dedup topology applied to blobs: the bytes cross the
+    Python boundary once (decode), and dedup groups the resulting
+    uniform 256-bit keys; blobs never join against blobs. The oracle
+    recomputes the hashes straight from the source bytes, proving the
+    Arrow decode stage preserved every blob byte-for-byte."""
+    t = load_tables(spark, sf_dir)
+    meta = decode_media(synthetic_media(spark, t["documents"]))
+    return media_dedup(meta)
