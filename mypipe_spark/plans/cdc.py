@@ -331,3 +331,48 @@ def cdc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "magic_ok",
         "schema_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history: validity intervals from the change stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events)
+    SELECT user_id, event_id, event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM ev
+    """,
+    tags=("cdc", "window", "scd2"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: every change event
+    becomes a versioned row with a [valid_from, valid_to) interval,
+    the open interval marking the current version — the standard
+    downstream materialization of a CDC stream (the complement of
+    cdc_latest_state's keep-last compaction). One LEAD window per key
+    partition — a single shuffle on the key, linear within partition;
+    (ts, event_id) ordering makes interval boundaries deterministic
+    under same-timestamp updates."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

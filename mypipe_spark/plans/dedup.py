@@ -718,3 +718,51 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS canonical
+      FROM documents WHERE doc_id % 5 <> 4
+      GROUP BY md5(text))
+    SELECT d.doc_id,
+           CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS is_dup,
+           c.canonical AS dup_of
+    FROM documents d
+    LEFT JOIN corpus c ON md5(d.text) = c.h
+    WHERE d.doc_id % 5 = 4
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the shape a continuously
+    ingesting pipeline actually runs: hash the NEW batch (here the
+    doc_id%5==4 slice stands in for today's arrivals), left-join it
+    against the corpus fingerprint table, and flag/attribute dups.
+    The corpus side collapses to one row per distinct hash BEFORE the
+    join, and the join key is a uniform 128-bit hash — no skew, and
+    at 100 TB the fingerprint table is the only thing reread; the
+    corpus text is never rescanned (text_fingerprint materializes the
+    same table as its own artifact)."""
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.col("text").cast("binary"))
+    corpus = (
+        t["documents"]
+        .filter(F.col("doc_id") % 5 != 4)
+        .groupBy(h.alias("h"))
+        .agg(F.min("doc_id").alias("canonical"))
+    )
+    batch = t["documents"].filter(F.col("doc_id") % 5 == 4).select(
+        "doc_id", h.alias("bh")
+    )
+    return batch.join(corpus, F.col("bh") == F.col("h"), "left").select(
+        "doc_id",
+        F.when(F.col("h").isNull(), 0).otherwise(1).alias("is_dup"),
+        F.col("canonical").alias("dup_of"),
+    )

@@ -156,7 +156,12 @@ def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
     that deliberately use the Arrow-vectorized kernel may contain a
     Python eval operator; everything else must stay whole-stage
     codegen JVM expressions."""
-    allowed = {"ann_topk_pandas", "multimodal_decode_stats"}
+    allowed = {
+        "ann_topk_pandas",
+        "multimodal_decode_stats",
+        "multimodal_frame_sample",
+        "multimodal_media_dedup",
+    }
     for name in sorted(_QUERIES):
         plan = _plan(spark, name, sf_dir)
         has_python = re.search(r"EvalPython|MapInPandas|ArrowEval", plan)

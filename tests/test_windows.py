@@ -114,3 +114,42 @@ def test_effectively_once_drops_redelivered_duplicates(spark, tmp_path):
     # sanity: the raw (non-deduped) log really contains each seq twice
     raw = changelog_batch(spark, src).groupBy("seq").count().collect()
     assert all(r["count"] == 2 for r in raw)
+
+
+def test_text_quality_expressions_run_in_streams(spark, tmp_path, sf_dir):
+    """The text-plane operators are pure column expressions, so the
+    SAME projection drives batch tables and Structured Streaming
+    micro-batches — stream output must equal the batch query
+    row-for-row (the LLM-pipeline ingest shape: readStream → quality
+    gate → sink)."""
+    import os
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the file stream source wants a directory to watch
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
+    )
+
+    def quality(df):
+        toks = F.split("text", " ")
+        n_tokens = F.size(toks)
+        return df.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.when(n_tokens >= 20, 1).otherwise(0).alias("keep"),
+        )
+
+    q = (
+        quality(stream_docs)
+        .writeStream.format("memory").queryName("txtq")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(map(tuple, spark.sql("select * from txtq").collect()))
+    expected = sorted(map(tuple, quality(batch_docs).collect()))
+    assert got == expected and len(got) > 0
