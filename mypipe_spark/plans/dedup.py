@@ -387,16 +387,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.posexplode(band_arr).alias("band_id", "band_key")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Candidate pairs as ONE aggregation per band bucket (same posting-
+    # list topology as jaccard_pairs_from): collect each bucket's
+    # member list, emit ordered pairs from the sorted array — one copy
+    # of the bucket rows shuffles instead of the self-join's two, and
+    # bucket size bounds per-group memory by construction.
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(docs, (a, i) ->
+                      transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+                        struct(a AS doc_a, b AS doc_b))))
+                    """
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.*")
         .distinct()
     )
     # Verify candidates only: pull both shingle arrays in by doc_id and
