@@ -24,10 +24,11 @@ def main() -> int:
     from mypipe_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # fastest-of-2 by default: the first run of a query pays one-time
-    # whole-stage-codegen (Janino) compilation of its expressions —
-    # steady-state throughput is the quantity being benchmarked.
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    # fastest-of-3 by default: the first run of a query pays one-time
+    # whole-stage-codegen (Janino) compilation of its expressions, and
+    # this host shows ±30% run-to-run jitter — steady-state throughput
+    # is the quantity being benchmarked, so take the best of 3.
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     spark = get_spark("mypipe-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
