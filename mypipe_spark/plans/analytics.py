@@ -545,3 +545,89 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series rollup: 15-minute OHLC bars (the hypertable-rollup shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_ohlc_15m",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "timeseries", "rollup"),
+)
+def events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to 15-minute OHLC bars per event type —
+    the hypertable-rollup/continuous-aggregate shape. Bucketing is an
+    epoch-aligned floor (Spark's window() start == DuckDB's
+    time_bucket grid); open/close are min_by/max_by over the unique
+    (ts, event_id) order, so bars are deterministic even with
+    same-timestamp events. ONE map-side-combinable aggregate: at
+    100 TB this is the classic streaming-compatible downsample (the
+    same expressions run under a watermarked groupBy window)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.window("ts", "15 minutes").start.alias("bucket"),
+        )
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BIN_WIDTH = 50
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {_HIST_BIN_WIDTH}) AS INT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS bin_min,
+           CAST(MAX(value) AS DOUBLE) AS bin_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the profiling
+    primitive behind data-quality dashboards. The bin id is a single
+    IEEE divide+floor (identical in both engines); the whole query is
+    one map-side-combinable aggregate whose output is bounded by
+    bins×types regardless of corpus size."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / _HIST_BIN_WIDTH).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("bin_min"),
+            F.max("value").cast("double").alias("bin_max"),
+        )
+    )

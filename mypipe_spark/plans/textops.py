@@ -364,3 +364,97 @@ def text_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-stratum reservoir (top-k by hash order)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+
+
+@register(
+    "text_reservoir_per_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    WHERE rk <= {_RESERVOIR_K}
+    """,
+    tags=("text", "sampling", "window"),
+)
+def text_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-stratum sample: exactly {k} documents per language,
+    chosen by hash order — the deterministic equivalent of a per-group
+    reservoir sample (same docs every run, every engine). The rank-≤-k
+    predicate engages WindowGroupLimit, so each partition forwards at
+    most k rows per stratum to the shuffle; total output is
+    strata×k, independent of corpus size."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        t["documents"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subtoken estimation
+# ---------------------------------------------------------------------------
+
+_SUBTOKEN_CHARS = 4  # crude BPE stand-in: ceil(len/4) subtokens per word
+
+
+@register(
+    "text_subtoken_estimate",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+                    w -> (length(w) + {_SUBTOKEN_CHARS - 1}) // {_SUBTOKEN_CHARS})))
+                AS BIGINT) AS total_subtokens,
+           CAST(ROUND(
+             CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+                      w -> (length(w) + {_SUBTOKEN_CHARS - 1}) // {_SUBTOKEN_CHARS})))
+                  AS DOUBLE)
+             / SUM(len(string_split(text, ' '))), 4) AS DOUBLE)
+             AS subtokens_per_word
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def text_subtoken_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-token budget estimation — the BPE-ish complement to
+    whitespace counting (LLM training budgets are subword counts, and
+    ceil(len/{n}) per word is the standard quick estimator). Pure
+    integer higher-order expressions (transform → aggregate) in
+    whole-stage codegen; exact integer sums so the ratio is
+    engine-identical before rounding."""
+    t = load_tables(spark, sf_dir)
+    subtok = F.expr(
+        f"aggregate(transform(split(text, ' '),"
+        f" w -> (length(w) + {_SUBTOKEN_CHARS - 1}) div {_SUBTOKEN_CHARS}),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    nwords = F.size(F.split("text", " "))
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.sum(nwords).alias("total_words"),
+            F.sum(subtok).alias("total_subtokens"),
+            F.round(
+                F.sum(subtok).cast("double") / F.sum(nwords), 4
+            ).cast("double").alias("subtokens_per_word"),
+        )
+    )
