@@ -153,3 +153,52 @@ def test_text_quality_expressions_run_in_streams(spark, tmp_path, sf_dir):
     got = sorted(map(tuple, spark.sql("select * from txtq").collect()))
     expected = sorted(map(tuple, quality(batch_docs).collect()))
     assert got == expected and len(got) > 0
+
+
+def test_ohlc_rollup_runs_streaming_with_watermark(spark, tmp_path, sf_dir):
+    """events_ohlc_15m's docstring claims streaming compatibility —
+    prove it: the same min_by/max_by window aggregate under a
+    watermark, fed the same events as a stream, produces exactly the
+    batch bars."""
+    import os
+
+    # events.parquet carries TIMESTAMP(NANOS): read raw as INT64
+    # (nanosAsLong) and apply load_tables' micro-truncation to BOTH
+    # sides so stream and batch see identical timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
+    raw_stream = spark.readStream.schema(raw_batch.schema).parquet(str(src_dir))
+
+    def norm(df):
+        # plain TIMESTAMP (not ntz): watermarks require it, and the
+        # session is pinned UTC so the values are identical
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    batch_ev = norm(raw_batch)
+    stream_ev = norm(raw_stream)
+
+    def ohlc(df):
+        return df.groupBy(
+            "event_type", F.window("ts", "15 minutes").start.alias("bucket")
+        ).agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+
+    q = (
+        ohlc(stream_ev.withWatermark("ts", "30 minutes"))
+        .writeStream.format("memory").queryName("ohlcstream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    got = sorted(map(tuple, spark.sql("select * from ohlcstream").collect()))
+    expected = sorted(map(tuple, ohlc(batch_ev).collect()))
+    assert got == expected and len(got) > 100
