@@ -631,3 +631,85 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("double").alias("bin_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS with grouping_id
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent dimensions + grand
+    total in one pass) with grouping_id disambiguating the NULL-key
+    rows — the general form of which rollup/cube are specializations.
+    Spark plans ONE Expand + one aggregate: the scan is read once for
+    all three groupings, each map-side-combinable."""
+    t = load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile deciles
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_customer_balance_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT c_custkey, c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM d GROUP BY decile
+    """,
+    tags=("window", "ntile", "agg"),
+)
+def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles via NTILE — the quantile-bucketing
+    window (unique c_custkey tiebreak makes bucket boundaries
+    deterministic). NOTE the global NTILE is a single-partition window
+    by definition; the aggregation immediately reduces it, and at
+    100 TB the right form is approx_percentile cutpoints (see
+    q_quantity_quartiles_approx) or per-stratum NTILE — this query
+    exists to pin the operator's semantics."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        t["customer"]
+        .select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+    )
