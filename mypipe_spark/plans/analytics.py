@@ -713,3 +713,68 @@ def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").cast("double").alias("hi"),
         )
     )
+
+
+@register(
+    "q_setop_priority_mix_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop", "multiset"),
+)
+def q_setop_priority_mix_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — the multiset form (each low-priority order of a
+    customer survives only if not cancelled out by an urgent one;
+    duplicates carry counts, unlike the distinct EXCEPT above). Spark
+    plans this as a counted aggregation + generate, one shuffle on
+    the key — no join."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return (
+        o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+        .exceptAll(o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"))
+    )
+
+
+@register(
+    "q_nation_customer_supplier_balance",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS cust_bal,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1),
+    s AS (
+      SELECT s_nationkey AS nationkey,
+             CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS supp_bal,
+             COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.cust_bal, c.n_cust, s.supp_bal, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q_nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated sides — nations appearing on
+    either side survive with NULLs on the missing one (the
+    reconciliation-report shape). Both inputs aggregate BEFORE the
+    join, so the outer join touches ≤ |nations| rows per side no
+    matter the fact-table size."""
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["customer"].groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(_money(F.col("c_acctbal"), "cust_bal"), F.count("*").alias("n_cust"))
+    )
+    s = (
+        t["supplier"].groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(_money(F.col("s_acctbal"), "supp_bal"), F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        "cust_bal", "n_cust", "supp_bal", "n_supp",
+    )
