@@ -492,7 +492,8 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB substitute
     for exact distinct counts: mergeable sketch, no distinct-expansion
     shuffle. Estimates are engine-specific, so no SQL oracle; pytest
-    pins the estimate within rsd of the exact count."""
+    pins the estimate within 3×rsd of the exact count
+    (tests/test_oracle_parity.py::test_approx_distinct_within_rsd_of_exact)."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]

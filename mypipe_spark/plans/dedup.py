@@ -601,14 +601,19 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     Iterative DataFrame algorithm (no collect of data — the driver
     only checks a scalar convergence count per round): each round every
     vertex takes the min of its own label and its neighbors' labels;
-    converges in O(component diameter) rounds. Each round persists its
-    label table and unpersists the previous one, so the plan/lineage
-    stays one-round deep — the standard Spark formulation of
-    MapReduce connected components.
+    converges in O(component diameter) rounds. Each round
+    ``localCheckpoint``s its label table, which truncates BOTH
+    execution and the logical plan — persist alone caches data but the
+    plan tree still nests one level per round, and by ~10 rounds plan
+    compilation itself OOMs the driver (pinned by
+    tests/test_dedup.py::test_components_converge_in_diameter_rounds,
+    which found exactly that). This is the standard Spark formulation
+    of MapReduce connected components.
 
     100 TB note: rounds are shuffle-on-vertex joins; diameter of
     near-dup clusters is tiny in practice (near-dups of a doc are
-    near-dups of each other), so 3-4 rounds dominate real corpora."""
+    near-dups of each other), so 3-4 rounds dominate real corpora —
+    the round count itself is Θ(diameter), held by the same test."""
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -617,9 +622,8 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -634,7 +638,7 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -642,7 +646,6 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

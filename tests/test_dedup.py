@@ -159,6 +159,33 @@ def test_stop_shingle_cap_bounds_fanout_keeps_recall(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()} == {(100, 101)}
 
 
+def test_components_converge_in_diameter_rounds(spark):
+    """Min-label propagation's round count is Θ(graph diameter) — the
+    docstring's convergence claim, held by a planted path graph instead
+    of a comment. A 10-vertex path (diameter 9) needs exactly 9
+    propagation rounds for label 0 to reach the far end, plus one
+    fixpoint-detection round: max_iters=10 must succeed, max_iters=9
+    must raise. A second (disjoint) triangle must keep its own label
+    and not stretch the round count (components converge in parallel)."""
+    import pytest as _pytest
+
+    from mypipe_spark.plans.dedup import connected_components
+
+    path = [(i, i + 1) for i in range(9)]  # 0-1-2-...-9
+    triangle = [(100, 101), (101, 102), (100, 102)]
+    edges = spark.createDataFrame(path + triangle, "doc_a int, doc_b int")
+
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, max_iters=10).collect()
+    }
+    assert {labels[i] for i in range(10)} == {0}
+    assert {labels[i] for i in (100, 101, 102)} == {100}
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iters=9).collect()
+
+
 def test_components_are_consistent_with_pair_graph(spark, sf_dir):
     """Every near-dup pair's endpoints share a component, and each
     component is labeled by its smallest member."""

@@ -12,6 +12,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from mypipe_spark.plans.catalog import TABLE_NAMES, all_queries
 
@@ -60,6 +61,29 @@ def test_approx_quartiles_within_error_of_exact(spark, sf_dir):
         a25, a50, a75 = approx[flag]
         for e, a in ((e25, a25), (e50, a50), (e75, a75)):
             assert abs(e - a) <= 1.0, (flag, e, a)
+
+
+def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
+    """q_approx_distinct_parts' HLL++ estimate must sit within its
+    configured rsd of the exact distinct count: the query is built with
+    rsd=0.02, so per-group relative error ≤ 6% (3σ) — the accuracy pin
+    its docstring promises (the rows-only oracle contract below only
+    proves it executes)."""
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in _QUERIES["q_approx_distinct_parts"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a - e) / e <= 0.06, (flag, e, a)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
