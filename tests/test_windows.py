@@ -162,20 +162,24 @@ def test_ohlc_rollup_runs_streaming_with_watermark(spark, tmp_path, sf_dir):
     batch bars."""
     import os
 
-    # events.parquet carries TIMESTAMP(NANOS): read raw as INT64
-    # (nanosAsLong) and apply load_tables' micro-truncation to BOTH
-    # sides so stream and batch see identical timestamps.
+    # events.parquet ts precision varies by driver generation
+    # (TIMESTAMP(NANOS) reads as INT64 under nanosAsLong; MICROS reads
+    # as timestamp_ntz directly) — mirror load_tables' conditional so
+    # BOTH sides see identical micro-precision timestamps either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src_dir = tmp_path / "ev"
     src_dir.mkdir()
     os.symlink(f"{sf_dir}/events.parquet", src_dir / "events.parquet")
     raw_stream = spark.readStream.schema(raw_batch.schema).parquet(str(src_dir))
+    ts_is_ns = dict(raw_batch.dtypes)["ts"] == "bigint"
 
     def norm(df):
         # plain TIMESTAMP (not ntz): watermarks require it, and the
         # session is pinned UTC so the values are identical
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_is_ns:
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
     batch_ev = norm(raw_batch)
     stream_ev = norm(raw_stream)
