@@ -717,6 +717,49 @@ def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_customer_balance_deciles_approx",
+    tags=("agg", "percentile", "sketch"),
+)
+def q_customer_balance_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles via approx_percentile cutpoints — the
+    100 TB-safe twin of q_customer_balance_deciles. The global NTILE
+    serializes the whole table through one single-partition window
+    task; here the 9 cutpoints come from ONE mergeable-sketch
+    aggregation (map-side combinable, only 9 doubles cross the
+    shuffle), are broadcast back as a 1-row side, and each customer is
+    bucketed by array comparison — no Window, no Sort anywhere in the
+    plan (pinned by test_plan_quality.py::
+    test_deciles_approx_plan_has_no_window_or_sort). Same output
+    schema as the exact form. Sketch cutpoints are engine-specific →
+    no SQL oracle; agreement with the exact NTILE deciles is pinned by
+    pytest (test_oracle_parity.py::test_approx_deciles_track_exact).
+
+    Semantic note: comparison bucketing sends ALL ties on a cutpoint
+    value to the same decile, where NTILE splits them by the c_custkey
+    tiebreak — at scale the tie mass per boundary is O(duplicates of
+    one value), which is the correct quantile-bucket contract."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_acctbal")
+    fracs = ", ".join(str(i / 10) for i in range(1, 10))
+    cuts = c.agg(
+        F.expr(f"approx_percentile(c_acctbal, array({fracs}), 10000)").alias("cuts")
+    )
+    return (
+        c.crossJoin(F.broadcast(cuts))
+        .select(
+            "c_acctbal",
+            (1 + F.expr("size(filter(cuts, x -> x < c_acctbal))")).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
     "q_setop_priority_mix_all",
     oracle="""
     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'

@@ -86,6 +86,28 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
         assert abs(a - e) / e <= 0.06, (flag, e, a)
 
 
+def test_approx_deciles_track_exact(spark, sf_dir):
+    """q_customer_balance_deciles_approx must reproduce the exact NTILE
+    decile structure: all 10 buckets present, every customer in exactly
+    one bucket, bucket ranges strictly ordered and non-overlapping, and
+    each bucket's population within 10% of the table (=n/10 up to
+    cutpoint-tie slack — at test scale approx_percentile's accuracy
+    exceeds the row count, so cutpoints are exact discrete quantiles
+    and only boundary ties can move mass between adjacent buckets)."""
+    rows = sorted(
+        _QUERIES["q_customer_balance_deciles_approx"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_customers"] for r in rows) == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["hi"] <= cur["lo"]
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert abs(r["n_customers"] - total / 10) <= 0.10 * total
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     qd = _QUERIES[name]

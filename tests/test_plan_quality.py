@@ -244,3 +244,19 @@ def test_minhash_signature_stage_has_no_shuffle(spark, sf_dir):
     plan = sigs._jdf.queryExecution().explainString(jmode)
     assert _n_nodes(plan, "HashAggregate") == 0
     assert _n_nodes(plan, "Window") == 0
+
+
+def test_deciles_approx_plan_has_no_window_or_sort(spark, sf_dir):
+    """The approx decile twin exists to kill the catalog's only
+    single-partition window: its plan must contain NO Window and NO
+    Sort — the whole table is bucketed by broadcast-cutpoint
+    comparison. (The one SinglePartition exchange that remains is the
+    scalar cutpoint aggregate, which moves 9 doubles, not the table.)
+    The exact form keeps its Window — both shapes stay pinned."""
+    plan = _plan(spark, "q_customer_balance_deciles_approx", sf_dir)
+    assert _n_nodes(plan, "Window") == 0
+    assert _n_nodes(plan, "Sort") == 0
+    assert "CartesianProduct" not in plan
+
+    exact = _plan(spark, "q_customer_balance_deciles", sf_dir)
+    assert _n_nodes(exact, "Window") == 1
