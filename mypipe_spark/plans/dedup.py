@@ -7,13 +7,18 @@ embedding-cosine near-dup.
 
 Cross-engine determinism tricks that make the sketch ops ORACLE-CHECKABLE
 (rare for MinHash implementations):
-- **MinHash via md5-seeded universal hashing**: md5 renders as
-  fixed-width lowercase hex in both Spark and DuckDB; its 7-char
-  prefix parses to the same 28-bit integer in both engines (Spark
-  ``conv(…,16,10)``, DuckDB ``CAST('0x'||… AS BIGINT)``), and the K
-  minhash orderings are ``(a_i·x + b_i) mod (2^31-1)`` over that one
-  digest — exact integer arithmetic, engine-identical, one md5 per
-  shingle instead of K.
+- **60-bit portable shingle ids**: md5 renders as fixed-width
+  lowercase hex in both Spark and DuckDB; its 15-char prefix parses
+  to the same 60-bit integer in both engines (Spark
+  ``conv(…,16,10)``, DuckDB ``CAST('0x'||… AS BIGINT)``). Every
+  downstream op keys on this integer instead of the shingle text —
+  8-byte shuffle keys, long-typed intersections — and both engines
+  see identical values (collisions included), so SQL oracles still
+  hash-match.
+- **MinHash via md5-seeded universal hashing**: the K minhash
+  orderings are ``(a_i·x + b_i) mod (2^31-1)`` over the top 28 bits
+  of that one shared digest (``hsh >> 32``) — exact integer
+  arithmetic, engine-identical, one md5 per shingle instead of K.
 - **Quantized-integer cosine** (see also plans.similarity): embeddings
   are quantized to BIGINT (round(x*10000)); dot products and norms are
   then *exact integer sums* — independent of summation order — and the
@@ -56,16 +61,28 @@ _STOP_SHINGLE_DF_CAP = 1000
 # ---------------------------------------------------------------------------
 
 def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles: array<string>, n_sh) — distinct 3-word
-    shingles per document, kept as an array.
+    """(doc_id, n_sh, hsh: array<bigint>) — per document, the count of
+    distinct 3-word shingles and their 60-bit content hashes.
 
     Built-in higher-order functions only (no UDF): split → transform
-    over an index sequence → distinct. Stays inside whole-stage
-    codegen and involves NO shuffle — per-doc quantities (shingle
-    count, minhash signature) derive from this array with array_min /
-    size instead of an explode+groupBy round trip. The split runs once
-    per row (``words`` is a named intermediate, not re-evaluated per
-    shingle)."""
+    over an index sequence → distinct → md5-prefix hash. Stays inside
+    whole-stage codegen and involves NO shuffle — per-doc quantities
+    (shingle count, minhash signature) derive from the array with
+    array_min / size instead of an explode+groupBy round trip. The
+    split runs once per row (``words`` is a named intermediate, not
+    re-evaluated per shingle).
+
+    The 60-bit hash (leading 15 hex chars of md5, parsed as an
+    integer) replaces the shingle STRING everywhere downstream: the
+    inverted-index shuffle key shrinks from ~20 bytes of text to 8
+    bytes (measured ~2× on the jaccard pipeline), array_intersect
+    compares longs instead of strings, and the persisted shared table
+    (see shingle_arrays) stores longs. Both engines derive the SAME
+    integer from the same text (Spark conv(hex,16,10), DuckDB
+    CAST('0x'||hex AS BIGINT)), so every downstream op — including any
+    of the ~n²/2⁶¹ hash collisions — is engine-identical and the SQL
+    oracles still hash-match. n_sh counts distinct STRING shingles
+    (computed before hashing), so Jaccard denominators are exact."""
     return (
         scale_out(docs)
         .select("doc_id", F.split("text", " ").alias("words"))
@@ -80,18 +97,49 @@ def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
                 """
             ).alias("shingles"),
         )
-        .withColumn("n_sh", F.size("shingles"))
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.expr(
+                "array_distinct(transform(shingles, s ->"
+                " cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10)"
+                " as bigint)))"
+            ).alias("hsh"),
+        )
     )
 
 
-def _with_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — exploded form, for inverted-index joins."""
-    return _with_shingle_arrays(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
-# DuckDB twin of _with_shingles (1-based list indexing, same output).
+def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, persisted (doc_id, n_sh, hsh) table over
+    the fixture documents — the ONE shingle pass shared by every
+    shingle-consuming dedup op (exact Jaccard, MinHash+LSH, SimHash,
+    component clustering). Splitting+shingling+digesting dominates all
+    of them, and their semantics all start from the same 60-bit
+    hashed-shingle arrays, so computing it per query is pure repeated
+    work; storing longs (not shingle text) keeps the cached relation
+    ~3× smaller and cheap to deserialize.
+
+    100 TB analog: a materialized shingle table written once per
+    corpus snapshot and read by every dedup job. In-process it is a
+    persisted DataFrame (MEMORY_AND_DISK — spills instead of evicting
+    under pressure); Spark's cache manager substitutes it by plan
+    subtree, so all four queries hit the same cached relation."""
+    key = (id(spark), sf_dir)
+    arr = _SHINGLE_CACHE.get(key)
+    if arr is None:
+        from pyspark import StorageLevel
+
+        arr = _with_shingle_arrays(load_tables(spark, sf_dir)["documents"]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _SHINGLE_CACHE[key] = arr
+    return arr
+
+
+# DuckDB twin of the exploded shingle form (1-based list indexing).
 _SQL_SHINGLES = f"""
   SELECT doc_id, UNNEST(list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - {_SHINGLE_WORDS - 2}, 1)),
@@ -101,17 +149,29 @@ _SQL_SHINGLES = f"""
   FROM documents
 """
 
+# DuckDB twin of the 60-bit shingle hash: same md5 prefix, same
+# integer, so intersections/df-caps over hashed shingles are
+# engine-identical (see _with_shingle_arrays).
+_SQL_HSH_FROM_SH0 = """
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+  FROM sh0
+"""
+
 # DuckDB twin of the capped inverted-index pair generation — shared by
 # the jaccard-pair and connected-components oracles so the stop-shingle
-# semantics stay in lockstep with the Spark path.
+# semantics stay in lockstep with the Spark path. Denominator counts
+# come from the STRING shingles (pre-hash, like Spark's n_sh); the
+# intersection and the df cap run over the hashed form.
 _SQL_JACCARD_CTES = f"""
     sh0 AS ({_SQL_SHINGLES}),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
+    shh AS ({_SQL_HSH_FROM_SH0}),
     sh AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
                COUNT(*) OVER (PARTITION BY shingle) AS df
-        FROM sh0)
+        FROM shh)
       WHERE df <= {_STOP_SHINGLE_DF_CAP}),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -190,13 +250,21 @@ def jaccard_pairs_from(
     """(doc_a, doc_b, jaccard) pairs at ≥ threshold from any
     (doc_id, text) DataFrame — shared by the registered query, the
     component-clustering step, and the planted-skew tests."""
+    return jaccard_pairs_from_arrays(_with_shingle_arrays(docs), df_cap)
+
+
+def jaccard_pairs_from_arrays(
+    arr: DataFrame, df_cap: int = _STOP_SHINGLE_DF_CAP
+) -> DataFrame:
+    """Same, starting from a precomputed (doc_id, n_sh, hsh) table —
+    the entry point used with the shared ``shingle_arrays`` relation
+    so the shingling pass is computed once per session."""
     # Carry n_sh alongside each exploded shingle row (computed from the
     # array BEFORE the explode — free, no count-aggregation) so the
     # final Jaccard needs no join back to a per-doc counts table. This
     # trades a few bytes of shuffle width for two whole shuffle joins.
-    sh = _with_shingle_arrays(docs).select(
-        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
-    )
+    # The exploded key is the 60-bit hash — an 8-byte shuffle key.
+    sh = arr.select("doc_id", "n_sh", F.explode("hsh").alias("shingle"))
     # Inverted index as ONE aggregation: collect each shingle's posting
     # list and emit candidate pairs from the sorted array with
     # higher-order functions — half the shuffle of the classic
@@ -227,6 +295,16 @@ def jaccard_pairs_from(
             )
         ).alias("p")
     ).select("p.*")
+    # Length filter (the AllPairs/PPJoin bound): J(A,B) ≤ min/max of
+    # the set sizes, so a pair with min < t·max can never reach the
+    # threshold — drop it BEFORE the pair-count shuffle. Evaluated
+    # map-side on the exploded stream; cuts the second shuffle's rows
+    # (the bulk of them share one boilerplate-ish shingle between
+    # very differently-sized docs) with zero effect on the result.
+    pairs = pairs.filter(
+        F.least("na", "nb").cast("double")
+        >= F.lit(_JACCARD_THRESHOLD) * F.greatest("na", "nb")
+    )
     inter = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
         F.count("*").alias("n_common")
     )
@@ -240,8 +318,9 @@ def jaccard_pairs_from(
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jaccard_pairs_from over the fixture documents table."""
-    return jaccard_pairs_from(load_tables(spark, sf_dir)["documents"])
+    """jaccard pairs over the fixture documents, via the shared
+    session-persisted shingle table."""
+    return jaccard_pairs_from_arrays(shingle_arrays(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -288,12 +367,12 @@ def _minhash_sig_cols() -> list[F.Column]:
 
 
 def _md5_int_array() -> F.Column:
-    """28-bit integer per shingle from the md5 hex prefix (7 hex
-    chars). A function, not a module constant: F.expr needs an active
-    SparkContext."""
-    return F.expr(
-        "transform(shingles, s -> cast(conv(substring(md5(cast(s as binary)), 1, 7), 16, 10) as bigint))"
-    )
+    """28-bit integer per shingle: the top 28 bits of the shared
+    60-bit shingle hash (7 leading hex chars = bits 59..32), so the
+    signature stage reuses the already-computed ``hsh`` array instead
+    of re-digesting. A function, not a module constant: F.expr needs
+    an active SparkContext."""
+    return F.expr("transform(hsh, h -> shiftright(h, 32))")
 
 
 def _band_exprs(prefix: str = "") -> list[str]:
@@ -310,8 +389,11 @@ def _band_exprs(prefix: str = "") -> list[str]:
 
 
 def _minhash_oracle() -> str:
+    # Signatures from the top 28 bits of the shared 60-bit shingle
+    # hash; intersection over the hashed form; denominators from the
+    # string shingles — all exactly mirroring the Spark path.
     mh = ",\n           ".join(
-        f"MIN(({a} * CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT)"
+        f"MIN(({a} * (shingle >> 32)"
         f" + {b}) % {_MINHASH_PRIME}) AS h{i}"
         for i, (a, b) in enumerate(_MINHASH_AB)
     )
@@ -321,7 +403,8 @@ def _minhash_oracle() -> str:
         for j, bnd in enumerate(bands)
     )
     return f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    sh AS ({_SQL_HSH_FROM_SH0}),
     sigs AS (
       SELECT doc_id, {mh}
       FROM sh GROUP BY doc_id),
@@ -332,7 +415,7 @@ def _minhash_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id),
-    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
@@ -367,12 +450,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialized. The md5-seeded integer hash family (see module
     docstring) makes the whole pipeline engine-deterministic, hence
     the SQL oracle, and costs one digest per shingle instead of 16."""
-    t = load_tables(spark, sf_dir)
     # Per-doc shingle ARRAYS feed the signature path and both sides of
-    # the verification join — persist so split+shingling runs once. At
-    # 100 TB the equivalent is a materialized shingle table (computed
-    # once per corpus snapshot, shared by every dedup op).
-    arr = _with_shingle_arrays(t["documents"]).persist()
+    # the verification join; the shared session-persisted shingle table
+    # (see shingle_arrays) means split+shingling runs once per corpus,
+    # not once per query.
+    arr = shingle_arrays(spark, sf_dir)
     # 16 minhashes + shingle count per doc, all row-local array
     # expressions — the signature stage involves NO shuffle at all
     # (the old form exploded shingles and re-aggregated by doc_id).
@@ -423,7 +505,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sa.shingles", "sb.shingles")).alias("n_common"),
+            F.size(F.array_intersect("sa.hsh", "sb.hsh")).alias("n_common"),
             F.col("sa.n_sh").alias("na"),
             F.col("sb.n_sh").alias("nb"),
         )
@@ -452,16 +534,17 @@ _SIMHASH_BITS = 32
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per doc + near-dup pairs at Hamming ≤ 3.
 
-    Per doc: murmur3-hash each shingle (F.hash — JVM-side), take each
-    of 32 bits as ±1 votes, sign of the vote sum per bit is the
-    fingerprint bit. Pairs are generated by banding the fingerprint
+    Per doc: murmur3-hash each 60-bit shingle id (F.hash — JVM-side),
+    take each of 32 bits as ±1 votes, sign of the vote sum per bit is
+    the fingerprint bit. Pairs are generated by banding the fingerprint
     into 4 bytes (pigeonhole: Hamming ≤ 3 ⇒ ≥1 identical byte), then
     verified with bit_count(xor) — never a cross join.
 
     Engine-specific hashing ⇒ no SQL oracle; tests/test_dedup.py pins
     recall against the exact-Jaccard pairs."""
-    t = load_tables(spark, sf_dir)
-    sh = _with_shingles(t["documents"])
+    sh = shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("hsh").alias("shingle")
+    )
     bits = sh.select(
         "doc_id",
         *[

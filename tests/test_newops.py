@@ -21,7 +21,7 @@ def test_posting_list_pairs_equal_classic_self_join(spark, sf_dir):
         map(tuple, jaccard_pairs_from(docs).select("doc_a", "doc_b", "jaccard").collect())
     )
     sh = _with_shingle_arrays(docs).select(
-        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+        "doc_id", "n_sh", F.explode("hsh").alias("shingle")
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
