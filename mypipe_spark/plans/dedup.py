@@ -847,19 +847,29 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the fingerprint table is the only thing reread; the
     corpus text is never rescanned (text_fingerprint materializes the
     same table as its own artifact)."""
-    t = load_tables(spark, sf_dir)
+    docs = load_tables(spark, sf_dir)["documents"]
+    return incremental_dedup_flags(
+        docs.filter(F.col("doc_id") % 5 == 4),
+        docs.filter(F.col("doc_id") % 5 != 4),
+    )
+
+
+def incremental_dedup_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(doc_id, is_dup, dup_of) for each doc of ``batch`` against the
+    ``corpus`` (both (doc_id, text, …)). Composable core of
+    dedup_incremental; ``batch`` may be a STREAMING DataFrame — the
+    corpus fingerprints are a static side, so this is a stream-static
+    left join, legal in append mode with no watermark (per-row
+    stateless), which is exactly the per-microbatch ingest-dedup
+    shape (tests/test_windows.py pins stream==batch)."""
     h = F.md5(F.col("text").cast("binary"))
-    corpus = (
-        t["documents"]
-        .filter(F.col("doc_id") % 5 != 4)
-        .groupBy(h.alias("h"))
-        .agg(F.min("doc_id").alias("canonical"))
-    )
-    batch = t["documents"].filter(F.col("doc_id") % 5 == 4).select(
-        "doc_id", h.alias("bh")
-    )
-    return batch.join(corpus, F.col("bh") == F.col("h"), "left").select(
-        "doc_id",
-        F.when(F.col("h").isNull(), 0).otherwise(1).alias("is_dup"),
-        F.col("canonical").alias("dup_of"),
+    fps = corpus.groupBy(h.alias("h")).agg(F.min("doc_id").alias("canonical"))
+    return (
+        batch.select("doc_id", h.alias("bh"))
+        .join(fps, F.col("bh") == F.col("h"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("h").isNull(), 0).otherwise(1).alias("is_dup"),
+            F.col("canonical").alias("dup_of"),
+        )
     )

@@ -189,16 +189,23 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicit — a uniform hash samples every (lang, source) stratum at
     the same rate; the companion oracle-checked aggregate in
     tests/test_oracle_parity.py pins per-stratum rates."""
-    t = load_tables(spark, sf_dir)
+    return stratified_sample(load_tables(spark, sf_dir)["documents"])
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Composable core of text_sample_stratified: the deterministic
+    hash-bucket filter over any (doc_id, lang, source, …) DataFrame.
+    A pure stateless row filter, so it runs unchanged on a STREAMING
+    DataFrame (append mode, no watermark) — the per-microbatch sample
+    a streaming ingest takes is the same set the batch job would pick
+    (tests/test_windows.py pins stream==batch)."""
     bucket = (
         F.expr(
             "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 7), 16, 10) as bigint)"
         )
         % _SAMPLE_BUCKETS
     )
-    return t["documents"].filter(bucket < _SAMPLE_KEEP).select(
-        "doc_id", "lang", "source"
-    )
+    return docs.filter(bucket < _SAMPLE_KEEP).select("doc_id", "lang", "source")
 
 
 # ---------------------------------------------------------------------------

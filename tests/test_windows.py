@@ -206,3 +206,75 @@ def test_ohlc_rollup_runs_streaming_with_watermark(spark, tmp_path, sf_dir):
     got = sorted(map(tuple, spark.sql("select * from ohlcstream").collect()))
     expected = sorted(map(tuple, ohlc(batch_ev).collect()))
     assert got == expected and len(got) > 100
+
+
+def test_incremental_dedup_runs_streaming_stream_static_join(spark, tmp_path, sf_dir):
+    """dedup_incremental's composable core claims stream-static-join
+    compatibility — prove it: stream the 'new arrivals' slice of
+    documents through incremental_dedup_flags against the static
+    corpus fingerprints and get exactly the batch flags. This is the
+    per-microbatch ingest-dedup shape (new docs trickle in, the corpus
+    fingerprint table is a static artifact)."""
+    import os
+
+    from mypipe_spark.plans.dedup import incremental_dedup_flags
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
+
+    # Corpus: the non-arrival slice, plus planted copies of HALF the
+    # arriving docs' texts (fixture texts are all distinct at this SF)
+    # so the join exercises both the hit and the miss path.
+    corpus = batch_docs.filter(F.col("doc_id") % 5 != 4).unionByName(
+        batch_docs.filter((F.col("doc_id") % 10) == 4).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    new_stream = stream_docs.filter(F.col("doc_id") % 5 == 4)
+    new_batch = batch_docs.filter(F.col("doc_id") % 5 == 4)
+
+    q = (
+        incremental_dedup_flags(new_stream, corpus)
+        .writeStream.format("memory").queryName("incdedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(map(tuple, spark.sql("select * from incdedup").collect()))
+    expected = sorted(map(tuple, incremental_dedup_flags(new_batch, corpus).collect()))
+    assert got == expected and len(got) > 0
+    assert any(r[1] == 1 for r in got)  # planted corpus dups detected
+    assert any(r[1] == 0 for r in got)  # genuinely-new docs pass through
+
+
+def test_stratified_sample_runs_streaming(spark, tmp_path, sf_dir):
+    """text_sample_stratified's composable core is a stateless
+    deterministic filter — prove the streaming run selects EXACTLY the
+    batch sample (the reproducibility property that makes hash-bucket
+    sampling, not rand(), the right tool for a continuously ingesting
+    pipeline)."""
+    import os
+
+    from mypipe_spark.plans.textops import stratified_sample
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
+
+    q = (
+        stratified_sample(stream_docs)
+        .writeStream.format("memory").queryName("stratsample")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(map(tuple, spark.sql("select * from stratsample").collect()))
+    expected = sorted(map(tuple, stratified_sample(batch_docs).collect()))
+    assert got == expected and len(got) > 0
