@@ -44,8 +44,31 @@ def test_register_table_subjects():
     assert all(v == 1 for v in ids.values())
 
 
-def test_wire_roundtrip(spark):
-    reg = in_memory_repo()
+@pytest.fixture(params=["in_memory", "rest"])
+def wire_repo(request):
+    """The encode path duck-types over the repo — run the round-trip
+    once against the in-memory registry and once against a LIVE
+    RestSchemaRegistry over a loopback serve_registry, so the REST
+    client drives real encoding the way the reference serializer talks
+    to its remote schema repo (KafkaAvroSerializer.scala:41-67)."""
+    if request.param == "in_memory":
+        yield in_memory_repo()
+        return
+    import threading
+
+    from mypipe_spark.registry import RestSchemaRegistry, serve_registry
+
+    server, url = serve_registry(in_memory_repo())
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield RestSchemaRegistry(url)
+    finally:
+        server.shutdown()
+
+
+def test_wire_roundtrip(spark, wire_repo):
+    reg = wire_repo
     df = mutations_only(changelog_df(spark, num_transactions=15))
     encoded = encode_generic(df, reg)
 
