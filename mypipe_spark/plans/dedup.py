@@ -158,24 +158,24 @@ _SQL_HSH_FROM_SH0 = """
   FROM sh0
 """
 
-# DuckDB twin of the capped inverted-index pair generation — shared by
-# the jaccard-pair and connected-components oracles so the stop-shingle
-# semantics stay in lockstep with the Spark path. Denominator counts
+# DuckDB twin of the EXACT pairwise intersection — shared by the
+# jaccard-pair and connected-components oracles. Denominator counts
 # come from the STRING shingles (pre-hash, like Spark's n_sh); the
-# intersection and the df cap run over the hashed form.
+# intersection runs over the hashed form. Deliberately NOT a mirror of
+# the Spark path's candidate pruning (prefix filter + stop-shingle
+# cap): prefix filtering is provably lossless and the df cap only
+# bites above _STOP_SHINGLE_DF_CAP (never at fixture scale), so the
+# exact form is a STRONGER check — a pruning bug that drops a true
+# pair shows up as a hash mismatch instead of being replicated in the
+# oracle. The above-cap divergence is pinned by the planted-skew
+# pytest instead (tests/test_dedup.py).
 _SQL_JACCARD_CTES = f"""
     sh0 AS ({_SQL_SHINGLES}),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
     shh AS ({_SQL_HSH_FROM_SH0}),
-    sh AS (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle,
-               COUNT(*) OVER (PARTITION BY shingle) AS df
-        FROM shh)
-      WHERE df <= {_STOP_SHINGLE_DF_CAP}),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
 """
 
@@ -233,14 +233,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted-index
-    self-join on shingles (docs must share ≥1 shingle to pair — never
-    a cross join). Jaccard = |∩| / (|A|+|B|-|∩|) from integer counts,
-    so the value is engine-exact before the final rounding.
+    """Exact n-gram Jaccard near-dup pairs via a prefix-filtered
+    inverted index (see jaccard_pairs_from_arrays: only each doc's
+    first size−⌈t·n⌉+1 sorted shingle hashes are indexed — lossless —
+    then candidates verify with one exact array_intersect; never a
+    cross join). Jaccard = |∩| / (|A|+|B|-|∩|) from integer counts, so
+    the value is engine-exact before the final rounding.
 
-    100 TB note: the shingle join's fanout is Σ_s C(df_s, 2); the
-    stop-shingle cap (_STOP_SHINGLE_DF_CAP — shingles above it dropped
-    before the self-join) bounds every term to C(cap, 2)."""
+    100 TB note: the index fanout is Σ_s C(df_s, 2) over PREFIX
+    postings only (~4× smaller at t=0.5), and the stop-shingle cap
+    (_STOP_SHINGLE_DF_CAP) bounds every term to C(cap, 2)."""
     return _jaccard_pairs(spark, sf_dir)
 
 
@@ -258,26 +260,47 @@ def jaccard_pairs_from_arrays(
 ) -> DataFrame:
     """Same, starting from a precomputed (doc_id, n_sh, hsh) table —
     the entry point used with the shared ``shingle_arrays`` relation
-    so the shingling pass is computed once per session."""
-    # Carry n_sh alongside each exploded shingle row (computed from the
-    # array BEFORE the explode — free, no count-aggregation) so the
-    # final Jaccard needs no join back to a per-doc counts table. This
-    # trades a few bytes of shuffle width for two whole shuffle joins.
-    # The exploded key is the 60-bit hash — an 8-byte shuffle key.
-    sh = arr.select("doc_id", "n_sh", F.explode("hsh").alias("shingle"))
-    # Inverted index as ONE aggregation: collect each shingle's posting
-    # list and emit candidate pairs from the sorted array with
+    so the shingling pass is computed once per session.
+
+    Prefix-filtered similarity join (the AllPairs/PPJoin family,
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms):
+    only each doc's first ``size - ceil(t·n_sh) + 1`` shingle hashes
+    (in the global ascending-hash order) enter the inverted index.
+    Lossless: if J(A,B) ≥ t then |A∩B| ≥ ceil(t·max(|A|,|B|)), and the
+    smallest common hash must sit within BOTH prefixes (pigeonhole —
+    at most ceil(t·n)−1 elements follow it on either side), so every
+    qualifying pair still collides in some posting list. At t=0.5 this
+    halves the index and cuts the candidate-mention volume ~4×
+    (fanout is quadratic in posting-list length).
+
+    Candidates are then verified EXACTLY: one ``array_intersect`` over
+    the full hash arrays, via two joins back to ``arr`` (broadcast at
+    small corpus sizes under AQE; hash joins on uniformly-distributed
+    doc_id at scale). n_common over full arrays means no second
+    pair-mention shuffle — the candidate set, already deduplicated and
+    length-filtered, is tiny relative to the mention stream.
+
+    Stop-shingle cap: posting lists longer than ``df_cap`` are dropped
+    before pair generation, bounding every fanout term to C(cap, 2)
+    and the per-group memory to cap structs — corpus boilerplate
+    (a shingle in millions of docs) can never quadratically explode.
+    Only pairs whose EVERY shared prefix hash is above the cap are
+    lost (false-negative-only, planted-skew test pins the behavior)."""
+    t = float(_JACCARD_THRESHOLD)
+    pref = arr.select(
+        "doc_id",
+        "n_sh",
+        F.expr(
+            f"slice(array_sort(hsh), 1,"
+            f" greatest(size(hsh) - cast(ceil({t} * n_sh) as int) + 1, 0))"
+        ).alias("pref"),
+    )
+    sh = pref.select("doc_id", "n_sh", F.explode("pref").alias("shingle"))
+    # Inverted index as ONE aggregation: collect each prefix hash's
+    # posting list and emit candidate pairs from the sorted array with
     # higher-order functions — half the shuffle of the classic
     # self-join (one copy of the postings instead of two) and no
     # sort-merge-join sort.
-    #
-    # Stop-shingle cap: size(docs) IS the document frequency, so the
-    # cap is a free filter here — shingles above it never generate
-    # pairs, bounding the quadratic fanout of corpus-boilerplate
-    # shingles (each term ≤ C(cap, 2)) AND the posting-list memory per
-    # group (≤ cap structs). Denominators keep the full n_sh, so the
-    # cap only ever lowers a score (false-negative-only at the
-    # threshold boundary).
     grouped = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
@@ -295,24 +318,39 @@ def jaccard_pairs_from_arrays(
             )
         ).alias("p")
     ).select("p.*")
-    # Length filter (the AllPairs/PPJoin bound): J(A,B) ≤ min/max of
-    # the set sizes, so a pair with min < t·max can never reach the
-    # threshold — drop it BEFORE the pair-count shuffle. Evaluated
-    # map-side on the exploded stream; cuts the second shuffle's rows
-    # (the bulk of them share one boilerplate-ish shingle between
-    # very differently-sized docs) with zero effect on the result.
-    pairs = pairs.filter(
-        F.least("na", "nb").cast("double")
-        >= F.lit(_JACCARD_THRESHOLD) * F.greatest("na", "nb")
+    # Length bound (J ≤ min/max of the set sizes) evaluated map-side
+    # before the distinct shuffle, then dedup candidate pairs that
+    # collided in several posting lists.
+    cand = (
+        pairs.filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(t) * F.greatest("na", "nb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    inter = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
-        F.count("*").alias("n_common")
+    a = arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), F.col("hsh").alias("ha")
+    )
+    b = arr.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), F.col("hsh").alias("hb")
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).alias("n_common"),
+            "na",
+            "nb",
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.filter(jac >= _JACCARD_THRESHOLD)
+        verified.filter(jac >= t)
         .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
     )
 

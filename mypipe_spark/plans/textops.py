@@ -298,6 +298,7 @@ _TOP_BIGRAMS = 5
     SELECT lang, bigram, n, rk FROM ranked WHERE rk <= {_TOP_BIGRAMS}
     """,
     tags=("text", "ngram", "topk"),
+    bench=True,
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics: the {_TOP_BIGRAMS} most frequent word
@@ -309,16 +310,19 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     from pyspark.sql import Window
 
+    # `words` is a named intermediate so the split runs once per row,
+    # not three times per bigram inside the transform lambda.
     bigram = F.expr(
         """
         transform(
-          sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-          i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i])
+          sequence(1, greatest(size(words) - 1, 0)),
+          i -> concat(words[i - 1], ' ', words[i])
         )
         """
     )
     counts = (
         t["documents"]
+        .select("lang", F.split("text", " ").alias("words"))
         .select("lang", F.explode(bigram).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n"))
