@@ -88,12 +88,18 @@ def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("words"))
         .select(
             "doc_id",
+            # The `if` guard is load-bearing: Spark's sequence(a, b) is
+            # bidirectional, so for a doc shorter than the shingle
+            # window `sequence(1, 0)` yields the DESCENDING [1, 0] —
+            # and slice(words, 0, …) is a runtime error. Docs with
+            # fewer than _SHINGLE_WORDS words have zero shingles.
             F.expr(
                 f"""
-                array_distinct(transform(
-                  sequence(1, greatest(size(words) - {_SHINGLE_WORDS - 1}, 0)),
-                  i -> array_join(slice(words, i, {_SHINGLE_WORDS}), ' ')
-                ))
+                if(size(words) < {_SHINGLE_WORDS}, array(),
+                  array_distinct(transform(
+                    sequence(1, size(words) - {_SHINGLE_WORDS - 1}),
+                    i -> array_join(slice(words, i, {_SHINGLE_WORDS}), ' ')
+                  )))
                 """
             ).alias("shingles"),
         )

@@ -311,13 +311,17 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # `words` is a named intermediate so the split runs once per row,
-    # not three times per bigram inside the transform lambda.
+    # not three times per bigram inside the transform lambda. The `if`
+    # guard is load-bearing: Spark's sequence(a, b) is bidirectional,
+    # so a single-word doc would otherwise get the DESCENDING [1, 0]
+    # and index words out of range (an ANSI runtime error).
     bigram = F.expr(
         """
-        transform(
-          sequence(1, greatest(size(words) - 1, 0)),
-          i -> concat(words[i - 1], ' ', words[i])
-        )
+        if(size(words) < 2, array(),
+          transform(
+            sequence(1, size(words) - 1),
+            i -> concat(words[i - 1], ' ', words[i])
+          ))
         """
     )
     counts = (

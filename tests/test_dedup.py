@@ -205,3 +205,104 @@ def test_components_are_consistent_with_pair_graph(spark, sf_dir):
         members[c].append(d)
     for c, ds in members.items():
         assert c == min(ds)
+
+
+def test_short_docs_do_not_crash_the_shingle_plane(spark):
+    """Docs shorter than the 3-word shingle window used to CRASH the
+    dedup plane: Spark's sequence(a, b) is bidirectional, so the old
+    greatest(size-2, 0) upper bound produced the DESCENDING [1, 0] for
+    short docs, and slice(words, 0, 3) is a runtime error. Regression:
+    zero-shingle docs flow through with n_sh = 0 and pairs among the
+    real docs are unaffected."""
+    from mypipe_spark.plans.dedup import _with_shingle_arrays, jaccard_pairs_from
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "a b"),
+            (3, "a b c"),
+            (4, "a b c d"),
+            (5, ""),
+            (6, "x y z w v"),
+            (7, "x y z w v"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["n_sh"] for r in _with_shingle_arrays(docs).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 0, 6: 3, 7: 3}
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs_from(docs).collect()
+    }
+    assert pairs == {(3, 4): 0.5, (6, 7): 1.0}
+
+
+def test_prefix_filter_is_lossless_vs_bruteforce(spark):
+    """The prefix-filtered inverted index claims losslessness: every
+    pair at jaccard >= t must survive indexing only each doc's first
+    size - ceil(t*n) + 1 sorted shingle hashes. Pin it against a
+    Python brute force over ALL pairs of a seeded random corpus with
+    planted near-dups — an off-by-one in the prefix length would
+    silently drop threshold-edge pairs, which no fixture-based test
+    would notice."""
+    import hashlib
+    import itertools
+    import random
+
+    from mypipe_spark.plans.dedup import jaccard_pairs_from
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(30)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(1, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    for i in range(20):  # planted near-dups: clone plus one word
+        rows.append((1000 + i, rows[i][1] + " " + rng.choice(vocab)))
+
+    def shingle_set(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sets = {
+        d: (len(shingle_set(t)), {h60(s) for s in shingle_set(t)})
+        for d, t in rows
+    }
+    expected = {}
+    for (a, (na, ha)), (b, (nb, hb)) in itertools.combinations(
+        sorted(sets.items()), 2
+    ):
+        c = len(ha & hb)
+        if c and c / (na + nb - c) >= 0.5:
+            expected[(a, b)] = round(c / (na + nb - c), 4)
+
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs_from(docs).collect()
+    }
+    assert got == expected
+    assert len(expected) >= 15  # the planted clones actually paired
+
+
+def test_bigrams_tolerate_single_word_docs(spark):
+    """text_top_bigrams' transform used to index words[1] on a
+    one-word doc (sequence(1, 0) is descending) — an ANSI runtime
+    error. Regression: short docs contribute zero bigrams."""
+    docs = spark.createDataFrame(
+        [(1, "hello", "en", "s"), (2, "", "en", "s"), (3, "a b", "en", "s")],
+        "doc_id int, text string, lang string, source string",
+    )
+    bigram = F.expr(
+        "if(size(words) < 2, array(), transform(sequence(1, size(words) - 1),"
+        " i -> concat(words[i - 1], ' ', words[i])))"
+    )
+    out = (
+        docs.select("lang", F.split("text", " ").alias("words"))
+        .select("lang", F.explode(bigram).alias("bigram"))
+        .collect()
+    )
+    assert [r["bigram"] for r in out] == ["a b"]
