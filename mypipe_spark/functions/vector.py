@@ -58,7 +58,13 @@ def cosine_scores_vectorized(
             # integer product, matching the expression path and the
             # DuckDB oracle bit-for-bit; sqrt(a)*sqrt(b) can differ in
             # the last ulp and flip a ROUND boundary or top-k tie.
-            pdf["cos_raw"] = dots.astype(np.float64) / np.sqrt(norms_sq * qn_sq)
+            # Zero-norm mask mirrors the expression path's convention
+            # (plans/similarity._cos): cosine vs an all-zero vector is
+            # 0.0, not a division error / NaN.
+            nprod = norms_sq * qn_sq
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = dots.astype(np.float64) / np.sqrt(nprod)
+            pdf["cos_raw"] = np.where(nprod > 0, raw, 0.0)
             yield pdf
 
     return df.mapInPandas(score, out_schema)

@@ -698,7 +698,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.expr(
         "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    cos = dot / F.sqrt(F.col("a.nrm2").cast("double") * F.col("b.nrm2").cast("double"))
+    # Zero-norm guard (same convention as plans.similarity._cos): an
+    # all-zero embedding scores 0.0 instead of raising DIVIDE_BY_ZERO
+    # under ANSI mode; CaseWhen only evaluates the division branch for
+    # non-zero rows.
+    nprod = F.col("a.nrm2").cast("double") * F.col("b.nrm2").cast("double")
+    cos = F.when(nprod > 0, dot / F.sqrt(nprod)).otherwise(F.lit(0.0))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -51,7 +51,15 @@ def _cos(a_qv: str, a_n: str, b_qv: str, b_n: str) -> F.Column:
         f"aggregate(zip_with({a_qv}, {b_qv}, (x, y) -> x * y),"
         " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return dot / F.sqrt(F.col(a_n).cast("double") * F.col(b_n).cast("double"))
+    # Zero-norm (all-zero) vectors: cosine is undefined, and under
+    # ANSI mode (Spark 4 default) the bare division would throw
+    # DIVIDE_BY_ZERO and kill the whole query. Convention: similarity
+    # 0.0 — a zero vector is never anyone's neighbor. CaseWhen
+    # evaluates the division branch only for non-zero rows, and the
+    # Arrow twin (functions/vector.py) applies the same mask so the
+    # two paths stay bit-equal.
+    nprod = F.col(a_n).cast("double") * F.col(b_n).cast("double")
+    return F.when(nprod > 0, dot / F.sqrt(nprod)).otherwise(F.lit(0.0))
 
 
 @register(
