@@ -260,3 +260,21 @@ def test_deciles_approx_plan_has_no_window_or_sort(spark, sf_dir):
 
     exact = _plan(spark, "q_customer_balance_deciles", sf_dir)
     assert _n_nodes(exact, "Window") == 1
+
+
+def test_jaccard_prefix_plan_shape(spark, sf_dir):
+    """The prefix-filtered Jaccard join's scale contract: exactly ONE
+    exchange keyed on the shingle hash (the posting-list aggregation —
+    the classic self-join needs two), no CartesianProduct anywhere,
+    and the candidate-verification joins are equi-joins (Broadcast or
+    Shuffled hash/sort-merge), never a nested-loop over the corpus."""
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    shingle_exchanges = len(
+        re.findall(r"hashpartitioning\(shingle", plan)
+    )
+    assert shingle_exchanges == 1, plan[:2000]
+    # the posting-list aggregation is present (ObjectHashAggregate
+    # carries the collect_list), and pair generation is a Generate
+    assert _n_nodes(plan, "ObjectHashAggregate") >= 1
+    assert _n_nodes(plan, "Generate") >= 2  # prefix explode + pair explode
