@@ -87,3 +87,39 @@ def test_pipe_checkpoint_resume_no_duplicates(spark, tmp_path):
     assert final.groupBy("seq").count().filter(F.col("count") > 1).count() == 0
     # ...and the late-arriving file was processed
     assert final.count() > first_count
+
+
+def test_pipe_encodes_wire_bytes_streaming(spark, tmp_path):
+    """Reference-core-loop parity (binlog → mutation → encoded wire
+    bytes → sink, KafkaProducer.scala:29-45): run the generic-envelope
+    encoder INSIDE a streaming pipe and require the emitted framed
+    bytes to equal the batch encode byte-for-byte — same registry,
+    same schema ids, same [magic][mtype][id BE short][payload]
+    framing. Encoding is a stateless projection, so stream==batch must
+    hold exactly."""
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import encode_generic
+
+    path = str(tmp_path / "cl")
+    write_changelog(spark, path, num_transactions=10, num_files=2)
+    reg = in_memory_repo()
+    pipe = Pipe(
+        pipe_id="p_wire",
+        source=lambda s: changelog_stream(s, path, max_files_per_trigger=1),
+        transforms=[
+            mutations_only,
+            lambda df: encode_generic(df, reg).select("seq", "value"),
+        ],
+        producer="memory",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    pipe.run_available(spark)
+    got = {
+        r["seq"]: bytes(r["value"])
+        for r in spark.sql("select * from p_wire").collect()
+    }
+    batch = encode_generic(mutations_only(changelog_batch(spark, path)), reg)
+    expected = {
+        r["seq"]: bytes(r["value"]) for r in batch.select("seq", "value").collect()
+    }
+    assert got == expected and len(got) > 0
