@@ -355,13 +355,17 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog import scale_out as _so
 
     emb = _so(t["embeddings"])
-    qvec = (
+    qrow = (
         emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select("embedding")
-        .collect()[0][0]
+        .collect()
     )
+    if not qrow:  # empty corpus / missing query id → empty result
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, cosine double"
+        )
     scored = cosine_scores_vectorized(
-        emb.filter(F.col("vec_id") != _QUERY_VEC_ID), list(qvec)
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID), list(qrow[0][0])
     )
     return (
         scored.orderBy(F.desc("cos_raw"), "vec_id")
@@ -566,6 +570,10 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     cents.sort()
+    if not cents:  # empty corpus → nothing to assign, empty cells
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster int, cell_size bigint"
+        )
 
     def assign_col(cs: list[tuple[int, list[int]]]) -> F.Column:
         entries = ", ".join(

@@ -139,3 +139,29 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     assert len(day_dirs) == 30
     n = one_day.count()
     assert 0 < n == ev.filter(F.to_date("ts") == "2024-01-05").count()
+
+
+def test_every_query_is_total_on_empty_tables(spark, sf_dir, tmp_path):
+    """Empty inputs are routine at ingest time (a fresh partition, a
+    quiet hour, a new tenant) — every registered query must return an
+    empty/degenerate result on 0-row tables, never crash. This sweep
+    found two real bugs on first run: the Arrow ANN query indexed
+    collect()[0] for its query vector and k-means built
+    array_min(array()) from an empty centroid list."""
+    import os
+
+    from mypipe_spark.plans.catalog import all_queries
+
+    dst = str(tmp_path / "empty_sf")
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            spark.read.parquet(f"{sf_dir}/{f}").limit(0).write.mode(
+                "overwrite"
+            ).parquet(f"{dst}/{f}")
+    failures = []
+    for name, qd in sorted(all_queries().items()):
+        try:
+            qd.fn(spark, dst).count()
+        except Exception as ex:  # noqa: BLE001 — collecting the full list
+            failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
+    assert not failures, failures
