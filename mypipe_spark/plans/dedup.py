@@ -44,15 +44,16 @@ _MINHASH_K = 16
 _LSH_BANDS = 4
 _LSH_ROWS = 4
 _JACCARD_THRESHOLD = 0.5
-# Stop-shingle cap: shingles appearing in more documents than this are
-# dropped BEFORE the inverted-index self-join. The join's candidate
+# Stop-shingle cap: posting lists longer than this are dropped from
+# the inverted index BEFORE pair generation. The index's candidate
 # fanout is Σ_s C(df_s, 2) — one boilerplate shingle with df=10⁶ alone
 # yields ~5·10¹¹ pairs at 100 TB; the cap bounds every shingle's
-# contribution to C(cap, 2). A shingle shared by >cap documents carries
-# no near-dup signal anyway (it's corpus boilerplate), and because it is
-# removed from the INTERSECTION only (denominators keep the full shingle
-# counts) the approximation can only lower a pair's Jaccard — it never
-# creates a false positive.
+# contribution to C(cap, 2) and the per-group posting-list memory to
+# cap entries. A shingle shared by >cap documents carries no near-dup
+# signal anyway (it's corpus boilerplate). Candidates that do surface
+# are verified against their FULL shingle sets, so the cap only ever
+# loses pairs whose EVERY shared prefix shingle is boilerplate
+# (false-negative-only) — it never creates a false positive.
 _STOP_SHINGLE_DF_CAP = 1000
 
 
