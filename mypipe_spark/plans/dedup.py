@@ -777,23 +777,24 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the previous label through the checkpoint so the
+        # convergence check is a filter-count over the just-
+        # materialized table instead of a join back to the old one —
+        # one fewer shuffle join per round (round overhead dominates
+        # this op: the data per round is tiny, the DAG is not).
+        staged = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = staged.filter(F.col("component") != F.col("prev")).count()
+        labels = staged.select("doc_id", "component")
         if changed == 0:
             break
     else:
