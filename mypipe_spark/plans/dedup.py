@@ -661,7 +661,7 @@ def _cosine_oracle() -> str:
     return f"""
     WITH q AS (
       SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
       FROM embeddings),
     n AS (
       SELECT vec_id, label, qv,
@@ -702,7 +702,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = scale_out(t["embeddings"]).select(
         "vec_id",
         "label",
-        F.expr(f"transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT))").alias("qv"),
+        F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
     )
     n = q.withColumn(
         "nrm2",

@@ -23,7 +23,7 @@ _IVF_NPROBE = 2  # clusters searched in the IVF variant
 
 _SQL_QUANT = f"""
       SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
       FROM embeddings
 """
 
@@ -34,12 +34,26 @@ _SQL_NORM = """
 """
 
 
+def _round_mean_sql(s: str, c: str, intdiv: str = "//") -> str:
+    """Integer-exact ROUND(s/c), half away from zero, for integer s and
+    positive integer c: (2|s|+c) intdiv (2c) with the sign restored.
+    ROUND over a double quotient is NOT portable — the two engines
+    disagree whenever s/c lands on a .5 boundary (observed live at
+    sf0.1 in the centroid means). ``intdiv`` is "//" for DuckDB and
+    "div" for Spark; both truncate toward zero, and the numerator is
+    made non-negative before dividing so they agree."""
+    return (
+        f"(CASE WHEN {s} >= 0 THEN (2 * ({s}) + ({c})) {intdiv} (2 * ({c}))"
+        f" ELSE -((2 * -({s}) + ({c})) {intdiv} (2 * ({c}))) END)"
+    )
+
+
 def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     q = scale_out(t["embeddings"]).select(
         "vec_id",
         "label",
-        F.expr(f"transform(embedding, x -> CAST(ROUND(x * {_QSCALE}) AS BIGINT))").alias("qv"),
+        F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
     )
     return q.withColumn(
         "nrm2", F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
@@ -122,7 +136,7 @@ def _ivf_oracle() -> str:
       FROM q, (SELECT UNNEST(range(1, 65)) AS i)
       GROUP BY label, i),
     cent AS (
-      SELECT label, list(CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT) ORDER BY i) AS cv
+      SELECT label, list(CAST({_round_mean_sql("s", "c")} AS BIGINT) ORDER BY i) AS cv
       FROM cexp GROUP BY label),
     cscore AS (
       SELECT cent.label,
@@ -180,7 +194,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(i, "
-                "CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT) AS v))), p -> p.v)"
+                f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT) AS v))), p -> p.v)"
             ).alias("cv")
         )
         .withColumn(
@@ -454,7 +468,7 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q, (SELECT UNNEST(range(1, 65)) AS i)
       GROUP BY label, i)
     SELECT label, CAST(i AS INT) AS dim,
-           CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT) AS centroid_q,
+           CAST({_round_mean_sql("s", "c")} AS BIGINT) AS centroid_q,
            c AS n_vecs
     FROM cexp
     """,
@@ -479,9 +493,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "dim",
-            F.expr("CAST(ROUND(CAST(s AS DOUBLE) / n_vecs) AS BIGINT)").alias(
-                "centroid_q"
-            ),
+            F.expr(
+                f"CAST({_round_mean_sql('s', 'n_vecs', 'div')} AS BIGINT)"
+            ).alias("centroid_q"),
             "n_vecs",
         )
     )
@@ -531,7 +545,7 @@ def _kmeans_oracle() -> str:
            (SELECT UNNEST(range(1, {_DIMS + 1})) AS i)
       GROUP BY 1, 2),
     c{it} AS (
-      SELECT cid, list(CAST(ROUND(CAST(s AS DOUBLE) / c) AS BIGINT)
+      SELECT cid, list(CAST({_round_mean_sql("s", "c")} AS BIGINT)
                        ORDER BY i) AS cqv
       FROM e{it} GROUP BY cid),\n"""
             prev = f"c{it}"
@@ -591,7 +605,11 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_cents = (
                 assigned.select("cluster", F.posexplode("qv").alias("i", "x"))
                 .groupBy("cluster", "i")
-                .agg(F.expr("CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("v"))
+                .agg(
+                    F.expr(
+                        f"CAST({_round_mean_sql('SUM(x)', 'COUNT(*)', 'div')} AS BIGINT)"
+                    ).alias("v")
+                )
                 .groupBy("cluster")
                 .agg(F.expr("transform(array_sort(collect_list(struct(i, v))), p -> p.v)").alias("cqv"))
                 .collect()

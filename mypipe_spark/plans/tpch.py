@@ -802,13 +802,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH li AS (
       SELECT l.l_partkey, l.l_suppkey,
-             l.l_extendedprice / l.l_quantity AS unit
+             l.l_extendedprice / l.l_quantity AS unit,
+             -- display rounding in EXACT integer arithmetic: micro-money
+             -- numerator over quantity*100, half-up via (2a+b)//(2b) —
+             -- ROUND(double, 4) lands on .5 boundaries where the two
+             -- engines disagree (seen live at sf0.1)
+             (2 * CAST(CAST(l.l_extendedprice AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                + CAST(l.l_quantity AS BIGINT) * 100)
+               // (2 * CAST(l.l_quantity AS BIGINT) * 100) AS u4
       FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'SMALL'),
     mn AS (SELECT l_partkey, MIN(unit) AS mn_unit FROM li GROUP BY l_partkey)
     SELECT DISTINCT li.l_partkey AS p_partkey, p.p_name, s.s_name, n.n_name,
-           CAST(ROUND(li.unit, 4) AS DOUBLE) AS min_unit_price
+           CAST(li.u4 AS DOUBLE) / 10000 AS min_unit_price
     FROM li
     JOIN mn ON mn.l_partkey = li.l_partkey AND li.unit = mn.mn_unit
     JOIN part p     ON p.p_partkey = li.l_partkey
@@ -825,7 +832,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties keep every minimal supplier, exactly like Q2. supplier and
     nation are broadcast; the part filter prunes before the exchange.
     Unit price is a single IEEE division in both engines, so the
-    equality-to-min compare is deterministic."""
+    equality-to-min compare is deterministic (equal rationals divide
+    to the same double; distinct unit prices differ by ≥ 1/(q_a·q_b)).
+    The DISPLAY rounding is integer-exact (micro-money half-up via
+    (2a+b) div (2b)) — ROUND(double, 4) diverges between engines at
+    .5 boundaries, observed live at sf0.1."""
     t = load_tables(spark, sf_dir)
     small = t["part"].filter(
         F.col("p_size").between(10, 15) & (F.col("p_type") == "SMALL")
@@ -837,6 +848,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey", "p_name", "l_suppkey",
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+            F.expr(
+                "(2 * CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 1000000 AS BIGINT)"
+                " + CAST(l_quantity AS BIGINT) * 100)"
+                " div (2 * CAST(l_quantity AS BIGINT) * 100)"
+            ).alias("u4"),
         )
     )
     w = Window.partitionBy("p_partkey")
@@ -850,7 +866,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey", "p_name", "s_name", "n_name",
-            F.round("unit", 4).cast("double").alias("min_unit_price"),
+            (F.col("u4").cast("double") / 10000).alias("min_unit_price"),
         )
         .distinct()
     )
