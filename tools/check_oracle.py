@@ -36,6 +36,10 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    unknown = only - set(all_queries())
+    if unknown:  # a typo'd name would otherwise silently check nothing
+        print(f"unknown queries: {sorted(unknown)}")
+        return 2
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
