@@ -127,3 +127,84 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     o_n = _normalize(tuple(r[i] for i in oidx) for r in orows)
     assert len(s_n) == len(o_n)
     assert s_n == o_n
+
+
+def test_quantization_is_engine_exact_at_float_boundaries(spark, tmp_path):
+    """The embedding quantizer must produce IDENTICAL integers in Spark
+    and DuckDB even for float values whose scaled form sits on a .5
+    boundary. Without the explicit CAST(x AS DOUBLE), DuckDB ran
+    float*10000 in FLOAT arithmetic (rounding -0.20535f*10000 to
+    exactly -2053.5 → -2054) while Spark promoted to double
+    (-2053.49997 → -2053) — found live at sf0.1. Planted boundary
+    values pin the fix."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mypipe_spark.plans.similarity import _QSCALE
+
+    vals = [
+        -0.20534999668598175,  # the live sf0.1 culprit
+        0.20534999668598175,
+        0.00005, -0.00005, 0.00015, -0.00015,  # exact .5 scaled decimals
+        0.12345, -0.54321, 1.0, -1.0, 0.0,
+    ]
+    emb = [np.array(vals, dtype=np.float32)]
+    table = pa.table(
+        {"vec_id": pa.array([0], pa.int64()),
+         "embedding": pa.array([v.tolist() for v in emb],
+                               pa.list_(pa.float32()))}
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(table, path)
+
+    got_spark = spark.read.parquet(path).select(
+        F.expr(
+            f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))"
+        ).alias("qv")
+    ).collect()[0]["qv"]
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))"
+        f" FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    con.close()
+    assert list(got_spark) == list(got_duck)
+
+
+def test_round_mean_sql_is_exact_half_away_rounding(spark):
+    """_round_mean_sql must equal exact rational round-half-away-from-
+    zero in BOTH engines for any integer sum / positive count — the
+    property that makes centroid means portable. Randomized integer
+    grid including every residue around .5 boundaries."""
+    import random
+    from fractions import Fraction
+
+    from mypipe_spark.plans.similarity import _round_mean_sql
+
+    rng = random.Random(11)
+    cases = [(s, c) for s in (-7, -6, -5, -3, -1, 0, 1, 3, 5, 6, 7) for c in (1, 2, 3, 4)]
+    cases += [(rng.randint(-10**9, 10**9), rng.randint(1, 10**6)) for _ in range(200)]
+
+    def expected(s, c):
+        q = Fraction(abs(s), c)
+        r = int(q) + (1 if q - int(q) >= Fraction(1, 2) else 0)
+        return r if s >= 0 else -r
+
+    values = ", ".join(f"({s}, {c})" for s, c in cases)
+    duck_sql = (
+        f"SELECT {_round_mean_sql('s', 'c', '//')} FROM (VALUES {values}) AS t(s, c)"
+    )
+    con = duckdb.connect()
+    got_duck = [r[0] for r in con.execute(duck_sql).fetchall()]
+    con.close()
+    spark_df = spark.createDataFrame(cases, "s long, c long")
+    got_spark = [
+        r["r"]
+        for r in spark_df.select(
+            F.expr(_round_mean_sql("s", "c", "div")).alias("r"), "s", "c"
+        ).orderBy("s", "c").collect()
+    ]
+    exp_sorted = [expected(s, c) for s, c in sorted(cases)]
+    assert got_spark == exp_sorted
+    assert sorted(got_duck) == sorted(exp_sorted)
