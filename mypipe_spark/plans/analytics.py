@@ -7,9 +7,12 @@ a declarative DataFrame plan with an exact DuckDB-oracle twin.
 Cross-engine determinism rules used throughout (Spark vs DuckDB must
 hash-match value-for-value):
 - money sums: per-value cast to DECIMAL(38,6) (deterministic), exact
-  decimal SUM, ROUND(...,2), cast back to DOUBLE;
-- averages: exact decimal SUM cast to DOUBLE, divided by COUNT, then
-  ROUND(...,4) — never engine-native AVG (decimal scale rules differ);
+  decimal SUM, ROUND(...,2) in decimal, cast back to DOUBLE;
+- averages/ratios: NEVER round a double quotient (the engines disagree
+  at .5-repr boundaries) — round4(S/n) runs in exact integer
+  arithmetic over the micro-unit sum (see _avg_sql_text /
+  catalog.round_div_sql), and never engine-native AVG (decimal scale
+  rules differ);
 - top-k: ORDER BY carries a unique tiebreak column so the selected SET
   is identical even under ties.
 
@@ -25,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register
+from .catalog import load_tables, register, round_div_sql
 
 _DEC = "decimal(38,6)"
 
@@ -35,10 +38,19 @@ def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
     return F.round(F.sum(col.cast(_DEC)), scale).cast("double").alias(alias)
 
 
-def _avg(col: F.Column, alias: str) -> F.Column:
-    return F.round(
-        F.sum(col.cast(_DEC)).cast("double") / F.count(col), 4
-    ).cast("double").alias(alias)
+def _avg_sql_text(expr: str, intdiv: str) -> str:
+    """round(AVG(expr), 4) in exact integer arithmetic: the DECIMAL
+    sum is exact at scale 6 (micro-units), so round4(S/n) =
+    half-up(T / (100·n)) / 10⁴ with T = S·10⁶ — no double quotient
+    ever exists, so the two engines cannot disagree at .5 boundaries
+    (ROUND over a double quotient does — observed live at sf0.1)."""
+    num = f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) * 1000000 AS BIGINT)"
+    den = f"100 * COUNT({expr})"
+    return f"(CAST({round_div_sql(num, den, intdiv)} AS DOUBLE) / 10000)"
+
+
+def _avg(col_sql: str, alias: str) -> F.Column:
+    return F.expr(_avg_sql_text(col_sql, "div")).alias(alias)
 
 
 def _sql_money(expr: str, alias: str, scale: int = 2) -> str:
@@ -46,10 +58,7 @@ def _sql_money(expr: str, alias: str, scale: int = 2) -> str:
 
 
 def _sql_avg(expr: str, alias: str) -> str:
-    return (
-        f"CAST(ROUND(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}), 4) AS DOUBLE) AS {alias}"
-    )
+    return f"{_avg_sql_text(expr, '//')} AS {alias}"
 
 
 # ---------------------------------------------------------------------------
@@ -91,8 +100,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money(F.col("l_extendedprice"), "sum_base_price"),
             _money(disc_price, "sum_disc_price"),
             _money(disc_price * (1 + F.col("l_tax")), "sum_charge"),
-            _avg(F.col("l_quantity"), "avg_qty"),
-            _avg(F.col("l_extendedprice"), "avg_price"),
+            _avg("l_quantity", "avg_qty"),
+            _avg("l_extendedprice", "avg_price"),
             F.count("*").alias("count_order"),
         )
     )

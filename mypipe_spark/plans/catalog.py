@@ -142,6 +142,38 @@ def scale_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def round_div_sql(num: str, den: str, intdiv: str) -> str:
+    """Exact ROUND(num/den) (half away from zero) for an integer
+    numerator of either sign and a positive integer denominator:
+    (2|num|+den) intdiv (2·den), sign restored.
+
+    ROUND over a DOUBLE quotient is NOT portable between engines:
+    Spark rounds the shortest decimal representation (HALF_UP on
+    BigDecimal) while DuckDB rounds the binary value, so any quotient
+    whose shortest repr lands on a .5 boundary (209.17125, 87/160,
+    centroid means at .5) diverges — all three observed live at sf0.1.
+    Compose for fixed-point display rounding too:
+    ``ROUND(p/q, 4)`` = ``round_div_sql(f"({p}) * 10000", q, …) / 1e4``.
+
+    ``intdiv`` is "div" for Spark and "//" for DuckDB; both truncate
+    toward zero, and the numerator is made non-negative before the
+    division so they agree."""
+    return (
+        f"(CASE WHEN ({num}) >= 0"
+        f" THEN (2 * ({num}) + ({den})) {intdiv} (2 * ({den}))"
+        f" ELSE -((2 * -({num}) + ({den})) {intdiv} (2 * ({den}))) END)"
+    )
+
+
+def round4_frac_sql(num: str, den: str, intdiv: str) -> str:
+    """Exact ``CAST(ROUND(num/den, 4) AS DOUBLE)`` for integer num/den
+    (den > 0) — the portable form of the catalog's ratio displays."""
+    return (
+        f"(CAST({round_div_sql(f'({num}) * 10000', den, intdiv)} AS DOUBLE)"
+        " / 10000)"
+    )
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register, scale_out
+from .catalog import load_tables, register, round4_frac_sql, scale_out
 
 # 3-word shingles; docs shorter than 3 words are kept verbatim (no pairs).
 _SHINGLE_WORDS = 3
@@ -228,8 +228,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_JACCARD_CTES}
     SELECT i.doc_a, i.doc_b,
-           CAST(ROUND(CAST(i.n_common AS DOUBLE)
-                / (ca.n_sh + cb.n_sh - i.n_common), 4) AS DOUBLE) AS jaccard
+           {round4_frac_sql('i.n_common', 'ca.n_sh + cb.n_sh - i.n_common', '//')}
+             AS jaccard
     FROM inter i
     JOIN counts ca ON ca.doc_id = i.doc_a
     JOIN counts cb ON cb.doc_id = i.doc_b
@@ -356,9 +356,16 @@ def jaccard_pairs_from_arrays(
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        verified.filter(jac >= t)
-        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    # Threshold on the raw double (equal rationals divide identically);
+    # DISPLAY rounding in exact integer arithmetic — ROUND(double, 4)
+    # diverges between engines when p/q's shortest repr lands on a .5
+    # boundary (e.g. 87/160 = 0.54375).
+    return verified.filter(jac >= t).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            round4_frac_sql("n_common", "na + nb - n_common", "div")
+        ).alias("jaccard"),
     )
 
 
@@ -468,8 +475,8 @@ def _minhash_oracle() -> str:
       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2)
     SELECT i.doc_a, i.doc_b,
-           CAST(ROUND(CAST(i.n_common AS DOUBLE)
-                / (ca.n_sh + cb.n_sh - i.n_common), 4) AS DOUBLE) AS jaccard
+           {round4_frac_sql('i.n_common', 'ca.n_sh + cb.n_sh - i.n_common', '//')}
+             AS jaccard
     FROM inter i
     JOIN counts ca ON ca.doc_id = i.doc_a
     JOIN counts cb ON cb.doc_id = i.doc_b
@@ -558,9 +565,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        pairs.filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+    # Same raw-threshold / exact-display split as jaccard_pairs_from_arrays.
+    return pairs.filter(jac >= _JACCARD_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            round4_frac_sql("n_common", "na + nb - n_common", "div")
+        ).alias("jaccard"),
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register
+from .catalog import load_tables, register, round4_frac_sql
 
 # Marker stopwords for the language-ID heuristic and quality score.
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
@@ -22,12 +22,12 @@ _SW_SPARK = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 @register(
     "text_token_stats",
-    oracle="""
+    oracle=f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           CAST(ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
-                / COUNT(*), 4) AS DOUBLE) AS avg_tokens,
+           {round4_frac_sql("SUM(len(string_split(text, ' ')))", "COUNT(*)", "//")}
+             AS avg_tokens,
            MAX(n_chars) AS max_chars
     FROM documents
     GROUP BY lang, source
@@ -47,9 +47,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(ntok).alias("total_tokens"),
-            F.round(F.sum(ntok).cast("double") / F.count("*"), 4)
-            .cast("double")
-            .alias("avg_tokens"),
+            F.expr(
+                round4_frac_sql(
+                    "SUM(size(split(text, ' ')))", "COUNT(*)", "div"
+                )
+            ).alias("avg_tokens"),
             F.max("n_chars").alias("max_chars"),
         )
     )
@@ -67,9 +69,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(replace(text, ' ', '')) AS n_nonspace
       FROM documents)
     SELECT doc_id, lang, n_tokens,
-           CAST(ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS DOUBLE)
+           {round4_frac_sql('n_stop', 'n_tokens', '//')}
              AS stopword_ratio,
-           CAST(ROUND(CAST(n_nonspace AS DOUBLE) / n_tokens, 4) AS DOUBLE)
+           {round4_frac_sql('n_nonspace', 'n_tokens', '//')}
              AS avg_token_len,
            CASE WHEN n_tokens >= 20
                  AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
@@ -83,20 +85,30 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     length) + a keep/drop gate — the standard pre-training corpus
     filter, as one projection over the scan (no shuffle at all)."""
     t = load_tables(spark, sf_dir)
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
+    n_tokens = F.size(F.split("text", " "))
     n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_SW_SPARK}))"))
     n_nonspace = F.length(F.regexp_replace("text", " ", ""))
-    stop_ratio = n_stop.cast("double") / n_tokens
-    return t["documents"].select(
+    feats = t["documents"].select(
         "doc_id",
         "lang",
         n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 4).cast("double").alias("stopword_ratio"),
-        F.round(n_nonspace.cast("double") / n_tokens, 4)
-        .cast("double")
-        .alias("avg_token_len"),
-        F.when((n_tokens >= 20) & (stop_ratio >= 0.05), 1).otherwise(0).alias("keep"),
+        n_stop.alias("n_stop"),
+        n_nonspace.alias("n_nonspace"),
+    )
+    # keep-gate on the raw ratio; display ratios in exact integer
+    # rounding (ROUND(double, 4) is not portable at .5-repr boundaries)
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(round4_frac_sql("n_stop", "n_tokens", "div")).alias("stopword_ratio"),
+        F.expr(round4_frac_sql("n_nonspace", "n_tokens", "div")).alias(
+            "avg_token_len"
+        ),
+        F.when((F.col("n_tokens") >= 20) & (stop_ratio >= 0.05), 1)
+        .otherwise(0)
+        .alias("keep"),
     )
 
 
@@ -428,20 +440,19 @@ def text_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBTOKEN_CHARS = 4  # crude BPE stand-in: ceil(len/4) subtokens per word
 
+_SQL_SUBTOK_SUM = (
+    "SUM(list_sum(list_transform(string_split(text, ' '),"
+    f" w -> (length(w) + {_SUBTOKEN_CHARS - 1}) // {_SUBTOKEN_CHARS})))"
+)
+
 
 @register(
     "text_subtoken_estimate",
     oracle=f"""
     SELECT lang,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
-           CAST(SUM(list_sum(list_transform(string_split(text, ' '),
-                    w -> (length(w) + {_SUBTOKEN_CHARS - 1}) // {_SUBTOKEN_CHARS})))
-                AS BIGINT) AS total_subtokens,
-           CAST(ROUND(
-             CAST(SUM(list_sum(list_transform(string_split(text, ' '),
-                      w -> (length(w) + {_SUBTOKEN_CHARS - 1}) // {_SUBTOKEN_CHARS})))
-                  AS DOUBLE)
-             / SUM(len(string_split(text, ' '))), 4) AS DOUBLE)
+           CAST({_SQL_SUBTOK_SUM} AS BIGINT) AS total_subtokens,
+           {round4_frac_sql(_SQL_SUBTOK_SUM, "SUM(len(string_split(text, ' ')))", "//")}
              AS subtokens_per_word
     FROM documents
     GROUP BY lang
@@ -468,8 +479,13 @@ def text_subtoken_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(nwords).alias("total_words"),
             F.sum(subtok).alias("total_subtokens"),
-            F.round(
-                F.sum(subtok).cast("double") / F.sum(nwords), 4
-            ).cast("double").alias("subtokens_per_word"),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_subtokens",
+            F.expr(
+                round4_frac_sql("total_subtokens", "total_words", "div")
+            ).alias("subtokens_per_word"),
         )
     )
