@@ -374,13 +374,18 @@ def q_setop_both_segments_nations(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q_part_scalar_functions",
-    oracle="""
+    oracle=f"""
     SELECT p_partkey,
            UPPER(p_brand) AS brand_u,
            LENGTH(p_name) AS name_len,
            SUBSTR(p_type, 1, 5) AS type_pfx,
            CONCAT_WS('|', p_brand, p_type) AS brand_type,
-           CAST(ROUND(p_retailprice * 1.1, 2) AS DOUBLE) AS price_infl,
+           -- price * 1.1 at 2 decimals in EXACT integer arithmetic:
+           -- cents*11 over 10 — the double product lands on a .xx5
+           -- midpoint whenever the cents digit is 5, where the two
+           -- engines' ROUND(double) can disagree
+           (CAST({round_div_sql('CAST(CAST(p_retailprice AS DECIMAL(38,6)) * 100 AS BIGINT) * 11', '10', '//')}
+             AS DOUBLE) / 100) AS price_infl,
            p_size % 7 AS size_mod,
            CASE WHEN p_size > 25 THEN 'L'
                 WHEN p_size > 10 THEN 'M'
@@ -404,7 +409,16 @@ def q_part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("p_name").alias("name_len"),
             F.substring("p_type", 1, 5).alias("type_pfx"),
             F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-            F.round(F.col("p_retailprice") * 1.1, 2).cast("double").alias("price_infl"),
+            (
+                F.expr(
+                    round_div_sql(
+                        "CAST(CAST(p_retailprice AS DECIMAL(38,6)) * 100 AS BIGINT) * 11",
+                        "10",
+                        "div",
+                    )
+                ).cast("double")
+                / 100
+            ).alias("price_infl"),
             (F.col("p_size") % 7).alias("size_mod"),
             F.when(F.col("p_size") > 25, "L")
             .when(F.col("p_size") > 10, "M")
