@@ -39,12 +39,27 @@ def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
 
 
 def _avg_sql_text(expr: str, intdiv: str) -> str:
-    """round(AVG(expr), 4) in exact integer arithmetic: the DECIMAL
-    sum is exact at scale 6 (micro-units), so round4(S/n) =
+    """round(AVG(expr), 4) in exact integer arithmetic: per-row
+    quantize to scale 6 (micro-units, exact), sum the integral
+    micro-units in the DECIMAL domain, so round4(S/n) =
     half-up(T / (100·n)) / 10⁴ with T = S·10⁶ — no double quotient
     ever exists, so the two engines cannot disagree at .5 boundaries
-    (ROUND over a double quotient does — observed live at sf0.1)."""
-    num = f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) * 1000000 AS BIGINT)"
+    (ROUND over a double quotient does — observed live at sf0.1).
+
+    The sum stays DECIMAL (Spark: SUM(DECIMAL(32,0)) → DECIMAL(38,0),
+    ``div`` accepts decimal operands; DuckDB: cast to HUGEINT for
+    ``//``) instead of BIGINT micro-units — a BIGINT T overflows once
+    a group's base-unit sum exceeds ~4.6e12 (TPC-H avg_price crosses
+    that around sf~100), far below the 100 TB design point. The
+    decimal form is exact to a 10³² base-unit group sum. Per-row
+    values must fit DECIMAL(24,6) (<10¹⁸), ample for any money/qty
+    column."""
+    q = f"CAST(CAST({expr} AS DECIMAL(38,6)) AS DECIMAL(24,6))"
+    micro = f"CAST({q} * 1000000 AS DECIMAL(32,0))"
+    if intdiv == "div":  # Spark: IntegralDivide takes decimals, yields BIGINT
+        num = f"SUM({micro})"
+    else:  # DuckDB: // needs HUGEINT (2·T must also fit: |T| < 8.5e37)
+        num = f"CAST(SUM({micro}) AS HUGEINT)"
     den = f"100 * COUNT({expr})"
     return f"(CAST({round_div_sql(num, den, intdiv)} AS DOUBLE) / 10000)"
 

@@ -208,3 +208,39 @@ def test_round_mean_sql_is_exact_half_away_rounding(spark):
     exp_sorted = [expected(s, c) for s, c in sorted(cases)]
     assert got_spark == exp_sorted
     assert sorted(got_duck) == sorted(exp_sorted)
+
+
+def test_avg_sql_text_no_bigint_ceiling(spark):
+    """_avg_sql_text must stay exact and engine-agreeing when a group's
+    base-unit sum exceeds the old BIGINT micro-unit ceiling (~4.6e12):
+    the sum is kept in the DECIMAL domain (Spark) / HUGEINT (DuckDB)
+    instead of int64 micro-units. Regression for the sf~100 overflow
+    (TPC-H avg_price) flagged in round-3 advice."""
+    from fractions import Fraction
+
+    from mypipe_spark.plans.analytics import _avg_sql_text
+
+    # 3 rows summing to 1.50000000000005e13 base units — the old form
+    # cast S*1e6 to BIGINT and threw CAST_OVERFLOW in both engines.
+    vals = [(5_000_000_000_000.25,), (5_000_000_000_000.25,), (5_000_000_000_000.0,)]
+    micro = sum(int(Fraction(str(v[0])) * 1_000_000) for v in vals)
+    q = Fraction(micro, 100 * len(vals))
+    half_up = int(q) + (1 if q - int(q) >= Fraction(1, 2) else 0)
+    # mirror the engine pipeline: int → double cast, THEN /1e4 (two
+    # roundings; a single correctly-rounded int/int division differs
+    # in the last ulp at this magnitude)
+    expected = float(half_up) / 10_000
+
+    got_spark = (
+        spark.createDataFrame(vals, "v double")
+        .selectExpr(f"{_avg_sql_text('v', 'div')} AS a")
+        .collect()[0]["a"]
+    )
+    values = ", ".join(f"({v[0]!r})" for v in vals)
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT {_avg_sql_text('v', '//')} AS a FROM (VALUES {values}) t(v)"
+    ).fetchone()[0]
+    con.close()
+    assert got_spark == expected
+    assert got_duck == expected
