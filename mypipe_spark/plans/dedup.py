@@ -116,7 +116,23 @@ def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _evict_dead_sessions(app_id: str) -> None:
+    """Drop cache entries owned by other (stopped) sessions. Keyed on
+    applicationId, not id(spark): CPython can hand a new session a
+    GC'd session's address, which would serve a persisted DataFrame
+    bound to a dead SparkContext. Only one SparkSession exists per
+    process, so any entry under a different app id is dead — unpersist
+    it (best-effort; its context may already be gone) so the cached
+    relation doesn't leak across sessions."""
+    for key in [k for k in _SHINGLE_CACHE if k[0] != app_id]:
+        df = _SHINGLE_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:  # owning SparkContext already stopped
+            pass
 
 
 def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +150,9 @@ def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted DataFrame (MEMORY_AND_DISK — spills instead of evicting
     under pressure); Spark's cache manager substitutes it by plan
     subtree, so all four queries hit the same cached relation."""
-    key = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    _evict_dead_sessions(app_id)
+    key = (app_id, sf_dir)
     arr = _SHINGLE_CACHE.get(key)
     if arr is None:
         from pyspark import StorageLevel

@@ -278,3 +278,47 @@ def test_jaccard_prefix_plan_shape(spark, sf_dir):
     # carries the collect_list), and pair generation is a Generate
     assert _n_nodes(plan, "ObjectHashAggregate") >= 1
     assert _n_nodes(plan, "Generate") >= 2  # prefix explode + pair explode
+
+
+def test_shingle_cache_shared_across_dedup_consumers(spark, sf_dir):
+    """The session-memoized shingle table must actually be REUSED: after
+    any consumer populates it, the other shingle consumers' plans read
+    the persisted relation (InMemoryTableScan / InMemoryRelation)
+    instead of re-running split+shingle+digest — a silent regression
+    here would triple the dedup plane's cost."""
+    from mypipe_spark.plans.dedup import _jaccard_pairs, shingle_arrays
+
+    shingle_arrays(spark, sf_dir)  # populate (any consumer does this)
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        plan = _plan(spark, name, sf_dir)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+            f"{name} does not reuse the cached shingle relation"
+        )
+    # dedup_components checkpoints during label propagation, so its
+    # FINAL plan is a Scan ExistingRDD; the shingle reuse lives in its
+    # input relation (_jaccard_pairs) — pin that plan instead.
+    pairs = _jaccard_pairs(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pairs._jdf.queryExecution().explainString(jmode)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        "dedup_components' pair input does not reuse the cached shingle relation"
+    )
+
+
+def test_shingle_cache_keyed_on_application_id(spark, sf_dir):
+    """Cache keys carry the owning session's applicationId; entries
+    under any other app id (a stopped session — only one session exists
+    per process) are evicted on next access, so a recycled id(spark)
+    address can never serve a DataFrame bound to a dead SparkContext."""
+    from mypipe_spark.plans import dedup
+
+    live = dedup.shingle_arrays(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    assert all(k[0] == app_id for k in dedup._SHINGLE_CACHE)
+    # plant a fake dead-session entry; next access must evict it
+    dedup._SHINGLE_CACHE[("dead-app-id", sf_dir)] = live
+    again = dedup.shingle_arrays(spark, sf_dir)
+    assert ("dead-app-id", sf_dir) not in dedup._SHINGLE_CACHE
+    assert again is live
