@@ -34,9 +34,21 @@ def test_posting_list_pairs_equal_classic_self_join(spark, sf_dir):
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # display rounding via the same exact-integer helper as the engine
+    # path — F.round over the double quotient banker's-rounds the
+    # binary value and can disagree at .5-boundary rationals, which
+    # would fail this equivalence test spuriously on a corpus change
+    from mypipe_spark.plans.catalog import round4_frac_sql
+
     old = sorted(
         map(tuple, inter.filter(jac >= 0.5)
-            .select("doc_a", "doc_b", F.round(jac, 4).cast("double").alias("jaccard"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr(
+                    round4_frac_sql("n_common", "na + nb - n_common", "div")
+                ).alias("jaccard"),
+            )
             .collect())
     )
     assert new == old and len(new) > 0
