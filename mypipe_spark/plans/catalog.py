@@ -33,7 +33,7 @@ TABLE_NAMES = (
 ).split()
 
 
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -45,8 +45,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     immutable logical plans, and re-resolving 10 parquet footers on
     every query call is pure driver overhead. The temp views are
     re-registered on a cache hit only if the last call was for a
-    different sf_dir (view names are shared per session)."""
-    key = (id(spark), sf_dir)
+    different sf_dir (view names are shared per session).
+
+    Keyed on applicationId, not id(spark): a recycled session address
+    would otherwise serve logical plans bound to a dead SparkContext
+    (same hazard as the dedup shingle cache). Entries under any other
+    (stopped) session's app id are dropped on access."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
+    key = (app_id, sf_dir)
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         if getattr(load_tables, "_last_dir", None) != key:
@@ -117,16 +125,27 @@ def scale_out(df: DataFrame) -> DataFrame:
     rather than ``df.rdd.getNumPartitions()`` (forces a full plan →
     RDD conversion per call). Scans split at
     ``spark.sql.files.maxPartitionBytes`` boundaries, so a scan reads
-    as fewer partitions than cores only when it is also small."""
+    as fewer partitions than cores only when it is also small.
+
+    The result is memoized on the DataFrame object itself: load_tables
+    returns the same immutable logical-plan objects per session, so the
+    listing+sizing decision is stable, and repeating it on every query
+    construction (several times per bench repeat) is driver overhead
+    for an identical answer. The cache entry dies with the DataFrame,
+    so there is no cross-session or cross-sf_dir leak."""
+    cached = getattr(df, "_scale_out_memo", None)
+    if cached is not None:
+        return cached
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     max_bytes = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
+    out = df
     try:
         files = df.inputFiles()
     except Exception:  # non-file-backed plan: nothing to rebalance
-        return df
+        files = None
     if files and len(files) < target:
         import os
 
@@ -136,10 +155,12 @@ def scale_out(df: DataFrame) -> DataFrame:
             try:
                 total += os.path.getsize(p)
             except OSError:
-                return df  # non-local URI; can't size cheaply — leave as is
-        if total // max_bytes + 1 < target:
-            return df.repartition(target)
-    return df
+                total = None  # non-local URI; can't size cheaply
+                break
+        if total is not None and total // max_bytes + 1 < target:
+            out = df.repartition(target)
+    df._scale_out_memo = out
+    return out
 
 
 def round_div_sql(num: str, den: str, intdiv: str) -> str:

@@ -48,9 +48,20 @@ def _round_mean_sql(s: str, c: str, intdiv: str = "//") -> str:
     )
 
 
-def _spark_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_quantized(
+    spark: SparkSession, sf_dir: str, rebalance: bool = True
+) -> DataFrame:
+    """Quantized (vec_id, label, qv, nrm2) over the embeddings table.
+
+    ``rebalance=True`` (the corpus side) spreads a few-file table
+    across all cores before the per-row scoring work. Pass
+    ``rebalance=False`` for BROADCAST query-side extractions: the
+    filtered row(s) are collapsing to a broadcast anyway, so the
+    round-robin exchange + extra 32-task stage is pure overhead
+    (measured ~25% of ann_topk_bruteforce wall-clock at sf0.1)."""
     t = load_tables(spark, sf_dir)
-    q = scale_out(t["embeddings"]).select(
+    emb = t["embeddings"]
+    q = (scale_out(emb) if rebalance else emb).select(
         "vec_id",
         "label",
         F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
@@ -108,9 +119,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition — no full sort is materialized)."""
     n = _spark_quantized(spark, sf_dir)
     qry = F.broadcast(
-        n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-            F.col("qv").alias("qqv"), F.col("nrm2").alias("qn")
-        )
+        _spark_quantized(spark, sf_dir, rebalance=False)
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("qv").alias("qqv"), F.col("nrm2").alias("qn"))
     )
     return (
         n.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -179,9 +190,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan never reads unprobed cells."""
     n = _spark_quantized(spark, sf_dir)
     qry = F.broadcast(
-        n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-            F.col("qv").alias("qqv"), F.col("nrm2").alias("qn")
-        )
+        _spark_quantized(spark, sf_dir, rebalance=False)
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("qv").alias("qqv"), F.col("nrm2").alias("qn"))
     )
     # centroids: posexplode → exact integer per-dim sums → repack ordered
     cexp = (
@@ -312,10 +323,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables → higher recall, more candidates); the pytest recall gate
     pins recall@{_TOP_K} against the brute-force baseline."""
     n = _spark_quantized(spark, sf_dir)
+    nq = _spark_quantized(spark, sf_dir, rebalance=False)
     for t_i, e in enumerate(_lsh_bucket_exprs_spark("qv")):
         n = n.withColumn(f"b{t_i}", F.expr(e))
+        nq = nq.withColumn(f"b{t_i}", F.expr(e))
     qry = F.broadcast(
-        n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        nq.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
             F.col("qv").alias("qqv"),
             F.col("nrm2").alias("qn"),
             *[F.col(f"b{t_i}").alias(f"qb{t_i}") for t_i in range(len(_LSH_PAIRS))],
@@ -435,7 +448,9 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     qry = F.broadcast(
-        n.filter(F.col("vec_id") % _BATCH_QUERY_STRIDE == 0).select(
+        _spark_quantized(spark, sf_dir, rebalance=False)
+        .filter(F.col("vec_id") % _BATCH_QUERY_STRIDE == 0)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("qv").alias("qqv"),
             F.col("nrm2").alias("qn"),
