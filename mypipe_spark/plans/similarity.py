@@ -470,6 +470,104 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_lsh_oracle() -> str:
+    n_buckets = _lsh_bucket_exprs("qv")
+    q_buckets = _lsh_bucket_exprs("qqv")
+    any_match = " OR ".join(
+        f"(n.b{t} = qry.qb{t})" for t in range(len(_LSH_PAIRS))
+    )
+    n_cols = ", ".join(f"{e} AS b{t}" for t, e in enumerate(n_buckets))
+    q_cols = ", ".join(f"{e} AS qb{t}" for t, e in enumerate(q_buckets))
+    return f"""
+    WITH q AS ({_SQL_QUANT}),
+    base AS ({_SQL_NORM}),
+    n AS (SELECT vec_id, label, qv, nrm2, {n_cols} FROM base),
+    qry AS (SELECT vec_id AS query_id, qv AS qqv, nrm2 AS qn, {q_cols}
+            FROM base WHERE vec_id % {_BATCH_QUERY_STRIDE} = 0),
+    scored AS (
+      SELECT qry.query_id, n.vec_id,
+             (SELECT SUM(n.qv[i] * qry.qqv[i])
+              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+      FROM n, qry
+      WHERE n.vec_id <> qry.query_id AND ({any_match})),
+    ranked AS (
+      SELECT query_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, rk,
+           CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    FROM ranked WHERE rk <= {_BATCH_TOP_K}
+    """
+
+
+@register(
+    "ann_topk_batch_lsh",
+    oracle=_batch_lsh_oracle(),
+    tags=("ann", "similarity", "batch", "lsh"),
+)
+def ann_topk_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed batched ANN — the production retrieval shape for
+    query SETS at corpus scale: corpus and query vectors both explode
+    to long-format (table, bucket) postings, candidates come from a
+    pure EQUI-JOIN on the posting key, and only candidates are exactly
+    scored and ranked. Unlike ann_topk_batch (brute force — every
+    query × every corpus row) the scored volume here is the bucket
+    collision set, and unlike ann_topk_lsh (single query broadcast)
+    nothing requires the query set to visit every corpus row.
+
+    100 TB path: the corpus posting list (vec_id, table, bucket) is
+    computed once at ingest and disk-partitioned by (table, bucket),
+    so a query batch joins against — and reads — only its buckets
+    (partition pruning); the candidate de-dup and the vector fetch are
+    key equi-joins that shuffle candidates, never the corpus. The plan
+    contains no nested-loop join anywhere (pinned in
+    tests/test_plan_quality.py); the DuckDB oracle expresses the same
+    band-OR candidate set relationally, so results hash-match."""
+    n = _spark_quantized(spark, sf_dir)
+    bucket_arr = "array({})".format(", ".join(_lsh_bucket_exprs_spark("qv")))
+    qset = _spark_quantized(spark, sf_dir, rebalance=False).filter(
+        F.col("vec_id") % _BATCH_QUERY_STRIDE == 0
+    )
+    corpus_kv = n.select("vec_id", F.posexplode(F.expr(bucket_arr)).alias("t", "b"))
+    query_kv = qset.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.expr(bucket_arr)).alias("t", "b"),
+    )
+    cand = (
+        corpus_kv.join(query_kv, ["t", "b"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()  # a pair may collide in several tables — score once
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        cand.join(n.select("vec_id", "qv", "nrm2"), "vec_id")
+        .join(
+            F.broadcast(
+                qset.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("qv").alias("qqv"),
+                    F.col("nrm2").alias("qn"),
+                )
+            ),
+            "query_id",
+        )
+        .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BATCH_TOP_K)
+        .select(
+            "query_id", "vec_id", "rk",
+            F.round("cos_raw", 4).cast("double").alias("cosine"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # centroid build: the IVF index-construction step as a first-class query
 # ---------------------------------------------------------------------------

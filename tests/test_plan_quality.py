@@ -322,3 +322,23 @@ def test_shingle_cache_keyed_on_application_id(spark, sf_dir):
     again = dedup.shingle_arrays(spark, sf_dir)
     assert ("dead-app-id", sf_dir) not in dedup._SHINGLE_CACHE
     assert again is live
+
+
+def test_batch_lsh_is_equi_join_never_nested_loop(spark, sf_dir):
+    """ann_topk_batch_lsh's scale contract: candidates come from an
+    EQUI-join on the exploded (table, bucket) posting key — hash or
+    sort-merge or broadcast-hash, but never a nested-loop pass of the
+    query set over the corpus (what brute-force batch does), and no
+    cartesian anywhere."""
+    plan = _plan(spark, "ann_topk_batch_lsh", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the posting join keys are the exploded table/bucket columns
+    joins = (
+        _n_nodes(plan, "BroadcastHashJoin")
+        + _n_nodes(plan, "ShuffledHashJoin")
+        + _n_nodes(plan, "SortMergeJoin")
+    )
+    assert joins >= 3  # posting join + corpus vector fetch + query fetch
+    # rank-≤-k over the window triggers the group-limit pushdown
+    assert "WindowGroupLimit" in plan

@@ -60,3 +60,71 @@ def test_zero_norm_vectors_score_zero_not_crash(spark):
     # a zero QUERY vector scores everyone 0.0 in both paths
     zq = cosine_scores_vectorized(df, [0.0, 0.0], emb_col="embedding")
     assert {r["cos_raw"] for r in zq.collect()} == {0.0}
+
+
+def test_batch_lsh_retrieves_planted_near_neighbors(spark, tmp_path):
+    """ann_topk_batch_lsh's retrieval contract: when a query's true
+    nearest neighbor is a GENUINE near-dup (cosine ~0.9, the case LSH
+    exists for), the bucketed path must retrieve it for most queries —
+    random-data top-k is not the family's contract (rank-comparison
+    collisions are ~coin flips there; the family-level recall bound is
+    pinned numpy-side in test_dedup). Also pins that every pair both
+    paths rank carries the identical exact cosine — candidate
+    generation is the ONLY difference vs brute-force batch."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mypipe_spark.plans.catalog import TABLE_NAMES
+    from mypipe_spark.plans.similarity import _BATCH_QUERY_STRIDE
+
+    # synthetic sf_dir: planted embeddings + the other tables symlinked
+    src = "/root/testdata/sf0.001"
+    for t in TABLE_NAMES:
+        if t != "embeddings":
+            os.symlink(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    rng = np.random.RandomState(23)
+    n_q, dim = 40, 64
+    rows = []
+    for k in range(n_q):
+        qid = k * _BATCH_QUERY_STRIDE
+        v = rng.normal(0, 1, dim)
+        rows.append((qid, v))
+        rows.append((qid + 1, v + rng.normal(0, 0.35, dim)))  # near-dup
+        for f in range(2, 8):  # unrelated fillers
+            rows.append((qid + f, rng.normal(0, 1, dim)))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1].astype(np.float32).tolist() for r in rows],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([r[0] % 5 for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    sf = str(tmp_path)
+
+    exact = {}
+    for r in _Q["ann_topk_batch"].fn(spark, sf).collect():
+        exact.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    approx = {}
+    for r in _Q["ann_topk_batch_lsh"].fn(spark, sf).collect():
+        approx.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+
+    # the planted near-dup is the exact top neighbor for ~every query;
+    # the LSH path must retrieve it for >=80% of them
+    planted_found = sum(
+        1 for k in range(n_q)
+        if k * _BATCH_QUERY_STRIDE + 1 in approx.get(k * _BATCH_QUERY_STRIDE, {})
+    )
+    assert planted_found / n_q >= 0.8, f"planted recall {planted_found}/{n_q}"
+    # shared pairs carry bit-identical cosines (same scoring path)
+    for q, neigh in approx.items():
+        for v, c in neigh.items():
+            if q in exact and v in exact[q]:
+                assert c == exact[q][v]
