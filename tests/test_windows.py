@@ -278,3 +278,92 @@ def test_stratified_sample_runs_streaming(spark, tmp_path, sf_dir):
     got = sorted(map(tuple, spark.sql("select * from stratsample").collect()))
     expected = sorted(map(tuple, stratified_sample(batch_docs).collect()))
     assert got == expected and len(got) > 0
+
+
+def _chunked_events_source(spark, tmp_path, sf_dir, n_chunks=3):
+    """Split the events table into commit-ordered parquet chunks
+    (ntile over (ts, event_id) — the delivery order the binlog replay
+    guarantees) with strictly increasing mtimes so the file source
+    feeds them as separate microbatches under maxFilesPerTrigger=1."""
+    import os
+    import time
+
+    from pyspark.sql import Window as W
+
+    batch_events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ranked = batch_events.withColumn(
+        "chunk", F.ntile(n_chunks).over(W.orderBy("ts", "event_id"))
+    )
+    src_dir = tmp_path / "events_chunks"
+    src_dir.mkdir()
+    for i in range(1, n_chunks + 1):
+        # the file source wants plain files in the watched dir, not
+        # parquet output DIRECTORIES — write to scratch, move the part
+        scratch = str(tmp_path / f"chunk_scratch_{i}")
+        ranked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = str(src_dir / f"chunk_{i}.parquet")
+        os.rename(os.path.join(scratch, part), dest)
+        t = time.time() + i  # strictly increasing mtimes
+        os.utime(dest, (t, t))
+    return batch_events, (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+
+
+def test_latest_state_streaming_merge_equals_batch(spark, tmp_path, sf_dir):
+    """cdc_latest_state's per-microbatch MERGE form: folding
+    latest_state_merge over chunked microbatches must equal the batch
+    recompute exactly — the keep-last step is associative (max of
+    maxes), so chunking cannot change the result."""
+    from mypipe_spark.plans.catalog import all_queries
+    from mypipe_spark.streaming.upsert import (
+        KeyedStateDir,
+        latest_state_merge,
+        streaming_merge,
+    )
+
+    _batch, stream = _chunked_events_source(spark, tmp_path, sf_dir)
+    q = streaming_merge(
+        stream, str(tmp_path / "state"), latest_state_merge, str(tmp_path / "ckpt")
+    )
+    _drain(q)
+    final = KeyedStateDir(str(tmp_path / "state")).read(spark)
+    got = sorted(map(tuple, final.collect()))
+    expected = sorted(
+        map(tuple, all_queries()["cdc_latest_state"].fn(spark, sf_dir).collect())
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_scd2_streaming_merge_equals_batch(spark, tmp_path, sf_dir):
+    """cdc_scd2_history's per-microbatch MERGE form: closed intervals
+    are immutable, each key's open row re-enters the window with the
+    new events. Chunks arrive in commit order, the regime the merge
+    documents — the folded history must equal the batch LEAD
+    recompute row-for-row."""
+    from mypipe_spark.plans.catalog import all_queries
+    from mypipe_spark.streaming.upsert import (
+        KeyedStateDir,
+        scd2_merge,
+        streaming_merge,
+    )
+
+    _batch, stream = _chunked_events_source(spark, tmp_path, sf_dir)
+    q = streaming_merge(
+        stream, str(tmp_path / "scd2_state"), scd2_merge, str(tmp_path / "scd2_ckpt")
+    )
+    _drain(q)
+    final = KeyedStateDir(str(tmp_path / "scd2_state")).read(spark)
+    got = sorted(map(tuple, final.collect()))
+    expected = sorted(
+        map(tuple, all_queries()["cdc_scd2_history"].fn(spark, sf_dir).collect())
+    )
+    assert got == expected and len(got) > 0
