@@ -300,6 +300,67 @@ def decode_generic(
     return df.withColumn("op", op)
 
 
+def frame_dead_letter_split(
+    df: DataFrame, registry: SchemaRegistry, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Classify framed messages BEFORE decoding and divert malformed
+    ones to a dead-letter branch — the decode layer of the reference's
+    3-layer error cascade (binaryLogConsumerTraits.scala:89-137), where
+    a frame the decoder cannot parse must skip-and-divert, never kill
+    the consumer. Running :func:`decode_generic` blind would do exactly
+    that: under ANSI mode ``decode`` throws on invalid UTF-8 and takes
+    the whole executor task (and query) with it.
+
+    Checks run in cascade order, first failure wins as ``dlq_reason``
+    (CaseWhen evaluates lazily per row, so the UTF-8 probe only runs on
+    frames with intact headers, and the JSON parse only on valid
+    UTF-8):
+
+    - ``short_frame``    — fewer than the 4 header bytes + 1
+    - ``bad_magic``      — first byte is not the wire magic 0x0
+    - ``unknown_mtype``  — mutation byte outside insert/update/delete
+    - ``unknown_schema`` — schema id not registered for any generic
+      subject (the reference's decoder fails a lookup miss the same
+      way, KafkaAvroDecoder.scala:43-55)
+    - ``bad_payload``    — payload is not valid UTF-8, or JSON that
+      does not parse into an envelope (the envelope always carries
+      ``database``; a parse yielding none is garbage)
+
+    Returns ``(decoded_valid, dead)``: valid frames pass through
+    :func:`decode_generic`; dead ones keep the raw frame plus
+    ``dlq_reason`` (the :mod:`..streaming.errors` DLQ convention). All
+    expression-level — both branches stay one codegen'd scan."""
+    v = F.col(value_col)
+    known_ids = sorted(
+        {
+            i
+            for op in ("insert", "update", "delete")
+            for i in registry.versions(generic_subject(op))
+        }
+    )
+    mtypes = sorted(MUTATION_MAGIC.values())
+    payload = v.substr(F.lit(5), F.length(v))
+    parsed = F.from_json(F.decode(payload, "UTF-8"), _PAYLOAD_JSON_SCHEMA)
+    schema_id = _short_be_decode(F.substring(v, 3, 2))
+    reason = (
+        F.when(F.length(v) < 5, "short_frame")
+        .when(F.substring(v, 1, 1) != _byte(WIRE_MAGIC), "bad_magic")
+        .when(
+            ~_short_be_decode(F.substring(v, 2, 1)).isin(mtypes), "unknown_mtype"
+        )
+        .when(
+            ~schema_id.isin(known_ids) if known_ids else F.lit(True),
+            "unknown_schema",
+        )
+        .when(~F.expr(f"is_valid_utf8(substring({value_col}, 5))"), "bad_payload")
+        .when(parsed.isNull() | parsed["database"].isNull(), "bad_payload")
+    )
+    classified = df.withColumn("dlq_reason", reason)
+    valid = classified.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
+    dead = classified.filter(F.col("dlq_reason").isNotNull())
+    return decode_generic(valid, value_col), dead
+
+
 def specific_projection(df: DataFrame, table_schema: StructType, image: str = "new") -> DataFrame:
     """F5 — *specific* envelope: project the typed maps back into real
     per-table columns according to a registered StructType (the

@@ -201,3 +201,72 @@ def test_registry_save_load_roundtrip(tmp_path):
     assert back.get_latest("a") == (2, "s2")
     assert back.get_schema("a", 1) == "s1"
     assert back.versions("b") == [1]
+
+
+def _mangle(frame: bytes, kind: str, salt: int) -> tuple[bytes, str]:
+    """Corrupt a well-formed frame into a specific malformed class;
+    returns (bytes, expected dlq_reason)."""
+    if kind == "short":
+        return frame[: salt % 5], "short_frame"
+    if kind == "magic":
+        return bytes([(salt % 255) + 1]) + frame[1:], "bad_magic"
+    if kind == "mtype":
+        return frame[:1] + bytes([(salt % 250) + 4]) + frame[2:], "unknown_mtype"
+    if kind == "schema":
+        bad = 0x7000 + (salt % 0xFF)
+        return frame[:2] + bad.to_bytes(2, "big") + frame[4:], "unknown_schema"
+    if kind == "utf8":
+        return frame[:4] + b"\xff\xfe" + frame[5:], "bad_payload"
+    if kind == "garbage_json":
+        return frame[:4] + b"{not json" + bytes([32 + salt % 90]), "bad_payload"
+    raise AssertionError(kind)
+
+
+def test_malformed_frames_route_to_dead_letter(spark):
+    """Property: for ANY corruption of a well-formed frame — truncated
+    header, wrong magic, unknown mutation byte, schema id the registry
+    never issued, payload that is not UTF-8 or not an envelope — the
+    decode splitter diverts the frame to the DLQ branch with the
+    matching reason and NEVER raises (the reference's decode-layer
+    error cascade, binaryLogConsumerTraits.scala:89-137: a bad frame
+    skips-and-diverts, it does not kill the consumer). Valid frames all
+    decode on the main branch; the two branches partition the input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mypipe_spark.sinks.wire import frame_dead_letter_split
+
+    reg = in_memory_repo()
+    base = mutations_only(changelog_df(spark, num_transactions=3))
+    frames = [r[0] for r in encode_generic(base, reg).select("value").collect()]
+    n_valid = len(frames)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        kinds=st.lists(
+            st.sampled_from(
+                ["short", "magic", "mtype", "schema", "utf8", "garbage_json"]
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        salt=st.integers(min_value=0, max_value=10_000),
+    )
+    def check(kinds, salt):
+        mangled = [
+            _mangle(frames[(salt + i) % n_valid], k, salt + i)
+            for i, k in enumerate(kinds)
+        ]
+        rows = [(f,) for f, _ in mangled] + [(f,) for f in frames]
+        df = spark.createDataFrame(rows, "value binary")
+        decoded, dead = frame_dead_letter_split(df, reg)
+        got_dead = [
+            (bytes(r["value"]), r["dlq_reason"]) for r in dead.collect()
+        ]
+        assert sorted(got_dead) == sorted((f, why) for f, why in mangled)
+        # every valid frame decodes on the main branch, envelope intact
+        ok = decoded.collect()
+        assert len(ok) == n_valid
+        assert all(r["magic_ok"] and r["payload"]["database"] == "mypipe" for r in ok)
+
+    check()
