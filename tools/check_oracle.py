@@ -29,10 +29,7 @@ def normalize(rows: list[tuple]) -> list[tuple]:
 
 
 def main() -> int:
-    import duckdb
-
-    from mypipe_spark.plans.catalog import TABLE_NAMES, all_queries
-    from mypipe_spark.session import get_spark
+    from mypipe_spark.plans.catalog import all_queries
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -40,7 +37,22 @@ def main() -> int:
     if unknown:  # a typo'd name would otherwise silently check nothing
         print(f"unknown queries: {sorted(unknown)}")
         return 2
+    failures = run(sf_dir, only)
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
 
+
+def run(sf_dir: str, only: set[str] | None = None) -> list[str]:
+    """Run the driver-style comparison for every (or ``only``) query at
+    ``sf_dir``; returns the failing query names. Reuses the process's
+    SparkSession, so a caller can replay several scale factors in one
+    JVM (tools/preflight.py)."""
+    import duckdb
+
+    from mypipe_spark.plans.catalog import TABLE_NAMES, all_queries
+    from mypipe_spark.session import get_spark
+
+    only = only or set()
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -93,8 +105,8 @@ def main() -> int:
             continue
         print(f"ok    {name}: {len(s_n)} rows match")
 
-    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
-    return 1 if failures else 0
+    con.close()
+    return failures
 
 
 if __name__ == "__main__":
