@@ -165,3 +165,66 @@ def test_every_query_is_total_on_empty_tables(spark, sf_dir, tmp_path):
         except Exception as ex:  # noqa: BLE001 — collecting the full list
             failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
     assert not failures, failures
+
+
+def test_scale_smoke_amplify_preserves_structure(spark, sf_dir, tmp_path):
+    """The K-fold amplifier behind tools/scale_smoke.py must preserve
+    the structural invariants its scaling argument rests on: fact
+    tables grow exactly K-fold with replica-disjoint keys, dims stay
+    single-copy, foreign keys stay valid (both sides offset together),
+    the catalog's user_id%2 routing is unchanged, and document
+    replicas share zero words (so shingle work replicates
+    independently instead of exploding quadratically)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import scale_smoke
+
+    out = str(tmp_path / "amp")
+    scale_smoke.amplify(spark, sf_dir, 3, out)
+
+    base_orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    amp_orders = spark.read.parquet(f"{out}/orders.parquet")
+    assert amp_orders.count() == 3 * base_orders.count()
+    assert (
+        spark.read.parquet(f"{out}/nation.parquet").count()
+        == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    )
+
+    # FK integrity after offsetting: every o_custkey resolves
+    cust = spark.read.parquet(f"{out}/customer.parquet")
+    dangling = amp_orders.join(
+        cust, amp_orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    assert dangling.count() == 0
+
+    # user_id parity routing preserved replica-by-replica
+    base_even = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("user_id % 2 = 0")
+        .count()
+    )
+    amp_even = (
+        spark.read.parquet(f"{out}/events.parquet")
+        .filter("user_id % 2 = 0")
+        .count()
+    )
+    assert amp_even == 3 * base_even
+
+    # document replicas are word-disjoint (hence shingle-disjoint)
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    words = docs.select(
+        (F.col("doc_id") / 1_000_000_000).cast("long").alias("replica"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).distinct()
+    cross = (
+        words.groupBy("w")
+        .agg(F.countDistinct("replica").alias("n_rep"))
+        .filter("n_rep > 1")
+    )
+    assert cross.count() == 0
+    # and n_chars matches the rewritten text
+    assert docs.filter(F.length("text") != F.col("n_chars")).count() == 0
