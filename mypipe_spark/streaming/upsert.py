@@ -99,11 +99,23 @@ def scd2_merge(history: DataFrame | None, batch: DataFrame) -> DataFrame:
 class KeyedStateDir:
     """Versioned parquet snapshots of a keyed state table, one per
     applied microbatch: ``<root>/v<batch_id>/`` + a ``_LATEST`` marker
-    written AFTER the snapshot commits (the marker is the atomicity
-    point: a crash mid-write leaves the previous marker, and replaying
-    the microbatch — foreachBatch's at-least-once contract — simply
-    rewrites the same ``v<batch_id>``, so the merge is idempotent
-    per batch id)."""
+    written AFTER the snapshot commits.
+
+    Replay safety (foreachBatch is at-least-once, so batch N can run
+    again after a crash anywhere around the checkpoint commit): a merge
+    step for batch N always reads the newest COMPLETE snapshot with id
+    STRICTLY BELOW N (``latest_before``/``read_version``), never the
+    marker. Following the marker would re-merge batch N into its own
+    output when the crash landed between marker update and checkpoint
+    commit — scd2_merge is not idempotent under self-application (the
+    replayed events would pair with their already-merged copies in the
+    LEAD window) — and would lazily read ``v<N>`` while the same job
+    overwrites it. Completeness is Spark's own per-directory
+    ``_SUCCESS`` commit marker, so a torn ``v<N>`` from a crash
+    mid-write is skipped until the replay rewrites it. The ``_LATEST``
+    marker remains the atomicity point for EXTERNAL readers: it only
+    ever points at a committed snapshot, at most one batch behind
+    until recovery catches up."""
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -111,6 +123,24 @@ class KeyedStateDir:
 
     def _marker(self) -> str:
         return os.path.join(self.root, "_LATEST")
+
+    def complete_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and os.path.exists(os.path.join(self.root, name, "_SUCCESS"))
+            ):
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def latest_before(self, batch_id: int) -> int | None:
+        prior = [v for v in self.complete_versions() if v < batch_id]
+        return max(prior) if prior else None
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, f"v{version}"))
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         try:
@@ -120,13 +150,29 @@ class KeyedStateDir:
             return None
         return spark.read.parquet(os.path.join(self.root, current))
 
-    def write(self, df: DataFrame, batch_id: int) -> None:
+    def write(
+        self, df: DataFrame, batch_id: int, prune_below: int | None = None
+    ) -> None:
         version = f"v{batch_id}"
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
         tmp = self._marker() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, self._marker())
+        if prune_below is not None:
+            # retention: the merge for any future batch M > batch_id
+            # reads at most latest_before(M) >= prune_below, and
+            # foreachBatch never replays batches at or before the one
+            # whose checkpoint committed — snapshots below the one this
+            # merge consumed are unreachable. Keeps disk at ~2
+            # snapshots instead of one per microbatch forever.
+            import shutil
+
+            for v in self.complete_versions():
+                if v < prune_below:
+                    shutil.rmtree(
+                        os.path.join(self.root, f"v{v}"), ignore_errors=True
+                    )
 
 
 def streaming_merge(
@@ -144,7 +190,9 @@ def streaming_merge(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        store.write(merge_fn(store.read(spark), batch_df), batch_id)
+        prior = store.latest_before(batch_id)
+        prev = None if prior is None else store.read_version(spark, prior)
+        store.write(merge_fn(prev, batch_df), batch_id, prune_below=prior)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

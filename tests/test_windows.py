@@ -367,3 +367,47 @@ def test_scd2_streaming_merge_equals_batch(spark, tmp_path, sf_dir):
         map(tuple, all_queries()["cdc_scd2_history"].fn(spark, sf_dir).collect())
     )
     assert got == expected and len(got) > 0
+
+
+def test_streaming_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a crash between the _LATEST
+    marker update and the checkpoint commit replays the same batch id.
+    The merge step must then read the snapshot BELOW the replayed id,
+    not the marker — following the marker would re-merge the batch
+    into its own output, which scd2_merge does not tolerate (replayed
+    events pair with their already-merged copies in the LEAD window).
+    Drive both merge cores through apply/replay by hand and pin that
+    the replayed state is row-identical to the once-applied state."""
+    from mypipe_spark.streaming.upsert import (
+        KeyedStateDir,
+        latest_state_merge,
+        scd2_merge,
+    )
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts", "event_id")
+        .limit(600)
+    )
+    chunks = [
+        events.limit(200),
+        events.limit(400).subtract(events.limit(200)),
+    ]
+
+    for name, merge_fn in (("latest", latest_state_merge), ("scd2", scd2_merge)):
+        store = KeyedStateDir(str(tmp_path / f"replay_{name}"))
+
+        def apply(batch_df, batch_id):
+            prior = store.latest_before(batch_id)
+            prev = None if prior is None else store.read_version(spark, prior)
+            store.write(merge_fn(prev, batch_df), batch_id, prune_below=prior)
+
+        apply(chunks[0], 0)
+        apply(chunks[1], 1)
+        once = sorted(map(tuple, store.read(spark).collect()))
+        # crash after marker, before checkpoint commit -> batch 1 again
+        apply(chunks[1], 1)
+        again = sorted(map(tuple, store.read(spark).collect()))
+        assert again == once and len(once) > 0, name
+        # retention pruned the snapshot below the one batch 1 consumed
+        assert store.complete_versions() == [0, 1], name
