@@ -316,6 +316,10 @@ def frame_dead_letter_split(
     frames with intact headers, and the JSON parse only on valid
     UTF-8):
 
+    - ``null_frame``     — NULL value (a Kafka compacted-topic
+      tombstone reaching a non-compacted consumer; without this check
+      every cascade predicate evaluates NULL and the tombstone would
+      sail through as "valid" and decode to all-null columns)
     - ``short_frame``    — fewer than the 4 header bytes + 1
     - ``bad_magic``      — first byte is not the wire magic 0x0
     - ``unknown_mtype``  — mutation byte outside insert/update/delete
@@ -343,7 +347,8 @@ def frame_dead_letter_split(
     parsed = F.from_json(F.decode(payload, "UTF-8"), _PAYLOAD_JSON_SCHEMA)
     schema_id = _short_be_decode(F.substring(v, 3, 2))
     reason = (
-        F.when(F.length(v) < 5, "short_frame")
+        F.when(v.isNull(), "null_frame")
+        .when(F.length(v) < 5, "short_frame")
         .when(F.substring(v, 1, 1) != _byte(WIRE_MAGIC), "bad_magic")
         .when(
             ~_short_be_decode(F.substring(v, 2, 1)).isin(mtypes), "unknown_mtype"

@@ -270,3 +270,21 @@ def test_malformed_frames_route_to_dead_letter(spark):
         assert all(r["magic_ok"] and r["payload"]["database"] == "mypipe" for r in ok)
 
     check()
+
+
+def test_null_frame_tombstone_routes_to_dead_letter(spark):
+    """A NULL wire value — a Kafka compacted-topic tombstone — must
+    land on the DLQ branch as null_frame. Before the explicit check,
+    every cascade predicate evaluated NULL on it, dlq_reason stayed
+    NULL, and the tombstone passed as 'valid' with all-null decode."""
+    from mypipe_spark.sinks.wire import encode_generic, frame_dead_letter_split
+
+    reg = in_memory_repo()
+    base = mutations_only(changelog_df(spark, num_transactions=2))
+    frames = [r[0] for r in encode_generic(base, reg).select("value").collect()]
+    rows = [(f,) for f in frames] + [(None,), (None,)]
+    df = spark.createDataFrame(rows, "value binary")
+    decoded, dead = frame_dead_letter_split(df, reg)
+    assert decoded.count() == len(frames)
+    got = [(r["value"], r["dlq_reason"]) for r in dead.collect()]
+    assert got == [(None, "null_frame"), (None, "null_frame")]
