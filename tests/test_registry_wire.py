@@ -288,3 +288,48 @@ def test_null_frame_tombstone_routes_to_dead_letter(spark):
     assert decoded.count() == len(frames)
     got = [(r["value"], r["dlq_reason"]) for r in dead.collect()]
     assert got == [(None, "null_frame"), (None, "null_frame")]
+
+
+def test_frame_dead_letter_split_under_streaming(spark, tmp_path):
+    """The frame splitter is the live decode layer of the error
+    cascade: under a running stream, malformed frames (including a
+    NULL tombstone) must divert to the DLQ sink while valid frames
+    decode on the main sink — and neither branch may kill the query
+    (under ANSI mode an unguarded decode() on garbage bytes would)."""
+    from mypipe_spark.sinks.wire import encode_generic, frame_dead_letter_split
+
+    reg = in_memory_repo()
+    base = mutations_only(changelog_df(spark, num_transactions=3))
+    frames = [r[0] for r in encode_generic(base, reg).select("value").collect()]
+    bad = [
+        (b"\x07" + frames[0][1:],),            # bad_magic
+        (b"\x00\x01",),                        # short_frame
+        (bytes(frames[0][:4]) + b"\xff\xfe",), # valid header, invalid UTF-8
+    ]
+    src = str(tmp_path / "frames_src")
+    spark.createDataFrame([(f,) for f in frames] + bad + [(None,)], "value binary").write.parquet(src)
+
+    stream = spark.readStream.schema("value binary").parquet(src)
+    decoded, dead = frame_dead_letter_split(stream, reg)
+    q1 = (
+        decoded.writeStream.format("memory").queryName("wire_main")
+        .option("checkpointLocation", str(tmp_path / "ck_main")).start()
+    )
+    q2 = (
+        dead.writeStream.format("memory").queryName("wire_dlq")
+        .option("checkpointLocation", str(tmp_path / "ck_dlq")).start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        main_rows = spark.sql("SELECT * FROM wire_main").collect()
+        dlq = {
+            r["dlq_reason"]
+            for r in spark.sql("SELECT * FROM wire_dlq").collect()
+        }
+    finally:
+        q1.stop()
+        q2.stop()
+    assert len(main_rows) == len(frames)
+    assert all(r["magic_ok"] and r["payload"]["database"] == "mypipe" for r in main_rows)
+    assert dlq == {"bad_magic", "short_frame", "null_frame", "bad_payload"}
