@@ -317,11 +317,17 @@ def test_shingle_cache_keyed_on_application_id(spark, sf_dir):
     live = dedup.shingle_arrays(spark, sf_dir)
     app_id = spark.sparkContext.applicationId
     assert all(k[0] == app_id for k in dedup._SHINGLE_CACHE)
-    # plant a fake dead-session entry; next access must evict it
-    dedup._SHINGLE_CACHE[("dead-app-id", sf_dir)] = live
+    # plant a fake dead-session entry — a DISTINCT persisted DataFrame,
+    # not an alias of `live`: eviction unpersists the planted value, and
+    # aliasing the live entry would silently un-cache the real shingle
+    # relation for every later test in this session
+    planted = spark.range(1).persist()
+    dedup._SHINGLE_CACHE[("dead-app-id", sf_dir)] = planted
     again = dedup.shingle_arrays(spark, sf_dir)
     assert ("dead-app-id", sf_dir) not in dedup._SHINGLE_CACHE
     assert again is live
+    assert planted.storageLevel.useMemory is False  # eviction unpersisted it
+    assert live.storageLevel.useMemory is True  # and left the live entry alone
 
 
 def test_batch_lsh_is_equi_join_never_nested_loop(spark, sf_dir):
