@@ -292,12 +292,15 @@ def decode_generic(
         .withColumn("schema_id", _short_be_decode(F.substring(v, 3, 2)))
         .withColumn("payload", payload)
     )
-    op = (
-        F.when(F.col("mtype") == MUTATION_MAGIC["insert"], "insert")
-        .when(F.col("mtype") == MUTATION_MAGIC["update"], "update")
-        .when(F.col("mtype") == MUTATION_MAGIC["delete"], "delete")
+    return df.withColumn("op", _op_from_mtype(F.col("mtype")))
+
+
+def _op_from_mtype(mtype: Column) -> Column:
+    return (
+        F.when(mtype == MUTATION_MAGIC["insert"], "insert")
+        .when(mtype == MUTATION_MAGIC["update"], "update")
+        .when(mtype == MUTATION_MAGIC["delete"], "delete")
     )
-    return df.withColumn("op", op)
 
 
 def frame_dead_letter_split(
@@ -330,10 +333,15 @@ def frame_dead_letter_split(
       does not parse into an envelope (the envelope always carries
       ``database``; a parse yielding none is garbage)
 
-    Returns ``(decoded_valid, dead)``: valid frames pass through
-    :func:`decode_generic`; dead ones keep the raw frame plus
+    Returns ``(decoded_valid, dead)``: valid frames carry the
+    :func:`decode_generic` column shape (the payload struct comes from
+    the ONE guarded parse that classification already did — the hot
+    path never parses twice); dead ones keep the raw frame plus
     ``dlq_reason`` (the :mod:`..streaming.errors` DLQ convention). All
-    expression-level — both branches stay one codegen'd scan."""
+    expression-level — each branch plans as a single codegen'd scan
+    over the source (two consumers mean two scans, as with any pair of
+    derived DataFrames; under streaming each branch is its own query
+    anyway)."""
     v = F.col(value_col)
     known_ids = sorted(
         {
@@ -343,27 +351,41 @@ def frame_dead_letter_split(
         }
     )
     mtypes = sorted(MUTATION_MAGIC.values())
-    payload = v.substr(F.lit(5), F.length(v))
-    parsed = F.from_json(F.decode(payload, "UTF-8"), _PAYLOAD_JSON_SCHEMA)
-    schema_id = _short_be_decode(F.substring(v, 3, 2))
+    parts = unframe(v)
+    utf8_ok = F.is_valid_utf8(parts["payload"])
+    # ONE parse, guarded so ANSI decode() only ever sees valid UTF-8
+    # (CaseWhen evaluates lazily per row); both the classification and
+    # the valid branch's payload column read this projection.
+    parsed = F.when(
+        (F.length(v) >= 5) & utf8_ok,
+        F.from_json(F.decode(parts["payload"], "UTF-8"), _PAYLOAD_JSON_SCHEMA),
+    )
+    classified = df.withColumn("__parsed", parsed)
+    p = F.col("__parsed")
     reason = (
         F.when(v.isNull(), "null_frame")
         .when(F.length(v) < 5, "short_frame")
-        .when(F.substring(v, 1, 1) != _byte(WIRE_MAGIC), "bad_magic")
+        .when(~parts["magic_ok"], "bad_magic")
+        .when(~parts["mtype"].isin(mtypes), "unknown_mtype")
         .when(
-            ~_short_be_decode(F.substring(v, 2, 1)).isin(mtypes), "unknown_mtype"
-        )
-        .when(
-            ~schema_id.isin(known_ids) if known_ids else F.lit(True),
+            ~parts["schema_id"].isin(known_ids) if known_ids else F.lit(True),
             "unknown_schema",
         )
-        .when(~F.expr(f"is_valid_utf8(substring({value_col}, 5))"), "bad_payload")
-        .when(parsed.isNull() | parsed["database"].isNull(), "bad_payload")
+        .when(~utf8_ok, "bad_payload")
+        .when(p.isNull() | p["database"].isNull(), "bad_payload")
     )
-    classified = df.withColumn("dlq_reason", reason)
-    valid = classified.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
-    dead = classified.filter(F.col("dlq_reason").isNotNull())
-    return decode_generic(valid, value_col), dead
+    classified = classified.withColumn("dlq_reason", reason)
+    valid = (
+        classified.filter(F.col("dlq_reason").isNull())
+        .withColumn("magic_ok", parts["magic_ok"])
+        .withColumn("mtype", parts["mtype"])
+        .withColumn("schema_id", parts["schema_id"])
+        .withColumn("payload", p)
+        .withColumn("op", _op_from_mtype(F.col("mtype")))
+        .drop("dlq_reason", "__parsed")
+    )
+    dead = classified.filter(F.col("dlq_reason").isNotNull()).drop("__parsed")
+    return valid, dead
 
 
 def specific_projection(df: DataFrame, table_schema: StructType, image: str = "new") -> DataFrame:
