@@ -113,9 +113,12 @@ class KeyedStateDir:
     overwrites it. Completeness is Spark's own per-directory
     ``_SUCCESS`` commit marker, so a torn ``v<N>`` from a crash
     mid-write is skipped until the replay rewrites it. The ``_LATEST``
-    marker remains the atomicity point for EXTERNAL readers: it only
-    ever points at a committed snapshot, at most one batch behind
-    until recovery catches up."""
+    marker remains the atomicity point for EXTERNAL readers: before a
+    replay overwrites the snapshot the marker currently points at,
+    ``write`` rewinds the marker to the newest older committed
+    snapshot, so the marker never names a directory under rewrite —
+    readers see state at most one batch behind until recovery
+    re-commits."""
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -123,6 +126,12 @@ class KeyedStateDir:
 
     def _marker(self) -> str:
         return os.path.join(self.root, "_LATEST")
+
+    def _point_marker(self, version: str) -> None:
+        tmp = self._marker() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._marker())
 
     def complete_versions(self) -> list[int]:
         out = []
@@ -154,11 +163,28 @@ class KeyedStateDir:
         self, df: DataFrame, batch_id: int, prune_below: int | None = None
     ) -> None:
         version = f"v{batch_id}"
+        # Replay case: the marker may already point at v<batch_id>
+        # (crash landed between marker update and checkpoint commit).
+        # Rewind it to the newest older committed snapshot BEFORE the
+        # overwrite clobbers the directory, so an external read() never
+        # follows the marker into files being rewritten — it just sees
+        # state one batch older until recovery re-commits. (A reader
+        # that resolved the marker in the instant before the rewind can
+        # still lazily scan mid-rewrite — the inherent plain-FS gap a
+        # real table format's snapshot isolation closes.)
+        try:
+            with open(self._marker()) as fh:
+                current = fh.read().strip()
+        except FileNotFoundError:
+            current = None
+        if current == version:
+            prior = self.latest_before(batch_id)
+            if prior is None:
+                os.remove(self._marker())
+            else:
+                self._point_marker(f"v{prior}")
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
-        tmp = self._marker() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, self._marker())
+        self._point_marker(version)
         if prune_below is not None:
             # retention: the merge for any future batch M > batch_id
             # reads at most latest_before(M) >= prune_below, and

@@ -411,3 +411,41 @@ def test_streaming_merge_replay_is_idempotent(spark, sf_dir, tmp_path):
         assert again == once and len(once) > 0, name
         # retention pruned the snapshot below the one batch 1 consumed
         assert store.complete_versions() == [0, 1], name
+
+
+def test_streaming_merge_marker_rewinds_before_replay_overwrite(
+    spark, sf_dir, tmp_path
+):
+    """When a replay overwrites the snapshot _LATEST points at, write()
+    must first rewind the marker to the prior committed snapshot —
+    otherwise an external reader follows the marker into a directory
+    being clobbered. Pin the crash-mid-rewrite case: the marker must
+    land on the prior snapshot, and read() must serve its state."""
+    from mypipe_spark.streaming.upsert import KeyedStateDir, latest_state_merge
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts", "event_id")
+        .limit(200)
+    )
+    store = KeyedStateDir(str(tmp_path / "rewind"))
+    store.write(latest_state_merge(None, events.limit(100)), 0)
+    s0 = sorted(map(tuple, store.read(spark).collect()))
+    store.write(latest_state_merge(store.read_version(spark, 0), events), 1)
+
+    class _Boom:  # stands in for a DataFrame whose write crashes
+        @property
+        def write(self):
+            raise RuntimeError("crash mid-rewrite")
+
+    try:
+        store.write(_Boom(), 1)  # replay of batch 1 dies mid-overwrite
+    except RuntimeError:
+        pass
+    with open(str(tmp_path / "rewind" / "_LATEST")) as fh:
+        assert fh.read().strip() == "v0"  # rewound before the rewrite
+    assert sorted(map(tuple, store.read(spark).collect())) == s0
+    # recovery: the replay completes and the marker moves forward again
+    store.write(latest_state_merge(store.read_version(spark, 0), events), 1)
+    with open(str(tmp_path / "rewind" / "_LATEST")) as fh:
+        assert fh.read().strip() == "v1"
