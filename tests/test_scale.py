@@ -228,3 +228,25 @@ def test_scale_smoke_amplify_preserves_structure(spark, sf_dir, tmp_path):
     assert cross.count() == 0
     # and n_chars matches the rewritten text
     assert docs.filter(F.length("text") != F.col("n_chars")).count() == 0
+
+    # embedding replicas are ROTATED copies: norms (hence every
+    # intra-replica similarity) are preserved exactly, but the raw
+    # vectors differ so replicas do not systematically share LSH
+    # buckets (identical copies would inflate bucketed-ANN candidate
+    # volume K^2-fold and invalidate the linear-work premise)
+    norm = F.expr("aggregate(embedding, cast(0 as double), (a, x) -> a + x*x)")
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    base_norms = sorted(
+        r[0] for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(norm).collect()
+    )
+    rep1 = emb.filter(
+        (F.col("vec_id") >= 1_000_000_000) & (F.col("vec_id") < 2_000_000_000)
+    )
+    assert sorted(r[0] for r in rep1.select(norm).collect()) == base_norms
+    first_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy(
+        "vec_id"
+    ).first()
+    first_rep1 = rep1.orderBy("vec_id").first()
+    assert first_rep1["embedding"] != first_base["embedding"]
+    assert sorted(first_rep1["embedding"]) == sorted(first_base["embedding"])

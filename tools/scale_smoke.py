@@ -25,9 +25,16 @@ near-dup/ANN work and measure the data generator, not the engine):
   replicas share ZERO shingles: each near-dup cluster replicates
   independently and the true pair count scales exactly K-fold.
   ``n_chars`` is recomputed for the rewritten text.
-- ``embeddings`` replicas keep their vectors but shift ``label`` by
-  i*1000, so label-blocked near-dup work replicates independently.
-  (Brute-force ANN genuinely scans K times the corpus — linear.)
+- ``embeddings`` replicas cyclically rotate the vector by i dims and
+  shift ``label`` by i*1000. Rotation preserves norms and every
+  INTRA-replica dot product bit-exactly (the near-dup structure
+  replicates), while de-correlating replicas' LSH buckets — identical
+  replica vectors would collide in every bucket and inflate the
+  bucketed-ANN candidate set K^2-fold, measuring the amplifier instead
+  of the engine. (``ann_topk_batch`` — brute force over query set x
+  corpus — still genuinely scales K^2 when both sides grow K-fold;
+  that is the operator's real complexity and exactly why
+  ``ann_topk_batch_lsh`` exists.)
 
 Usage:
     python tools/scale_smoke.py [--factor 8] [--sf-dir /root/testdata/sf0.1]
@@ -85,6 +92,15 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings":
         out = out.withColumn("label", F.col("label") + F.lit(i * 1000))
+        r = i % 64  # rotate by replica index (vectors are 64-dim)
+        if r:
+            out = out.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, size(embedding) - {r}),"
+                    f" slice(embedding, 1, {r}))"
+                ),
+            )
     return out
 
 
@@ -92,7 +108,9 @@ def amplify(spark: SparkSession, sf_dir: str, factor: int, out_dir: str) -> None
     for table in list(_KEY_COLS) + list(_DIM_TABLES):
         src = os.path.join(sf_dir, f"{table}.parquet")
         if not os.path.exists(src):
-            continue
+            # fail loudly: silently skipping would stamp the completion
+            # marker over a partial corpus and poison every later run
+            raise FileNotFoundError(f"fixture table missing: {src}")
         base = spark.read.parquet(src)
         reps = 1 if table in _DIM_TABLES else factor
         df = base
