@@ -150,18 +150,28 @@ class AlterOrchestrator:
                 query.stop()
                 watcher.stop()
 
-            if not alters or restarts >= self.max_restarts:
+            if not alters:
                 return restarts
 
+            # Register BEFORE consulting the restart budget: the DDL
+            # watcher's checkpoint has already committed the batches
+            # that carried these ALTERs, so a bail-out here would drop
+            # their schema versions permanently (no later run ever sees
+            # those events again).
             for database, table, sql in alters:
                 # ALTER events may carry no table (the tap could not
-                # resolve it) — recover both from the SQL text (S5)
+                # resolve it) — recover both from the SQL text (S5).
+                # ``sql`` itself is nullable in the canonical schema;
+                # an unresolvable ALTER evolves nothing but still
+                # registers the current schema version.
                 sql_db, sql_table = alter_target(sql or "")
                 database = database or sql_db
                 table = table or sql_table
                 key = (database or "", table or "")
                 base = self.table_schemas.get(key, StructType([]))
-                evolved = evolve_schema(base, sql)
+                evolved = evolve_schema(base, sql or "")
                 self.table_schemas[key] = evolved
                 self._register(database or "", table or "", evolved)
+            if restarts >= self.max_restarts:
+                return restarts
             restarts += 1
