@@ -41,14 +41,22 @@ from pyspark.sql import types as T
 class Split:
     """One closed-open [lo, hi) range; hi is None on the last split
     (reference emits `col >= lo AND col < hi` except the final split's
-    `col >= lo AND col <= max`, IntegerSplitter.scala:39-58)."""
+    `col >= lo AND col <= max`, IntegerSplitter.scala:39-58).
+
+    The final split also absorbs NULL keys: `col >= lo` alone
+    evaluates NULL (not true) on them, so rows whose split key is NULL
+    would fall outside EVERY split and silently vanish from the
+    union — and an all-NULL column (compute_splits' Split(0, None)
+    case) would snapshot zero rows instead of all of them. The
+    reference dodges this by restricting the split column to a PK;
+    totality here keeps snapshot_table correct for any column."""
 
     lo: int
     hi: int | None
 
     def predicate(self, col: str) -> str:
         if self.hi is None:
-            return f"{col} >= {self.lo}"
+            return f"({col} >= {self.lo} OR {col} IS NULL)"
         return f"{col} >= {self.lo} AND {col} < {self.hi}"
 
 
@@ -169,7 +177,13 @@ def to_insert_mutations(
     bucketed into the generic envelope's typed maps by Spark type —
     the same INT24/VARCHAR/LONG/VAR_STRING bucketing the generic
     serializer applies (KafkaGenericAvroSerializer.scala:70-116;
-    unsupported types dropped, :112)."""
+    unsupported types dropped, :112). ``extra_strings`` adds caller
+    columns (cast to string) into ``new_strings`` — e.g. a source tag.
+
+    The output carries the FULL canonical CHANGE_EVENT_SCHEMA column
+    set (seq=0, sql=NULL included), so snapshot rows union with a live
+    changelog stream and flow through tx grouping / envelope / wire
+    stages unchanged."""
     ints, longs, strs, byts = [], [], [], []
     for field in df.schema.fields:
         if isinstance(field.dataType, _INT_TYPES):
@@ -194,13 +208,31 @@ def to_insert_mutations(
     def null_map(cast: str) -> F.Column:
         return F.lit(None).cast(f"map<string,{cast}>")
 
+    new_strings = typed_map(strs)
+    if extra_strings:
+        pairs = []
+        for nm, col in extra_strings.items():
+            pairs.append(F.lit(nm))
+            pairs.append(col.cast("string"))
+        extra = F.create_map(*pairs)
+        new_strings = (
+            F.map_concat(new_strings, extra) if strs else extra
+        )
+
     return df.select(
+        # seq=0: the entire preload logically precedes the change
+        # stream (changelog_resume_position captures the stream offset
+        # BEFORE the snapshot, so real events carry higher seqs). Keep
+        # preloads out of seq-KEYED redelivery dedup (effectively_once)
+        # — a snapshot is loaded once as a batch, not redelivered.
+        F.lit(0).cast("long").alias("seq"),
         F.lit("insert").alias("op"),
         F.lit(database).alias("database"),
         F.lit(table).alias("table"),
         F.lit(table_id).cast("long").alias("table_id"),
         F.lit(None).cast("string").alias("txid"),
         F.timestamp_seconds(F.lit(0)).alias("ts"),
+        F.lit(None).cast("string").alias("sql"),
         # inserts have no before image; null old_* maps keep the full
         # canonical change-event column set so every downstream stage
         # (envelope, wire, tx grouping) accepts snapshot rows unchanged
@@ -210,7 +242,7 @@ def to_insert_mutations(
         null_map("binary").alias("old_bytes"),
         typed_map(ints, "int").alias("new_integers"),
         typed_map(longs, "bigint").alias("new_longs"),
-        typed_map(strs).alias("new_strings"),
+        new_strings.alias("new_strings"),
         typed_map(byts, "binary").alias("new_bytes"),
     )
 

@@ -24,9 +24,10 @@ def test_integer_splits_even_and_remainder():
     # more splits than values collapses
     s = integer_splits(5, 6, 10)
     assert len(s) == 2
-    # predicates are closed-open except the last
+    # predicates are closed-open except the last, which also absorbs
+    # NULL keys so the union of splits is total over any column
     assert s[0].predicate("id") == "id >= 5 AND id < 6"
-    assert s[1].predicate("id") == "id >= 6"
+    assert s[1].predicate("id") == "(id >= 6 OR id IS NULL)"
 
 
 def test_integer_splits_cover_all_values():
@@ -51,6 +52,21 @@ def test_compute_splits_on_table(spark, sf_dir):
 def test_compute_splits_all_null(spark):
     df = spark.range(3).select(F.lit(None).cast("long").alias("k"))
     assert compute_splits(df, "k") == [Split(0, None)]
+    # ...and that unbounded split actually SELECTS the all-NULL rows:
+    # with a bare `k >= 0` predicate the re-snapshot came back empty
+    assert df.filter(Split(0, None).predicate("k")).count() == 3
+
+
+def test_splits_absorb_null_keys(spark):
+    """Rows whose split key is NULL must land in (exactly) the final
+    split — previously they satisfied no split's predicate and
+    vanished from the union."""
+    df = spark.createDataFrame(
+        [(1,), (5,), (None,), (9,), (None,)], "k int"
+    )
+    splits = compute_splits(df, "k", num_splits=3)
+    total = sum(df.filter(s.predicate("k")).count() for s in splits)
+    assert total == df.count()
 
 
 def test_pick_split_column(spark, sf_dir):
@@ -87,3 +103,33 @@ def test_changelog_resume_position(spark, tmp_path):
     pos = changelog_resume_position(spark, path)
     mx = spark.read.parquet(path).agg(F.max("seq")).collect()[0][0]
     assert pos == mx > 0
+
+
+def test_to_insert_mutations_full_canonical_columns(spark):
+    """Snapshot mutations must carry the FULL canonical change-event
+    column set (seq and sql included) so they union with a live
+    changelog stream and flow through tx grouping unchanged — the
+    module's bootstrap contract. Previously seq/sql were missing and
+    unionByName / tx grouping raised AnalysisException."""
+    from mypipe_spark.changelog import changelog_df
+    from mypipe_spark.model import CHANGE_EVENT_SCHEMA
+    from mypipe_spark.operators.txgroup import committed_mutations
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    )
+    snap = to_insert_mutations(
+        src, database="mypipe", table="t",
+        extra_strings={"source": F.lit("snap")},
+    )
+    assert set(snap.columns) == set(CHANGE_EVENT_SCHEMA.fieldNames())
+    rows = snap.collect()
+    assert all(r["seq"] == 0 and r["sql"] is None for r in rows)
+    assert all(r["new_strings"]["source"] == "snap" for r in rows)
+
+    # preload + live stream through the same pipe: union then tx-group
+    live = changelog_df(spark, num_transactions=2)
+    unioned = snap.unionByName(live)
+    grouped = committed_mutations(unioned)
+    assert grouped.count() > 0
