@@ -108,17 +108,6 @@ def bytes_to_uuid(bytes_col: Column) -> Column:
     )
 
 
-def _fmt_map_entries(map_col: Column, quote: bool) -> Column:
-    """Render a payload map as ``k='v', ...`` / ``k=v, ...`` fragments."""
-    tmpl = "{k}='{v}'" if quote else "{k}={v}"
-    return F.transform(
-        F.map_entries(map_col),
-        lambda e: F.format_string(
-            tmpl.replace("{k}", "%s").replace("{v}", "%s"), e["key"], e["value"].cast("string")
-        ),
-    )
-
-
 def render_sql(df: DataFrame) -> DataFrame:
     """F8 — mutation → SQL text (the stdout producer's rendering,
     StdoutProducer.scala:33-101): INSERT lists columns/values, UPDATE
@@ -126,11 +115,14 @@ def render_sql(df: DataFrame) -> DataFrame:
     renders WHERE from the old image. Output column: ``sql_text``.
 
     Faithful in shape, not byte-identical (the reference interleaves
-    per-type map iteration order; we sort keys for determinism).
+    per-type map iteration order; we sort keys for determinism, and
+    binary values render as their hex digits — the reference prints
+    all four typed maps, so omitting the bytes bucket would emit an
+    empty SET/WHERE clause for BLOB/VAR_STRING-only tables).
     """
 
     def kv_pairs(prefix: str) -> Column:
-        # union of the typed maps, sorted by key for stable output
+        # union of ALL FOUR typed maps, sorted by key for stable output
         merged = F.map_concat(
             F.coalesce(F.col(f"{prefix}_strings"), F.expr("map()")),
             F.coalesce(
@@ -139,6 +131,10 @@ def render_sql(df: DataFrame) -> DataFrame:
             ),
             F.coalesce(
                 F.transform_values(F.col(f"{prefix}_longs"), lambda _, v: v.cast("string")),
+                F.expr("map()"),
+            ),
+            F.coalesce(
+                F.transform_values(F.col(f"{prefix}_bytes"), lambda _, v: F.hex(v)),
                 F.expr("map()"),
             ),
         )

@@ -94,3 +94,17 @@ def test_render_sql(spark):
     assert upd.startswith("UPDATE mypipe.user SET ") and " WHERE " in upd
     dele = rendered.filter(F.col("op") == "delete").select("sql_text").limit(1).collect()[0][0]
     assert dele.startswith("DELETE FROM mypipe.user WHERE ")
+
+
+def test_render_sql_includes_bytes_bucket(spark):
+    """BLOB/VAR_STRING columns land in the bytes maps; render_sql must
+    print them (as hex) like the reference's stdout producer prints
+    all four typed maps — previously a bytes-only table rendered an
+    empty SET clause and UPDATE/DELETE an empty WHERE."""
+    from mypipe_spark.operators.filters import render_sql
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+
+    src = spark.createDataFrame([(b"\x01\xab",)], "payload binary")
+    muts = to_insert_mutations(src, database="mypipe", table="blobs")
+    (row,) = render_sql(muts).select("sql_text").collect()
+    assert row[0] == "INSERT INTO mypipe.blobs SET payload='01AB'"
