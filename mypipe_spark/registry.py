@@ -181,6 +181,21 @@ def load_registry(path: str) -> SchemaRegistry:
 #   POST /subject/<s>/register  body=schema text -> {"id": n}
 #   POST /subject/<s>/lookup    body=schema text -> {"id": n}
 # 404 with a JSON error body for unknown subject/id/schema.
+# Subjects travel percent-encoded in the path (<s> above): names come
+# from user database/table identifiers, and a space, '#', '?', or '/'
+# spliced raw into the request line would truncate or misroute it.
+
+
+def _urlsub(subject: str) -> str:
+    from urllib.parse import quote
+
+    return quote(subject, safe="")
+
+
+def _unsub(path_segment: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(path_segment)
 
 
 class RestSchemaRegistry:
@@ -239,7 +254,7 @@ class RestSchemaRegistry:
             sub = self._cache.get(subject)
             if sub and text in sub.by_schema:
                 return sub.by_schema[text]
-            out = self._http("POST", f"/subject/{subject}/register", text)
+            out = self._http("POST", f"/subject/{_urlsub(subject)}/register", text)
             new_id = int(out["id"])
             self._remember(subject, new_id, text)
             self._latest_cache[subject] = (new_id, text)
@@ -250,7 +265,7 @@ class RestSchemaRegistry:
             sub = self._cache.get(subject)
             if sub and schema_id in sub.by_id:
                 return sub.by_id[schema_id]
-            out = self._http("GET", f"/subject/{subject}/id/{schema_id}")
+            out = self._http("GET", f"/subject/{_urlsub(subject)}/id/{schema_id}")
             if out is None:
                 return None
             self._remember(subject, schema_id, out["schema"])
@@ -262,7 +277,7 @@ class RestSchemaRegistry:
             sub = self._cache.get(subject)
             if sub and text in sub.by_schema:
                 return sub.by_schema[text]
-            out = self._http("POST", f"/subject/{subject}/lookup", text)
+            out = self._http("POST", f"/subject/{_urlsub(subject)}/lookup", text)
             if out is None:
                 return None
             self._remember(subject, int(out["id"]), text)
@@ -276,7 +291,7 @@ class RestSchemaRegistry:
                 self._latest_cache.pop(subject, None)
             if subject in self._latest_cache:
                 return self._latest_cache[subject]
-            out = self._http("GET", f"/subject/{subject}/latest")
+            out = self._http("GET", f"/subject/{_urlsub(subject)}/latest")
             if out is None:
                 return None
             entry = (int(out["id"]), out["schema"])
@@ -288,7 +303,7 @@ class RestSchemaRegistry:
         return list(self._http("GET", "/subjects"))
 
     def versions(self, subject: str) -> list[int]:
-        out = self._http("GET", f"/subject/{subject}/versions")
+        out = self._http("GET", f"/subject/{_urlsub(subject)}/versions")
         return [int(i) for i in out] if out is not None else []
 
 
@@ -318,14 +333,14 @@ def serve_registry(reg: SchemaRegistry, host: str = "127.0.0.1", port: int = 0):
             if self.path == "/subjects":
                 return reply(self, 200, reg.subjects())
             if m := re.fullmatch(r"/subject/([^/]+)/versions", self.path):
-                return reply(self, 200, reg.versions(m.group(1)))
+                return reply(self, 200, reg.versions(_unsub(m.group(1))))
             if m := re.fullmatch(r"/subject/([^/]+)/latest", self.path):
-                latest = reg.get_latest(m.group(1), flush_cache=True)
+                latest = reg.get_latest(_unsub(m.group(1)), flush_cache=True)
                 if latest is None:
                     return reply(self, 404, {"error": "no such subject"})
                 return reply(self, 200, {"id": latest[0], "schema": latest[1]})
             if m := re.fullmatch(r"/subject/([^/]+)/id/(\d+)", self.path):
-                schema = reg.get_schema(m.group(1), int(m.group(2)))
+                schema = reg.get_schema(_unsub(m.group(1)), int(m.group(2)))
                 if schema is None:
                     return reply(self, 404, {"error": "no such schema id"})
                 return reply(self, 200, {"id": int(m.group(2)), "schema": schema})
@@ -336,11 +351,11 @@ def serve_registry(reg: SchemaRegistry, host: str = "127.0.0.1", port: int = 0):
             body = self.rfile.read(length).decode()
             if m := re.fullmatch(r"/subject/([^/]+)/register", self.path):
                 try:
-                    return reply(self, 200, {"id": reg.register(m.group(1), body)})
+                    return reply(self, 200, {"id": reg.register(_unsub(m.group(1)), body)})
                 except OverflowError as e:
                     return reply(self, 409, {"error": str(e)})
             if m := re.fullmatch(r"/subject/([^/]+)/lookup", self.path):
-                sid = reg.get_schema_id(m.group(1), body)
+                sid = reg.get_schema_id(_unsub(m.group(1)), body)
                 if sid is None:
                     return reply(self, 404, {"error": "schema not registered"})
                 return reply(self, 200, {"id": sid})

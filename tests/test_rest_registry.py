@@ -100,3 +100,34 @@ def test_wire_encode_with_rest_repo(spark, live_repo):
     assert int.from_bytes(first[2:4], "big") == client.get_latest(
         generic_subject("insert")
     )[0]
+
+
+def test_rest_registry_encodes_subject_names():
+    """Subject names derive from user database/table identifiers; a
+    space, '#', '?', or '/' must survive the URL round trip instead of
+    truncating or misrouting the HTTP request line."""
+    import threading
+
+    from mypipe_spark.registry import (
+        RestSchemaRegistry,
+        SchemaRegistry,
+        serve_registry,
+    )
+
+    backing = SchemaRegistry()
+    server, base = serve_registry(backing)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = RestSchemaRegistry(base)
+        awkward = "my db_weird#table/insert?v=1"
+        schema = '{"type":"struct","fields":[]}'
+        sid = client.register(awkward, schema)
+        assert backing.get_schema(awkward, sid) == schema
+        fresh = RestSchemaRegistry(base)  # no warm cache: forces GETs
+        assert fresh.get_latest(awkward) == (sid, schema)
+        assert fresh.get_schema(awkward, sid) == schema
+        assert fresh.versions(awkward) == [sid]
+        assert fresh.get_schema_id(awkward, schema) == sid
+    finally:
+        server.shutdown()
