@@ -32,11 +32,53 @@ from .pipe import Pipe
 @dataclass(frozen=True)
 class ErrorPolicy:
     """quit-on-* flags (reference.conf:31-53). True = stop the pipe on
-    that error class; False = divert/skip and continue."""
+    that error class; False = divert/skip and continue.
+
+    Classification (:func:`_quit_for`): :class:`EmptyMutationError` →
+    ``quit_on_empty_mutation``; Spark decode/parse failures (invalid
+    UTF-8, malformed JSON/record, bad cast — the error classes the wire
+    decode layer can raise) → ``quit_on_event_decode_failure``;
+    everything else → ``quit_on_event_handle_failure``."""
 
     quit_on_event_decode_failure: bool = True
     quit_on_event_handle_failure: bool = True
     quit_on_empty_mutation: bool = False
+
+
+class EmptyMutationError(RuntimeError):
+    """Raised by a producer/transform when a mutation carries no rows
+    (the reference's onMutation-with-empty-payload class,
+    reference.conf quit-on-empty-mutation). Gives the policy's third
+    flag a concrete signal to act on."""
+
+
+# Spark error classes (SparkThrowable) raised by the decode layer —
+# string-matched because streaming wraps the root cause inside
+# StreamingQueryException's message.
+_DECODE_ERROR_MARKERS = (
+    "MALFORMED_CHARACTER_CODING",
+    "INVALID_UTF8_STRING",
+    "MALFORMED_RECORD_IN_PARSING",
+    "CANNOT_PARSE_JSON",
+    "CAST_INVALID_INPUT",
+    "MALFORMED_AVRO_MESSAGE",
+)
+
+
+def _quit_for(policy: ErrorPolicy, exc: Exception) -> bool:
+    """Map an exception to the reference's per-class quit flag."""
+    if isinstance(exc, EmptyMutationError):
+        return policy.quit_on_empty_mutation
+    text = str(exc)
+    err_class = getattr(exc, "getErrorClass", None)
+    if callable(err_class):
+        try:
+            text += " " + (err_class() or "")
+        except Exception:  # noqa: BLE001 - classification is best-effort
+            pass
+    if any(marker in text for marker in _DECODE_ERROR_MARKERS):
+        return policy.quit_on_event_decode_failure
+    return policy.quit_on_event_handle_failure
 
 
 def dead_letter_split(df: DataFrame, valid_condition: str) -> tuple[DataFrame, DataFrame]:
@@ -99,6 +141,6 @@ def run_with_error_handling(
         pipe.run_available(spark)
         return None
     except Exception as exc:  # noqa: BLE001 - policy decides
-        if policy.quit_on_event_handle_failure:
+        if _quit_for(policy, exc):
             raise
         return exc

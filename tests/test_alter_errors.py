@@ -155,3 +155,57 @@ def test_quit_on_error_policy(spark, tmp_path):
         spark, bad("ckpt2"), ErrorPolicy(quit_on_event_handle_failure=False)
     )
     assert exc is not None and "poisoned" in str(exc)
+
+
+def test_error_policy_consults_per_class_flags(spark, tmp_path):
+    """The reference's cascade is per-CLASS: a decode failure must obey
+    quit_on_event_decode_failure, not the handle flag — previously only
+    quit_on_event_handle_failure was read and the other two flags were
+    dead config. Drive an ANSI decode() failure (invalid UTF-8) under
+    decode=skip/handle=quit and pin that it is captured, then flipped."""
+    src = str(tmp_path / "garbage")
+    spark.createDataFrame([(b"\xff\xfe\x00",)], "value binary").write.parquet(src)
+
+    def decode_poison(df):
+        return df.withColumn("s", F.expr("decode(value, 'UTF-8')"))
+
+    def bad(ckpt: str) -> Pipe:
+        return Pipe(
+            pipe_id="decode_poison",
+            source=lambda s: s.readStream.schema("value binary").parquet(src),
+            transforms=[decode_poison],
+            producer="memory",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    # decode failures skipped even though handle failures would quit
+    exc = run_with_error_handling(
+        spark,
+        bad("ck_a"),
+        ErrorPolicy(
+            quit_on_event_decode_failure=False,
+            quit_on_event_handle_failure=True,
+        ),
+    )
+    assert exc is not None and "MALFORMED_CHARACTER_CODING" in str(exc)
+    # and the same failure propagates when the decode flag says quit
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        run_with_error_handling(
+            spark,
+            bad("ck_b"),
+            ErrorPolicy(
+                quit_on_event_decode_failure=True,
+                quit_on_event_handle_failure=False,
+            ),
+        )
+
+    # the empty-mutation class routes through its own flag
+    from mypipe_spark.streaming.errors import EmptyMutationError, _quit_for
+
+    policy = ErrorPolicy(
+        quit_on_event_decode_failure=True,
+        quit_on_event_handle_failure=True,
+        quit_on_empty_mutation=False,
+    )
+    assert _quit_for(policy, EmptyMutationError("no rows")) is False
+    assert _quit_for(policy, RuntimeError("other")) is True
