@@ -74,9 +74,17 @@ def _short_be(value_col: Column) -> Column:
 
     Ids outside [0, 0xFFFF] raise at execution time instead of being
     silently truncated to the leftmost hex chars — a corrupted wire
-    header must never be produced."""
+    header must never be produced. A NULL id propagates NULL (the
+    whole frame concats to NULL): a control row or an op whose subject
+    was never registered is "nothing to encode", not a reason to kill
+    the query — previously the NULL fell through the range check into
+    raise_error and one begin/commit row failed the entire stream.
+    Route such rows with :func:`encode_dead_letter_split` (or filter
+    ``value IS NOT NULL``)."""
     v = value_col.cast("int")
-    checked = F.when((v >= 0) & (v <= 0xFFFF), v).otherwise(
+    checked = F.when(v.isNull(), F.lit(None).cast("int")).when(
+        (v >= 0) & (v <= 0xFFFF), v
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("schema id out of 2-byte range: "), v.cast("string")
@@ -250,6 +258,39 @@ def encode_generic(
     return enveloped.withColumn(
         "value", frame(payload_bytes, mtype_byte("op"), F.col("schema_id"))
     )
+
+
+def encode_dead_letter_split(
+    df: DataFrame, registry: SchemaRegistry, codec: str = "json"
+) -> tuple[DataFrame, DataFrame]:
+    """Encode-side twin of :func:`frame_dead_letter_split`: rows the
+    serializer cannot frame divert to a dead-letter branch instead of
+    poisoning the producer query (the reference's serializer returns
+    None on a failed serialize and the producer skips,
+    KafkaAvroSerializer.scala:189-201).
+
+    - ``not_a_mutation``       — op outside insert/update/delete
+      (begin/commit/rollback/alter control rows piped in unfiltered)
+    - ``unregistered_subject`` — mutation op whose generic subject has
+      no registered schema (the id lookup would be NULL)
+
+    Returns ``(encoded_valid, dead)``; valid rows carry the framed
+    ``value`` from :func:`encode_generic`."""
+    known_ops = [
+        op
+        for op in ("insert", "update", "delete")
+        if registry.get_latest(generic_subject(op))
+    ]
+    reason = F.when(
+        ~F.col("op").isin("insert", "update", "delete"), "not_a_mutation"
+    ).when(
+        ~F.col("op").isin(known_ops) if known_ops else F.lit(True),
+        "unregistered_subject",
+    )
+    classified = df.withColumn("dlq_reason", reason)
+    valid = classified.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
+    dead = classified.filter(F.col("dlq_reason").isNotNull())
+    return encode_generic(valid, registry, codec), dead
 
 
 def unframe(value: Column) -> dict[str, Column]:

@@ -333,3 +333,38 @@ def test_frame_dead_letter_split_under_streaming(spark, tmp_path):
     assert len(main_rows) == len(frames)
     assert all(r["magic_ok"] and r["payload"]["database"] == "mypipe" for r in main_rows)
     assert dlq == {"bad_magic", "short_frame", "null_frame", "bad_payload"}
+
+
+def test_encode_control_rows_do_not_kill_the_query(spark):
+    """One begin/commit row piped into encode_generic unfiltered used
+    to hit raise_error through _short_be's NULL schema-id fallthrough
+    and fail the whole query. NULL ids now propagate (NULL frame), and
+    encode_dead_letter_split routes the unframeable rows with reasons
+    while valid mutations encode byte-identically."""
+    from mypipe_spark.sinks.wire import encode_dead_letter_split, encode_generic
+
+    reg = in_memory_repo()
+    full = changelog_df(spark, num_transactions=2)  # mutations + control
+    muts = mutations_only(full)
+
+    # raw encode over the unfiltered stream is total: control rows
+    # frame to NULL, mutations still produce their exact bytes
+    raw = encode_generic(full, reg)
+    assert raw.filter("value IS NULL").count() == full.count() - muts.count()
+    expected = sorted(
+        bytes(r[0]) for r in encode_generic(muts, reg).select("value").collect()
+    )
+    assert sorted(
+        bytes(r[0])
+        for r in raw.filter("value IS NOT NULL").select("value").collect()
+    ) == expected
+
+    # the splitter names the reason instead of leaving NULLs behind
+    encoded, dead = encode_dead_letter_split(full, reg)
+    assert sorted(
+        bytes(r[0]) for r in encoded.select("value").collect()
+    ) == expected
+    assert dead.count() == full.count() - muts.count()
+    assert set(
+        r[0] for r in dead.select("dlq_reason").distinct().collect()
+    ) == {"not_a_mutation"}
