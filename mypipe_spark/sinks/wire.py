@@ -269,8 +269,11 @@ def encode_dead_letter_split(
     None on a failed serialize and the producer skips,
     KafkaAvroSerializer.scala:189-201).
 
-    - ``not_a_mutation``       — op outside insert/update/delete
-      (begin/commit/rollback/alter control rows piped in unfiltered)
+    - ``not_a_mutation``       — op NULL or outside insert/update/
+      delete (begin/commit/rollback/alter control rows piped in
+      unfiltered; a NULL op must not slip through as "valid" just
+      because ``isin`` evaluates NULL on it — it would encode to a
+      silent NULL frame)
     - ``unregistered_subject`` — mutation op whose generic subject has
       no registered schema (the id lookup would be NULL)
 
@@ -282,7 +285,8 @@ def encode_dead_letter_split(
         if registry.get_latest(generic_subject(op))
     ]
     reason = F.when(
-        ~F.col("op").isin("insert", "update", "delete"), "not_a_mutation"
+        F.col("op").isNull() | ~F.col("op").isin("insert", "update", "delete"),
+        "not_a_mutation",
     ).when(
         ~F.col("op").isin(known_ops) if known_ops else F.lit(True),
         "unregistered_subject",

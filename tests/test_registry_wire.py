@@ -368,3 +368,19 @@ def test_encode_control_rows_do_not_kill_the_query(spark):
     assert set(
         r[0] for r in dead.select("dlq_reason").distinct().collect()
     ) == {"not_a_mutation"}
+
+    # a NULL op (corrupt upstream row) must divert too — isin(NULL) is
+    # NULL, so without the explicit isNull check the row would pass as
+    # "valid" and encode to a silent NULL frame
+    from pyspark.sql import functions as F
+
+    nulled = full.withColumn(
+        "op", F.when(F.col("op") == "insert", F.lit(None)).otherwise(F.col("op"))
+    )
+    n_insert = full.filter("op = 'insert'").count()
+    encoded_n, dead_n = encode_dead_letter_split(nulled, reg)
+    assert encoded_n.filter("value IS NULL").count() == 0
+    assert (
+        dead_n.filter("op IS NULL AND dlq_reason = 'not_a_mutation'").count()
+        == n_insert
+    )
