@@ -195,6 +195,42 @@ def round4_frac_sql(num: str, den: str, intdiv: str) -> str:
     )
 
 
+def micro_sum_sql(expr: str) -> str:
+    """SUM of exact micro-units (value·10⁶) of ``expr`` as an integral
+    DECIMAL — the per-row quantization step of every money/ratio sum:
+    cast to DECIMAL(38,6) exactly as the plain money paths do (so both
+    engines see identical summands), then shift the scale out. Exact
+    for per-row values under 10¹⁸ and group sums under 10³². Use with
+    :func:`round_micro_ratio_sql` to round a ratio of sums without a
+    double quotient ever existing."""
+    q = f"CAST(CAST({expr} AS DECIMAL(38,6)) AS DECIMAL(24,6))"
+    return f"SUM(CAST({q} * 1000000 AS DECIMAL(32,0)))"
+
+
+def round_micro_ratio_sql(
+    num_micro: str, den_micro: str, mult: int, digits: int, intdiv: str
+) -> str:
+    """Exact ``CAST(ROUND(mult · num/den, digits) AS DOUBLE)`` where
+    ``num_micro``/``den_micro`` are same-unit integral sums (from
+    :func:`micro_sum_sql`; the micro-scale cancels in the ratio) and
+    the true ratio is non-negative with den > 0 on every produced
+    group. Runs :func:`round_div_sql` over pure integers, so the two
+    engines cannot disagree at .5-repr boundaries the way
+    ``ROUND(double_quotient, n)`` does. A NULL sum (empty input)
+    propagates to a NULL result, matching the double form. ``intdiv``
+    is "div" (Spark, decimal operands) or "//" (DuckDB, HUGEINT)."""
+    k = mult * 10**digits
+    if intdiv == "//":
+        num = f"(CAST({num_micro} AS HUGEINT) * {k})"
+        den = f"CAST({den_micro} AS HUGEINT)"
+    else:
+        num = f"(({num_micro}) * {k})"
+        den = f"({den_micro})"
+    return (
+        f"(CAST({round_div_sql(num, den, intdiv)} AS DOUBLE) / {10**digits})"
+    )
+
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analytics import _avg, _money, _sql_avg, _sql_money
-from .catalog import load_tables, register
+from .catalog import (
+    load_tables,
+    micro_sum_sql,
+    register,
+    round_micro_ratio_sql,
+)
 
 _DEC = "decimal(38,6)"
 
@@ -149,17 +154,26 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q14: promotion effect — conditional aggregation over a join
 # ---------------------------------------------------------------------------
 
+_Q14_DISC = "l_extendedprice * (1 - l_discount)"
+_Q14_PROMO = (
+    f"CASE WHEN p_type = 'PROMO' THEN {_Q14_DISC} ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+def _q14_pct_sql(intdiv: str) -> str:
+    """ROUND(100·promo/total, 4) with both sums as exact micro-unit
+    integers — ROUND over the double quotient diverges between engines
+    at .5-repr boundaries (the q2/centroid failure class, observed live
+    at sf0.1), so no double quotient is allowed to exist."""
+    return round_micro_ratio_sql(
+        micro_sum_sql(_Q14_PROMO), micro_sum_sql(_Q14_DISC), 100, 4, intdiv
+    )
+
+
 @register(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT CAST(ROUND(
-             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                             AS DECIMAL(38,6))
-                                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(38,6))) AS DOUBLE), 4) AS DOUBLE)
-           AS promo_revenue_pct
+    SELECT {_q14_pct_sql("//")} AS promo_revenue_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -171,31 +185,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: share of revenue from promo parts in one month. The
     shipdate filter prunes lineitem before the join; part joins on
     partkey (AQE broadcasts it while it fits, shuffle-hash beyond).
-    Both sums ride one aggregate — a single pass, no self-join."""
+    Both sums ride one aggregate — a single pass, no self-join — and
+    the display rounding runs in exact integer arithmetic
+    (catalog.round_micro_ratio_sql)."""
     t = load_tables(spark, sf_dir)
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     month = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
     )
     return (
         month.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            (
-                F.round(
-                    100.0
-                    * F.sum(
-                        F.when(F.col("p_type") == "PROMO", disc).otherwise(
-                            F.lit(0).cast(_DEC)
-                        )
-                    ).cast("double")
-                    / F.sum(disc).cast("double"),
-                    4,
-                )
-            )
-            .cast("double")
-            .alias("promo_revenue_pct")
-        )
+        .agg(F.expr(_q14_pct_sql("div")).alias("promo_revenue_pct"))
     )
 
 
@@ -203,9 +203,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q17: small-quantity-order revenue — per-group average comparison
 # ---------------------------------------------------------------------------
 
+# ROUND(revenue/7, 2) in exact integer arithmetic (micro-unit sum over
+# the constant 7 in micro-units) — no double quotient, see _q14_pct_sql
+_Q17_AVG_YEARLY = {
+    intdiv: round_micro_ratio_sql(
+        micro_sum_sql(col), "7000000", 1, 2, intdiv
+    )
+    for intdiv, col in (("div", "l_extendedprice"), ("//", "li.l_extendedprice"))
+}
+
+
 @register(
     "q17_small_quantity_revenue",
-    oracle="""
+    oracle=f"""
     WITH li AS (
       SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
       FROM lineitem l
@@ -216,9 +226,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
                AS avg_qty
       FROM li GROUP BY l_partkey)
-    SELECT CAST(ROUND(
-             CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0,
-             2) AS DOUBLE) AS avg_yearly
+    SELECT {_Q17_AVG_YEARLY["//"]} AS avg_yearly
     FROM li JOIN pa ON li.l_partkey = pa.l_partkey
     WHERE li.l_quantity < 0.2 * pa.avg_qty
     """,
@@ -247,11 +255,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2)
-            .cast("double")
-            .alias("avg_yearly")
-        )
+        .agg(F.expr(_Q17_AVG_YEARLY["div"]).alias("avg_yearly"))
     )
 
 
@@ -876,18 +880,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q8: nation market share within a region by year
 # ---------------------------------------------------------------------------
 
+def _q8_share_sql(nation_col: str, intdiv: str) -> str:
+    """ROUND(nation volume / total volume, 4) in exact integer
+    arithmetic — same rationale as :func:`_q14_pct_sql`."""
+    vol = "l_extendedprice * (1 - l_discount)"
+    nation_vol = (
+        f"CASE WHEN {nation_col} = 'NATION_3' THEN {vol}"
+        " ELSE CAST(0 AS DOUBLE) END"
+    )
+    return round_micro_ratio_sql(
+        micro_sum_sql(nation_vol), micro_sum_sql(vol), 1, 4, intdiv
+    )
+
+
 @register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-           CAST(ROUND(
-             CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
-                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                     AS DECIMAL(38,6))
-                           ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(38,6))) AS DOUBLE), 4) AS DOUBLE)
-             AS mkt_share
+           {_q8_share_sql("ns.n_name", "//")} AS mkt_share
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -906,8 +916,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of a region's purchase volume per
     year. Numerator and denominator ride ONE conditional aggregate
     (never two passes); all four dimension joins broadcast, so the
-    only real shuffle is lineitem⋈orders on orderkey. Exact-decimal
-    sums divide once as doubles — deterministic in both engines."""
+    only real shuffle is lineitem⋈orders on orderkey. The share
+    rounds in exact integer arithmetic (no double quotient)."""
     t = load_tables(spark, sf_dir)
     asia_cust = (
         t["customer"]
@@ -930,7 +940,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -938,14 +947,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               "left_semi")
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
-                      .otherwise(F.lit(0).cast(_DEC))).cast("double")
-                / F.sum(vol).cast("double"),
-                4,
-            ).cast("double").alias("mkt_share")
-        )
+        .agg(F.expr(_q8_share_sql("supp_nation", "div")).alias("mkt_share"))
     )
 
 

@@ -244,3 +244,59 @@ def test_avg_sql_text_no_bigint_ceiling(spark):
     con.close()
     assert got_spark == expected
     assert got_duck == expected
+
+
+def test_round_micro_ratio_sql_is_exact_half_up(spark):
+    """round_micro_ratio_sql must equal exact rational half-up rounding
+    in BOTH engines, including on .5-repr boundaries where ROUND over
+    the double quotient diverges (0.54375 → Spark's shortest-repr
+    HALF_UP says 0.5438, DuckDB's binary value says 0.5437 — the q14/
+    q8/q17 ratio displays ran exactly that double ROUND before) and
+    beyond the int64 micro-unit ceiling."""
+    from fractions import Fraction
+
+    from mypipe_spark.plans.catalog import micro_sum_sql, round_micro_ratio_sql
+
+    # (numerator rows, denominator rows, mult, digits)
+    cases = [
+        ([0.54375], [100.0], 100, 4),          # .5-repr boundary at 1e-4
+        ([0.000087], [0.00016], 1, 4),         # 87/160 = 0.54375 again
+        ([12.25, 3.75], [7.0], 1, 2),          # plain q17 shape
+        ([5_000_000_000_000.25], [7.0], 1, 2),  # micro sum ·100 > int64
+        ([1.5, 2.25, 3.125], [2.0, 1.5], 100, 4),
+    ]
+
+    for nums, dens, mult, digits in cases:
+        width = max(len(nums), len(dens))
+        rows = [
+            (
+                nums[i] if i < len(nums) else 0.0,
+                dens[i] if i < len(dens) else 0.0,
+            )
+            for i in range(width)
+        ]
+        t1 = sum(round(Fraction(str(a)) * 1_000_000) for a, _ in rows)
+        t2 = sum(round(Fraction(str(b)) * 1_000_000) for _, b in rows)
+        q = Fraction(t1 * mult * 10**digits, t2)
+        half_up = int(q) + (1 if q - int(q) >= Fraction(1, 2) else 0)
+        expected = float(half_up) / 10**digits
+
+        spark_expr = round_micro_ratio_sql(
+            micro_sum_sql("a"), micro_sum_sql("b"), mult, digits, "div"
+        )
+        got_spark = (
+            spark.createDataFrame(rows, "a double, b double")
+            .selectExpr(f"{spark_expr} AS r")
+            .collect()[0]["r"]
+        )
+        duck_expr = round_micro_ratio_sql(
+            micro_sum_sql("a"), micro_sum_sql("b"), mult, digits, "//"
+        )
+        values = ", ".join(f"({a!r}, {b!r})" for a, b in rows)
+        con = duckdb.connect()
+        got_duck = con.execute(
+            f"SELECT {duck_expr} AS r FROM (VALUES {values}) t(a, b)"
+        ).fetchone()[0]
+        con.close()
+        assert got_spark == expected, (nums, dens, mult, digits)
+        assert got_duck == expected, (nums, dens, mult, digits)
