@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register, round_div_sql
+from .catalog import load_tables, register, round4_double_sql, round_div_sql
 
 _DEC = "decimal(38,6)"
 
@@ -546,15 +546,15 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_array_functions",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            len(embedding) AS dim,
-           CAST(ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4)
-                AS DOUBLE) AS max_val,
-           CAST(ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4)
-                AS DOUBLE) AS min_val,
+           {round4_double_sql("CAST(list_aggregate(embedding, 'max') AS DOUBLE)")}
+             AS max_val,
+           {round4_double_sql("CAST(list_aggregate(embedding, 'min') AS DOUBLE)")}
+             AS min_val,
            len(list_filter(embedding, x -> x > 0)) AS n_positive,
-           CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS first_val
+           {round4_double_sql("CAST(embedding[1] AS DOUBLE)")} AS first_val
     FROM embeddings
     WHERE vec_id < 100
     """,
@@ -566,22 +566,20 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the building blocks the similarity/dedup plans compose). Extrema
     compare exact float32 values; only display rounding at the end."""
     t = load_tables(spark, sf_dir)
+
+    def r4(expr: str, alias: str) -> F.Column:
+        return F.expr(round4_double_sql(expr)).alias(alias)
+
     return (
         t["embeddings"]
         .filter(F.col("vec_id") < 100)
         .select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.round(F.array_max("embedding").cast("double"), 4)
-            .cast("double")
-            .alias("max_val"),
-            F.round(F.array_min("embedding").cast("double"), 4)
-            .cast("double")
-            .alias("min_val"),
+            r4("CAST(array_max(embedding) AS DOUBLE)", "max_val"),
+            r4("CAST(array_min(embedding) AS DOUBLE)", "min_val"),
             F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
-            F.round(F.element_at("embedding", 1).cast("double"), 4)
-            .cast("double")
-            .alias("first_val"),
+            r4("CAST(element_at(embedding, 1) AS DOUBLE)", "first_val"),
         )
     )
 

@@ -195,6 +195,19 @@ def round4_frac_sql(num: str, den: str, intdiv: str) -> str:
     )
 
 
+def round4_double_sql(expr: str) -> str:
+    """Engine-exact ``CAST(ROUND(expr, 4) AS DOUBLE)`` for a raw
+    DOUBLE value: quantize to an integer first. INTEGER rounding of a
+    double is portable — a shortest repr ending in ``.5`` is always
+    binary-exact (one decimal place ⇒ k/2ⁿ), so both engines see the
+    true half-way value — whereas fixed-point ``ROUND(d, 4)`` rounds
+    the shortest decimal repr in Spark but the binary value in DuckDB
+    and diverges on k/10⁵-boundary reprs (0.54375 → 0.5438 vs 0.5437).
+    Same primitive as the similarity plane's quantization (pinned in
+    tests/test_oracle_parity.py)."""
+    return f"(CAST(CAST(ROUND(({expr}) * 10000) AS BIGINT) AS DOUBLE) / 10000)"
+
+
 def micro_sum_sql(expr: str) -> str:
     """SUM of exact micro-units (value·10⁶) of ``expr`` as an integral
     DECIMAL — the per-row quantization step of every money/ratio sum:

@@ -300,3 +300,32 @@ def test_round_micro_ratio_sql_is_exact_half_up(spark):
         con.close()
         assert got_spark == expected, (nums, dens, mult, digits)
         assert got_duck == expected, (nums, dens, mult, digits)
+
+
+def test_round4_double_sql_is_portable_on_boundary_reprs(spark):
+    """round4_double_sql must agree between engines exactly where
+    plain ROUND(d, 4) does not: k/10^5 boundary reprs (0.54375) and
+    binary-exact halves (0.03125)."""
+    from mypipe_spark.plans.catalog import round4_double_sql
+
+    vals = [0.54375, -0.54375, 0.03125, -0.03125, 0.99995, 0.123456789, 0.0]
+    expr_s = round4_double_sql("v")
+    got_spark = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .selectExpr(f"{expr_s} AS r")
+        .collect()
+    ]
+    con = duckdb.connect()
+    values = ", ".join(f"({v!r})" for v in vals)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {round4_double_sql('v')} AS r FROM (VALUES {values}) t(v)"
+        ).fetchall()
+    ]
+    con.close()
+    assert got_spark == got_duck
+    # the binary-exact half rounds away from zero in both engines
+    assert got_spark[vals.index(0.03125)] == 0.0313
+    assert got_spark[vals.index(-0.03125)] == -0.0313
