@@ -30,7 +30,7 @@ try:  # optional fast path when the avro data source jar is present
 except Exception:  # pragma: no cover
     _AVRO_IMPORTABLE = False
 
-_AVRO_PROBE: dict[int, bool] = {}
+_AVRO_PROBE: dict[str, bool] = {}
 
 
 def avro_available(spark) -> bool:
@@ -39,9 +39,13 @@ def avro_available(spark) -> bool:
     with pyspark), but calling ``to_avro`` raises
     AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE unless the external
     spark-avro jar is on the JVM classpath — so availability must be
-    probed by executing, not importing. Cached per session."""
-    key = id(spark)
+    probed by executing, not importing. Cached per session, keyed on
+    applicationId (not ``id(spark)``: a recycled session address would
+    serve a stale probe result — the same hazard the table and shingle
+    caches guard against); stale sessions' entries are evicted."""
+    key = spark.sparkContext.applicationId
     if key not in _AVRO_PROBE:
+        _AVRO_PROBE.clear()  # at most one live session per process
         ok = False
         if _AVRO_IMPORTABLE:
             try:
@@ -318,23 +322,23 @@ def decode_generic(
     payload into the generic envelope struct (K9/K10) with the same
     codec that framed it (see :func:`encode_generic`)."""
     v = F.col(value_col)
-    payload_bytes = v.substr(F.lit(5), F.length(v))
+    parts = unframe(v)
     if codec == "avro":
         if not avro_available(df.sparkSession):
             raise RuntimeError(
                 "codec='avro' needs the spark-avro jar on the JVM classpath"
             )
-        payload = from_avro(payload_bytes, PAYLOAD_AVRO_SCHEMA)
+        payload = from_avro(parts["payload"], PAYLOAD_AVRO_SCHEMA)
     elif codec == "json":
         payload = F.from_json(
-            F.decode(payload_bytes, "UTF-8"), _PAYLOAD_JSON_SCHEMA
+            F.decode(parts["payload"], "UTF-8"), _PAYLOAD_JSON_SCHEMA
         )
     else:
         raise ValueError(f"unknown payload codec: {codec!r}")
     df = (
-        df.withColumn("magic_ok", F.substring(v, 1, 1) == _byte(WIRE_MAGIC))
-        .withColumn("mtype", _short_be_decode(F.substring(v, 2, 1)))
-        .withColumn("schema_id", _short_be_decode(F.substring(v, 3, 2)))
+        df.withColumn("magic_ok", parts["magic_ok"])
+        .withColumn("mtype", parts["mtype"])
+        .withColumn("schema_id", parts["schema_id"])
         .withColumn("payload", payload)
     )
     return df.withColumn("op", _op_from_mtype(F.col("mtype")))
@@ -349,7 +353,10 @@ def _op_from_mtype(mtype: Column) -> Column:
 
 
 def frame_dead_letter_split(
-    df: DataFrame, registry: SchemaRegistry, value_col: str = "value"
+    df: DataFrame,
+    registry: SchemaRegistry,
+    value_col: str = "value",
+    codec: str = "json",
 ) -> tuple[DataFrame, DataFrame]:
     """Classify framed messages BEFORE decoding and divert malformed
     ones to a dead-letter branch — the decode layer of the reference's
@@ -378,6 +385,14 @@ def frame_dead_letter_split(
       does not parse into an envelope (the envelope always carries
       ``database``; a parse yielding none is garbage)
 
+    ``codec`` must match the one that framed the stream (see
+    :func:`encode_generic`): with ``codec="avro"`` the UTF-8 probe is
+    meaningless (Avro bodies are arbitrary bytes), so the payload
+    check becomes a PERMISSIVE ``from_avro`` parse — a frame whose
+    body does not deserialize into the envelope classifies
+    ``bad_payload`` the same way. Mismatching the codec diverts the
+    entire stream as ``bad_payload`` rather than erroring.
+
     Returns ``(decoded_valid, dead)``: valid frames carry the
     :func:`decode_generic` column shape (the payload struct comes from
     the ONE guarded parse that classification already did — the hot
@@ -397,14 +412,32 @@ def frame_dead_letter_split(
     )
     mtypes = sorted(MUTATION_MAGIC.values())
     parts = unframe(v)
-    utf8_ok = F.is_valid_utf8(parts["payload"])
     # ONE parse, guarded so ANSI decode() only ever sees valid UTF-8
     # (CaseWhen evaluates lazily per row); both the classification and
     # the valid branch's payload column read this projection.
-    parsed = F.when(
-        (F.length(v) >= 5) & utf8_ok,
-        F.from_json(F.decode(parts["payload"], "UTF-8"), _PAYLOAD_JSON_SCHEMA),
-    )
+    if codec == "json":
+        utf8_ok = F.is_valid_utf8(parts["payload"])
+        parsed = F.when(
+            (F.length(v) >= 5) & utf8_ok,
+            F.from_json(
+                F.decode(parts["payload"], "UTF-8"), _PAYLOAD_JSON_SCHEMA
+            ),
+        )
+        payload_ok = utf8_ok
+    elif codec == "avro":
+        if not avro_available(df.sparkSession):
+            raise RuntimeError(
+                "codec='avro' needs the spark-avro jar on the JVM classpath"
+            )
+        parsed = F.when(
+            F.length(v) >= 5,
+            from_avro(
+                parts["payload"], PAYLOAD_AVRO_SCHEMA, {"mode": "PERMISSIVE"}
+            ),
+        )
+        payload_ok = F.lit(True)  # the PERMISSIVE parse itself classifies
+    else:
+        raise ValueError(f"unknown payload codec: {codec!r}")
     classified = df.withColumn("__parsed", parsed)
     p = F.col("__parsed")
     reason = (
@@ -416,7 +449,7 @@ def frame_dead_letter_split(
             ~parts["schema_id"].isin(known_ids) if known_ids else F.lit(True),
             "unknown_schema",
         )
-        .when(~utf8_ok, "bad_payload")
+        .when(~payload_ok, "bad_payload")
         .when(p.isNull() | p["database"].isNull(), "bad_payload")
     )
     classified = classified.withColumn("dlq_reason", reason)
@@ -437,9 +470,13 @@ def specific_projection(df: DataFrame, table_schema: StructType, image: str = "n
     """F5 — *specific* envelope: project the typed maps back into real
     per-table columns according to a registered StructType (the
     specific Avro serializer's field copy,
-    KafkaSpecificAvroSerializer.scala:40-53). Missing fields raise at
-    analysis time — the reference likewise rejects rows whose columns
-    are absent from the schema."""
+    KafkaSpecificAvroSerializer.scala:40-53). A missing map COLUMN
+    (e.g. a frame without ``new_integers``) fails at analysis time; a
+    schema field NAME absent from a row's maps projects to NULL —
+    map lookups are data-level, so per-row absence cannot be a plan
+    error. That matches the reference's field copy, which writes only
+    the keys present in the mutation and leaves the rest at their
+    Avro-record defaults (null)."""
     cols: list[Column] = [F.col("database"), F.col("table"), F.col("table_id"), F.col("txid"), F.col("ts")]
     for field in table_schema.fields:
         name = field.name

@@ -118,7 +118,12 @@ class KeyedStateDir:
     ``write`` rewinds the marker to the newest older committed
     snapshot, so the marker never names a directory under rewrite —
     readers see state at most one batch behind until recovery
-    re-commits."""
+    re-commits. Retention pruning honors the same readers: the newest
+    ``retain`` committed snapshots always survive, so a reader holding
+    a just-resolved marker has ``retain`` batch intervals to finish
+    its lazy scan before its directory can be pruned (a slower reader
+    — or one racing the rewind instant — is the inherent plain-FS gap
+    a real table format's snapshot isolation closes)."""
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -160,7 +165,11 @@ class KeyedStateDir:
         return spark.read.parquet(os.path.join(self.root, current))
 
     def write(
-        self, df: DataFrame, batch_id: int, prune_below: int | None = None
+        self,
+        df: DataFrame,
+        batch_id: int,
+        prune_below: int | None = None,
+        retain: int = 2,
     ) -> None:
         version = f"v{batch_id}"
         # Replay case: the marker may already point at v<batch_id>
@@ -190,12 +199,21 @@ class KeyedStateDir:
             # reads at most latest_before(M) >= prune_below, and
             # foreachBatch never replays batches at or before the one
             # whose checkpoint committed — snapshots below the one this
-            # merge consumed are unreachable. Keeps disk at ~2
-            # snapshots instead of one per microbatch forever.
+            # merge consumed are unreachable BY MERGES. External
+            # readers are the reason for ``retain``: a reader that
+            # resolved _LATEST just before two further batches land
+            # would otherwise have its snapshot rmtree'd mid-scan
+            # (lazy parquet reads). Keeping the newest ``retain``
+            # committed snapshots in addition to the consumed one
+            # widens the safe window to ``retain`` batch intervals; a
+            # reader slower than that needs a real table format's
+            # snapshot isolation (module docstring). Disk stays at
+            # ~retain+1 snapshots instead of one per microbatch.
             import shutil
 
+            keep = set(self.complete_versions()[-retain:])
             for v in self.complete_versions():
-                if v < prune_below:
+                if v < prune_below and v not in keep:
                     shutil.rmtree(
                         os.path.join(self.root, f"v{v}"), ignore_errors=True
                     )

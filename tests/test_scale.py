@@ -250,3 +250,48 @@ def test_scale_smoke_amplify_preserves_structure(spark, sf_dir, tmp_path):
     first_rep1 = rep1.orderBy("vec_id").first()
     assert first_rep1["embedding"] != first_base["embedding"]
     assert sorted(first_rep1["embedding"]) == sorted(first_base["embedding"])
+
+
+def test_scale_smoke_amplify_rejects_rotation_overflow(spark, sf_dir, tmp_path):
+    """factor > 64 exceeds the embedding rotation period: replica 64
+    would be bit-identical to replica 0 and quadratically inflate the
+    LSH/near-dup planes — the amplifier must refuse instead of
+    producing a corpus that measures itself."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import scale_smoke
+
+    with _pytest.raises(ValueError, match="rotation period"):
+        scale_smoke.amplify(spark, sf_dir, 65, str(tmp_path / "amp_overflow"))
+
+
+def test_keyed_state_retention_spares_reader_window(spark, sf_dir, tmp_path):
+    """Pruning must keep the newest `retain` committed snapshots even
+    when they sit below prune_below — the window an external reader
+    that just resolved _LATEST needs to finish a lazy scan."""
+    from mypipe_spark.streaming.upsert import KeyedStateDir, latest_state_merge
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts", "event_id")
+        .limit(300)
+    )
+    store = KeyedStateDir(str(tmp_path / "retention"))
+    state = None
+    for b in range(4):
+        chunk = events.limit((b + 1) * 75).subtract(events.limit(b * 75))
+        state = latest_state_merge(state, chunk)
+        prior = store.latest_before(b)
+        store.write(state, b, prune_below=prior)
+        state = store.read_version(spark, b)
+    # prune_below at batch 3 was 2; without the retain window v0 and v1
+    # would both be gone — retain=2 keeps {2, 3} plus nothing older
+    assert store.complete_versions() == [2, 3]
+    # and a tighter retain still never deletes the consumed snapshot
+    assert store.read(spark).count() > 0

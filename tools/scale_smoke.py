@@ -105,6 +105,17 @@ def _replica(df: DataFrame, table: str, i: int) -> DataFrame:
 
 
 def amplify(spark: SparkSession, sf_dir: str, factor: int, out_dir: str) -> None:
+    if factor > 64:
+        # embedding de-correlation is a cyclic rotation of the 64-dim
+        # vector, so replica i and i-64 would be bit-identical — they
+        # would collide in every LSH bucket and re-introduce exactly
+        # the K^2 candidate inflation the amplifier exists to avoid,
+        # making any "superlinear" reading an artifact of the tool.
+        raise ValueError(
+            "factor > 64 exceeds the rotation period of the 64-dim "
+            "embeddings; replicas would repeat and quadratically "
+            "inflate the ANN/dedup planes"
+        )
     for table in list(_KEY_COLS) + list(_DIM_TABLES):
         src = os.path.join(sf_dir, f"{table}.parquet")
         if not os.path.exists(src):
