@@ -43,22 +43,31 @@ def committed_mutations(df: DataFrame, group_by_tx: bool = False) -> DataFrame:
     - ``group_by_tx=True`` emits one row per transaction with the
       mutations collected in order (the ``group-mutations-by-tx``
       flag), sorted by binlog sequence.
-    """
+
+    Mutations with a NULL ``txid`` — snapshot preloads from
+    :func:`..sources.snapshot.to_insert_mutations`, which are committed
+    by construction — pass through instead of silently vanishing into
+    the commit join: per-mutation mode keeps them as-is (their ts IS
+    their commit time); grouped mode emits each as its own
+    single-mutation group (grouping a 100 TB preload into one NULL-key
+    row would be both wrong and a straggler)."""
     mutations = df.filter(is_mutation())
+    preload = mutations.filter(F.col("txid").isNull())
     commits = (
         df.filter(F.col("op") == "commit")
         .select("txid", F.col("ts").alias("commit_ts"))
         .dropDuplicates(["txid"])
     )
     stamped = (
-        mutations.join(commits, "txid")
+        mutations.filter(F.col("txid").isNotNull())
+        .join(commits, "txid")
         .withColumn("event_ts", F.col("ts"))
         .withColumn("ts", F.col("commit_ts"))
         .drop("commit_ts")
     )
     if not group_by_tx:
-        return stamped
-    return (
+        return stamped.unionByName(preload.withColumn("event_ts", F.col("ts")))
+    grouped = (
         stamped.groupBy("txid")
         .agg(
             F.min("ts").alias("ts"),
@@ -68,6 +77,13 @@ def committed_mutations(df: DataFrame, group_by_tx: bool = False) -> DataFrame:
             ).alias("mutations"),
         )
     )
+    singles = preload.select(
+        "txid",
+        "ts",
+        F.lit(1).cast("long").alias("n_mutations"),
+        F.array(F.struct("seq", "op", "database", "table")).alias("mutations"),
+    )
+    return grouped.unionByName(singles)
 
 
 # ---------------------------------------------------------------------------
@@ -76,17 +92,20 @@ def committed_mutations(df: DataFrame, group_by_tx: bool = False) -> DataFrame:
 
 # Events cross the stateful operator as JSON strings: the state layout
 # stays a flat (count, payload) pair regardless of the table schema,
-# exactly like the reference's type-agnostic per-tx buffer.
-_TX_INPUT_COLS = ("txid", "seq", "op", "ts_epoch", "event_json")
+# exactly like the reference's type-agnostic per-tx buffer. Timestamps
+# cross as exact integer MICROSECONDS (unix_micros/timestamp_micros):
+# an epoch-seconds double round-trip truncates sub-second commit times
+# one microsecond low (8.7 s → 8.699999… → .699999), silently breaking
+# stream==batch parity.
 TX_OUTPUT_SCHEMA = (
-    "txid string, seq long, op string, commit_ts_epoch double, event_json string"
+    "txid string, seq long, op string, commit_ts_us long, event_json string"
 )
 # Grouped emission (`group-mutations-by-tx`, reference.conf:14-21;
 # AbstractBinaryLogConsumer.scala:152-177): one row per committed tx.
 # The mutation list crosses the state boundary as JSON so the operator
 # schema stays flat; tx_group_stream re-expands it to array<struct>.
 TX_GROUPED_OUTPUT_SCHEMA = (
-    "txid string, commit_ts_epoch double, n_mutations long, mutations_json string"
+    "txid string, commit_ts_us long, n_mutations long, mutations_json string"
 )
 _TX_MUTATION_STRUCT = (
     "array<struct<seq:bigint, op:string, database:string, table:string>>"
@@ -100,7 +119,15 @@ def _make_tx_state_fn(reap_open_tx_ms: int | None, group_by_tx: bool = False):
     ) -> Iterator[pd.DataFrame]:
         """Per-txid state machine: buffer mutations; flush on commit
         with the commit timestamp; discard on rollback; optionally
-        expire abandoned transactions on processing-time timeout."""
+        expire abandoned transactions on processing-time timeout.
+
+        The batch's rows are replayed in GLOBAL binlog (seq) order and
+        the control ops are applied sequentially — a rollback clears
+        exactly the mutations buffered before it, a commit flushes
+        exactly the ones before it. Folding the controls into a single
+        last-winner outcome would make [m1, m2, rollback, m3, commit]
+        within one microbatch emit the rolled-back m1/m2, and the
+        result would change with microbatch chunking."""
         import json
 
         if reap_open_tx_ms is not None and state.hasTimedOut:
@@ -110,60 +137,57 @@ def _make_tx_state_fn(reap_open_tx_ms: int | None, group_by_tx: bool = False):
         (buffered,) = state.get if state.exists else ("[]",)
         events: list[dict] = json.loads(buffered)
 
-        outcome: str | None = None
-        commit_ts = None
-        for pdf in pdfs:
-            for row in pdf.sort_values("seq").itertuples(index=False):
-                if row.op in ("insert", "update", "delete"):
-                    events.append(
-                        {"seq": int(row.seq), "op": row.op, "event_json": row.event_json}
-                    )
-                elif row.op == "commit":
-                    outcome, commit_ts = "commit", float(row.ts_epoch)
-                elif row.op == "rollback":
-                    outcome = "rollback"
+        rows = [r for pdf in pdfs for r in pdf.itertuples(index=False)]
+        rows.sort(key=lambda r: int(r.seq))
+        flushes: list[tuple[list[dict], int]] = []
+        for row in rows:
+            if row.op in ("insert", "update", "delete"):
+                events.append(
+                    {"seq": int(row.seq), "op": row.op, "event_json": row.event_json}
+                )
+            elif row.op == "commit":
+                if events:
+                    # Buffered state events may interleave with this
+                    # batch's — restore binlog order at flush time.
+                    events.sort(key=lambda e: e["seq"])
+                    flushes.append((events, int(row.ts_us)))
+                events = []
+            elif row.op == "rollback":
+                events = []
 
-        if outcome == "commit":
-            state.remove()
-            if events:
-                # Restore original binlog order at commit time: a tx
-                # whose rows span several Arrow chunks (or microbatches)
-                # accumulates out of order; per-chunk sort_values alone
-                # does not cover that.
-                events.sort(key=lambda e: e["seq"])
-                if group_by_tx:
-                    muts = []
-                    for e in events:
-                        ej = json.loads(e["event_json"])
-                        muts.append(
-                            {
-                                "seq": e["seq"],
-                                "op": e["op"],
-                                "database": ej.get("database"),
-                                "table": ej.get("table"),
-                            }
-                        )
-                    yield pd.DataFrame(
-                        {
-                            "txid": [key[0]],
-                            "commit_ts_epoch": [commit_ts],
-                            "n_mutations": [len(muts)],
-                            "mutations_json": [json.dumps(muts)],
-                        }
-                    )
-                else:
-                    out = pd.DataFrame(events)
-                    out.insert(0, "txid", key[0])
-                    out["commit_ts_epoch"] = commit_ts
-                    yield out[
-                        ["txid", "seq", "op", "commit_ts_epoch", "event_json"]
-                    ]
-        elif outcome == "rollback":
-            state.remove()
-        else:
+        if events:
             state.update((json.dumps(events),))
             if reap_open_tx_ms is not None:
                 state.setTimeoutDuration(reap_open_tx_ms)
+        else:
+            state.remove()
+
+        for flushed, commit_us in flushes:
+            if group_by_tx:
+                muts = []
+                for e in flushed:
+                    ej = json.loads(e["event_json"])
+                    muts.append(
+                        {
+                            "seq": e["seq"],
+                            "op": e["op"],
+                            "database": ej.get("database"),
+                            "table": ej.get("table"),
+                        }
+                    )
+                yield pd.DataFrame(
+                    {
+                        "txid": [key[0]],
+                        "commit_ts_us": [commit_us],
+                        "n_mutations": [len(muts)],
+                        "mutations_json": [json.dumps(muts)],
+                    }
+                )
+            else:
+                out = pd.DataFrame(flushed)
+                out.insert(0, "txid", key[0])
+                out["commit_ts_us"] = commit_us
+                yield out[["txid", "seq", "op", "commit_ts_us", "event_json"]]
 
     return _tx_state_fn
 
@@ -196,13 +220,18 @@ def tx_group_stream(
     Structured Streaming schedule timeout-check microbatches
     continuously, so ``processAllAvailable``-style draining never
     idles — only enable it on long-running production streams."""
-    keyed = df.select(
+    tagged = df.select(
         "txid",
         "seq",
         "op",
-        F.col("ts").cast("double").alias("ts_epoch"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         F.to_json(F.struct(*df.columns)).alias("event_json"),
-    ).filter(F.col("txid").isNotNull())
+    )
+    keyed = tagged.filter(F.col("txid").isNotNull())
+    # Snapshot preloads (txid NULL, committed by construction) bypass
+    # the per-tx state machine — mirroring committed_mutations' pass-
+    # through: per-mutation rows as-is, or single-mutation groups.
+    preload = tagged.filter(F.col("txid").isNull() & is_mutation())
 
     grouped = keyed.groupBy("txid").applyInPandasWithState(
         _make_tx_state_fn(reap_open_tx_ms, group_by_tx=group_by_tx),
@@ -217,9 +246,39 @@ def tx_group_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+    if group_by_tx:
+        grouped = grouped.unionByName(
+            preload.select(
+                "txid",
+                F.col("ts_us").alias("commit_ts_us"),
+                F.lit(1).cast("long").alias("n_mutations"),
+                F.to_json(
+                    F.array(
+                        F.struct(
+                            "seq",
+                            "op",
+                            F.get_json_object("event_json", "$.database").alias(
+                                "database"
+                            ),
+                            F.get_json_object("event_json", "$.table").alias(
+                                "table"
+                            ),
+                        )
+                    )
+                ).alias("mutations_json"),
+            )
+        )
+    else:
+        grouped = grouped.unionByName(
+            preload.select(
+                "txid", "seq", "op",
+                F.col("ts_us").alias("commit_ts_us"),
+                "event_json",
+            )
+        )
     stamped = grouped.withColumn(
-        "ts", F.timestamp_seconds(F.col("commit_ts_epoch"))
-    ).drop("commit_ts_epoch")
+        "ts", F.timestamp_micros(F.col("commit_ts_us"))
+    ).drop("commit_ts_us")
     if group_by_tx:
         stamped = stamped.select(
             "txid",

@@ -420,8 +420,14 @@ def cdc_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
 
+    # NULL event times can satisfy neither side of a two-way filter
+    # split and would silently vanish from the merge while the full
+    # recompute counts them — route them with the delta (they never
+    # graduate to the frozen old materialization).
     old = partial(t["events"].filter(F.col("ts") < cutoff))
-    delta = partial(t["events"].filter(F.col("ts") >= cutoff))
+    delta = partial(
+        t["events"].filter((F.col("ts") >= cutoff) | F.col("ts").isNull())
+    )
     return (
         old.unionByName(delta)
         .groupBy("user_id", "event_type")

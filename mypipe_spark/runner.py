@@ -103,7 +103,10 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
         if cond:
             transforms.append(lambda df, _c=cond: include_events(df, _c))
         if pconf.get("group-mutations-by-tx"):
-            transforms.append(tx_group_stream)
+            # the reference flag means ONE record per committed tx
+            # (reference.conf:14-21) — commit-gated per-mutation rows
+            # are tx_group_stream's default, not its grouped form
+            transforms.append(lambda df: tx_group_stream(df, group_by_tx=True))
         elif pconf.get("mutations-only", True):
             transforms.append(mutations_only)
         topic_template = pconf.get("topic-template")

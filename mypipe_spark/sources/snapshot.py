@@ -93,7 +93,16 @@ def compute_splits(
     ).collect()[0]
     if row["lo"] is None or row["hi"] is None:
         return [Split(0, None)]
-    return integer_splits(int(row["lo"]), int(row["hi"]), num_splits)
+    # floor, not int(): int() truncates toward zero, so a fractional
+    # negative minimum (-3.7 → -3) would yield a first predicate
+    # `col >= -3` that silently excludes the minimum rows when the
+    # split column is non-integer (the helper does not require the
+    # pick_split_column integer gate).
+    import math
+
+    return integer_splits(
+        math.floor(row["lo"]), math.floor(row["hi"]), num_splits
+    )
 
 
 def pick_split_column(df: DataFrame, pk_columns: list[str]) -> str:
@@ -206,10 +215,20 @@ def to_insert_mutations(
         return F.create_map(*pairs)
 
     def null_map(cast: str) -> F.Column:
-        return F.lit(None).cast(f"map<string,{cast}>")
+        # same construction as typed_map([], cast) — named for intent
+        # at the old_* call sites
+        return typed_map([], cast)
 
     new_strings = typed_map(strs)
     if extra_strings:
+        clash = sorted(set(extra_strings) & set(strs))
+        if clash:
+            # fail at plan time with a nameable error — map_concat of
+            # duplicate keys would otherwise throw DUPLICATED_MAP_KEY
+            # deep inside the job under Spark's default dedup policy
+            raise ValueError(
+                f"extra_strings keys collide with table columns: {clash}"
+            )
         pairs = []
         for nm, col in extra_strings.items():
             pairs.append(F.lit(nm))

@@ -13,10 +13,11 @@ restart the same pipe id with the same checkpoint dir and the stream
 continues exactly after the last committed batch — the property
 MySQLSpec.scala:91-146 pins down for the reference.
 
-Error handling (T11-T12) wraps the sink in foreachBatch when a
-dead-letter path is configured: rows failing the user predicate are
-diverted, and ``quit_on_error`` mirrors the reference's quit-on-*
-config family (reference.conf:31-53).
+Error handling (T11-T12) lives in :mod:`.errors`, not on Pipe itself:
+``run_pipe_with_dead_letter`` splits a pipe into valid/dead branch
+queries by a SQL predicate, and ``run_with_error_handling`` applies an
+``ErrorPolicy`` (the reference's quit-on-* config family,
+reference.conf:31-53) around a pipe run.
 """
 
 from __future__ import annotations

@@ -63,8 +63,16 @@ def test_run_from_config_tx_grouped(spark, tmp_path):
     out = spark.sql("select * from cfg_tx")
     from mypipe_spark.operators.txgroup import committed_mutations
 
-    expected = committed_mutations(spark.read.parquet(src)).count()
-    assert out.count() == expected
+    # the flag means ONE row per committed transaction — compare both
+    # the row count and the per-tx mutation counts against the batch
+    # grouped form
+    expected = committed_mutations(
+        spark.read.parquet(src), group_by_tx=True
+    )
+    assert out.count() == expected.count()
+    assert sorted(
+        (r["txid"], r["n_mutations"]) for r in out.collect()
+    ) == sorted((r["txid"], r["n_mutations"]) for r in expected.collect())
 
 
 def test_custom_consumer_registration(spark):

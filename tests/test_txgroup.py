@@ -175,3 +175,146 @@ def test_tx_group_stream_open_tx_held_back(spark, tmp_path):
     got = spark.sql("select seq, txid from txg2").collect()
     assert {r["seq"] for r in got} == {2}
     assert all(r["txid"] == "A" for r in got)
+
+
+def test_tx_stream_subsecond_commit_ts_exact(spark, tmp_path):
+    """Commit timestamps with sub-second precision must round-trip the
+    state machine exactly: the old epoch-seconds double ride truncated
+    8.7 s to .699999 (double fraction is below 8.7), silently breaking
+    stream==batch parity. Timestamps now cross as integer micros."""
+    from datetime import datetime, timedelta
+
+    from mypipe_spark.sources.stream import changelog_stream
+
+    epoch = datetime(2024, 1, 15, 10, 0, 0)
+
+    def ev(seq, op, txid, micros):
+        return {
+            "seq": seq, "op": op, "database": "mypipe", "table": "user",
+            "table_id": 1, "txid": txid,
+            "ts": epoch + timedelta(microseconds=micros),
+            "sql": None,
+            "old_integers": None, "old_longs": None, "old_strings": None,
+            "old_bytes": None,
+            "new_integers": {"id": seq}, "new_longs": None,
+            "new_strings": None, "new_bytes": None,
+        }
+
+    rows = [
+        ev(1, "begin", "tx1", 8_100_000),
+        ev(2, "insert", "tx1", 8_200_000),
+        ev(3, "commit", "tx1", 8_700_000),  # .7 s — the truncation case
+    ]
+    src = str(tmp_path / "subsec")
+    spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.parquet(src)
+
+    batch_ts = {
+        r["ts"]
+        for r in committed_mutations(
+            spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(src)
+        ).collect()
+    }
+    assert batch_ts == {epoch + __import__("datetime").timedelta(microseconds=8_700_000)}
+
+    out = tx_group_stream(changelog_stream(spark, src))
+    q = (
+        out.writeStream.format("memory").queryName("subsec")
+        .option("checkpointLocation", str(tmp_path / "ck_subsec"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_ts = {r["ts"] for r in spark.sql("select ts from subsec").collect()}
+    assert got_ts == batch_ts  # exactly .700000, not .699999
+
+
+def test_tx_stream_midbatch_rollback_sequencing(spark, tmp_path):
+    """Controls must apply in seq order WITHIN a microbatch: with
+    [m1, m2, rollback, m3, commit] for one txid arriving in a single
+    batch, only m3 commits — a last-control-wins fold would flush the
+    rolled-back m1/m2, and the result would depend on how the stream
+    happened to be chunked."""
+    from datetime import datetime, timedelta
+
+    from mypipe_spark.sources.stream import changelog_stream
+
+    epoch = datetime(2024, 1, 15, 10, 0, 0)
+
+    def ev(seq, op):
+        return {
+            "seq": seq, "op": op, "database": "mypipe", "table": "user",
+            "table_id": 1, "txid": "txr",
+            "ts": epoch + timedelta(seconds=seq), "sql": None,
+            "old_integers": None, "old_longs": None, "old_strings": None,
+            "old_bytes": None,
+            "new_integers": {"id": seq}, "new_longs": None,
+            "new_strings": None, "new_bytes": None,
+        }
+
+    rows = [
+        ev(1, "insert"), ev(2, "insert"), ev(3, "rollback"),
+        ev(4, "insert"), ev(5, "commit"),
+    ]
+    src = str(tmp_path / "midroll")
+    spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.parquet(src)
+
+    # one file + no trigger cap -> the whole sequence lands in ONE batch
+    out = tx_group_stream(
+        changelog_stream(spark, src, max_files_per_trigger=None)
+    )
+    q = (
+        out.writeStream.format("memory").queryName("midroll")
+        .option("checkpointLocation", str(tmp_path / "ck_midroll"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["seq"] for r in spark.sql("select seq from midroll").collect())
+    assert got == [4]  # m1/m2 rolled back, only m3 (seq 4) committed
+
+
+def test_snapshot_preload_flows_through_tx_grouping(spark, sf_dir, tmp_path):
+    """sources/snapshot.py's contract: preload rows (txid NULL,
+    committed by construction) union with a changelog and flow through
+    tx grouping — they must pass through committed_mutations AND
+    tx_group_stream instead of vanishing into the commit join."""
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+    from mypipe_spark.sources.stream import changelog_stream
+
+    snap = to_insert_mutations(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").limit(20),
+        "mypipe", "customer", table_id=7,
+    )
+    cl = changelog_df(spark, num_transactions=5, rollback_prob=0.0)
+    union = cl.unionByName(snap)
+
+    # batch: per-mutation and grouped forms both carry the preload
+    per_mut = committed_mutations(union)
+    assert per_mut.filter("txid IS NULL").count() == 20
+    grouped = committed_mutations(union, group_by_tx=True)
+    singles = grouped.filter("txid IS NULL")
+    assert singles.count() == 20
+    assert singles.filter("n_mutations = 1").count() == 20
+
+    # streaming: same union through the stateful form — one seq-ordered
+    # file (the changelog source contract is commit-order delivery; a
+    # commit seen before its mutations would flush nothing)
+    src = str(tmp_path / "snapcl")
+    union.orderBy("seq", "txid").coalesce(1).write.parquet(src)
+    out = tx_group_stream(changelog_stream(spark, src))
+    q = (
+        out.writeStream.format("memory").queryName("snapcl")
+        .option("checkpointLocation", str(tmp_path / "ck_snapcl"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from snapcl")
+    assert got.filter("txid IS NULL").count() == 20
+    assert got.count() == per_mut.count()
