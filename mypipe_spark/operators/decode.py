@@ -32,7 +32,22 @@ from ..model import (
 # `ALTER TABLE [db.]table ...` — mirrors decodeDatabaseFromAlter /
 # decodeTableFromAlter token walk (AbstractMySQLBinaryLogConsumer.scala:92-111)
 # but as a single anchored regex the optimizer can constant-fold around.
-_ALTER_RE = r"(?i)^\s*ALTER\s+(?:IGNORE\s+)?TABLE\s+`?(?:(\w+)`?\.`?)?(\w+)`?"
+# Identifiers: backticked (any non-backtick chars) or unquoted (MySQL
+# unquoted identifiers may contain `$` — a bare \w+ would silently
+# truncate `user$archive` to `user` and target the wrong table).
+# Groups: 1/2 = first identifier (quoted/unquoted), 3/4 = second; when
+# the second is absent the first IS the table and the db is implicit.
+_ALTER_RE = (
+    r"(?i)^\s*ALTER\s+(?:IGNORE\s+)?TABLE\s+"
+    r"(?:`([^`]+)`|([\w$]+))(?:\s*\.\s*(?:`([^`]+)`|([\w$]+)))?"
+)
+
+
+def _alter_idents(sql: Column) -> tuple[Column, Column]:
+    def grp(i: int) -> Column:
+        return F.nullif(F.regexp_extract(sql, _ALTER_RE, i), F.lit(""))
+
+    return F.coalesce(grp(1), grp(2)), F.coalesce(grp(3), grp(4))
 
 
 def classify_query(sql: Column) -> Column:
@@ -55,13 +70,15 @@ def classify_query(sql: Column) -> Column:
 def alter_database(sql: Column, default_db: Column | None = None) -> Column:
     """Database targeted by an ALTER; falls back to the event's session
     database when unqualified (reference behaviour, :92-99)."""
-    db = F.nullif(F.regexp_extract(sql, _ALTER_RE, 1), F.lit(""))
+    first, second = _alter_idents(sql)
+    db = F.when(second.isNotNull(), first)
     return F.coalesce(db, default_db) if default_db is not None else db
 
 
 def alter_table(sql: Column) -> Column:
     """Table targeted by an ALTER (reference :101-111)."""
-    return F.nullif(F.regexp_extract(sql, _ALTER_RE, 2), F.lit(""))
+    first, second = _alter_idents(sql)
+    return F.coalesce(second, first)
 
 
 def decode_query_events(df: DataFrame, sql_col: str = "sql") -> DataFrame:
@@ -70,11 +87,18 @@ def decode_query_events(df: DataFrame, sql_col: str = "sql") -> DataFrame:
     Adds/overwrites ``op`` with the query class, and for ALTER events
     resolves ``database``/``table`` from the statement text itself
     (the reference's decodeEvent path, S3-S5).
+
+    Rows with a NULL ``sql`` keep their existing ``op`` untouched: the
+    canonical stream carries sql only on query events (mutations and
+    snapshot preloads have sql=NULL), and classify_query(NULL) would
+    fall through every prefix test and reclassify them all 'unknown' —
+    after which mutations_only would drop the entire data stream.
     """
     sql = F.col(sql_col)
-    is_alter = classify_query(sql) == QUERY_ALTER
+    is_alter = sql.isNotNull() & (classify_query(sql) == QUERY_ALTER)
+    new_op = F.when(sql.isNotNull(), classify_query(sql)).otherwise(F.col("op"))
     return (
-        df.withColumn("op", classify_query(sql))
+        df.withColumn("op", new_op)
         .withColumn(
             "database",
             F.when(is_alter, alter_database(sql, F.col("database"))).otherwise(F.col("database")),

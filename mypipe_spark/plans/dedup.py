@@ -32,7 +32,7 @@ shingle/band), the standard web-scale dedup topology.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_tables, register, round4_frac_sql, scale_out
@@ -480,9 +480,15 @@ def _minhash_oracle() -> str:
       FROM sh GROUP BY doc_id),
     bands AS (
       {band_union}),
+    small_buckets AS (
+      SELECT band_id, band_key FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) <= {_STOP_SHINGLE_DF_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN small_buckets s
+        ON s.band_id = a.band_id AND s.band_key = a.band_key
+      JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
@@ -524,14 +530,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verification join; the shared session-persisted shingle table
     # (see shingle_arrays) means split+shingling runs once per corpus,
     # not once per query.
-    arr = shingle_arrays(spark, sf_dir)
+    return minhash_pairs_from_arrays(shingle_arrays(spark, sf_dir))
+
+
+def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
+    """MinHash+LSH pairs from any (doc_id, n_sh, hsh) table — the
+    testable core of :func:`dedup_minhash_lsh` (mirrors
+    :func:`jaccard_pairs_from_arrays`)."""
     # 16 minhashes + shingle count per doc, all row-local array
     # expressions — the signature stage involves NO shuffle at all
     # (the old form exploded shingles and re-aggregated by doc_id).
     # ``md5i`` is a named intermediate so the one-digest-per-shingle
     # array is computed once and shared by all 16 minhash transforms.
-    sigs = arr.withColumn("md5i", _md5_int_array()).select(
-        "doc_id", "n_sh", *_minhash_sig_cols()
+    # Zero-shingle docs (shorter than the n-gram window) are excluded
+    # BEFORE signing: array_min over an empty array is NULL, NULL band
+    # keys group together, and the pair verification divides by
+    # na+nb-n_common = 0 — an ANSI DIVIDE_BY_ZERO that killed the
+    # query on any corpus with two such docs. The oracle never sees
+    # them either (they produce no exploded-shingle rows).
+    sigs = (
+        arr.filter(F.col("n_sh") > 0)
+        .withColumn("md5i", _md5_int_array())
+        .select("doc_id", "n_sh", *_minhash_sig_cols())
     )
     # bands as one posexplode over an array literal of band keys — one
     # pass over sigs instead of a 4-way union
@@ -547,7 +567,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") >= 2)
+        # same cap discipline as the jaccard inverted index: a bucket
+        # of k boilerplate near-copies emits C(k,2) pairs, so an uncapped
+        # hot bucket is quadratic — bound every band term to C(cap, 2)
+        # (false-negative-only, exactly like the stop-shingle cap; the
+        # oracle applies the identical bound)
+        .filter(
+            (F.size("docs") >= 2) & (F.size("docs") <= _STOP_SHINGLE_DF_CAP)
+        )
         .select(
             F.explode(
                 F.expr(
@@ -597,22 +624,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash (hash-dependent sketch — rows-only check + pytest ground truth)
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 32
+_SIMHASH_BITS = 64
+_SIMHASH_BLOCKS = 8  # 8 blocks of 8 bits
+_SIMHASH_HAMMING = 6
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # murmur3-based sketch: not portable to DuckDB; pytest
+    oracle=None,  # xxhash64-based sketch: not portable to DuckDB; pytest
     tags=("dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint per doc + near-dup pairs at Hamming ≤ 3.
+    """SimHash fingerprint per doc + near-dup pairs at Hamming ≤ 6.
 
-    Per doc: murmur3-hash each 60-bit shingle id (F.hash — JVM-side),
-    take each of 32 bits as ±1 votes, sign of the vote sum per bit is
-    the fingerprint bit. Pairs are generated by banding the fingerprint
-    into 4 bytes (pigeonhole: Hamming ≤ 3 ⇒ ≥1 identical byte), then
-    verified with bit_count(xor) — never a cross join.
+    Per doc: xxhash64 each 60-bit shingle id (JVM-side), take each of
+    64 bits as ±1 votes, sign of the vote sum per bit is the
+    fingerprint bit. Candidate generation is Manku-style combination
+    banding (Manku/Jain/Das Sarma, WWW'07 — public algorithm): split
+    the fingerprint into 8 blocks of 8 bits and post each doc under
+    every C(8,2) = 28 block-PAIR key (16 bits each). Pigeonhole: ≤ 6
+    differing bits dirty at most 6 blocks, leaving ≥ 2 clean blocks
+    whose pair key matches — recall at the threshold is GUARANTEED,
+    not probabilistic. Candidates verify with bit_count(xor); never a
+    cross join.
+
+    Why not single 8-bit blocks as keys: an 8-bit key collides two
+    UNRELATED docs with probability 1/256 — ~N²/64 accidental
+    candidates at scale, effectively the cross join banding exists to
+    avoid. The 16-bit pair keys collide at 1/65536, bounding
+    accidental volume to ~28·N²/2¹⁶, and the hot-bucket cap bounds
+    any residual boilerplate bucket to C(cap, 2). 64 fingerprint bits
+    (not 32) keep the same looseness at double the resolution — a
+    J≥0.8 pair's expected Hamming scales with width, so the 32-bit
+    threshold 3 maps to 6 of 64.
 
     Engine-specific hashing ⇒ no SQL oracle; tests/test_dedup.py pins
     recall against the exact-Jaccard pairs."""
@@ -622,25 +666,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = sh.select(
         "doc_id",
         *[
-            (F.shiftright(F.hash("shingle"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            (F.shiftright(F.xxhash64("shingle"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
             for i in range(_SIMHASH_BITS)
         ],
     )
     votes = bits.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"v{i}") for i in range(_SIMHASH_BITS)]
     )
-    fp_expr = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    # assemble via bitwise OR of shifted bits — a summed CAST(1<<63)
+    # literal would not fit in BIGINT, and OR has no overflow semantics
+    fp_expr = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i})"
+        " ELSE CAST(0 AS BIGINT) END)"
         for i in range(_SIMHASH_BITS)
     )
     fps = votes.select("doc_id", F.expr(fp_expr).alias("simhash"))
-    # Band buckets as posting lists (same shape as the MinHash-LSH
-    # path): ONE pass over the fingerprints — explode each doc into
-    # its 4 (band_id, band_key) buckets, collect each bucket's doc
-    # list, and emit candidate pairs with their Hamming distance from
-    # the sorted array. The old 4-way union + self-join re-evaluated
-    # the whole unpersisted 32-aggregate vote pipeline once per union
-    # branch per join side (~8×, measured ~3× wall-clock on this op).
+    # Combination-band buckets as posting lists (same shape as the
+    # MinHash-LSH path): ONE pass over the fingerprints — explode each
+    # doc into its 28 (band_id, band_key) block-pair buckets, collect
+    # each bucket's doc list, and emit candidate pairs with their
+    # Hamming distance from the sorted array.
+    def _block(b: int) -> F.Column:
+        return F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF))
+
+    combos = [
+        (i, j)
+        for i in range(_SIMHASH_BLOCKS)
+        for j in range(i + 1, _SIMHASH_BLOCKS)
+    ]
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -648,12 +701,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(byte).alias("band_id"),
-                        F.shiftright("simhash", byte * 8)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("band_key"),
+                        F.lit(band_id).alias("band_id"),
+                        (F.shiftleft(_block(i), 8) + _block(j)).alias("band_key"),
                     )
-                    for byte in range(4)
+                    for band_id, (i, j) in enumerate(combos)
                 ]
             )
         ).alias("bk"),
@@ -661,7 +712,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        # same hot-bucket cap as the other two dedup topologies: k
+        # boilerplate copies share a fingerprint and would emit C(k,2)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _STOP_SHINGLE_DF_CAP))
     )
     pairs = grouped.select(
         F.explode(
@@ -675,7 +728,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
-    return pairs.distinct().filter(F.col("hamming") <= 3)
+    return pairs.distinct().filter(F.col("hamming") <= _SIMHASH_HAMMING)
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ from .catalog import load_tables, register, round4_frac_sql
 # Marker stopwords for the language-ID heuristic and quality score.
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
 _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
-_SW_SPARK = ", ".join(f"'{w}'" for w in _STOPWORDS)
+_SW_SPARK = _SW_SQL  # one constant: the oracle and the plan must agree
 
 
 @register(
@@ -146,7 +146,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(text)) AS content_hash,
+           md5(text) AS content_hash,
            md5(array_to_string(list_sort(list_distinct(
                string_split(lower(text), ' '))), ' ')) AS bag_hash
     FROM documents
@@ -155,14 +155,19 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact content hash + an order-insensitive
-    bag-of-words hash (sorted distinct tokens re-joined → md5), the
-    cheap word-shuffle-dup detector. Both are pure projections; at
-    100 TB the fingerprints become the groupBy keys for incremental
-    dedup (new batch vs corpus = hash anti-join, not text compare)."""
+    bag-of-words hash (lowercased sorted distinct tokens re-joined →
+    md5), the cheap word-shuffle-dup detector. content_hash is
+    md5(text) VERBATIM — the same key dedup_exact and
+    incremental_dedup_flags group/join on, so this table IS the
+    materialized fingerprint corpus those ops read (a case-folded hash
+    here would wrongly flag case-variant docs as exact dups). Both
+    columns are pure projections; at 100 TB the fingerprints become
+    the groupBy keys for incremental dedup (new batch vs corpus =
+    hash anti-join, not text compare)."""
     t = load_tables(spark, sf_dir)
     return t["documents"].select(
         "doc_id",
-        F.md5(F.lower("text").cast("binary")).alias("content_hash"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
         F.md5(
             F.array_join(
                 F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "

@@ -39,17 +39,25 @@ from ..registry import SchemaRegistry
 # `ALTER TABLE [db.]tbl ADD COLUMN name type...` / `DROP COLUMN name`
 # — the same token-level parse the reference hand-rolls
 # (AbstractMySQLBinaryLogConsumer.scala:92-111), as regexes.
+# one identifier: backticked or unquoted-with-$ (see _TARGET_RE)
+_IDENT = r"(?:`[^`]+`|[\w$]+)"
 _ADD_RE = re.compile(
-    r"alter\s+table\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+add\s+(?:column\s+)?`?(\w+)`?\s+(\w+)",
+    rf"alter\s+table\s+{_IDENT}(?:\s*\.\s*{_IDENT})?"
+    r"\s+add\s+(?:column\s+)?`?([\w$]+)`?\s+(\w+)",
     re.IGNORECASE,
 )
 _DROP_RE = re.compile(
-    r"alter\s+table\s+(?:`?(\w+)`?\.)?`?(\w+)`?\s+drop\s+(?:column\s+)?`?(\w+)`?",
+    rf"alter\s+table\s+{_IDENT}(?:\s*\.\s*{_IDENT})?"
+    r"\s+drop\s+(?:column\s+)?`?([\w$]+)`?",
     re.IGNORECASE,
 )
 
+# Identifiers: backticked (any non-backtick chars) or unquoted (which
+# in MySQL may contain `$` — \w+ alone would truncate `user$archive`).
 _TARGET_RE = re.compile(
-    r"alter\s+table\s+(?:`?(\w+)`?\.)?`?(\w+)`?", re.IGNORECASE
+    r"alter\s+table\s+(?:`([^`]+)`|([\w$]+))"
+    r"(?:\s*\.\s*(?:`([^`]+)`|([\w$]+)))?",
+    re.IGNORECASE,
 )
 
 _MYSQL_TYPE_ALIASES = {
@@ -67,7 +75,9 @@ def alter_target(alter_sql: str) -> tuple[str | None, str | None]:
     m = _TARGET_RE.search(alter_sql)
     if not m:
         return None, None
-    return m.group(1), m.group(2)
+    first = m.group(1) or m.group(2)
+    second = m.group(3) or m.group(4)
+    return (first, second) if second else (None, first)
 
 
 def evolve_schema(schema: StructType, alter_sql: str) -> StructType:
@@ -77,7 +87,7 @@ def evolve_schema(schema: StructType, alter_sql: str) -> StructType:
     reference routes those to UnknownTable / ignores)."""
     m = _ADD_RE.search(alter_sql)
     if m:
-        _, _, col, mysql_type = m.groups()
+        col, mysql_type = m.groups()
         ct = _MYSQL_TYPE_ALIASES.get(mysql_type.upper(), mysql_type.upper())
         try:
             dt = spark_type_for(ct)
@@ -88,7 +98,7 @@ def evolve_schema(schema: StructType, alter_sql: str) -> StructType:
         return StructType(list(schema.fields) + [StructField(col, dt, True)])
     m = _DROP_RE.search(alter_sql)
     if m:
-        col = m.group(3)
+        col = m.group(1)
         return StructType([f for f in schema.fields if f.name != col])
     return schema
 

@@ -56,7 +56,12 @@ def session_mutation_windows(
     cdc_sessionize), using the built-in session_window state machine."""
     return (
         df.withWatermark("ts", watermark)
-        .filter(F.col("txid").isNotNull())
+        # mutations only: BEGIN/COMMIT/ROLLBACK carry the same txid and
+        # would inflate every session's count by the control-row pair
+        .filter(
+            F.col("txid").isNotNull()
+            & F.col("op").isin("insert", "update", "delete")
+        )
         .groupBy(F.session_window("ts", gap).alias("win"), "txid")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -89,10 +94,24 @@ def effectively_once(
     State is bounded: keys older than the watermark are evicted, so
     memory is O(events per watermark window) per partition — the
     100 TB-safe form of exactly-once-ish, vs. an unbounded
-    ``dropDuplicates`` whose state never shrinks."""
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+    ``dropDuplicates`` whose state never shrinks.
+
+    Snapshot preload rows are exempt when deduping on ``seq``: the
+    bootstrap stamps every preload row seq=0 / ts=epoch(0)
+    (sources/snapshot.py), so seq-keyed dedup would collapse the whole
+    snapshot to one row and the epoch-0 event time would fall behind
+    the watermark the moment live events arrive — preloads bypass the
+    dedup instead (they are loaded once as a batch, never
+    redelivered)."""
+    deduped = df
+    preload = None
+    if "seq" in keys and "seq" in df.columns:
+        preload = df.filter(F.col("seq") == 0)
+        deduped = df.filter(F.col("seq") != 0)
+    deduped = deduped.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+    return deduped if preload is None else deduped.unionByName(preload)
 
 
 def throughput_per_trigger(df: DataFrame) -> DataFrame:

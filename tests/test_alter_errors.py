@@ -209,3 +209,43 @@ def test_error_policy_consults_per_class_flags(spark, tmp_path):
     )
     assert _quit_for(policy, EmptyMutationError("no rows")) is False
     assert _quit_for(policy, RuntimeError("other")) is True
+
+
+def test_alter_target_dollar_and_backtick_identifiers():
+    """MySQL unquoted identifiers may contain $ and backticked ones any
+    character — \\w+ alone truncated `user$archive` to `user` and
+    targeted the wrong table (the reference's whitespace token walk
+    returns the full token, AbstractMySQLBinaryLogConsumer.scala:92-111)."""
+    from mypipe_spark.streaming.alter import alter_target
+
+    assert alter_target("ALTER TABLE user$archive ADD x int") == (None, "user$archive")
+    assert alter_target("ALTER TABLE db$x.user$archive ADD x int") == ("db$x", "user$archive")
+    assert alter_target("ALTER TABLE `my db`.`user-2024` ADD x int") == ("my db", "user-2024")
+    assert alter_target("ALTER TABLE mypipe.user ADD x int") == ("mypipe", "user")
+    assert alter_target("ALTER TABLE user ADD x int") == (None, "user")
+
+
+def test_alter_spark_side_identifiers(spark):
+    """The Spark-expression twin (operators.decode alter_database /
+    alter_table) must agree with the Python-side parse on the same
+    identifier forms."""
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators.decode import alter_database, alter_table
+
+    cases = [
+        ("ALTER TABLE user$archive ADD x int", None, "user$archive"),
+        ("ALTER TABLE db$x.user$archive ADD x int", "db$x", "user$archive"),
+        ("ALTER TABLE `my db`.`user-2024` ADD x int", "my db", "user-2024"),
+        ("ALTER TABLE mypipe.user ADD x int", "mypipe", "user"),
+        ("ALTER TABLE user ADD x int", None, "user"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _, _ in cases], "sql string")
+    got = df.select(
+        "sql",
+        alter_database(F.col("sql")).alias("db"),
+        alter_table(F.col("sql")).alias("tbl"),
+    ).collect()
+    by_sql = {r["sql"]: (r["db"], r["tbl"]) for r in got}
+    for s, db, tbl in cases:
+        assert by_sql[s] == (db, tbl), s

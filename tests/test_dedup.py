@@ -33,9 +33,10 @@ def test_minhash_lsh_high_recall_vs_exact(spark, sf_dir):
 
 
 def test_simhash_recall_vs_exact_jaccard(spark, sf_dir):
-    """SimHash (hamming<=3 over 32 bits) must recover most strong
-    near-dups found by exact jaccard, and its pairs must be plausible
-    (every simhash pair shares at least one shingle-set overlap)."""
+    """SimHash (hamming<=6 over 64 bits, Manku combination banding)
+    must recover most strong near-dups found by exact jaccard, and its
+    pairs must be plausible (every simhash pair shares at least one
+    shingle-set overlap)."""
     exact_pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in _Q["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
@@ -314,3 +315,32 @@ def test_bigrams_tolerate_single_word_docs(spark):
         .collect()
     )
     assert [r["bigram"] for r in out] == ["a b"]
+
+
+def test_short_docs_do_not_crash_minhash(spark):
+    """Regression for the minhash twin of the short-doc crash: two or
+    more zero-shingle docs produced all-NULL minhashes, NULL band keys
+    grouped them into one bucket, and verification divided by
+    na+nb-n_common = 0 — an ANSI DIVIDE_BY_ZERO that killed the whole
+    query. Zero-shingle docs are now excluded before signing (exactly
+    what the SQL oracle does: they yield no exploded-shingle rows)."""
+    from mypipe_spark.plans.dedup import (
+        _with_shingle_arrays,
+        minhash_pairs_from_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "b"),
+            (3, ""),
+            (4, "x y z w v"),
+            (5, "x y z w v"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs_from_arrays(_with_shingle_arrays(docs)).collect()
+    }
+    assert pairs == {(4, 5): 1.0}

@@ -60,8 +60,13 @@ def test_session_windows_per_txid(spark, tmp_path):
     )
     _drain(q)
     rows = spark.sql("select * from sesswin").collect()
-    # every event of a txid is within one session (1s spacing << 5m gap)
-    batch = changelog_batch(spark, src).filter(F.col("txid").isNotNull())
+    # every event of a txid is within one session (1s spacing << 5m gap);
+    # sessions count MUTATIONS only — begin/commit/rollback carry the
+    # same txid but are control rows, not events
+    batch = changelog_batch(spark, src).filter(
+        F.col("txid").isNotNull()
+        & F.col("op").isin("insert", "update", "delete")
+    )
     per_tx = {r["txid"]: r["n"] for r in batch.groupBy("txid").agg(F.count("*").alias("n")).collect()}
     assert {r["txid"]: r["n_events"] for r in rows} == per_tx
     assert all(r["session_end"] > r["session_start"] for r in rows)
@@ -449,3 +454,45 @@ def test_streaming_merge_marker_rewinds_before_replay_overwrite(
     store.write(latest_state_merge(store.read_version(spark, 0), events), 1)
     with open(str(tmp_path / "rewind" / "_LATEST")) as fh:
         assert fh.read().strip() == "v1"
+
+
+def test_effectively_once_exempts_snapshot_preloads(spark, sf_dir, tmp_path):
+    """seq-keyed redelivery dedup must NOT collapse the seq=0 snapshot
+    preload sentinel rows (sources/snapshot.py stamps the whole
+    bootstrap seq=0/ts=epoch(0)) — they bypass the dedup while real
+    redelivered seqs still dedup."""
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+    from mypipe_spark.sources.stream import changelog_stream
+    from mypipe_spark.streaming.windows import effectively_once
+
+    snap = to_insert_mutations(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").limit(15),
+        "mypipe", "customer",
+    )
+    cl = changelog_batch_events(spark)
+    # duplicate one live event to prove dedup still works on real seqs
+    dup = cl.limit(1)
+    union = cl.unionByName(dup).unionByName(snap)
+    src = str(tmp_path / "eo_src")
+    union.coalesce(1).write.parquet(src)
+
+    out = effectively_once(changelog_stream(spark, src))
+    q = (
+        out.writeStream.format("memory").queryName("eo")
+        .option("checkpointLocation", str(tmp_path / "eo_ck"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from eo")
+    assert got.filter("seq = 0").count() == 15  # preloads all survive
+    n_live = cl.count()
+    assert got.filter("seq != 0").count() == n_live  # the dup was dropped
+
+
+def changelog_batch_events(spark):
+    from mypipe_spark.changelog import changelog_df
+
+    return changelog_df(spark, num_transactions=4, rollback_prob=0.0)
