@@ -759,7 +759,12 @@ def _cosine_oracle() -> str:
            CAST(ROUND(dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4)
                 AS DOUBLE) AS cosine
     FROM pairs
-    WHERE dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= {_COSINE_THRESHOLD}
+    -- zero-norm guard mirrors the Spark plan: an all-zero embedding
+    -- scores 0.0 there (below any positive threshold), while an
+    -- unguarded 0/0 here is NaN, which DuckDB orders ABOVE every
+    -- number — the pair would pass the threshold in the oracle only
+    WHERE na > 0 AND nb > 0
+      AND dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= {_COSINE_THRESHOLD}
     """
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register, scale_out
+from .catalog import load_tables, register, round_div_sql, scale_out
 
 _QSCALE = 10_000
 _QUERY_VEC_ID = 0  # the corpus vector used as the search query
@@ -40,12 +40,9 @@ def _round_mean_sql(s: str, c: str, intdiv: str = "//") -> str:
     ROUND over a double quotient is NOT portable — the two engines
     disagree whenever s/c lands on a .5 boundary (observed live at
     sf0.1 in the centroid means). ``intdiv`` is "//" for DuckDB and
-    "div" for Spark; both truncate toward zero, and the numerator is
-    made non-negative before dividing so they agree."""
-    return (
-        f"(CASE WHEN {s} >= 0 THEN (2 * ({s}) + ({c})) {intdiv} (2 * ({c}))"
-        f" ELSE -((2 * -({s}) + ({c})) {intdiv} (2 * ({c}))) END)"
-    )
+    "div" for Spark. Thin wrapper over the catalog-wide helper so the
+    rounding formula lives in exactly one place."""
+    return round_div_sql(s, c, intdiv)
 
 
 def _spark_quantized(
@@ -95,9 +92,11 @@ def _cos(a_qv: str, a_n: str, b_qv: str, b_n: str) -> F.Column:
     qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
     scored AS (
       SELECT n.vec_id, n.label,
-             (SELECT SUM(n.qv[i] * qry.qqv[i])
-              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
+               (SELECT SUM(n.qv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS cos_raw
       FROM n, qry
       WHERE n.vec_id <> {_QUERY_VEC_ID})
     SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
@@ -151,18 +150,24 @@ def _ivf_oracle() -> str:
       FROM cexp GROUP BY label),
     cscore AS (
       SELECT cent.label,
-             (SELECT SUM(cent.cv[i] * qry.qqv[i])
-              FROM (SELECT UNNEST(range(1, 65)) AS i))
-             / SQRT(CAST((SELECT SUM(x*x) FROM (SELECT UNNEST(cent.cv) AS x)) AS DOUBLE)
-                    * CAST(qry.qn AS DOUBLE)) AS csim
+             (CASE WHEN qry.qn > 0 AND
+                   (SELECT SUM(x*x) FROM (SELECT UNNEST(cent.cv) AS x)) > 0
+              THEN
+               (SELECT SUM(cent.cv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, 65)) AS i))
+               / SQRT(CAST((SELECT SUM(x*x) FROM (SELECT UNNEST(cent.cv) AS x)) AS DOUBLE)
+                      * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS csim
       FROM cent, qry),
     probed AS (
       SELECT label FROM cscore ORDER BY csim DESC, label LIMIT {_IVF_NPROBE}),
     scored AS (
       SELECT n.vec_id, n.label,
-             (SELECT SUM(n.qv[i] * qry.qqv[i])
-              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
+               (SELECT SUM(n.qv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS cos_raw
       FROM n JOIN probed USING (label), qry
       WHERE n.vec_id <> {_QUERY_VEC_ID})
     SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
@@ -292,9 +297,11 @@ def _lsh_oracle() -> str:
             FROM base WHERE vec_id = {_QUERY_VEC_ID}),
     scored AS (
       SELECT n.vec_id, n.label,
-             (SELECT SUM(n.qv[i] * qry.qqv[i])
-              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
+               (SELECT SUM(n.qv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS cos_raw
       FROM n, qry
       WHERE n.vec_id <> {_QUERY_VEC_ID} AND ({any_match}))
     SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
@@ -357,9 +364,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
     scored AS (
       SELECT n.vec_id, n.label,
-             (SELECT SUM(n.qv[i] * qry.qqv[i])
-              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
+               (SELECT SUM(n.qv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS cos_raw
       FROM n, qry
       WHERE n.vec_id <> {_QUERY_VEC_ID})
     SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
@@ -376,14 +385,15 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     results ⇒ the same oracle — the two plans are interchangeable and
     the faster one wins at a given embedding width/batch shape."""
     from ..functions.vector import cosine_scores_vectorized
-    from .catalog import load_tables as _lt
 
-    t = _lt(spark, sf_dir)
-    from .catalog import scale_out as _so
-
-    emb = _so(t["embeddings"])
+    t = load_tables(spark, sf_dir)
+    emb = scale_out(t["embeddings"])
+    # query row from the UNrebalanced table: a 1-row collect through
+    # the round-robin exchange is the exact overhead the module's
+    # rebalance=False convention exists to avoid
     qrow = (
-        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        t["embeddings"]
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select("embedding")
         .collect()
     )
@@ -418,9 +428,11 @@ _BATCH_TOP_K = 3
             FROM n WHERE vec_id % {_BATCH_QUERY_STRIDE} = 0),
     scored AS (
       SELECT qry.query_id, n.vec_id,
-             (SELECT SUM(n.qv[i] * qry.qqv[i])
-              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
+               (SELECT SUM(n.qv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS cos_raw
       FROM n, qry
       WHERE n.vec_id <> qry.query_id),
     ranked AS (
@@ -486,9 +498,11 @@ def _batch_lsh_oracle() -> str:
             FROM base WHERE vec_id % {_BATCH_QUERY_STRIDE} = 0),
     scored AS (
       SELECT qry.query_id, n.vec_id,
-             (SELECT SUM(n.qv[i] * qry.qqv[i])
-              FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-             / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE)) AS cos_raw
+             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
+               (SELECT SUM(n.qv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS cos_raw
       FROM n, qry
       WHERE n.vec_id <> qry.query_id AND ({any_match})),
     ranked AS (

@@ -248,28 +248,38 @@ class RestSchemaRegistry:
 
     # -- SchemaRegistry surface ----------------------------------------------
 
+    # Locking discipline: the lock protects only the in-memory caches —
+    # NEVER a blocking HTTP call. Holding it across the network would
+    # stall every other thread's pure cache hits (the documented
+    # "repeat lookups never re-hit the network" hot path) for up to
+    # timeout_s whenever the registry is slow. Ids and schemas are
+    # immutable once assigned, so two racing fetches of the same thing
+    # write the same value — last-writer-wins is harmless.
+
     def register(self, subject: str, schema: str | StructType) -> int:
         text = schema.json() if isinstance(schema, StructType) else schema
         with self._lock:
             sub = self._cache.get(subject)
             if sub and text in sub.by_schema:
                 return sub.by_schema[text]
-            out = self._http("POST", f"/subject/{_urlsub(subject)}/register", text)
-            new_id = int(out["id"])
+        out = self._http("POST", f"/subject/{_urlsub(subject)}/register", text)
+        new_id = int(out["id"])
+        with self._lock:
             self._remember(subject, new_id, text)
             self._latest_cache[subject] = (new_id, text)
-            return new_id
+        return new_id
 
     def get_schema(self, subject: str, schema_id: int) -> str | None:
         with self._lock:
             sub = self._cache.get(subject)
             if sub and schema_id in sub.by_id:
                 return sub.by_id[schema_id]
-            out = self._http("GET", f"/subject/{_urlsub(subject)}/id/{schema_id}")
-            if out is None:
-                return None
+        out = self._http("GET", f"/subject/{_urlsub(subject)}/id/{schema_id}")
+        if out is None:
+            return None
+        with self._lock:
             self._remember(subject, schema_id, out["schema"])
-            return out["schema"]
+        return out["schema"]
 
     def get_schema_id(self, subject: str, schema: str | StructType) -> int | None:
         text = schema.json() if isinstance(schema, StructType) else schema
@@ -277,11 +287,12 @@ class RestSchemaRegistry:
             sub = self._cache.get(subject)
             if sub and text in sub.by_schema:
                 return sub.by_schema[text]
-            out = self._http("POST", f"/subject/{_urlsub(subject)}/lookup", text)
-            if out is None:
-                return None
+        out = self._http("POST", f"/subject/{_urlsub(subject)}/lookup", text)
+        if out is None:
+            return None
+        with self._lock:
             self._remember(subject, int(out["id"]), text)
-            return int(out["id"])
+        return int(out["id"])
 
     def get_latest(
         self, subject: str, flush_cache: bool = False
@@ -291,13 +302,14 @@ class RestSchemaRegistry:
                 self._latest_cache.pop(subject, None)
             if subject in self._latest_cache:
                 return self._latest_cache[subject]
-            out = self._http("GET", f"/subject/{_urlsub(subject)}/latest")
-            if out is None:
-                return None
-            entry = (int(out["id"]), out["schema"])
+        out = self._http("GET", f"/subject/{_urlsub(subject)}/latest")
+        if out is None:
+            return None
+        entry = (int(out["id"]), out["schema"])
+        with self._lock:
             self._remember(subject, *entry)
             self._latest_cache[subject] = entry
-            return entry
+        return entry
 
     def subjects(self) -> list[str]:
         return list(self._http("GET", "/subjects"))

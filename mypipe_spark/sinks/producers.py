@@ -67,11 +67,23 @@ def parquet_producer(df: DataFrame, options: dict) -> DataStreamWriter:
 @register_producer("kafka")
 def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
     """K4-K6 — Kafka producer: expects ``topic`` and ``value`` columns
-    (from operators.filters.with_topic + sinks.wire.encode_generic).
-    Per-(db,table) topics preserve per-table ordering exactly like the
-    reference's topic scheme (README.md:119-124)."""
+    (from operators.filters.with_topic + sinks.wire.encode_generic),
+    plus an optional ``key`` column (e.g.
+    operators.filters.primary_key_string).
+
+    The key matters for ordering: Kafka guarantees order only WITHIN a
+    partition, and a record with no key is sticky/round-robin
+    partitioned — on a multi-partition topic consecutive mutations of
+    the same row would interleave across partitions and replay out of
+    binlog order. Keying by the row's primary key pins each row's
+    history to one partition; without a key column the per-table
+    ordering claim holds only for single-partition topics (the
+    reference's default deployment)."""
+    cols = ["topic", "CAST(value AS BINARY) as value"]
+    if "key" in df.columns:
+        cols.insert(1, "CAST(key AS BINARY) as key")
     return (
-        df.selectExpr("topic", "CAST(value AS BINARY) as value")
+        df.selectExpr(*cols)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", options["brokers"])
     )

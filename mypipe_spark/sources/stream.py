@@ -27,9 +27,12 @@ def changelog_stream(
     path: str,
     max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
-    """Replayable change-log file stream with the canonical schema."""
+    """Replayable change-log file stream with the canonical schema.
+    ``None`` disables the trigger cap; an explicit 0 is forwarded to
+    Spark (which rejects it) rather than silently meaning "no limit"
+    — truthiness would invert the caller's intent."""
     reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
 

@@ -329,3 +329,55 @@ def test_round4_double_sql_is_portable_on_boundary_reprs(spark):
     # the binary-exact half rounds away from zero in both engines
     assert got_spark[vals.index(0.03125)] == 0.0313
     assert got_spark[vals.index(-0.03125)] == -0.0313
+
+
+def test_zero_norm_vectors_agree_with_oracles(spark, tmp_path):
+    """All-zero embeddings (or vectors quantizing to zero) must score
+    0.0 in BOTH engines. The Spark plans guard the division (_cos);
+    the oracles used to compute 0/0 = NaN, which DuckDB orders ABOVE
+    every number — the zero vector would top the oracle's top-k and
+    pass similarity thresholds while Spark excluded it. Replay the
+    driver comparison over a corpus with a planted zero vector."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import check_oracle
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sfz")
+    os.mkdir(dst)
+    for t in TABLE_NAMES:
+        if t != "embeddings":
+            shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    label = emb.select("label").first()[0]
+    fields = dict(emb.dtypes)
+    zero = spark.createDataFrame(
+        [(999_999, label, [0.0] * dim)],
+        f"vec_id {fields['vec_id']}, label {fields['label']},"
+        f" embedding {fields['embedding']}",
+    )
+    # DuckDB reads the fixture layout (one plain file per table), so
+    # land the part file at <dst>/embeddings.parquet, not a directory
+    scratch = str(tmp_path / "emb_scratch")
+    emb.unionByName(zero).coalesce(1).write.parquet(scratch)
+    part = next(
+        f for f in os.listdir(scratch)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.rename(os.path.join(scratch, part), f"{dst}/embeddings.parquet")
+
+    failures = check_oracle.run(
+        dst,
+        {
+            "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh",
+            "ann_topk_pandas", "ann_topk_batch", "ann_topk_batch_lsh",
+            "dedup_embedding_cosine",
+        },
+    )
+    assert failures == []
