@@ -91,7 +91,6 @@ class ChangeLogGenerator:
 
     def _control(self, op: str, txid: str | None, sql: str) -> dict[str, Any]:
         ev = self._base(op, txid)
-        ev["database"] = USER_DB
         ev["table"] = None
         ev["table_id"] = None
         ev["sql"] = sql
@@ -144,8 +143,17 @@ class ChangeLogGenerator:
     # -- workload -----------------------------------------------------------
 
     def transaction(self) -> list[dict[str, Any]]:
-        """One BEGIN..COMMIT/ROLLBACK block of 1..max_tx_size mutations."""
+        """One BEGIN..COMMIT/ROLLBACK block of 1..max_tx_size mutations.
+
+        A rollback reverts the generator's table state (live_users /
+        next_user_id) to the pre-transaction snapshot — MySQL semantics:
+        a later committed tx must never update/delete a row whose
+        INSERT was rolled back (a strict CDC MERGE apply would fail on
+        the phantom row, and replayed latest-state would diverge from
+        the generator's own bookkeeping)."""
         txid = _uuid(self.rng)
+        saved_users = dict(self.live_users)
+        saved_next_id = self.next_user_id
         events = [self._control("begin", txid, "BEGIN")]
         n = self.rng.randint(1, self.max_tx_size)
         for _ in range(n):
@@ -161,6 +169,8 @@ class ChangeLogGenerator:
                 ev = self.insert(txid)
             events.append(ev)
         if self.rng.random() < self.rollback_prob:
+            self.live_users = saved_users
+            self.next_user_id = saved_next_id
             events.append(self._control("rollback", txid, "ROLLBACK"))
         else:
             events.append(self._control("commit", txid, "COMMIT"))

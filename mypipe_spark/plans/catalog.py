@@ -195,17 +195,34 @@ def round4_frac_sql(num: str, den: str, intdiv: str) -> str:
     )
 
 
-def round4_double_sql(expr: str) -> str:
-    """Engine-exact ``CAST(ROUND(expr, 4) AS DOUBLE)`` for a raw
+def count_of_sql(col: str, value: str, alias: str):
+    """Conditional count ``SUM(CASE WHEN col = value THEN 1 ELSE 0 END)``
+    as a Spark Column — the pivot/funnel building block shared by the
+    events queries (one definition so NULL semantics cannot drift
+    between twins)."""
+    from pyspark.sql import functions as F
+
+    return F.sum(F.when(F.col(col) == value, 1).otherwise(0)).alias(alias)
+
+
+def round_double_sql(expr: str, digits: int) -> str:
+    """Engine-exact ``CAST(ROUND(expr, digits) AS DOUBLE)`` for a raw
     DOUBLE value: quantize to an integer first. INTEGER rounding of a
     double is portable — a shortest repr ending in ``.5`` is always
     binary-exact (one decimal place ⇒ k/2ⁿ), so both engines see the
-    true half-way value — whereas fixed-point ``ROUND(d, 4)`` rounds
+    true half-way value — whereas fixed-point ``ROUND(d, n)`` rounds
     the shortest decimal repr in Spark but the binary value in DuckDB
-    and diverges on k/10⁵-boundary reprs (0.54375 → 0.5438 vs 0.5437).
+    and diverges on boundary reprs (0.54375 → 0.5438 vs 0.5437).
     Same primitive as the similarity plane's quantization (pinned in
     tests/test_oracle_parity.py)."""
-    return f"(CAST(CAST(ROUND(({expr}) * 10000) AS BIGINT) AS DOUBLE) / 10000)"
+    k = 10**digits
+    return f"(CAST(CAST(ROUND(({expr}) * {k}) AS BIGINT) AS DOUBLE) / {k})"
+
+
+def round4_double_sql(expr: str) -> str:
+    """Engine-exact ``CAST(ROUND(expr, 4) AS DOUBLE)`` — see
+    :func:`round_double_sql`."""
+    return round_double_sql(expr, 4)
 
 
 def micro_sum_sql(expr: str) -> str:

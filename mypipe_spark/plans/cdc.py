@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register
+from .catalog import count_of_sql, load_tables, register
 
 
 @register(
@@ -190,8 +190,8 @@ def cdc_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures instead of N filtered scans."""
     t = load_tables(spark, sf_dir)
 
-    def n_of(et: str, alias: str) -> F.Column:
-        return F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(alias)
+    def n_of(ev: str, alias: str) -> F.Column:
+        return count_of_sql("event_type", ev, alias)
 
     return (
         t["events"]

@@ -75,9 +75,9 @@ def _decode_stub(media_type: str, blob: bytes) -> dict:
         raise NotImplementedError(
             "real codecs requested but this build ships no image/audio libraries"
         )
-    digest = hashlib.sha256(blob or b"").digest()
-    h = int.from_bytes(digest[:8], "big")
-    out = {"content_sha": hashlib.sha256(blob or b"").hexdigest()}
+    hasher = hashlib.sha256(blob or b"")
+    h = int.from_bytes(hasher.digest()[:8], "big")
+    out = {"content_sha": hasher.hexdigest()}
     if media_type == "image":
         out.update(width=64 + h % 1024, height=64 + (h >> 10) % 1024)
     elif media_type == "audio":
@@ -166,7 +166,7 @@ def synthetic_media(spark, documents: DataFrame, n: int | None = None) -> DataFr
         F.col("text").cast("binary").alias("media"),
         F.concat(F.lit("synthetic://doc/"), F.col("doc_id")).alias("source_uri"),
     )
-    return df.limit(n) if n else df
+    return df.limit(n) if n is not None else df
 
 
 # ---------------------------------------------------------------------------

@@ -22,11 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .analytics import _avg, _money, _sql_avg, _sql_money
+from .analytics import _money, _sql_money
 from .catalog import (
+    count_of_sql,
     load_tables,
     micro_sum_sql,
     register,
+    round_double_sql,
     round_micro_ratio_sql,
 )
 
@@ -420,7 +422,7 @@ def q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
 
     def n_of(ev: str, alias: str) -> F.Column:
-        return F.sum(F.when(F.col("event_type") == ev, 1).otherwise(0)).alias(alias)
+        return count_of_sql("event_type", ev, alias)
 
     return (
         t["events"]
@@ -451,9 +453,9 @@ def q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_top_customer_per_nation",
-    oracle="""
+    oracle=f"""
     SELECT c_nationkey, c_name AS top_customer,
-           CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS top_acctbal
+           {round_double_sql('c_acctbal', 2)} AS top_acctbal
     FROM (
       SELECT c_nationkey, c_name, c_acctbal,
              ROW_NUMBER() OVER (
@@ -478,7 +480,11 @@ def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias(
                 "top_customer"
             ),
-            F.round(F.max("c_acctbal"), 2).cast("double").alias("top_acctbal"),
+            # exact quantize rounding (catalog.round_double_sql): safe
+            # today only because acctbals happen to be 2-decimal — a
+            # regenerated full-precision column would hit the
+            # ROUND(double) repr divergence
+            F.expr(round_double_sql('max(c_acctbal)', 2)).alias("top_acctbal"),
         )
     )
 
