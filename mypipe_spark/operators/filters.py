@@ -13,7 +13,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def include_events(df: DataFrame, condition: str | None) -> DataFrame:
+def include_events(
+    df: DataFrame, condition: str | None, keep_controls: bool = False
+) -> DataFrame:
     """F1 — the include-event-condition whitelist/blacklist filter.
 
     The reference compiles a Scala source string from config into a
@@ -27,10 +29,23 @@ def include_events(df: DataFrame, condition: str | None) -> DataFrame:
     Catalyst compiles it — and pushes it into the source scan when the
     source supports it, which the reference's post-hoc skip never could.
     ``None``/empty keeps everything (F2 no-op behaviour).
+
+    ``keep_controls=True`` passes BEGIN/COMMIT/ROLLBACK/ALTER rows
+    through regardless of the condition — required in front of tx
+    grouping: control rows carry ``table``/map columns as NULL, so a
+    table-scoped condition evaluates NULL on them and would drop every
+    commit marker, leaving the per-tx state machine buffering forever
+    with zero output (the reference applies includeEvent to data
+    events only, binaryLogConsumerTraits.scala:41-55).
     """
     if not condition:
         return df
-    return df.filter(F.expr(condition))
+    pred = F.expr(condition)
+    if keep_controls:
+        pred = pred | F.col("op").isin(
+            "begin", "commit", "rollback", "alter", "unknown"
+        )
+    return df.filter(pred)
 
 
 def demux_by_type(df: DataFrame) -> dict[str, DataFrame]:
@@ -46,12 +61,19 @@ def primary_key_string(pk_columns: list[str], image: str = "new") -> Column:
     """F7 — composite PK rendered ``pk1.pk2`` (dot-joined).
 
     reference: event/package.scala:66-74 (primaryKeyAsString). Values
-    are looked up in the generic envelope maps of the given image."""
+    are looked up in ALL FOUR typed envelope maps of the given image
+    (a VAR_STRING/BLOB PK component lives in ``*_bytes`` and renders
+    as hex). A component absent from every map renders as the empty
+    string — NOT silently dropped: ``concat_ws`` skips NULL parts, so
+    composite keys ('a', 1) and ('b', 1) would both collapse to '1'
+    and merge distinct rows onto one partition/dedup key."""
     parts = [
         F.coalesce(
             F.col(f"{image}_integers").getItem(c).cast("string"),
             F.col(f"{image}_longs").getItem(c).cast("string"),
             F.col(f"{image}_strings").getItem(c),
+            F.hex(F.col(f"{image}_bytes").getItem(c)),
+            F.lit(""),
         )
         for c in pk_columns
     ]

@@ -38,6 +38,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.decode import mutations_only
 from .operators.filters import include_events, with_topic
@@ -99,10 +100,32 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
         cfactory = _CONSUMERS[ctype]
 
         transforms: list[Callable[[DataFrame], DataFrame]] = []
+        if ctype == "kafka":
+            # the raw Kafka frame (key/value/topic/partition/offset) is
+            # not the canonical change stream — decode it back first so
+            # every downstream transform sees CHANGE_EVENT_SCHEMA
+            # columns. Malformed frames divert, never kill the query.
+            def _decode_kafka(df: DataFrame) -> DataFrame:
+                from .sinks.wire import (
+                    decoded_change_events,
+                    frame_dead_letter_split,
+                )
+
+                valid, _dead = frame_dead_letter_split(df, registry=None)
+                return decoded_change_events(valid)
+
+            transforms.append(_decode_kafka)
+        grouped = bool(pconf.get("group-mutations-by-tx"))
         cond = pconf.get("include-event-condition")
         if cond:
-            transforms.append(lambda df, _c=cond: include_events(df, _c))
-        if pconf.get("group-mutations-by-tx"):
+            # in front of tx grouping the commit/rollback markers must
+            # survive a table-scoped condition (they carry table=NULL)
+            transforms.append(
+                lambda df, _c=cond, _k=grouped: include_events(
+                    df, _c, keep_controls=_k
+                )
+            )
+        if grouped:
             # the reference flag means ONE record per committed tx
             # (reference.conf:14-21) — commit-gated per-mutation rows
             # are tx_group_stream's default, not its grouped form
@@ -111,9 +134,30 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
             transforms.append(mutations_only)
         topic_template = pconf.get("topic-template")
         if topic_template:
-            transforms.append(lambda df, _t=topic_template: with_topic(df, _t))
+            if grouped:
+                # grouped rows have no database/table columns; route
+                # the tx by its FIRST mutation's coordinates (a tx is
+                # per-connection, so in the common per-table workload
+                # every mutation in it shares them)
+                transforms.append(
+                    lambda df, _t=topic_template: with_topic(
+                        df.withColumn(
+                            "database", F.col("mutations")[0]["database"]
+                        ).withColumn("table", F.col("mutations")[0]["table"]),
+                        _t,
+                    ).drop("database", "table")
+                )
+            else:
+                transforms.append(
+                    lambda df, _t=topic_template: with_topic(df, _t)
+                )
 
         producer_conf = dict(pconf.get("producer", {"name": "memory"}))
+        if "name" not in producer_conf:
+            raise KeyError(
+                f"pipe '{pipe_id}': producer config needs a 'name'; "
+                "e.g. {'name': 'memory'}"
+            )
         producer_name = producer_conf.pop("name")
         pipes.append(
             Pipe(

@@ -352,9 +352,63 @@ def _op_from_mtype(mtype: Column) -> Column:
     )
 
 
+def decoded_change_events(df: DataFrame) -> DataFrame:
+    """Decoded wire rows (``op`` + ``payload`` struct, from
+    :func:`decode_generic` / :func:`frame_dead_letter_split`) → the
+    canonical CHANGE_EVENT_SCHEMA column set — the inverse of
+    :func:`generic_envelope`'s typed-map projection, so a downstream
+    Kafka consumer re-enters the same transform library the binlog
+    path uses (the reference's consumer decodes back to Mutation
+    objects the same way, KafkaMutationAvroDecoder.scala).
+
+    The wire envelope carries no seq/ts/sql; when the source is Kafka
+    its record coordinates stand in (``offset`` → seq — the
+    (file, pos) analog within a partition — and the broker
+    ``timestamp`` → ts), else they are NULL."""
+    p = F.col("payload")
+    is_ins = F.col("op") == "insert"
+    is_del = F.col("op") == "delete"
+    is_upd = F.col("op") == "update"
+
+    def old(kind: str) -> Column:
+        return (
+            F.when(is_upd, p[f"old_{kind}"])
+            .when(is_del, p[kind])
+            .alias(f"old_{kind}")
+        )
+
+    def new(kind: str) -> Column:
+        return (
+            F.when(is_upd, p[f"new_{kind}"])
+            .when(is_ins, p[kind])
+            .alias(f"new_{kind}")
+        )
+
+    seq = (
+        F.col("offset") if "offset" in df.columns else F.lit(None).cast("long")
+    )
+    ts = (
+        F.col("timestamp").cast("timestamp")
+        if "timestamp" in df.columns
+        else F.lit(None).cast("timestamp")
+    )
+    return df.select(
+        seq.alias("seq"),
+        F.col("op"),
+        p["database"].alias("database"),
+        p["table"].alias("table"),
+        p["tableId"].alias("table_id"),
+        p["txid"].alias("txid"),
+        ts.alias("ts"),
+        F.lit(None).cast("string").alias("sql"),
+        old("bytes"), old("integers"), old("strings"), old("longs"),
+        new("bytes"), new("integers"), new("strings"), new("longs"),
+    )
+
+
 def frame_dead_letter_split(
     df: DataFrame,
-    registry: SchemaRegistry,
+    registry: SchemaRegistry | None,
     value_col: str = "value",
     codec: str = "json",
 ) -> tuple[DataFrame, DataFrame]:
@@ -403,12 +457,19 @@ def frame_dead_letter_split(
     derived DataFrames; under streaming each branch is its own query
     anyway)."""
     v = F.col(value_col)
-    known_ids = sorted(
-        {
-            i
-            for op in ("insert", "update", "delete")
-            for i in registry.versions(generic_subject(op))
-        }
+    # registry=None skips the unknown_schema check (a registry-less
+    # consumer — e.g. the runner's generic Kafka pipe — still gets the
+    # structural header/payload cascade)
+    known_ids = (
+        sorted(
+            {
+                i
+                for op in ("insert", "update", "delete")
+                for i in registry.versions(generic_subject(op))
+            }
+        )
+        if registry is not None
+        else None
     )
     mtypes = sorted(MUTATION_MAGIC.values())
     parts = unframe(v)
@@ -440,15 +501,18 @@ def frame_dead_letter_split(
         raise ValueError(f"unknown payload codec: {codec!r}")
     classified = df.withColumn("__parsed", parsed)
     p = F.col("__parsed")
+    if known_ids is None:  # registry-less consumer: skip the check
+        schema_cond = F.lit(False)
+    elif known_ids:
+        schema_cond = ~parts["schema_id"].isin(known_ids)
+    else:  # a registry with nothing registered knows no id
+        schema_cond = F.lit(True)
     reason = (
         F.when(v.isNull(), "null_frame")
         .when(F.length(v) < 5, "short_frame")
         .when(~parts["magic_ok"], "bad_magic")
         .when(~parts["mtype"].isin(mtypes), "unknown_mtype")
-        .when(
-            ~parts["schema_id"].isin(known_ids) if known_ids else F.lit(True),
-            "unknown_schema",
-        )
+        .when(schema_cond, "unknown_schema")
         .when(~payload_ok, "bad_payload")
         .when(p.isNull() | p["database"].isNull(), "bad_payload")
     )

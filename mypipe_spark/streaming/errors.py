@@ -16,7 +16,10 @@ Spark mapping:
 - **quit-on-error**: :class:`ErrorPolicy` decides per error class;
   :func:`run_with_error_handling` applies it around the microbatch
   loop — a raising batch either stops the pipe (quit=True, reference's
-  `false` return) or is sent to the DLQ and skipped (quit=False).
+  `false` return) or the exception is captured and returned
+  (quit=False); the unprocessed batch stays in the checkpoint backlog
+  for a retry or a fixed redeploy — row-level preservation is the
+  dead-letter SPLIT's job, the policy only decides stop-vs-continue.
 """
 
 from __future__ import annotations
@@ -66,10 +69,22 @@ _DECODE_ERROR_MARKERS = (
 
 
 def _quit_for(policy: ErrorPolicy, exc: Exception) -> bool:
-    """Map an exception to the reference's per-class quit flag."""
-    if isinstance(exc, EmptyMutationError):
-        return policy.quit_on_empty_mutation
+    """Map an exception to the reference's per-class quit flag.
+
+    The empty-mutation class is matched through the cause chain AND by
+    name in the message: a streaming run wraps the producer's raise in
+    StreamingQueryException, where a bare isinstance would miss it and
+    the wrong (handle-failure) flag would decide."""
+    cause: BaseException | None = exc
+    seen = 0
+    while cause is not None and seen < 10:
+        if isinstance(cause, EmptyMutationError):
+            return policy.quit_on_empty_mutation
+        cause = cause.__cause__ or cause.__context__
+        seen += 1
     text = str(exc)
+    if "EmptyMutationError" in text:
+        return policy.quit_on_empty_mutation
     err_class = getattr(exc, "getErrorClass", None)
     if callable(err_class):
         try:
@@ -115,12 +130,21 @@ def run_pipe_with_dead_letter(
         trigger_seconds=pipe.trigger_seconds,
         output_mode=pipe.output_mode,
     )
+    if not pipe.checkpoint_dir:
+        # fail BEFORE either branch runs: the DLQ sink is parquet,
+        # which requires a checkpoint — discovering that after the main
+        # branch committed would lose this run's dead rows and break
+        # the skipped-events-preserved contract
+        raise ValueError(
+            f"pipe '{pipe.pipe_id}': dead-letter routing requires a "
+            "checkpoint_dir (the DLQ parquet sink cannot run without one)"
+        )
     dlq = Pipe(
         pipe_id=f"{pipe.pipe_id}_dlq",
         source=lambda s: dead_letter_split(pipe.source(s), valid_condition)[1],
         producer="parquet",
         producer_options={"path": dead_letter_path},
-        checkpoint_dir=(pipe.checkpoint_dir + "_dlq") if pipe.checkpoint_dir else None,
+        checkpoint_dir=pipe.checkpoint_dir + "_dlq",
     )
     main.run_available(spark)
     dlq.run_available(spark)

@@ -249,3 +249,57 @@ def test_alter_spark_side_identifiers(spark):
     by_sql = {r["sql"]: (r["db"], r["tbl"]) for r in got}
     for s, db, tbl in cases:
         assert by_sql[s] == (db, tbl), s
+
+
+def test_empty_mutation_classified_through_wrappers():
+    """Streaming wraps the producer's raise in StreamingQueryException;
+    the empty-mutation flag must still decide — via the cause chain or
+    the class name in the wrapped message, never the generic
+    handle-failure flag."""
+    from mypipe_spark.streaming.errors import (
+        EmptyMutationError,
+        ErrorPolicy,
+        _quit_for,
+    )
+
+    policy = ErrorPolicy(
+        quit_on_event_handle_failure=True, quit_on_empty_mutation=False
+    )
+    # wrapped with an explicit cause
+    try:
+        try:
+            raise EmptyMutationError("no rows")
+        except EmptyMutationError as inner:
+            raise RuntimeError("query failed") from inner
+    except RuntimeError as wrapped:
+        assert _quit_for(policy, wrapped) is False
+    # wrapped by message only (StreamingQueryException flattens to text)
+    assert (
+        _quit_for(policy, RuntimeError("Job aborted: EmptyMutationError: no rows"))
+        is False
+    )
+
+
+def test_dead_letter_requires_checkpoint(spark, tmp_path):
+    """A pipe without a checkpoint must be rejected BEFORE the main
+    branch runs — the DLQ parquet sink cannot start without one, and
+    failing after the main commit would lose that run's dead rows."""
+    import pytest as _pytest
+
+    from mypipe_spark.changelog import write_changelog
+    from mypipe_spark.sources.stream import changelog_stream
+    from mypipe_spark.streaming.pipe import Pipe
+    from mypipe_spark.streaming.errors import run_pipe_with_dead_letter
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=2, num_files=1)
+    pipe = Pipe(
+        pipe_id="nockpt",
+        source=lambda s: changelog_stream(s, src),
+        producer="memory",
+        checkpoint_dir=None,
+    )
+    with _pytest.raises(ValueError, match="requires a checkpoint_dir"):
+        run_pipe_with_dead_letter(
+            spark, pipe, "op IS NOT NULL", str(tmp_path / "dlq")
+        )

@@ -108,3 +108,28 @@ def test_render_sql_includes_bytes_bucket(spark):
     muts = to_insert_mutations(src, database="mypipe", table="blobs")
     (row,) = render_sql(muts).select("sql_text").collect()
     assert row[0] == "INSERT INTO mypipe.blobs SET payload='01AB'"
+
+
+def test_primary_key_string_bytes_and_missing_components(spark):
+    """Composite PKs must consult the bytes bucket (a VAR_STRING/BLOB
+    component renders as hex) and never silently DROP a missing
+    component — concat_ws skips NULLs, so ('a',1) and ('b',1) would
+    both have collapsed to '1' and merged distinct rows onto one key."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, {"id": 7}, {"blob_key": bytearray(b"\x01\x02")}),
+            (2, {"id": 7}, None),
+        ],
+        "row int, new_integers map<string,int>, new_bytes map<string,binary>",
+    ).withColumn("new_longs", F.lit(None).cast("map<string,bigint>")) \
+     .withColumn("new_strings", F.lit(None).cast("map<string,string>"))
+    got = {
+        r["row"]: r["pk"]
+        for r in df.select(
+            "row", primary_key_string(["id", "blob_key"]).alias("pk")
+        ).collect()
+    }
+    assert got[1] == "7.0102"  # bytes component as hex
+    assert got[2] == "7."  # missing component kept as empty, not dropped

@@ -87,3 +87,87 @@ def test_custom_consumer_registration(spark):
         }
     )
     assert len(pipes) == 1 and pipes[0].pipe_id == "p"
+
+
+def test_grouped_pipe_with_table_condition_and_topic(spark, tmp_path):
+    """The docstring's full config shape must actually work: a
+    table-scoped include-event-condition must not swallow the COMMIT
+    markers (control rows carry table=NULL, so the bare predicate is
+    NULL on them — before the keep_controls fix the state machine
+    buffered forever and emitted zero rows), and a topic-template on
+    the GROUPED output must route by the first mutation's
+    database/table (the grouped row has no such columns itself)."""
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=8, rollback_prob=0.2, num_files=2)
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "cfg_full": {
+                "consumer": "cl",
+                "include-event-condition":
+                    "database = 'mypipe' AND table IN ('user')",
+                "group-mutations-by-tx": True,
+                "topic-template": "${database}_${table}_generic",
+                "producer": {"name": "memory"},
+                "checkpoint": str(tmp_path / "ckpt_full"),
+            }
+        },
+    }
+    run_from_config(spark, config, block=True)
+    out = spark.sql("select * from cfg_full")
+    from mypipe_spark.operators.txgroup import committed_mutations
+
+    expected = committed_mutations(spark.read.parquet(src), group_by_tx=True)
+    assert out.count() == expected.count() > 0
+    assert out.select("topic").distinct().collect()[0][0] == "mypipe_user_generic"
+
+
+def test_producer_config_without_name_is_a_clear_error(spark, tmp_path):
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": str(tmp_path)}},
+        "pipes": {"p1": {"consumer": "cl", "producer": {"path": "/out"}}},
+    }
+    with pytest.raises(KeyError, match="producer config needs a 'name'"):
+        build_pipes(config)
+
+
+def test_kafka_decode_transform_roundtrip(spark):
+    """The runner's kafka-consumer decode stage: encoded wire frames
+    shaped like Kafka records (value + topic/partition/offset/
+    timestamp) must come back as canonical change events — offset
+    standing in for seq, broker timestamp for ts — with garbage frames
+    diverted, so every downstream transform (mutations_only,
+    tx grouping, topic templating) runs unchanged."""
+    from mypipe_spark.changelog import changelog_df
+    from mypipe_spark.operators.decode import mutations_only
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import (
+        decoded_change_events,
+        encode_generic,
+        frame_dead_letter_split,
+    )
+
+    muts = mutations_only(changelog_df(spark, num_transactions=4))
+    framed = (
+        encode_generic(muts, in_memory_repo())
+        .select("value")
+        .withColumn("topic", F.lit("t"))
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("timestamp", F.current_timestamp())
+    )
+    garbage = framed.limit(1).withColumn(
+        "value", F.lit(b"\xffgarbage").cast("binary")
+    )
+    valid, dead = frame_dead_letter_split(
+        framed.unionByName(garbage), registry=None
+    )
+    events = decoded_change_events(valid)
+    assert dead.count() == 1  # the garbage frame diverted, query alive
+    assert events.count() == muts.count()
+    got_ops = {r["op"] for r in events.select("op").distinct().collect()}
+    assert got_ops <= {"insert", "update", "delete"}
+    # canonical columns are all present and the payload round-tripped
+    assert {"seq", "op", "database", "table", "txid", "ts"} <= set(events.columns)
+    assert events.filter("database = 'mypipe' AND table = 'user'").count() == events.count()
+    assert events.filter("seq IS NULL OR ts IS NULL").count() == 0
