@@ -110,15 +110,22 @@ def spark_type_for(column_type: str) -> DataType:
     return mapping[ct]
 
 
-# Generic-envelope bucketing rule (KafkaGenericAvroSerializer.scala:80-112):
-# INT24 → integers, VARCHAR → strings, LONG/LONGLONG → longs,
-# VAR_STRING/TEXT → bytes; everything else is dropped from the envelope.
+# Generic-envelope bucketing rule (KafkaGenericAvroSerializer.scala:80-112),
+# stated as the SPARK-TYPE bucketing the engine actually performs
+# (sources/snapshot.py buckets by spark_type_for's result): every
+# 4-byte-or-narrower integer (TINY/SHORT/INT24/LONG — MySQL LONG is
+# the 4-byte INT) → integers, LONGLONG → longs, VARCHAR/STRING →
+# strings, the VAR_STRING/BLOB family → bytes; everything else is
+# dropped from the envelope. Consistency with the snapshot bucketing
+# is test-pinned (tests/test_snapshot.py).
 GENERIC_BUCKET_FOR_TYPE: dict[str, str] = {
+    "TINY": "integers",
+    "SHORT": "integers",
     "INT24": "integers",
+    "LONG": "integers",
+    "LONGLONG": "longs",
     "VARCHAR": "strings",
     "STRING": "strings",
-    "LONG": "longs",
-    "LONGLONG": "longs",
     "VAR_STRING": "bytes",
     "BLOB": "bytes",
     "TINY_BLOB": "bytes",

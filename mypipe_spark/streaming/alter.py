@@ -13,18 +13,25 @@ envelope evolution = register schema v2 + **restart the query** — the
 checkpoint makes the restart seamless (resume exactly after the last
 committed batch). :class:`AlterOrchestrator` packages that loop:
 
-    run pipe → microbatch contains ALTER → register evolved schema →
+    run pipe → ALTER observed → register evolved schema →
     stop query → restart with refreshed schema → repeat
 
-Restart granularity is the microbatch: rows after the ALTER inside the
-same batch were already handled with the old schema (harmless for the
-generic envelope; for specific sinks the new column starts flowing at
-the next batch — the same eventual-consistency the reference's
-schema-repo polling gives, KafkaAvroSerializer.scala:41-67).
+Granularity: schema REGISTRATION is per-microbatch and at-least-once
+(it happens inside the DDL watcher's foreachBatch, BEFORE that batch's
+checkpoint commits — a crash replays the batch and re-registers, which
+is idempotent). The query RESTART applies to data that arrives after
+the current drain: ``run_available`` drains everything already
+available in one run, so rows that were already queued behind the
+ALTER are processed under the old schema (harmless for the generic
+envelope, whose typed maps absorb new columns; a specific-envelope
+sink picks the new version up at the restart — the same eventual
+consistency the reference's schema-repo polling gives,
+KafkaAvroSerializer.scala:41-67).
 """
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 from typing import Callable
@@ -36,26 +43,38 @@ from pyspark.sql.types import StructField, StructType
 from ..model import spark_type_for, specific_subject
 from ..registry import SchemaRegistry
 
-# `ALTER TABLE [db.]tbl ADD COLUMN name type...` / `DROP COLUMN name`
-# — the same token-level parse the reference hand-rolls
+# `ALTER [IGNORE] TABLE [db.]tbl <clause>[, <clause>...]` — the same
+# token-level parse the reference hand-rolls
 # (AbstractMySQLBinaryLogConsumer.scala:92-111), as regexes.
-# one identifier: backticked or unquoted-with-$ (see _TARGET_RE)
+# One identifier: backticked (any non-backtick chars) or unquoted
+# (which in MySQL may contain `$` — \w+ alone would truncate
+# `user$archive`).
 _IDENT = r"(?:`[^`]+`|[\w$]+)"
-_ADD_RE = re.compile(
-    rf"alter\s+table\s+{_IDENT}(?:\s*\.\s*{_IDENT})?"
-    r"\s+add\s+(?:column\s+)?`?([\w$]+)`?\s+(\w+)",
+# Statement head: everything through the table name; clause parsing
+# runs on the REMAINDER so multi-clause ALTERs (the common MySQL form:
+# one statement, many ADD/DROP clauses) all apply, in order.
+_HEAD_RE = re.compile(
+    rf"alter\s+(?:ignore\s+)?table\s+{_IDENT}(?:\s*\.\s*{_IDENT})?\s+",
     re.IGNORECASE,
 )
-_DROP_RE = re.compile(
-    rf"alter\s+table\s+{_IDENT}(?:\s*\.\s*{_IDENT})?"
-    r"\s+drop\s+(?:column\s+)?`?([\w$]+)`?",
+# A column identifier — captured from backticked or bare form.
+_COL = r"(?:`([^`]+)`|([\w$]+))"
+# Non-column DROP/ADD objects that must never be mistaken for a column
+# name when the COLUMN keyword is omitted (DROP INDEX idx / ADD KEY k
+# (c)): without the guard `DROP INDEX idx` deletes a column literally
+# named 'INDEX'.
+_NON_COLUMN = r"(?!(?:index|key|primary|unique|foreign|constraint|partition|fulltext|spatial)\b)"
+_ADD_CLAUSE = re.compile(
+    rf"\badd\s+(?:column\s+{_COL}|{_NON_COLUMN}{_COL})\s+(\w+)",
+    re.IGNORECASE,
+)
+_DROP_CLAUSE = re.compile(
+    rf"\bdrop\s+(?:column\s+{_COL}|{_NON_COLUMN}{_COL})",
     re.IGNORECASE,
 )
 
-# Identifiers: backticked (any non-backtick chars) or unquoted (which
-# in MySQL may contain `$` — \w+ alone would truncate `user$archive`).
 _TARGET_RE = re.compile(
-    r"alter\s+table\s+(?:`([^`]+)`|([\w$]+))"
+    rf"alter\s+(?:ignore\s+)?table\s+(?:`([^`]+)`|([\w$]+))"
     r"(?:\s*\.\s*(?:`([^`]+)`|([\w$]+)))?",
     re.IGNORECASE,
 )
@@ -64,6 +83,14 @@ _MYSQL_TYPE_ALIASES = {
     "INT": "INT24", "INTEGER": "INT24", "BIGINT": "LONGLONG",
     "TEXT": "BLOB", "CHAR": "STRING", "MEDIUMINT": "INT24",
     "SMALLINT": "SHORT", "TINYINT": "TINY",
+    # MySQL surface names the binlog type table doesn't spell the
+    # same way — without these an ADD COLUMN of the type is silently
+    # ignored (spark_type_for raises, evolve_schema skips):
+    "BOOLEAN": "TINY", "BOOL": "TINY",     # BOOLEAN is TINYINT(1)
+    "NUMERIC": "NEWDECIMAL", "DEC": "NEWDECIMAL",
+    "REAL": "DOUBLE",
+    "VARBINARY": "VAR_STRING", "BINARY": "VAR_STRING",
+    "JSON": "BLOB",
 }
 
 
@@ -81,25 +108,37 @@ def alter_target(alter_sql: str) -> tuple[str | None, str | None]:
 
 
 def evolve_schema(schema: StructType, alter_sql: str) -> StructType:
-    """Apply one ALTER statement to a StructType: ADD COLUMN appends a
-    nullable field (type via the MySQL→Spark map), DROP COLUMN removes
-    it. Unrecognized ALTER forms return the schema unchanged (the
+    """Apply one ALTER statement to a StructType: every ADD COLUMN
+    clause appends a nullable field (type via the MySQL→Spark map),
+    every DROP COLUMN clause removes one; clauses apply in statement
+    order, so ``DROP COLUMN a, ADD COLUMN a INT`` re-types. Clauses of
+    unrecognized form (or with unmapped types) are skipped, and a
+    statement with no table head returns the schema unchanged (the
     reference routes those to UnknownTable / ignores)."""
-    m = _ADD_RE.search(alter_sql)
-    if m:
-        col, mysql_type = m.groups()
-        ct = _MYSQL_TYPE_ALIASES.get(mysql_type.upper(), mysql_type.upper())
-        try:
-            dt = spark_type_for(ct)
-        except ValueError:
-            return schema
-        if col in schema.fieldNames():
-            return schema
-        return StructType(list(schema.fields) + [StructField(col, dt, True)])
-    m = _DROP_RE.search(alter_sql)
-    if m:
-        col = m.group(1)
-        return StructType([f for f in schema.fields if f.name != col])
+    head = _HEAD_RE.search(alter_sql)
+    if not head:
+        return schema
+    tail = alter_sql[head.end():]
+    ops: list[tuple[int, str, str, str | None]] = []
+    for m in _ADD_CLAUSE.finditer(tail):
+        col = next(g for g in m.groups()[:4] if g)
+        ops.append((m.start(), "add", col, m.group(5)))
+    for m in _DROP_CLAUSE.finditer(tail):
+        col = next(g for g in m.groups() if g)
+        ops.append((m.start(), "drop", col, None))
+    for _, kind, col, mysql_type in sorted(ops):
+        if kind == "add":
+            ct = _MYSQL_TYPE_ALIASES.get(mysql_type.upper(), mysql_type.upper())
+            try:
+                dt = spark_type_for(ct)
+            except ValueError:
+                continue
+            if col not in schema.fieldNames():
+                schema = StructType(
+                    list(schema.fields) + [StructField(col, dt, True)]
+                )
+        else:
+            schema = StructType([f for f in schema.fields if f.name != col])
     return schema
 
 
@@ -111,9 +150,19 @@ class AlterOrchestrator:
     (sink receives the DataFrame and the checkpoint dir). ``registry``
     holds per-(db, table) specific schemas; every observed ALTER
     registers the evolved schema under the table's insert/update/delete
-    subjects before the restart, so the next run's specific projection
-    sees the new version — mirroring KafkaAlterSpec.scala:54-94.
-    """
+    subjects INSIDE the DDL watcher's microbatch — before that batch's
+    checkpoint commits, so a crash replays the ALTER and re-registers
+    (idempotent) instead of permanently losing the version — mirroring
+    KafkaAlterSpec.scala:54-94.
+
+    ``table_schemas`` seeds the pre-ALTER base schemas; for a table not
+    seeded, the base falls back to the registry's latest version for
+    that table's insert subject (so an orchestrator restarted with an
+    empty dict does not register a schema containing ONLY the
+    ALTER-added column). Statements whose table cannot be resolved
+    (ALTER USER/VIEW/DATABASE — prefix-classified as 'alter' but not a
+    table DDL) are skipped entirely rather than registering garbage
+    subjects."""
 
     source: Callable[[SparkSession], DataFrame]
     sink: Callable[[DataFrame, str], object]  # returns DataStreamWriter
@@ -126,21 +175,61 @@ class AlterOrchestrator:
         for mtype in ("insert", "update", "delete"):
             self.registry.register(specific_subject(database, table, mtype), schema)
 
+    def _base_schema(self, database: str, table: str) -> StructType:
+        key = (database, table)
+        seeded = self.table_schemas.get(key)
+        if seeded is not None:
+            return seeded
+        latest = self.registry.get_latest(
+            specific_subject(database, table, "insert")
+        )
+        if latest is not None:
+            try:
+                return StructType.fromJson(json.loads(latest[1]))
+            except (ValueError, KeyError, TypeError):
+                pass  # non-StructType schema text: start empty
+        return StructType([])
+
+    def _apply_alter(
+        self, database: str | None, table: str | None, sql: str | None
+    ) -> bool:
+        """Evolve + register for one observed ALTER; returns whether it
+        targeted a resolvable table (non-table DDL is skipped)."""
+        sql_db, sql_table = alter_target(sql or "")
+        database = database or sql_db
+        table = table or sql_table
+        if not table:
+            return False
+        database = database or ""
+        key = (database, table)
+        evolved = evolve_schema(self._base_schema(database, table), sql or "")
+        self.table_schemas[key] = evolved
+        self._register(database, table, evolved)
+        return True
+
     def run_available(self, spark: SparkSession) -> int:
         """Drain everything currently available, restarting after each
-        microbatch that carried ALTER events. Returns restart count."""
+        drain that carried ALTER events. Returns restart count."""
         restarts = 0
         while True:
-            alters: list[tuple[str, str, str]] = []
+            saw_alter = [False]
 
             def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+                # Evolve + register HERE, before this batch's checkpoint
+                # commit: registration after processAllAvailable would
+                # open a crash window in which the watcher checkpoint
+                # has committed but the schema version was never
+                # written — permanently lost, since the replay never
+                # re-delivers the committed batch. In-batch work is
+                # at-least-once; register() is idempotent.
                 ddl = (
                     batch_df.filter(F.col("op") == "alter")
                     .select("database", "table", "sql")
                     .collect()
                 )
                 for r in ddl:
-                    alters.append((r["database"], r["table"], r["sql"]))
+                    if self._apply_alter(r["database"], r["table"], r["sql"]):
+                        saw_alter[0] = True
 
             # the DDL watcher runs beside the sink as a foreachBatch on
             # the same source; both share the one checkpointed query
@@ -160,28 +249,8 @@ class AlterOrchestrator:
                 query.stop()
                 watcher.stop()
 
-            if not alters:
+            if not saw_alter[0]:
                 return restarts
-
-            # Register BEFORE consulting the restart budget: the DDL
-            # watcher's checkpoint has already committed the batches
-            # that carried these ALTERs, so a bail-out here would drop
-            # their schema versions permanently (no later run ever sees
-            # those events again).
-            for database, table, sql in alters:
-                # ALTER events may carry no table (the tap could not
-                # resolve it) — recover both from the SQL text (S5).
-                # ``sql`` itself is nullable in the canonical schema;
-                # an unresolvable ALTER evolves nothing but still
-                # registers the current schema version.
-                sql_db, sql_table = alter_target(sql or "")
-                database = database or sql_db
-                table = table or sql_table
-                key = (database or "", table or "")
-                base = self.table_schemas.get(key, StructType([]))
-                evolved = evolve_schema(base, sql or "")
-                self.table_schemas[key] = evolved
-                self._register(database or "", table or "", evolved)
             if restarts >= self.max_restarts:
                 return restarts
             restarts += 1

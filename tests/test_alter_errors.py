@@ -303,3 +303,80 @@ def test_dead_letter_requires_checkpoint(spark, tmp_path):
         run_pipe_with_dead_letter(
             spark, pipe, "op IS NOT NULL", str(tmp_path / "dlq")
         )
+
+
+def test_evolve_schema_multi_clause_and_guards():
+    """Multi-clause ALTERs (the common MySQL form) must apply EVERY
+    clause in order; DROP INDEX/KEY must not delete a column named
+    like the object; backticked column names parse whole; ALTER IGNORE
+    is accepted; BOOLEAN/VARBINARY/JSON map to real types."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql import types as T
+
+    from mypipe_spark.streaming.alter import evolve_schema
+
+    base = StructType(
+        [
+            StructField("id", T.IntegerType()),
+            StructField("user", T.StringType()),
+            StructField("user-2024", T.StringType()),
+        ]
+    )
+    # multi-clause: both columns land
+    s = evolve_schema(base, "ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b INT")
+    assert {"a", "b"} <= set(s.fieldNames())
+    # drop-then-add re-types in statement order
+    s = evolve_schema(base, "ALTER TABLE t DROP COLUMN id, ADD COLUMN id BIGINT")
+    assert dict(zip(s.fieldNames(), [f.dataType for f in s.fields]))[
+        "id"
+    ] == T.LongType()
+    # backticked drop removes exactly that column
+    s = evolve_schema(base, "ALTER TABLE t DROP COLUMN `user-2024`")
+    assert s.fieldNames() == ["id", "user"]
+    # DROP INDEX must not remove a column named 'INDEX' (or anything)
+    assert evolve_schema(base, "ALTER TABLE t DROP INDEX idx") == base
+    assert evolve_schema(base, "ALTER TABLE t ADD INDEX idx (user)") == base
+    # ALTER IGNORE accepted (decode.py classifies it as an alter)
+    s = evolve_schema(base, "ALTER IGNORE TABLE mypipe.t ADD COLUMN email varchar(128)")
+    assert "email" in s.fieldNames()
+    # surface type names map instead of silently vanishing
+    s = evolve_schema(base, "ALTER TABLE t ADD COLUMN flag BOOLEAN, ADD COLUMN blob_c VARBINARY(32)")
+    types = {f.name: f.dataType for f in s.fields}
+    assert types["flag"] == T.ByteType()
+    assert types["blob_c"] == T.BinaryType()
+
+
+def test_orchestrator_base_schema_falls_back_to_registry(spark):
+    """An orchestrator constructed without seeded table_schemas must
+    evolve from the registry's latest version, not from an empty
+    struct — otherwise the registered v2 schema contains ONLY the
+    ALTER-added column and a specific projection drops every real
+    column. Non-table ALTERs (ALTER USER...) must register nothing."""
+    from pyspark.sql import types as T
+    from pyspark.sql.types import StructField, StructType
+
+    from mypipe_spark.model import specific_subject
+    from mypipe_spark.registry import SchemaRegistry
+    from mypipe_spark.streaming.alter import AlterOrchestrator
+
+    reg = SchemaRegistry()
+    base = StructType(
+        [StructField("id", T.IntegerType()), StructField("name", T.StringType())]
+    )
+    for mt in ("insert", "update", "delete"):
+        reg.register(specific_subject("mypipe", "user", mt), base)
+
+    orch = AlterOrchestrator(
+        source=None, sink=None, checkpoint_dir="/tmp/unused", registry=reg
+    )
+    assert orch._apply_alter(
+        "mypipe", None, "ALTER TABLE mypipe.user ADD COLUMN email varchar(128)"
+    )
+    latest = reg.get_latest(specific_subject("mypipe", "user", "insert"))
+    evolved = StructType.fromJson(__import__("json").loads(latest[1]))
+    assert evolved.fieldNames() == ["id", "name", "email"]
+
+    # a non-table ALTER registers nothing and reports False
+    before = set(reg.subjects())
+    assert not orch._apply_alter(None, None, "ALTER USER 'x'@'%' IDENTIFIED BY 'y'")
+    assert set(reg.subjects()) == before

@@ -133,3 +133,32 @@ def test_to_insert_mutations_full_canonical_columns(spark):
     unioned = snap.unionByName(live)
     grouped = committed_mutations(unioned)
     assert grouped.count() > 0
+
+
+def test_generic_bucket_table_matches_snapshot_bucketing():
+    """model.GENERIC_BUCKET_FOR_TYPE documents the envelope bucketing;
+    it must agree with what to_insert_mutations actually does (bucket
+    by spark_type_for's Spark type) — a divergent table would steer
+    future wire code into the wrong typed map (MySQL LONG is the
+    4-byte INT → IntegerType → integers, NOT longs)."""
+    from mypipe_spark.model import GENERIC_BUCKET_FOR_TYPE, spark_type_for
+    from mypipe_spark.sources.snapshot import (
+        _BYTES_TYPES,
+        _INT_TYPES,
+        _LONG_TYPES,
+        _STR_TYPES,
+    )
+
+    def bucket_of(spark_type) -> str | None:
+        if isinstance(spark_type, _INT_TYPES):
+            return "integers"
+        if isinstance(spark_type, _LONG_TYPES):
+            return "longs"
+        if isinstance(spark_type, _STR_TYPES):
+            return "strings"
+        if isinstance(spark_type, _BYTES_TYPES):
+            return "bytes"
+        return None
+
+    for ct, bucket in GENERIC_BUCKET_FOR_TYPE.items():
+        assert bucket_of(spark_type_for(ct)) == bucket, ct

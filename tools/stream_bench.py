@@ -58,15 +58,24 @@ def main() -> int:
 
     out_rows = spark.sql("select count(*) c from stream_bench").collect()[0].c
     batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    # Steady-state throughput from the batches' own durations: the
+    # wall-clock span includes multi-second query startup (source
+    # discovery, checkpoint setup, first-batch planning) and stop(),
+    # which dominate a small corpus and make runs incomparable across
+    # environments. Both numbers are reported; ``value`` is the
+    # processing-time figure, ``wall_rows_per_sec`` the end-to-end one.
+    proc_sec = sum(p["batchDuration"] for p in batches) / 1000.0
     print(
         json.dumps(
             {
                 "metric": "stream_pipe_throughput",
                 "unit": "rows/sec",
-                "value": round(total_events / wall, 1),
+                "value": round(total_events / proc_sec, 1) if proc_sec else None,
+                "wall_rows_per_sec": round(total_events / wall, 1),
                 "input_events": total_events,
                 "emitted_mutations": out_rows,
                 "wall_sec": round(wall, 3),
+                "processing_sec": round(proc_sec, 3),
                 "n_batches": len(batches),
                 "mean_batch_ms": round(
                     sum(p["batchDuration"] for p in batches) / max(len(batches), 1), 1
