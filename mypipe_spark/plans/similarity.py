@@ -84,9 +84,10 @@ def _cos(a_qv: str, a_n: str, b_qv: str, b_n: str) -> F.Column:
     return F.when(nprod > 0, dot / F.sqrt(nprod)).otherwise(F.lit(0.0))
 
 
-@register(
-    "ann_topk_bruteforce",
-    oracle=f"""
+# One oracle for both brute-force twins (expression path and Arrow
+# kernel): the docstrings promise identical quantized arithmetic, and a
+# shared constant makes a scoring-SQL tweak land on both or neither.
+_BRUTEFORCE_ORACLE = f"""
     WITH q AS ({_SQL_QUANT}),
     n AS ({_SQL_NORM}),
     qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
@@ -103,7 +104,12 @@ def _cos(a_qv: str, a_n: str, b_qv: str, b_n: str) -> F.Column:
     FROM scored
     ORDER BY cos_raw DESC, vec_id
     LIMIT {_TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=_BRUTEFORCE_ORACLE,
     tags=("ann", "similarity"),
     bench=True,
 )
@@ -358,24 +364,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_pandas",
-    oracle=f"""
-    WITH q AS ({_SQL_QUANT}),
-    n AS ({_SQL_NORM}),
-    qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
-    scored AS (
-      SELECT n.vec_id, n.label,
-             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
-               (SELECT SUM(n.qv[i] * qry.qqv[i])
-                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
-              ELSE 0.0 END) AS cos_raw
-      FROM n, qry
-      WHERE n.vec_id <> {_QUERY_VEC_ID})
-    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
-    FROM scored
-    ORDER BY cos_raw DESC, vec_id
-    LIMIT {_TOP_K}
-    """,
+    oracle=_BRUTEFORCE_ORACLE,
     tags=("ann", "similarity", "pandas-udf"),
 )
 def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
