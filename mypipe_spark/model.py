@@ -90,7 +90,12 @@ def spark_type_for(column_type: str) -> DataType:
     ct = column_type.upper()
     mapping: dict[str, DataType] = {
         "TINY": ByteType(), "SHORT": ShortType(), "INT24": IntegerType(),
-        "LONG": IntegerType(), "LONGLONG": LongType(),
+        # MySQL LONG is the 4-byte INT, but the reference wire widens
+        # it to a java.lang.Long and ships it in the generic
+        # envelope's 'longs' map (KafkaGenericAvroSerializer.scala:
+        # 94-104) — materialize as LongType so Spark-type bucketing
+        # lands values where reference-format consumers look them up.
+        "LONG": LongType(), "LONGLONG": LongType(),
         "FLOAT": FloatType(), "DOUBLE": DoubleType(),
         "DECIMAL": DecimalType(38, 18), "NEWDECIMAL": DecimalType(38, 18),
         "DATE": DateType(), "NEWDATE": DateType(),
@@ -110,19 +115,22 @@ def spark_type_for(column_type: str) -> DataType:
     return mapping[ct]
 
 
-# Generic-envelope bucketing rule (KafkaGenericAvroSerializer.scala:80-112),
-# stated as the SPARK-TYPE bucketing the engine actually performs
-# (sources/snapshot.py buckets by spark_type_for's result): every
-# 4-byte-or-narrower integer (TINY/SHORT/INT24/LONG — MySQL LONG is
-# the 4-byte INT) → integers, LONGLONG → longs, VARCHAR/STRING →
-# strings, the VAR_STRING/BLOB family → bytes; everything else is
-# dropped from the envelope. Consistency with the snapshot bucketing
-# is test-pinned (tests/test_snapshot.py).
+# Generic-envelope bucketing rule. The reference serializer
+# (KafkaGenericAvroSerializer.scala:80-115) handles exactly four
+# binlog types — INT24 → integers, VARCHAR → strings, LONG → longs
+# (values arrive as Integer-or-Long and are widened to Long, :94-104),
+# VAR_STRING → bytes — and DROPS every other type (:112 "case _ ⇒
+# unsupported"). This table matches the reference on those four and
+# extends it with the types the reference drops (TINY/SHORT/LONGLONG/
+# STRING/BLOB family), bucketed by Spark type so no column silently
+# vanishes from the envelope. Consistency with the snapshot bucketing
+# (sources/snapshot.py buckets by spark_type_for's result) is
+# test-pinned (tests/test_snapshot.py).
 GENERIC_BUCKET_FOR_TYPE: dict[str, str] = {
     "TINY": "integers",
     "SHORT": "integers",
     "INT24": "integers",
-    "LONG": "integers",
+    "LONG": "longs",
     "LONGLONG": "longs",
     "VARCHAR": "strings",
     "STRING": "strings",

@@ -9,7 +9,9 @@ loading" is the named registries:
     config = {
       "consumers": {
         "cl":   {"type": "changelog", "path": "/data/cl"},
-        "k1":   {"type": "kafka", "brokers": "...", "topics": "t"},
+        "k1":   {"type": "kafka", "brokers": "...", "topics": "t",
+                 "codec": "json",                  # wire codec of the frames
+                 "schema-registry": {"path": "/saved/registry"}},  # or {"url": ...}
       },
       "pipes": {
         "p1": {
@@ -19,8 +21,9 @@ loading" is the named registries:
           "topic-template": "${database}_${table}_generic",
           "producer": {"name": "parquet", "path": "/out"},
           "checkpoint": "/ckpt/p1",
-          "flush-interval-seconds": 10
-        }
+          "flush-interval-seconds": 10,
+          "dead-letter-path": "/out_dlq"   # kafka pipes: preserve
+        }                                  # malformed frames as parquet
       }
     }
 
@@ -82,6 +85,30 @@ def _kafka_consumer(spark: SparkSession, conf: dict) -> DataFrame:
     )
 
 
+def _registry_from_conf(conf: dict) -> Any:
+    """Optional config-pointed schema repository for the kafka decode
+    cascade (the reference points consumers at a schema repo via
+    config, Conf.scala / reference.conf): ``{"schema-registry":
+    {"path": "/saved/registry"}}`` loads a file-backed registry,
+    ``{"schema-registry": {"url": "http://..."}}`` a caching REST
+    client. Absent → None (the structural cascade still runs; only
+    the unknown_schema check is skipped)."""
+    rconf = conf.get("schema-registry")
+    if not rconf:
+        return None
+    if "path" in rconf:
+        from .registry import load_registry
+
+        return load_registry(rconf["path"])
+    if "url" in rconf:
+        from .registry import RestSchemaRegistry
+
+        return RestSchemaRegistry(rconf["url"])
+    raise KeyError(
+        "schema-registry config needs 'path' (file) or 'url' (REST)"
+    )
+
+
 def build_pipes(config: dict[str, Any]) -> list[Pipe]:
     """Dict config → Pipe objects (not yet started)."""
     consumers: dict[str, dict] = config.get("consumers", {})
@@ -104,17 +131,65 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
             # the raw Kafka frame (key/value/topic/partition/offset) is
             # not the canonical change stream — decode it back first so
             # every downstream transform sees CHANGE_EVENT_SCHEMA
-            # columns. Malformed frames divert, never kill the query.
-            def _decode_kafka(df: DataFrame) -> DataFrame:
+            # columns. Malformed frames divert, never kill the query;
+            # the codec comes from consumer config (an avro-framed
+            # stream decoded as json would divert 100% of rows), and
+            # with a `dead-letter-path` the diverted branch is
+            # PRESERVED as its own checkpointed parquet query instead
+            # of dropped — the skipped-events-preserved contract
+            # (streaming/errors.py) applied at the decode layer.
+            codec = cconf.get("codec", "json")
+            registry = _registry_from_conf(cconf)
+
+            def _decode_kafka(
+                df: DataFrame, _codec=codec, _reg=registry
+            ) -> DataFrame:
                 from .sinks.wire import (
                     decoded_change_events,
                     frame_dead_letter_split,
                 )
 
-                valid, _dead = frame_dead_letter_split(df, registry=None)
+                valid, _dead = frame_dead_letter_split(
+                    df, registry=_reg, codec=_codec
+                )
                 return decoded_change_events(valid)
 
             transforms.append(_decode_kafka)
+            dlq_path = pconf.get("dead-letter-path")
+            if dlq_path:
+                checkpoint = pconf.get("checkpoint")
+                if not checkpoint:
+                    # same fail-before-run rule as
+                    # errors.run_pipe_with_dead_letter: a DLQ parquet
+                    # sink with no checkpoint would lose dead rows
+                    raise ValueError(
+                        f"pipe '{pipe_id}': dead-letter-path requires "
+                        "a 'checkpoint' (the DLQ parquet sink cannot "
+                        "run without one)"
+                    )
+
+                def _dead_source(
+                    s: SparkSession,
+                    _f=cfactory,
+                    _cc=cconf,
+                    _codec=codec,
+                    _reg=registry,
+                ) -> DataFrame:
+                    from .sinks.wire import frame_dead_letter_split
+
+                    return frame_dead_letter_split(
+                        _f(s, _cc), registry=_reg, codec=_codec
+                    )[1]
+
+                pipes.append(
+                    Pipe(
+                        pipe_id=f"{pipe_id}_dlq",
+                        source=_dead_source,
+                        producer="parquet",
+                        producer_options={"path": dlq_path},
+                        checkpoint_dir=checkpoint + "_dlq",
+                    )
+                )
         grouped = bool(pconf.get("group-mutations-by-tx"))
         cond = pconf.get("include-event-condition")
         if cond:

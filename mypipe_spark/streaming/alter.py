@@ -63,7 +63,7 @@ _COL = r"(?:`([^`]+)`|([\w$]+))"
 # name when the COLUMN keyword is omitted (DROP INDEX idx / ADD KEY k
 # (c)): without the guard `DROP INDEX idx` deletes a column literally
 # named 'INDEX'.
-_NON_COLUMN = r"(?!(?:index|key|primary|unique|foreign|constraint|partition|fulltext|spatial)\b)"
+_NON_COLUMN = r"(?!(?:index|key|primary|unique|foreign|constraint|partition|fulltext|spatial|check)\b)"
 _ADD_CLAUSE = re.compile(
     rf"\badd\s+(?:column\s+{_COL}|{_NON_COLUMN}{_COL})\s+(\w+)",
     re.IGNORECASE,
@@ -80,7 +80,12 @@ _TARGET_RE = re.compile(
 )
 
 _MYSQL_TYPE_ALIASES = {
-    "INT": "INT24", "INTEGER": "INT24", "BIGINT": "LONGLONG",
+    # surface INT is binlog ColumnType.LONG (type code 3); MEDIUMINT
+    # is INT24 (code 9) — mapping INT to INT24 would route its values
+    # into the generic envelope's 'integers' map, where reference
+    # consumers (KafkaGenericAvroSerializer.scala:94-104 puts LONG in
+    # 'longs') would never find them
+    "INT": "LONG", "INTEGER": "LONG", "BIGINT": "LONGLONG",
     "TEXT": "BLOB", "CHAR": "STRING", "MEDIUMINT": "INT24",
     "SMALLINT": "SHORT", "TINYINT": "TINY",
     # MySQL surface names the binlog type table doesn't spell the

@@ -102,11 +102,18 @@ def effectively_once(
     snapshot to one row and the epoch-0 event time would fall behind
     the watermark the moment live events arrive — preloads bypass the
     dedup instead (they are loaded once as a batch, never
-    redelivered)."""
+    redelivered).
+
+
+    NULL-seq rows (a decoded frame with no offset column) also bypass:
+    they carry no redelivery identity to dedup on, and a NULL key
+    would collapse every such row within the watermark into one —
+    silently dropping real events. Without the explicit branch they
+    satisfy neither seq==0 nor seq!=0 and vanish entirely."""
     deduped = df
     preload = None
     if "seq" in keys and "seq" in df.columns:
-        preload = df.filter(F.col("seq") == 0)
+        preload = df.filter((F.col("seq") == 0) | F.col("seq").isNull())
         deduped = df.filter(F.col("seq") != 0)
     deduped = deduped.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)

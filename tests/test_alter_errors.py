@@ -322,9 +322,14 @@ def test_evolve_schema_multi_clause_and_guards():
             StructField("user-2024", T.StringType()),
         ]
     )
-    # multi-clause: both columns land
-    s = evolve_schema(base, "ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b INT")
+    # multi-clause: both columns land; surface INT is binlog LONG,
+    # which the reference wire widens to Long ('longs' map) — so the
+    # materialized Spark type is LongType, not IntegerType
+    s = evolve_schema(base, "ALTER TABLE t ADD COLUMN a INT, ADD COLUMN b MEDIUMINT")
     assert {"a", "b"} <= set(s.fieldNames())
+    types = {f.name: f.dataType for f in s.fields}
+    assert types["a"] == T.LongType()
+    assert types["b"] == T.IntegerType()
     # drop-then-add re-types in statement order
     s = evolve_schema(base, "ALTER TABLE t DROP COLUMN id, ADD COLUMN id BIGINT")
     assert dict(zip(s.fieldNames(), [f.dataType for f in s.fields]))[
@@ -336,6 +341,14 @@ def test_evolve_schema_multi_clause_and_guards():
     # DROP INDEX must not remove a column named 'INDEX' (or anything)
     assert evolve_schema(base, "ALTER TABLE t DROP INDEX idx") == base
     assert evolve_schema(base, "ALTER TABLE t ADD INDEX idx (user)") == base
+    # DROP CHECK c1 is a constraint drop, not DROP COLUMN `check`
+    assert evolve_schema(base, "ALTER TABLE t DROP CHECK c1") == base
+    assert evolve_schema(base, "ALTER TABLE t ADD CHECK (id > 0)") == base
+    # a real column named 'check' is still droppable via backticks
+    base_chk = StructType(list(base.fields) + [StructField("check", T.StringType())])
+    assert "check" not in evolve_schema(
+        base_chk, "ALTER TABLE t DROP COLUMN `check`"
+    ).fieldNames()
     # ALTER IGNORE accepted (decode.py classifies it as an alter)
     s = evolve_schema(base, "ALTER IGNORE TABLE mypipe.t ADD COLUMN email varchar(128)")
     assert "email" in s.fieldNames()

@@ -171,3 +171,79 @@ def test_kafka_decode_transform_roundtrip(spark):
     assert {"seq", "op", "database", "table", "txid", "ts"} <= set(events.columns)
     assert events.filter("database = 'mypipe' AND table = 'user'").count() == events.count()
     assert events.filter("seq IS NULL OR ts IS NULL").count() == 0
+
+
+def test_kafka_pipe_routes_dead_letters_and_honors_codec(
+    spark, tmp_path, monkeypatch
+):
+    """Config-driven kafka pipe: `codec` reaches the decode cascade
+    and `dead-letter-path` preserves diverted frames as parquet (with
+    dlq_reason) instead of silently dropping them — the
+    skipped-events-preserved contract at the decode layer."""
+    import mypipe_spark.runner as runner_mod
+    from mypipe_spark.changelog import changelog_df
+    from mypipe_spark.operators.decode import mutations_only
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import encode_generic
+
+    muts = mutations_only(changelog_df(spark, num_transactions=3))
+    framed = (
+        encode_generic(muts, in_memory_repo())
+        .select("value")
+        .withColumn("topic", F.lit("t"))
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.monotonically_increasing_id())
+        .withColumn("timestamp", F.current_timestamp())
+    )
+    garbage = framed.limit(1).withColumn(
+        "value", F.lit(b"\xffgarbage").cast("binary")
+    )
+    frames_dir = str(tmp_path / "frames")
+    framed.unionByName(garbage).coalesce(1).write.parquet(frames_dir)
+    frame_schema = spark.read.parquet(frames_dir).schema
+
+    # no broker in the sandbox: stand in a file stream of kafka-shaped
+    # frames for the kafka source, leaving every downstream stage real
+    monkeypatch.setitem(
+        runner_mod._CONSUMERS,
+        "kafka",
+        lambda s, conf: s.readStream.schema(frame_schema).parquet(
+            conf["path"]
+        ),
+    )
+    dlq_path = str(tmp_path / "dlq")
+    out_path = str(tmp_path / "out")
+    config = {
+        "consumers": {
+            "k1": {"type": "kafka", "path": frames_dir, "codec": "json"}
+        },
+        "pipes": {
+            "kp": {
+                "consumer": "k1",
+                "producer": {"name": "parquet", "path": out_path},
+                "checkpoint": str(tmp_path / "ckpt"),
+                "dead-letter-path": dlq_path,
+            }
+        },
+    }
+    run_from_config(spark, config, block=True)
+    out = spark.read.parquet(out_path)
+    assert out.count() == muts.count()
+    dead = spark.read.parquet(dlq_path)
+    assert dead.count() == 1
+    assert dead.select("dlq_reason").collect()[0][0] is not None
+
+
+def test_kafka_dead_letter_path_requires_checkpoint():
+    with pytest.raises(ValueError, match="dead-letter-path requires"):
+        build_pipes(
+            {
+                "consumers": {"k1": {"type": "kafka", "brokers": "b", "topics": "t"}},
+                "pipes": {
+                    "kp": {
+                        "consumer": "k1",
+                        "dead-letter-path": "/tmp/x",
+                    }
+                },
+            }
+        )

@@ -139,8 +139,11 @@ def test_generic_bucket_table_matches_snapshot_bucketing():
     """model.GENERIC_BUCKET_FOR_TYPE documents the envelope bucketing;
     it must agree with what to_insert_mutations actually does (bucket
     by spark_type_for's Spark type) — a divergent table would steer
-    future wire code into the wrong typed map (MySQL LONG is the
-    4-byte INT → IntegerType → integers, NOT longs)."""
+    future wire code into the wrong typed map. MySQL LONG (the 4-byte
+    INT) materializes as LongType and buckets to 'longs': the
+    reference wire widens LONG values to java.lang.Long and ships
+    them in the longs map (KafkaGenericAvroSerializer.scala:94-104),
+    so reference-format consumers look INT columns up there."""
     from mypipe_spark.model import GENERIC_BUCKET_FOR_TYPE, spark_type_for
     from mypipe_spark.sources.snapshot import (
         _BYTES_TYPES,
@@ -162,3 +165,17 @@ def test_generic_bucket_table_matches_snapshot_bucketing():
 
     for ct, bucket in GENERIC_BUCKET_FOR_TYPE.items():
         assert bucket_of(spark_type_for(ct)) == bucket, ct
+
+
+def test_generic_bucket_matches_reference_wire_format():
+    """Reference-envelope interop pin: the four binlog types the
+    reference serializer actually handles must land in the exact maps
+    its consumers read (KafkaGenericAvroSerializer.scala:80-115 —
+    INT24 → integers, VARCHAR → strings, LONG → longs via
+    Integer→Long widening, VAR_STRING → bytes)."""
+    from mypipe_spark.model import GENERIC_BUCKET_FOR_TYPE
+
+    assert GENERIC_BUCKET_FOR_TYPE["INT24"] == "integers"
+    assert GENERIC_BUCKET_FOR_TYPE["VARCHAR"] == "strings"
+    assert GENERIC_BUCKET_FOR_TYPE["LONG"] == "longs"
+    assert GENERIC_BUCKET_FOR_TYPE["VAR_STRING"] == "bytes"

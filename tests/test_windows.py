@@ -496,3 +496,38 @@ def changelog_batch_events(spark):
     from mypipe_spark.changelog import changelog_df
 
     return changelog_df(spark, num_transactions=4, rollback_prob=0.0)
+
+
+def test_effectively_once_passes_null_seq_rows_through(spark, tmp_path):
+    """A decoded frame with no offset column produces seq=NULL; those
+    rows carry no redelivery identity, so they must bypass the dedup
+    (like preloads) rather than satisfy neither filter branch and
+    silently vanish — and a NULL dedup key must not collapse distinct
+    NULL-seq events into one."""
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.sources.stream import changelog_stream
+    from mypipe_spark.streaming.windows import effectively_once
+
+    cl = changelog_batch_events(spark)
+    n_live = cl.count()
+    # strip the offset from 3 distinct live events → seq NULL
+    noseq = cl.orderBy("seq").limit(3).withColumn(
+        "seq", F.lit(None).cast("long")
+    )
+    src = str(tmp_path / "eo_null_src")
+    cl.unionByName(noseq).coalesce(1).write.parquet(src)
+
+    out = effectively_once(changelog_stream(spark, src))
+    q = (
+        out.writeStream.format("memory").queryName("eo_null")
+        .option("checkpointLocation", str(tmp_path / "eo_null_ck"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from eo_null")
+    assert got.filter("seq is null").count() == 3  # none dropped, none merged
+    assert got.filter("seq is not null").count() == n_live
