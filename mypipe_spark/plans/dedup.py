@@ -844,6 +844,17 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     which found exactly that). This is the standard Spark formulation
     of MapReduce connected components.
 
+    Rounds after the first run as DELTA iterations (the frontier
+    optimization from the Pregel/Flink delta-iteration literature):
+    only vertices whose label improved last round send messages this
+    round — a vertex whose label is unchanged already broadcast it the
+    round it last changed, so re-sending is pure waste. Round 1 is a
+    full |E| pass; the frontier then shrinks geometrically, and with
+    AQE the tiny changed-set side of the edge join collapses to a
+    broadcast — later rounds cost a persisted-edge scan, not a full
+    shuffle-join cascade. Same fixpoint: every label a vertex would
+    ever learn still reaches it, just exactly once.
+
     100 TB note: rounds are shuffle-on-vertex joins; diameter of
     near-dup clusters is tiny in practice (near-dups of a doc are
     near-dups of each other), so 3-4 rounds dominate real corpora —
@@ -858,9 +869,11 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # round 1's frontier is every vertex (initial labels are "new")
+    frontier = labels
     for _ in range(max_iters):
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.doc_id)
+            sym.join(frontier, sym.dst == frontier.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
@@ -880,7 +893,10 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
             )
             .localCheckpoint(eager=True)
         )
-        changed = staged.filter(F.col("component") != F.col("prev")).count()
+        frontier = staged.filter(F.col("component") != F.col("prev")).select(
+            "doc_id", "component"
+        )
+        changed = frontier.count()
         labels = staged.select("doc_id", "component")
         if changed == 0:
             break

@@ -70,7 +70,11 @@ def scd2_merge(history: DataFrame | None, batch: DataFrame) -> DataFrame:
     open row but not predate an already-closed interval. That is the
     commit-order delivery the reference's binlog replay guarantees
     (events are emitted in commit order per row); under out-of-order
-    feeds put a watermarked sort in front.
+    feeds put a watermarked sort in front, and put
+    :func:`scd2_late_split` in front of the merge so an event that DOES
+    predate a closed interval is dead-lettered instead of silently
+    splicing a wrong interval (``streaming_merge`` wires this up via
+    ``split_fn``/``dead_letter_path``).
 
     Scale shape: the merge shuffles |open rows for affected keys| +
     |batch| — history stays on disk untouched except the open slice."""
@@ -94,6 +98,45 @@ def scd2_merge(history: DataFrame | None, batch: DataFrame) -> DataFrame:
         return recomputed
     closed = history.filter(F.col("is_current") == 0).select(*_SCD2_COLS)
     return closed.unionByName(recomputed.select(*_SCD2_COLS))
+
+
+def scd2_late_split(
+    history: DataFrame | None, batch: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Out-of-order guard for :func:`scd2_merge`: split a microbatch
+    into ``(mergeable, late)``.
+
+    An event is *late* when its ``ts`` predates the key's newest
+    CLOSED interval — i.e. ``ts < max(valid_to)`` over the key's
+    ``is_current=0`` rows. Merging it anyway would splice a wrong
+    interval: the closed rows are immutable, so the event would pair
+    with the open row in the LEAD window and produce an interval that
+    overlaps history (the closed interval it belongs inside can no
+    longer be re-cut). Events interleaving at or after that frontier —
+    including ones before the OPEN row's start when no closed interval
+    exists yet — recompute correctly and pass through.
+
+    Scale shape: the frontier aggregate is keys-sized (one row per key
+    with closed history) and the guard join shuffles |batch| +
+    |frontier| on the key — the same profile as the merge step itself;
+    nothing history-sized moves. Late rows come back with the
+    :mod:`.errors` ``dlq_reason`` convention."""
+    if history is None:
+        return batch, batch.limit(0).withColumn("dlq_reason", F.lit(None).cast("string"))
+    frontier = (
+        history.filter(F.col("is_current") == 0)
+        .groupBy("user_id")
+        .agg(F.max("valid_to").alias("_closed_until"))
+    )
+    marked = batch.join(frontier, "user_id", "left")
+    is_late = F.col("ts") < F.col("_closed_until")  # NULL frontier → NULL → not late
+    ok = marked.filter(~F.coalesce(is_late, F.lit(False))).drop("_closed_until")
+    late = (
+        marked.filter(is_late)
+        .drop("_closed_until")
+        .withColumn("dlq_reason", F.lit("scd2_late_event: ts predates a closed interval"))
+    )
+    return ok, late
 
 
 class KeyedStateDir:
@@ -224,18 +267,37 @@ def streaming_merge(
     state_dir: str,
     merge_fn,
     checkpoint_dir: str,
+    split_fn=None,
+    dead_letter_path: str | None = None,
 ):
     """Run a merge core under Structured Streaming: every microbatch
     folds ``merge_fn(previous_state, batch)`` into a new ``KeyedStateDir``
     snapshot. Returns the started StreamingQuery; the caller owns
     ``processAllAvailable``/``stop`` and reads the final state with
-    ``KeyedStateDir(state_dir).read(spark)``."""
+    ``KeyedStateDir(state_dir).read(spark)``.
+
+    With ``split_fn`` (e.g. :func:`scd2_late_split`), each batch is
+    first split into ``(mergeable, dead)`` against the previous state;
+    dead rows append to ``dead_letter_path`` as parquet (required when
+    ``split_fn`` is given — the skipped-events-preserved contract) and
+    only the mergeable slice enters the merge. The DLQ append lands
+    BEFORE the state snapshot commits, so a crash between them replays
+    the batch and re-appends: at-least-once on the DLQ side, state
+    itself stays exactly-once via the versioned snapshots."""
     store = KeyedStateDir(state_dir)
+    if split_fn is not None and not dead_letter_path:
+        raise ValueError(
+            "streaming_merge: split_fn requires a dead_letter_path "
+            "(diverted rows must be preserved, not dropped)"
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         prior = store.latest_before(batch_id)
         prev = None if prior is None else store.read_version(spark, prior)
+        if split_fn is not None:
+            batch_df, dead = split_fn(prev, batch_df)
+            dead.write.mode("append").parquet(dead_letter_path)
         store.write(merge_fn(prev, batch_df), batch_id, prune_below=prior)
 
     return (

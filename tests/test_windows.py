@@ -531,3 +531,81 @@ def test_effectively_once_passes_null_seq_rows_through(spark, tmp_path):
     got = spark.sql("select * from eo_null")
     assert got.filter("seq is null").count() == 3  # none dropped, none merged
     assert got.filter("seq is not null").count() == n_live
+
+
+def test_scd2_late_event_routes_to_dead_letter(spark, tmp_path):
+    """An event predating a key's newest CLOSED interval cannot merge
+    correctly (the closed rows are immutable) — with the guard in
+    front it lands in the DLQ parquet with a reason, the history stays
+    exactly what the in-order events produce, and in-order events in
+    the same batch still merge."""
+    import datetime
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from mypipe_spark.streaming.upsert import (
+        KeyedStateDir,
+        scd2_late_split,
+        scd2_merge,
+        streaming_merge,
+    )
+
+    def ev(eid, ts_s, etype="upd", uid=1):
+        return Row(
+            user_id=uid, event_id=eid, event_type=etype, value=float(eid),
+            ts=datetime.datetime(2024, 1, 1, 0, 0, ts_s),
+        )
+
+    batch1 = [ev(1, 10), ev(2, 20), ev(3, 30)]  # closes [10,20),[20,30); open 30
+    late = ev(4, 15)          # inside closed [10,20) → must divert
+    ok2 = ev(5, 40)           # in order → must merge
+    src_dir = tmp_path / "scd2_guard_src"
+    src_dir.mkdir()
+    for i, chunk in enumerate([batch1, [late, ok2]], start=1):
+        scratch = str(tmp_path / f"guard_scratch_{i}")
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = str(src_dir / f"chunk_{i}.parquet")
+        os.rename(os.path.join(scratch, part), dest)
+        t = _time.time() + i
+        os.utime(dest, (t, t))
+
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    dlq = str(tmp_path / "scd2_dlq")
+    q = streaming_merge(
+        stream,
+        str(tmp_path / "scd2_guard_state"),
+        scd2_merge,
+        str(tmp_path / "scd2_guard_ckpt"),
+        split_fn=scd2_late_split,
+        dead_letter_path=dlq,
+    )
+    _drain(q)
+
+    dead = spark.read.parquet(dlq)
+    assert [r["event_id"] for r in dead.collect()] == [4]
+    assert "predates a closed interval" in dead.collect()[0]["dlq_reason"]
+
+    final = KeyedStateDir(str(tmp_path / "scd2_guard_state")).read(spark)
+    expected = scd2_merge(None, spark.createDataFrame(batch1 + [ok2]))
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # and the guard refuses to run without a DLQ destination
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dead_letter_path"):
+        streaming_merge(
+            stream, str(tmp_path / "x"), scd2_merge, str(tmp_path / "y"),
+            split_fn=scd2_late_split,
+        )
