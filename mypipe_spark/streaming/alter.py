@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -212,41 +213,48 @@ class AlterOrchestrator:
         self._register(database, table, evolved)
         return True
 
+    def _start_round(self, spark: SparkSession, trigger_seconds: float | None = None):
+        """Start one (sink query, DDL watcher) pair over a fresh source
+        build; returns them plus the round's saw-alter flag."""
+        saw_alter = [False]
+
+        def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # Evolve + register HERE, before this batch's checkpoint
+            # commit: registration after processAllAvailable would
+            # open a crash window in which the watcher checkpoint
+            # has committed but the schema version was never
+            # written — permanently lost, since the replay never
+            # re-delivers the committed batch. In-batch work is
+            # at-least-once; register() is idempotent.
+            ddl = (
+                batch_df.filter(F.col("op") == "alter")
+                .select("database", "table", "sql")
+                .collect()
+            )
+            for r in ddl:
+                if self._apply_alter(r["database"], r["table"], r["sql"]):
+                    saw_alter[0] = True
+
+        # the DDL watcher runs beside the sink as a foreachBatch on
+        # the same source; both share the one checkpointed query
+        df = self.source(spark)
+        writer = self.sink(df, self.checkpoint_dir)
+        wwriter = (
+            df.filter(F.col("op") == "alter")
+            .writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir + "_ddl")
+        )
+        if trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+            wwriter = wwriter.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start(), wwriter.start(), saw_alter
+
     def run_available(self, spark: SparkSession) -> int:
         """Drain everything currently available, restarting after each
         drain that carried ALTER events. Returns restart count."""
         restarts = 0
         while True:
-            saw_alter = [False]
-
-            def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-                # Evolve + register HERE, before this batch's checkpoint
-                # commit: registration after processAllAvailable would
-                # open a crash window in which the watcher checkpoint
-                # has committed but the schema version was never
-                # written — permanently lost, since the replay never
-                # re-delivers the committed batch. In-batch work is
-                # at-least-once; register() is idempotent.
-                ddl = (
-                    batch_df.filter(F.col("op") == "alter")
-                    .select("database", "table", "sql")
-                    .collect()
-                )
-                for r in ddl:
-                    if self._apply_alter(r["database"], r["table"], r["sql"]):
-                        saw_alter[0] = True
-
-            # the DDL watcher runs beside the sink as a foreachBatch on
-            # the same source; both share the one checkpointed query
-            df = self.source(spark)
-            writer = self.sink(df, self.checkpoint_dir)
-            query = writer.start()
-            watcher = (
-                df.filter(F.col("op") == "alter")
-                .writeStream.foreachBatch(handle_batch)
-                .option("checkpointLocation", self.checkpoint_dir + "_ddl")
-                .start()
-            )
+            query, watcher, saw_alter = self._start_round(spark)
             try:
                 query.processAllAvailable()
                 watcher.processAllAvailable()
@@ -256,6 +264,55 @@ class AlterOrchestrator:
 
             if not saw_alter[0]:
                 return restarts
+            if restarts >= self.max_restarts:
+                return restarts
+            restarts += 1
+
+    def run_live(
+        self,
+        spark: SparkSession,
+        done: Callable[[], bool],
+        trigger_seconds: float = 1.0,
+        poll_seconds: float = 0.25,
+        max_wall_seconds: float = 180.0,
+    ) -> int:
+        """Continuous mode — the full KafkaAlterSpec.scala:54-94 analog:
+        the pipe runs under ``trigger(processingTime=...)`` while data
+        keeps arriving; the moment the DDL watcher registers an ALTER
+        mid-stream the round stops and the pipe restarts, so the next
+        round's sink build (``self.sink`` is re-invoked) sees the
+        evolved ``table_schemas``/registry and rows queued behind the
+        ALTER flow through it under the new schema — exactly-once
+        across the restart via the shared checkpoint.
+
+        ``done`` is the caller's completion predicate (e.g. "the feeder
+        finished and every row landed"); it is only honored after a
+        final drain so a race between the last file and the poll loop
+        cannot strand rows. Returns the restart count."""
+        restarts = 0
+        deadline = time.monotonic() + max_wall_seconds
+        while True:
+            query, watcher, saw_alter = self._start_round(spark, trigger_seconds)
+            try:
+                while True:
+                    if saw_alter[0]:
+                        break
+                    if done():
+                        # drain what's left; an ALTER surfacing in the
+                        # drain still forces one more restart round
+                        query.processAllAvailable()
+                        watcher.processAllAvailable()
+                        if not saw_alter[0]:
+                            return restarts
+                        break
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"run_live: no completion in {max_wall_seconds}s"
+                        )
+                    time.sleep(poll_seconds)
+            finally:
+                query.stop()
+                watcher.stop()
             if restarts >= self.max_restarts:
                 return restarts
             restarts += 1

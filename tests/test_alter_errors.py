@@ -393,3 +393,96 @@ def test_orchestrator_base_schema_falls_back_to_registry(spark):
     before = set(reg.subjects())
     assert not orch._apply_alter(None, None, "ALTER USER 'x'@'%' IDENTIFIED BY 'y'")
     assert set(reg.subjects()) == before
+
+
+def test_alter_orchestrator_live_trigger_mid_stream(spark, tmp_path):
+    """The KafkaAlterSpec.scala:54-94 analog at full fidelity: the pipe
+    runs under trigger(processingTime=...) while a feeder thread keeps
+    writing files; an ALTER lands MID-RUN, the watcher registers the
+    evolved schema and forces a restart, and rows queued behind the
+    ALTER flow through the rebuilt SPECIFIC-envelope sink with the new
+    column populated — exactly-once across the restart."""
+    import os
+    import threading
+    import time as _time
+
+    from mypipe_spark.changelog import ChangeLogGenerator
+    from mypipe_spark.model import CHANGE_EVENT_SCHEMA
+    from mypipe_spark.sinks.wire import specific_projection
+
+    gen = ChangeLogGenerator(seed=7, rollback_prob=0.0, max_tx_size=2)
+    txid = "tx-pre"
+    pre = [gen.insert(txid), gen.insert(txid)]
+    alter_ev = gen.alter()  # ADD COLUMN email varchar(128)
+    post = []
+    for _ in range(2):
+        ev = gen.insert("tx-post")
+        ev["new_strings"] = dict(ev["new_strings"], email="user@example.com")
+        post.append(ev)
+
+    src_dir = tmp_path / "live_src"
+    src_dir.mkdir()
+
+    def write_file(rows, name):
+        scratch = str(tmp_path / f"live_scratch_{name}")
+        spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(scratch, part), str(src_dir / f"{name}.parquet"))
+
+    write_file(pre, "a_pre")  # available before the run starts
+
+    registry = SchemaRegistry()
+    out = str(tmp_path / "live_out")
+    orch = AlterOrchestrator(
+        source=lambda s: changelog_stream(s, str(src_dir), max_files_per_trigger=1),
+        # the sink is REBUILT each round from the orchestrator's
+        # current view of the table — the restart is what picks the
+        # evolved schema up
+        sink=lambda df, ckpt: (
+            specific_projection(
+                df.filter(F.col("op") == "insert"),
+                orch.table_schemas[("mypipe", "user")],
+            )
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).outputMode("append")
+        ),
+        checkpoint_dir=str(tmp_path / "live_ckpt"),
+        registry=registry,
+        table_schemas={("mypipe", "user"): USER_SCHEMA},
+    )
+
+    feeder_done = threading.Event()
+
+    def feed():
+        _time.sleep(1.5)           # first round is live and idle-ish
+        write_file([alter_ev], "b_alter")   # DDL arrives mid-run
+        _time.sleep(1.5)
+        write_file(post, "c_post")          # data queued behind it
+        feeder_done.set()
+
+    feeder = threading.Thread(target=feed, daemon=True)
+    feeder.start()
+    restarts = orch.run_live(
+        spark, done=feeder_done.is_set, trigger_seconds=0.5
+    )
+    feeder.join()
+    assert restarts >= 1  # the ALTER really forced a restart
+
+    # registry carries the evolved schema for all mutation subjects
+    for mtype in ("insert", "update", "delete"):
+        latest = registry.get_latest(specific_subject("mypipe", "user", mtype))
+        assert latest is not None and "email" in latest[1]
+
+    delivered = spark.read.option("mergeSchema", "true").parquet(out)
+    # exactly-once: every insert arrived exactly once across restarts
+    assert delivered.count() == len(pre) + len(post)
+    # post-restart rows flowed through the EVOLVED specific envelope
+    assert "email" in delivered.columns
+    with_email = delivered.filter(F.col("email").isNotNull())
+    assert with_email.count() == len(post)
+    assert with_email.select("email").distinct().collect()[0][0] == "user@example.com"
