@@ -137,6 +137,15 @@ def main() -> int:
     ap.add_argument("--out-root", default="/tmp")
     ap.add_argument("--repeat", type=int, default=3, help="fastest-of-N per query per scale")
     ap.add_argument("--rebuild", action="store_true", help="rebuild the amplified corpus even if present")
+    ap.add_argument(
+        "--scaling-md",
+        nargs="?",
+        const="SCALING.md",
+        default=None,
+        help="append the per-query rows + summary as a markdown section "
+        "to this file (default SCALING.md next to the repo root), so the "
+        "recorded evidence cannot drift from what the tool measured",
+    )
     ap.add_argument("queries", nargs="*", help="default: the bench set")
     args = ap.parse_args()
 
@@ -167,8 +176,10 @@ def main() -> int:
 
     failures = []
     ratios = []
+    rows_out: list[dict] = []
     for name in names:
         row: dict[str, object] = {"query": name, "factor": args.factor}
+        rows_out.append(row)
         try:
             for key, d in (("base_s", args.sf_dir), ("amp_s", amp_dir)):
                 best = float("inf")
@@ -184,15 +195,48 @@ def main() -> int:
             failures.append(name)
         print(json.dumps(row))
 
-    print(json.dumps({
+    summary = {
         "summary": "scale_smoke",
         "factor": args.factor,
         "queries": len(names),
         "failed": failures,
         "median_ratio": sorted(ratios)[len(ratios) // 2] if ratios else None,
         "max_ratio": max(ratios) if ratios else None,
-    }))
+    }
+    print(json.dumps(summary))
+    if args.scaling_md:
+        _append_scaling_md(args.scaling_md, args, rows_out, summary)
     return 1 if failures else 0
+
+
+def _append_scaling_md(path: str, args, rows: list[dict], summary: dict) -> None:
+    """Append a machine-written measurement section so SCALING.md's
+    evidence always traces back to an actual tool run."""
+    import datetime
+
+    lines = [
+        "",
+        f"## Measured run — K={args.factor}, repeat={args.repeat}, "
+        f"{datetime.date.today().isoformat()} (machine-appended)",
+        "",
+        "| query | 1x s | {K}x s | ratio |".replace("{K}", str(args.factor)),
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            lines.append(f"| {r['query']} | — | — | ERROR: {r['error'][:80]} |")
+        else:
+            lines.append(
+                f"| {r['query']} | {r['base_s']} | {r['amp_s']} | {r['ratio']} |"
+            )
+    lines.append("")
+    lines.append(
+        f"median **{summary['median_ratio']}**, max **{summary['max_ratio']}**, "
+        f"failed: {summary['failed'] or 'none'}"
+    )
+    lines.append("")
+    with open(path, "a") as fh:
+        fh.write("\n".join(lines))
 
 
 if __name__ == "__main__":
