@@ -729,20 +729,27 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile", "agg"),
 )
 def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance deciles via NTILE — the quantile-bucketing
-    window (unique c_custkey tiebreak makes bucket boundaries
-    deterministic). NOTE the global NTILE is a single-partition window
-    by definition; the aggregation immediately reduces it, and at
-    100 TB the right form is approx_percentile cutpoints (see
-    q_quantity_quartiles_approx) or per-stratum NTILE — this query
-    exists to pin the operator's semantics."""
+    """Account-balance deciles with EXACT NTILE semantics (unique
+    c_custkey tiebreak makes bucket boundaries deterministic) —
+    computed by operators.scale.exact_ntile's two-pass distributed
+    ranking instead of ``ntile().over(Window.orderBy(...))``: range
+    partitioning replaces the single-partition global sort, each
+    partition windows only its own key range in parallel, and the
+    global rank comes from prefix-sum offsets (P driver-side scalars —
+    index metadata). Bit-identical buckets to the window function (the
+    oracle hash-checks that), but the plan now survives a 100x
+    scale-up; the approx_percentile twin remains the cheapest form
+    when sketch cutpoints suffice."""
     t = load_tables(spark, sf_dir)
-    from pyspark.sql import Window
+    from ..operators.scale import exact_ntile
 
-    w = Window.orderBy("c_acctbal", "c_custkey")
     return (
-        t["customer"]
-        .select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        exact_ntile(
+            t["customer"].select("c_custkey", "c_acctbal"),
+            10,
+            ["c_acctbal", "c_custkey"],
+            out_col="decile",
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -258,8 +258,14 @@ def test_deciles_approx_plan_has_no_window_or_sort(spark, sf_dir):
     assert _n_nodes(plan, "Sort") == 0
     assert "CartesianProduct" not in plan
 
+    # round-5: the exact form's global NTILE is now the two-pass
+    # distributed ranking (operators.scale.exact_ntile) — its one
+    # Window must be PARTITIONED (by the range-partition id), never
+    # the single-partition global window the plain ntile() plans
     exact = _plan(spark, "q_customer_balance_deciles", sf_dir)
     assert _n_nodes(exact, "Window") == 1
+    m = re.search(r"windowspecdefinition\(([^,]+),", exact)
+    assert m is not None and "_pid" in m.group(1), exact[:500]
 
 
 def test_jaccard_prefix_plan_shape(spark, sf_dir):

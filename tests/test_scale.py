@@ -295,3 +295,38 @@ def test_keyed_state_retention_spares_reader_window(spark, sf_dir, tmp_path):
     assert store.complete_versions() == [2, 3]
     # and a tighter retain still never deletes the consumed snapshot
     assert store.read(spark).count() > 0
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """exact_ntile's two-pass distributed ranking must reproduce
+    ntile().over(Window.orderBy(...)) bit-for-bit — including tie
+    handling via the unique tiebreak, uneven bucket sizes (first
+    n mod k buckets one row larger), and the n < k edge."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators.scale import exact_ntile
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(40)) for i in range(997)]  # heavy ties
+    df = spark.createDataFrame(rows, "id int, v int")
+    for k in (3, 10, 64):
+        got = {
+            r["id"]: r["nt"]
+            for r in exact_ntile(df, k, ["v", "id"], out_col="nt").collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["nt"]
+            for r in df.select("id", F.ntile(k).over(w).alias("nt")).collect()
+        }
+        assert got == want, f"k={k}"
+    # n < k: every row is its own bucket, numbered by rank
+    tiny = spark.createDataFrame([(1, 5), (2, 3), (3, 9)], "id int, v int")
+    got = {
+        r["id"]: r["nt"]
+        for r in exact_ntile(tiny, 10, ["v", "id"], out_col="nt").collect()
+    }
+    assert got == {2: 1, 1: 2, 3: 3}
