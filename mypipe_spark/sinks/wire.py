@@ -544,10 +544,16 @@ def specific_projection(df: DataFrame, table_schema: StructType, image: str = "n
     cols: list[Column] = [F.col("database"), F.col("table"), F.col("table_id"), F.col("txid"), F.col("ts")]
     for field in table_schema.fields:
         name = field.name
+        # bigint fields consult BOTH integer maps: a MySQL LONG column
+        # rides the wire in 'longs' (reference rule), but a snapshot of
+        # the same table buckets its Spark IntegerType read into
+        # 'integers' — the projection must find the value either way
+        # (int → bigint is a lossless widening).
         src = (
             F.coalesce(
                 F.col(f"{image}_integers").getItem(name).cast(field.dataType)
-                if field.dataType.simpleString() in ("int", "smallint", "tinyint")
+                if field.dataType.simpleString()
+                in ("int", "smallint", "tinyint", "bigint")
                 else F.lit(None).cast(field.dataType),
                 F.col(f"{image}_longs").getItem(name).cast(field.dataType),
                 F.col(f"{image}_strings").getItem(name).cast(field.dataType),

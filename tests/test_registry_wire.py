@@ -117,6 +117,27 @@ def test_specific_projection(spark):
         assert row["id"] is not None
 
 
+def test_specific_projection_bigint_reads_both_integer_maps(spark):
+    """A MySQL LONG column is LongType in a registered schema and
+    rides the WIRE in 'longs' (reference rule), but a SNAPSHOT of the
+    same table buckets its Spark IntegerType read into 'integers' —
+    a bigint field must find its value in either map (int → bigint is
+    lossless widening), or snapshot preloads of INT columns would
+    project to NULL under the evolved schema."""
+    from pyspark.sql.types import LongType
+
+    df = mutations_only(changelog_df(spark, num_transactions=5))
+    # generator payloads put id in 'integers'; re-type id as bigint in
+    # the registered schema (the post-round-5 spark_type_for('LONG'))
+    schema = StructType(
+        [StructField("id", LongType()), StructField("username", StringType())]
+    )
+    out = specific_projection(df.filter(F.col("op") == "insert"), schema)
+    rows = out.collect()
+    assert rows and all(r["id"] is not None for r in rows)
+    assert all(isinstance(r["id"], int) for r in rows)
+
+
 def test_avro_codec_gated_by_functional_probe(spark):
     """pyspark always ships the Python wrapper for to_avro, so import
     success must NOT be trusted — availability is a functional probe.
