@@ -330,3 +330,19 @@ def test_exact_ntile_matches_window_ntile(spark):
         for r in exact_ntile(tiny, 10, ["v", "id"], out_col="nt").collect()
     }
     assert got == {2: 1, 1: 2, 3: 3}
+    # NULLs in the ordering column: both the range partitioner and the
+    # window sort NULLS FIRST — buckets must still agree exactly
+    withnulls = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else i % 13) for i in range(200)],
+        "id int, v int",
+    )
+    got = {
+        r["id"]: r["nt"]
+        for r in exact_ntile(withnulls, 5, ["v", "id"], out_col="nt").collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["nt"]
+        for r in withnulls.select("id", F.ntile(5).over(w).alias("nt")).collect()
+    }
+    assert got == want
