@@ -87,3 +87,58 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", options["brokers"])
     )
+
+
+@register_producer("latest_state")
+def latest_state_producer(df: DataFrame, options: dict) -> DataStreamWriter:
+    """Keyed-state materialization as a config-driven sink: every
+    microbatch folds a keep-last MERGE into a versioned
+    ``KeyedStateDir`` snapshot at ``state-path`` (read the current
+    table with ``KeyedStateDir(path).read(spark)``) — the
+    Kafka-log-compaction consumer the reference points users at
+    (README.md:12), maintained incrementally so a 100 TB history is
+    never rescanned. ``keys`` / ``order`` / ``columns`` make the
+    compaction config-expressible; defaults match the events-table
+    shape (cdc_latest_state)."""
+    from ..streaming.upsert import (
+        KeyedStateDir,
+        latest_state_merge_for,
+        merge_apply_batch,
+    )
+
+    merge = latest_state_merge_for(
+        list(options.get("keys", ["user_id"])),
+        list(options.get("order", ["ts", "event_id"])),
+        list(
+            options.get(
+                "columns", ["user_id", "event_id", "event_type", "value", "ts"]
+            )
+        ),
+    )
+    apply_batch = merge_apply_batch(KeyedStateDir(options["state-path"]), merge)
+    return df.writeStream.foreachBatch(apply_batch)
+
+
+@register_producer("scd2")
+def scd2_producer(df: DataFrame, options: dict) -> DataStreamWriter:
+    """SCD2 history maintenance as a config-driven sink: versioned
+    intervals per key in a ``KeyedStateDir`` at ``state-path``. With
+    ``dead-letter-path`` set, events predating a key's newest CLOSED
+    interval divert there (scd2_late_split) instead of splicing a
+    wrong interval — set it whenever the feed is not guaranteed
+    per-key commit-ordered."""
+    from ..streaming.upsert import (
+        KeyedStateDir,
+        merge_apply_batch,
+        scd2_late_split,
+        scd2_merge,
+    )
+
+    dlq = options.get("dead-letter-path")
+    apply_batch = merge_apply_batch(
+        KeyedStateDir(options["state-path"]),
+        scd2_merge,
+        split_fn=scd2_late_split if dlq else None,
+        dead_letter_path=dlq,
+    )
+    return df.writeStream.foreachBatch(apply_batch)

@@ -32,6 +32,32 @@ from pyspark.sql import functions as F
 _EVENT_COLS = ("user_id", "event_id", "event_type", "value", "ts")
 
 
+def latest_state_merge_for(
+    key_cols: list[str], order_cols: list[str], cols: list[str]
+):
+    """Build a keep-last MERGE step for any (keys, ordering, columns)
+    triple: per key keep the ``order_cols``-max row. The step is
+    associative and order-insensitive (max of maxes), so folding it
+    over any chunking of the log reproduces the batch recompute
+    exactly. Shuffles |state| + |batch| rows on the key, never the
+    history. This is what makes the compaction config-expressible
+    (the ``latest_state`` producer in sinks/producers.py)."""
+
+    def merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+        ev = batch.select(*cols)
+        allr = ev if state is None else state.select(*cols).unionByName(ev)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        return (
+            allr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    return merge
+
+
 def latest_state_merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     """One MERGE step of keep-last compaction: previous keyed state
     (one row per user_id, or None on the first batch) + a microbatch of
@@ -41,14 +67,9 @@ def latest_state_merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     exactly (the step is associative and order-insensitive: max of
     maxes). Shuffles |state| + |batch| rows on the key, never the
     history."""
-    ev = batch.select(*_EVENT_COLS)
-    allr = ev if state is None else state.select(*_EVENT_COLS).unionByName(ev)
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        allr.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return latest_state_merge_for(
+        ["user_id"], ["ts", "event_id"], list(_EVENT_COLS)
+    )(state, batch)
 
 
 _SCD2_COLS = (
@@ -284,10 +305,29 @@ def streaming_merge(
     BEFORE the state snapshot commits, so a crash between them replays
     the batch and re-appends: at-least-once on the DLQ side, state
     itself stays exactly-once via the versioned snapshots."""
-    store = KeyedStateDir(state_dir)
+    apply_batch = merge_apply_batch(
+        KeyedStateDir(state_dir), merge_fn, split_fn, dead_letter_path
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def merge_apply_batch(
+    store: KeyedStateDir,
+    merge_fn,
+    split_fn=None,
+    dead_letter_path: str | None = None,
+):
+    """The ``foreachBatch`` body of a keyed-state merge — shared by
+    :func:`streaming_merge` and the config-driven ``latest_state`` /
+    ``scd2`` producers (sinks/producers.py), so both paths carry the
+    identical replay-safety and DLQ semantics."""
     if split_fn is not None and not dead_letter_path:
         raise ValueError(
-            "streaming_merge: split_fn requires a dead_letter_path "
+            "keyed-state merge: split_fn requires a dead_letter_path "
             "(diverted rows must be preserved, not dropped)"
         )
 
@@ -300,8 +340,4 @@ def streaming_merge(
             dead.write.mode("append").parquet(dead_letter_path)
         store.write(merge_fn(prev, batch_df), batch_id, prune_below=prior)
 
-    return (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return apply_batch

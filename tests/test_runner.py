@@ -247,3 +247,65 @@ def test_kafka_dead_letter_path_requires_checkpoint():
                 },
             }
         )
+
+
+def test_latest_state_and_scd2_producers_from_config(spark, tmp_path):
+    """The keyed-state materializations as config-driven sinks: a pipe
+    with producer latest_state / scd2 folds the merge into a versioned
+    KeyedStateDir, equal to the batch recomputes (cdc_latest_state /
+    cdc_scd2_history) — the reference's compacted-topic consumer shape
+    as one config entry."""
+    import os
+
+    from mypipe_spark.plans.catalog import all_queries
+    from mypipe_spark.streaming.upsert import KeyedStateDir
+
+    sf_dir = "/root/testdata/sf0.01"
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+
+    @register_consumer("events_file")
+    def _events(s, conf):
+        return s.readStream.schema(batch.schema).parquet(conf["path"])
+
+    ls_state = str(tmp_path / "ls_state")
+    scd2_state = str(tmp_path / "scd2_state")
+    config = {
+        "consumers": {"ev": {"type": "events_file", "path": src}},
+        "pipes": {
+            "ls_pipe": {
+                "consumer": "ev",
+                "mutations-only": False,
+                "producer": {"name": "latest_state", "state-path": ls_state},
+                "checkpoint": str(tmp_path / "ls_ck"),
+            },
+            "scd2_pipe": {
+                "consumer": "ev",
+                "mutations-only": False,
+                "producer": {
+                    "name": "scd2",
+                    "state-path": scd2_state,
+                    "dead-letter-path": str(tmp_path / "scd2_dlq"),
+                },
+                "checkpoint": str(tmp_path / "scd2_ck"),
+            },
+        },
+    }
+    run_from_config(spark, config, block=True)
+
+    got_ls = sorted(map(tuple, KeyedStateDir(ls_state).read(spark).collect()))
+    want_ls = sorted(
+        map(tuple, all_queries()["cdc_latest_state"].fn(spark, sf_dir).collect())
+    )
+    assert got_ls == want_ls and len(got_ls) > 0
+
+    got_scd2 = sorted(map(tuple, KeyedStateDir(scd2_state).read(spark).collect()))
+    want_scd2 = sorted(
+        map(tuple, all_queries()["cdc_scd2_history"].fn(spark, sf_dir).collect())
+    )
+    assert got_scd2 == want_scd2 and len(got_scd2) > 0
+    # in-order feed: the guard diverted nothing
+    dlq = spark.read.parquet(str(tmp_path / "scd2_dlq"))
+    assert dlq.count() == 0
