@@ -1,0 +1,373 @@
+"""Pure-Python Avro binary codec for the generic-envelope wire body.
+
+The reference's wire payload IS Avro (KafkaAvroSerializer.scala:189-201
+serializes mutations.avsc records). Spark's JVM ``to_avro``/``from_avro``
+need the external spark-avro jar, which many environments (including
+this one) do not ship — so this module implements the Avro BINARY
+encoding by hand (the spec's primitives are just zigzag varints,
+length-prefixed byte strings, block-framed maps, and union indices)
+and exposes it as Arrow-batched pandas UDFs. Two schemas:
+
+- the repo's union wire record (wire.PAYLOAD_AVRO_SCHEMA: one record
+  with nullable fields covering insert/update/delete) — the fallback
+  behind ``codec="avro"`` when the jar is absent, byte-compatible with
+  what the JVM path writes for the same schema (Avro binary encoding
+  is fully determined by the writer schema; map entries are emitted as
+  a single block in sorted-key order for cross-run determinism — any
+  spec-compliant reader accepts either ordering);
+- the REFERENCE's per-op records (mutations.avsc:10-148:
+  InsertMutation/DeleteMutation with 8 fields, UpdateMutation with 12,
+  txid as a ["null", fixed(16)] Guid) — ``codec="avro_ref"``, the
+  true reference-topic interop format.
+
+Scale note: this is the compatibility path — Arrow moves the columns
+to Python in batches, the per-row work is a few hundred bytes of
+buffer appends. When the spark-avro jar exists, wire.py prefers the
+JVM codec; everything else (framing, registry, dead-lettering) is
+shared between the two.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# Avro binary primitives (Avro 1.12 spec, "Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def _write_varint(buf: bytearray, n: int) -> None:
+    z = _zigzag(n)
+    while z > 0x7F:
+        buf.append((z & 0x7F) | 0x80)
+        z >>= 7
+    buf.append(z)
+
+
+def _write_bytes(buf: bytearray, b: bytes) -> None:
+    _write_varint(buf, len(b))
+    buf += b
+
+
+def _write_string(buf: bytearray, s: str) -> None:
+    _write_bytes(buf, s.encode("utf-8"))
+
+
+class _Reader:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes) -> None:
+        self.b = b
+        self.i = 0
+
+    def varint(self) -> int:
+        z = shift = 0
+        while True:
+            if self.i >= len(self.b):
+                raise ValueError("truncated varint")
+            byte = self.b[self.i]
+            self.i += 1
+            z |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("varint too long")
+        return _unzigzag(z)
+
+    def raw(self, n: int) -> bytes:
+        if n < 0 or self.i + n > len(self.b):
+            raise ValueError("truncated bytes")
+        out = self.b[self.i : self.i + n]
+        self.i += n
+        return out
+
+    def bytes_(self) -> bytes:
+        return self.raw(self.varint())
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+
+# value kinds a map may hold
+_MAP_WRITERS = {
+    "int": _write_varint,
+    "long": _write_varint,
+    "string": _write_string,
+    "bytes": _write_bytes,
+}
+
+
+def _write_map(buf: bytearray, d: dict | None, vkind: str) -> None:
+    """One block in sorted-key order, then the 0 terminator (empty map
+    = just the terminator). Sorted keys make the bytes deterministic;
+    readers accept any spec-compliant block layout."""
+    write_v = _MAP_WRITERS[vkind]
+    if d:
+        _write_varint(buf, len(d))
+        for k in sorted(d):
+            _write_string(buf, k)
+            v = d[k]
+            write_v(buf, bytes(v) if vkind == "bytes" else v)
+    _write_varint(buf, 0)
+
+
+def _read_map(r: _Reader, vkind: str) -> dict:
+    out: dict = {}
+    while True:
+        count = r.varint()
+        if count == 0:
+            return out
+        if count < 0:
+            count = -count
+            r.varint()  # block byte-size hint; entries are read anyway
+        for _ in range(count):
+            k = r.string()
+            if vkind in ("int", "long"):
+                out[k] = r.varint()
+            elif vkind == "string":
+                out[k] = r.string()
+            else:
+                out[k] = r.bytes_()
+
+
+# ---------------------------------------------------------------------------
+# record specs
+# ---------------------------------------------------------------------------
+
+# the repo's union wire record — MUST mirror wire.PAYLOAD_AVRO_SCHEMA's
+# field order and types (every field is a ["null", T] union)
+_MAP_KINDS = ("bytes", "int", "string", "long")
+_MAP_NAMES = ("bytes", "integers", "strings", "longs")
+UNION_FIELDS: list[tuple[str, str]] = [
+    ("database", "string"),
+    ("table", "string"),
+    ("tableId", "long"),
+    ("txid", "string"),
+] + [
+    (f"{prefix}{name}", f"map_{kind}")
+    for prefix in ("", "old_", "new_")
+    for name, kind in zip(_MAP_NAMES, _MAP_KINDS)
+]
+
+# the reference's per-op records (mutations.avsc): non-null header
+# fields, txid is ["null", fixed(16) Guid], maps are non-null
+_REF_PLAIN_MAPS = list(zip(_MAP_NAMES, _MAP_KINDS))
+_REF_UPDATE_MAPS = [
+    (f"{prefix}_{name}", kind)
+    for prefix in ("old", "new")
+    for name, kind in zip(_MAP_NAMES, _MAP_KINDS)
+]
+
+
+def _is_null(v) -> bool:
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False  # dicts/containers are never NA
+
+
+def encode_union_record(rec: dict) -> bytes:
+    """Encode one envelope dict against the union wire record."""
+    buf = bytearray()
+    for name, kind in UNION_FIELDS:
+        v = rec.get(name)
+        if _is_null(v):
+            _write_varint(buf, 0)  # union index: null
+            continue
+        _write_varint(buf, 1)  # union index: value
+        if kind == "string":
+            _write_string(buf, str(v))
+        elif kind == "long":
+            _write_varint(buf, int(v))
+        else:
+            _write_map(buf, v, kind.removeprefix("map_"))
+    return bytes(buf)
+
+
+def decode_union_record(b: bytes) -> dict:
+    r = _Reader(b)
+    out: dict = {}
+    for name, kind in UNION_FIELDS:
+        idx = r.varint()
+        if idx == 0:
+            out[name] = None
+            continue
+        if idx != 1:
+            raise ValueError(f"bad union index {idx} for {name}")
+        if kind == "string":
+            out[name] = r.string()
+        elif kind == "long":
+            out[name] = r.varint()
+        else:
+            out[name] = _read_map(r, kind.removeprefix("map_"))
+    if r.i != len(b):
+        raise ValueError("trailing bytes after record")
+    return out
+
+
+def encode_reference_record(op: str, rec: dict) -> bytes:
+    """Encode against the REFERENCE's mutations.avsc record for
+    ``op``: Insert/DeleteMutation carry the plain maps, UpdateMutation
+    the old_/new_ pairs; txid rides as a ["null", Guid fixed-16]
+    (uuid-string → 16 raw bytes). Header strings are non-nullable in
+    the reference schema — absent values encode as empty strings,
+    tableId as 0 (the reference builds these from live metadata, so
+    they are always present on its side)."""
+    buf = bytearray()
+    _write_string(buf, rec.get("database") or "")
+    _write_string(buf, rec.get("table") or "")
+    _write_varint(buf, int(rec.get("tableId") or 0))
+    txid = rec.get("txid")
+    if _is_null(txid):
+        _write_varint(buf, 0)
+    else:
+        _write_varint(buf, 1)
+        buf += uuid.UUID(str(txid)).bytes  # fixed(16): raw, no length
+    maps = _REF_UPDATE_MAPS if op == "update" else _REF_PLAIN_MAPS
+    for name, kind in maps:
+        v = rec.get(name)
+        _write_map(buf, None if _is_null(v) else v, kind)
+    return bytes(buf)
+
+
+def decode_reference_record(op: str, b: bytes) -> dict:
+    r = _Reader(b)
+    out: dict = {
+        "database": r.string(),
+        "table": r.string(),
+        "tableId": r.varint(),
+    }
+    idx = r.varint()
+    if idx == 0:
+        out["txid"] = None
+    elif idx == 1:
+        out["txid"] = str(uuid.UUID(bytes=r.raw(16)))
+    else:
+        raise ValueError(f"bad union index {idx} for txid")
+    maps = _REF_UPDATE_MAPS if op == "update" else _REF_PLAIN_MAPS
+    for name, kind in maps:
+        out[name] = _read_map(r, kind)
+    if r.i != len(b):
+        raise ValueError("trailing bytes after record")
+    # lift to the union envelope shape (absent maps stay None)
+    for name, _ in UNION_FIELDS[4:]:
+        out.setdefault(name, None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched column expressions
+# ---------------------------------------------------------------------------
+
+_FIELD_NAMES = [n for n, _ in UNION_FIELDS]
+
+# struct DDL must match wire._PAYLOAD_JSON_SCHEMA exactly (same columns
+# whichever codec decoded the frame)
+_PAYLOAD_DDL = (
+    "database string, table string, tableId bigint, txid string, "
+    "bytes map<string,binary>, integers map<string,int>, "
+    "strings map<string,string>, longs map<string,bigint>, "
+    "old_bytes map<string,binary>, old_integers map<string,int>, "
+    "old_strings map<string,string>, old_longs map<string,bigint>, "
+    "new_bytes map<string,binary>, new_integers map<string,int>, "
+    "new_strings map<string,string>, new_longs map<string,bigint>"
+)
+
+
+def _rec_from_row(args: tuple) -> dict:
+    return dict(zip(_FIELD_NAMES, args))
+
+
+def _none_row() -> dict:
+    return dict.fromkeys(_FIELD_NAMES)
+
+
+def _encode_series(op_s, cols, encoder) -> pd.Series:
+    out = []
+    for vals in zip(op_s, *cols):
+        rec = _rec_from_row(vals[1:])
+        try:
+            out.append(encoder(vals[0], rec))
+        except Exception:
+            out.append(None)  # encode-side divert, not a query kill
+    return pd.Series(out, dtype=object)
+
+
+def _decode_frame(payload_s: pd.Series, op_s, decoder) -> pd.DataFrame:
+    rows = []
+    for b, op in zip(payload_s, op_s):
+        if b is None:
+            rows.append(_none_row())
+            continue
+        try:
+            rows.append(decoder(op, bytes(b)))
+        except Exception:
+            rows.append(_none_row())  # PERMISSIVE: classify, don't kill
+    return pd.DataFrame(rows, columns=_FIELD_NAMES)
+
+
+# pandas_udf parses its return-type DDL against the ACTIVE session, so
+# the UDF objects are built lazily on first use (module import must not
+# require a SparkSession) and cached for the process (the UDF wrapper
+# is session-independent once constructed).
+_UDFS: dict[str, object] = {}
+
+
+def _udf(name: str):
+    if name in _UDFS:
+        return _UDFS[name]
+
+    def enc_union(op_s: pd.Series, *cols: pd.Series) -> pd.Series:
+        return _encode_series(op_s, cols, lambda _op, rec: encode_union_record(rec))
+
+    def enc_ref(op_s: pd.Series, *cols: pd.Series) -> pd.Series:
+        return _encode_series(op_s, cols, encode_reference_record)
+
+    def dec_union(payload_s: pd.Series) -> pd.DataFrame:
+        return _decode_frame(
+            payload_s,
+            [None] * len(payload_s),
+            lambda _op, b: decode_union_record(b),
+        )
+
+    def dec_ref(payload_s: pd.Series, op_s: pd.Series) -> pd.DataFrame:
+        return _decode_frame(payload_s, op_s, decode_reference_record)
+
+    _UDFS["enc_union"] = pandas_udf("binary")(enc_union)
+    _UDFS["enc_ref"] = pandas_udf("binary")(enc_ref)
+    _UDFS["dec_union"] = pandas_udf(_PAYLOAD_DDL)(dec_union)
+    _UDFS["dec_ref"] = pandas_udf(_PAYLOAD_DDL)(dec_ref)
+    return _UDFS[name]
+
+
+def avro_encode_expr(payload: Column, op: Column, ref: bool = False) -> Column:
+    """``payload`` struct → Avro binary body. ``ref=True`` writes the
+    reference's per-op mutations.avsc records; otherwise the repo's
+    union wire record."""
+    cols = [payload.getField(n) for n in _FIELD_NAMES]
+    return _udf("enc_ref" if ref else "enc_union")(op, *cols)
+
+
+def avro_decode_expr(payload_bytes: Column, op: Column, ref: bool = False) -> Column:
+    """Avro binary body → envelope struct (the _PAYLOAD_JSON_SCHEMA
+    column shape). Malformed bodies decode to an all-null struct —
+    the PERMISSIVE behavior frame_dead_letter_split classifies on."""
+    if ref:
+        return _udf("dec_ref")(payload_bytes, op)
+    return _udf("dec_union")(payload_bytes)

@@ -241,20 +241,26 @@ def encode_generic(
 
     ``codec="json"`` (default): UTF-8 JSON payload; binary map values
     are base64 inside the JSON, which `decode_generic` round-trips.
-    ``codec="avro"``: the reference's actual payload codec
-    (KafkaAvroSerializer.scala:189-201) via ``to_avro`` against
-    PAYLOAD_AVRO_SCHEMA — requires the external spark-avro jar (see
-    :func:`avro_available`; absent in this environment, so the path is
-    gated, not silently wrong)."""
+    ``codec="avro"``: Avro binary against PAYLOAD_AVRO_SCHEMA — the
+    JVM ``to_avro`` when the spark-avro jar is on the classpath, else
+    the pure-Python Arrow-batched codec (sinks/avro_codec.py), which
+    writes the same bytes for the same writer schema.
+    ``codec="avro_ref"``: the REFERENCE's actual wire records
+    (mutations.avsc Insert/Update/DeleteMutation with the fixed-16
+    Guid txid; KafkaAvroSerializer.scala:189-201) — the true
+    reference-topic interop format, always pure-Python."""
     enveloped = with_schema_id(generic_envelope(df), registry)
     if codec == "avro":
-        if not avro_available(df.sparkSession):
-            raise RuntimeError(
-                "codec='avro' needs the spark-avro jar on the JVM classpath "
-                "(pyspark ships the Python wrapper only); use codec='json' "
-                "or launch with --packages org.apache.spark:spark-avro_2.13"
-            )
-        payload_bytes = to_avro(F.col("payload"), PAYLOAD_AVRO_SCHEMA)
+        if avro_available(df.sparkSession):
+            payload_bytes = to_avro(F.col("payload"), PAYLOAD_AVRO_SCHEMA)
+        else:
+            from .avro_codec import avro_encode_expr
+
+            payload_bytes = avro_encode_expr(F.col("payload"), F.col("op"))
+    elif codec == "avro_ref":
+        from .avro_codec import avro_encode_expr
+
+        payload_bytes = avro_encode_expr(F.col("payload"), F.col("op"), ref=True)
     elif codec == "json":
         payload_bytes = F.encode(F.to_json(F.col("payload")), "UTF-8")
     else:
@@ -324,11 +330,20 @@ def decode_generic(
     v = F.col(value_col)
     parts = unframe(v)
     if codec == "avro":
-        if not avro_available(df.sparkSession):
-            raise RuntimeError(
-                "codec='avro' needs the spark-avro jar on the JVM classpath"
+        if avro_available(df.sparkSession):
+            payload = from_avro(parts["payload"], PAYLOAD_AVRO_SCHEMA)
+        else:
+            from .avro_codec import avro_decode_expr
+
+            payload = avro_decode_expr(
+                parts["payload"], _op_from_mtype(parts["mtype"])
             )
-        payload = from_avro(parts["payload"], PAYLOAD_AVRO_SCHEMA)
+    elif codec == "avro_ref":
+        from .avro_codec import avro_decode_expr
+
+        payload = avro_decode_expr(
+            parts["payload"], _op_from_mtype(parts["mtype"]), ref=True
+        )
     elif codec == "json":
         payload = F.from_json(
             F.decode(parts["payload"], "UTF-8"), _PAYLOAD_JSON_SCHEMA
@@ -485,17 +500,29 @@ def frame_dead_letter_split(
             ),
         )
         payload_ok = utf8_ok
-    elif codec == "avro":
-        if not avro_available(df.sparkSession):
-            raise RuntimeError(
-                "codec='avro' needs the spark-avro jar on the JVM classpath"
+    elif codec in ("avro", "avro_ref"):
+        if codec == "avro" and avro_available(df.sparkSession):
+            parsed = F.when(
+                F.length(v) >= 5,
+                from_avro(
+                    parts["payload"], PAYLOAD_AVRO_SCHEMA, {"mode": "PERMISSIVE"}
+                ),
             )
-        parsed = F.when(
-            F.length(v) >= 5,
-            from_avro(
-                parts["payload"], PAYLOAD_AVRO_SCHEMA, {"mode": "PERMISSIVE"}
-            ),
-        )
+        else:
+            # pure-Python codec: the decoder itself is permissive (a
+            # malformed body yields an all-null struct, never a throw —
+            # required, since a Python UDF inside CaseWhen is hoisted
+            # into its own projection and runs for EVERY row)
+            from .avro_codec import avro_decode_expr
+
+            parsed = F.when(
+                F.length(v) >= 5,
+                avro_decode_expr(
+                    parts["payload"],
+                    _op_from_mtype(parts["mtype"]),
+                    ref=(codec == "avro_ref"),
+                ),
+            )
         payload_ok = F.lit(True)  # the PERMISSIVE parse itself classifies
     else:
         raise ValueError(f"unknown payload codec: {codec!r}")

@@ -138,12 +138,14 @@ def test_specific_projection_bigint_reads_both_integer_maps(spark):
     assert all(isinstance(r["id"], int) for r in rows)
 
 
-def test_avro_codec_gated_by_functional_probe(spark):
-    """pyspark always ships the Python wrapper for to_avro, so import
-    success must NOT be trusted — availability is a functional probe.
-    When the spark-avro jar is absent the avro codec raises the clear
-    gate error instead of failing deep inside the plan; when present,
-    the avro payload must round-trip the same envelope as JSON."""
+def test_avro_codec_works_with_or_without_the_jar(spark):
+    """pyspark always ships the Python wrapper for to_avro, so
+    availability is a functional probe (import success must not be
+    trusted). Whichever way the probe lands, codec='avro' must
+    round-trip: the JVM to_avro path when the spark-avro jar is on the
+    classpath, the pure-Python Arrow-batched codec
+    (sinks/avro_codec.py) when it is not — same writer schema, same
+    envelope back."""
     from mypipe_spark.registry import in_memory_repo
     from mypipe_spark.sinks.wire import (
         avro_available,
@@ -153,11 +155,7 @@ def test_avro_codec_gated_by_functional_probe(spark):
 
     df = mutations_only(changelog_df(spark, num_transactions=5))
     reg = in_memory_repo()
-    if not avro_available(spark):
-        with pytest.raises(RuntimeError, match="spark-avro jar"):
-            encode_generic(df, reg, codec="avro").collect()
-        return
-    # jar present: full round-trip parity with the JSON codec
+    avro_available(spark)  # either probe outcome must round-trip below
     encoded = encode_generic(df, reg, codec="avro")
     decoded = decode_generic(encoded.select("value"), codec="avro")
     assert decoded.filter(~F.col("magic_ok")).count() == 0
@@ -405,3 +403,73 @@ def test_encode_control_rows_do_not_kill_the_query(spark):
         dead_n.filter("op IS NULL AND dlq_reason = 'not_a_mutation'").count()
         == n_insert
     )
+
+
+def test_avro_codec_hand_computed_reference_vector():
+    """The pure-Python Avro writer must produce the exact spec bytes:
+    this vector was derived by hand from the Avro 1.12 binary-encoding
+    rules for the reference's InsertMutation record (zigzag varints,
+    length-prefixed strings, union index for the null Guid, one
+    map block + terminator)."""
+    from mypipe_spark.sinks.avro_codec import (
+        decode_reference_record,
+        encode_reference_record,
+    )
+
+    rec = {
+        "database": "db", "table": "t", "tableId": 1, "txid": None,
+        "bytes": {}, "integers": {"id": 1}, "strings": {}, "longs": {},
+    }
+    b = encode_reference_record("insert", rec)
+    assert b == b"\x04db\x02t\x02\x00\x00\x02\x04id\x02\x00\x00\x00"
+    back = decode_reference_record("insert", b)
+    assert back["database"] == "db" and back["integers"] == {"id": 1}
+
+
+def test_avro_wire_codecs_roundtrip_equal_json(spark):
+    """codec='avro' (pure-Python fallback — no spark-avro jar here)
+    and codec='avro_ref' (the reference's per-op mutations.avsc
+    records, fixed-16 Guid txid) must round-trip the framed stream to
+    the same canonical events as the JSON codec."""
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import decoded_change_events
+
+    muts = mutations_only(changelog_df(spark, num_transactions=6, rollback_prob=0.0))
+    reg = in_memory_repo()
+    cols = [
+        "op", "database", "table", "table_id", "txid",
+        "new_integers", "new_strings", "new_bytes", "old_integers",
+    ]
+
+    def roundtrip(codec):
+        framed = encode_generic(muts, reg, codec=codec).select("value")
+        ev = decoded_change_events(decode_generic(framed, codec=codec))
+        return sorted(map(repr, ev.select(*cols).collect()))
+
+    js = roundtrip("json")
+    assert len(js) == muts.count() > 0
+    assert roundtrip("avro") == js
+    assert roundtrip("avro_ref") == js
+
+
+def test_avro_dead_letter_split_classifies_bad_bodies(spark):
+    """Under the pure-Python avro codec the dead-letter cascade must
+    divert a frame whose header is valid but whose body is not Avro
+    (bad_payload), while every well-formed frame decodes — the decoder
+    is permissive per row because a Python UDF inside CaseWhen runs
+    for every row."""
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import frame_dead_letter_split
+
+    muts = mutations_only(changelog_df(spark, num_transactions=5, rollback_prob=0.0))
+    framed = encode_generic(muts, in_memory_repo(), codec="avro").select("value")
+    # keep the real 4-byte header of one frame, replace the body
+    bad_body = framed.limit(1).withColumn(
+        "value",
+        F.concat(F.substring("value", 1, 4), F.expr("X'FFFFFFFFFFFFFFFF'")),
+    )
+    valid, dead = frame_dead_letter_split(
+        framed.unionByName(bad_body), registry=None, codec="avro"
+    )
+    assert valid.count() == muts.count()
+    assert [r["dlq_reason"] for r in dead.collect()] == ["bad_payload"]
