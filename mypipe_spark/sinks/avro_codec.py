@@ -371,3 +371,157 @@ def avro_decode_expr(payload_bytes: Column, op: Column, ref: bool = False) -> Co
     if ref:
         return _udf("dec_ref")(payload_bytes, op)
     return _udf("dec_union")(payload_bytes)
+
+
+# ---------------------------------------------------------------------------
+# SPECIFIC (per-table) records — KafkaSpecificAvroSerializer.scala:40-61
+# ---------------------------------------------------------------------------
+
+# Spark type name -> avro kind handled by the primitives above
+_SPARK_TO_AVRO_KIND = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "long",
+    "string": "string", "binary": "bytes",
+}
+
+
+def specific_fields(table_schema) -> list[tuple[str, str]]:
+    """A StructType → ordered (column, avro-kind) list for the
+    specific record body. Columns whose Spark type has no Avro
+    primitive here (timestamps/decimals/doubles ride the maps only in
+    the generic envelope) are rejected loudly — a silently dropped
+    column would be a wrong wire format, not a degraded one."""
+    out = []
+    for f in table_schema.fields:
+        kind = _SPARK_TO_AVRO_KIND.get(f.dataType.simpleString())
+        if kind is None:
+            raise ValueError(
+                f"specific avro record: unsupported column type "
+                f"{f.dataType.simpleString()!r} for {f.name!r}"
+            )
+        out.append((f.name, kind))
+    return out
+
+
+def _column_value(rec: dict, prefix: str, name: str, kind: str):
+    """Pull a column's value from the envelope's typed maps — the same
+    dual-map rule as wire.specific_projection: integer kinds consult
+    both integer maps (a 4-byte INT snapshot-buckets to 'integers'
+    while the wire rule says LONG rides 'longs')."""
+    def m(map_name):
+        d = rec.get(f"{prefix}{map_name}")
+        return None if d is None else d.get(name)
+
+    if kind in ("int", "long"):
+        v = m("integers")
+        return m("longs") if v is None else v
+    if kind == "string":
+        return m("strings")
+    return m("bytes")
+
+
+def encode_specific_record(op: str, rec: dict, fields: list[tuple[str, str]]) -> bytes:
+    """database + table + per-column values (insert/delete read the
+    mutation's single image; update writes old_*/new_* pairs) — every
+    column as a ["null", T] union, since this engine's table schemas
+    are nullable StructTypes."""
+    buf = bytearray()
+    _write_string(buf, rec.get("database") or "")
+    _write_string(buf, rec.get("table") or "")
+    prefixes = ("old_", "new_") if op == "update" else (
+        ("old_",) if op == "delete" else ("new_",)
+    )
+    # insert/delete payloads arrive image-normalized in the envelope's
+    # PLAIN maps when coming from generic_envelope; fall back to them
+    for prefix in prefixes:
+        for name, kind in fields:
+            v = _column_value(rec, prefix, name, kind)
+            if v is None:
+                v = _column_value(rec, "", name, kind)
+            if _is_null(v):
+                _write_varint(buf, 0)
+                continue
+            _write_varint(buf, 1)
+            if kind in ("int", "long"):
+                _write_varint(buf, int(v))
+            elif kind == "string":
+                _write_string(buf, str(v))
+            else:
+                _write_bytes(buf, bytes(v))
+    return bytes(buf)
+
+
+def decode_specific_record(op: str, b: bytes, fields: list[tuple[str, str]]) -> dict:
+    r = _Reader(b)
+    out: dict = {"database": r.string(), "table": r.string()}
+    prefixes = ("old_", "new_") if op == "update" else ("",)
+    for prefix in prefixes:
+        for name, kind in fields:
+            idx = r.varint()
+            if idx == 0:
+                out[f"{prefix}{name}"] = None
+                continue
+            if idx != 1:
+                raise ValueError(f"bad union index {idx} for {prefix}{name}")
+            if kind in ("int", "long"):
+                out[f"{prefix}{name}"] = r.varint()
+            elif kind == "string":
+                out[f"{prefix}{name}"] = r.string()
+            else:
+                out[f"{prefix}{name}"] = r.bytes_()
+    if r.i != len(b):
+        raise ValueError("trailing bytes after record")
+    return out
+
+
+def specific_encode_expr(payload: Column, op: Column, table_schema) -> Column:
+    """Envelope struct + op → specific-record Avro body for
+    ``table_schema``."""
+    fields = specific_fields(table_schema)
+    key = "spec_enc:" + repr(fields)
+    if key not in _UDFS:
+        def enc(op_s: pd.Series, *cols: pd.Series) -> pd.Series:
+            return _encode_series(
+                op_s, cols, lambda op_, rec: encode_specific_record(op_, rec, fields)
+            )
+        _UDFS[key] = pandas_udf("binary")(enc)
+    struct_cols = [payload.getField(n) for n in _FIELD_NAMES]
+    return _UDFS[key](op, *struct_cols)
+
+
+def _specific_ddl(fields: list[tuple[str, str]], op_kind: str) -> str:
+    back = {"int": "int", "long": "bigint", "string": "string", "bytes": "binary"}
+    cols = ["database string", "table string"]
+    prefixes = ("old_", "new_") if op_kind == "update" else ("",)
+    for prefix in prefixes:
+        cols += [f"`{prefix}{n}` {back[k]}" for n, k in fields]
+    return ", ".join(cols)
+
+
+def specific_decode_expr(
+    payload_bytes: Column, op: Column, table_schema, op_kind: str
+) -> Column:
+    """Specific-record Avro body → typed struct. ``op_kind`` selects
+    the record layout ('update' → old_/new_ pairs, else single image);
+    decode a mixed stream by filtering per op first — the reference
+    consumer does the same, choosing the record class by topic+mtype
+    (KafkaGenericAvroDecoder.scala analog)."""
+    fields = specific_fields(table_schema)
+    ddl = _specific_ddl(fields, op_kind)
+    key = "spec_dec:" + op_kind + ":" + repr(fields)
+    if key not in _UDFS:
+        names = [c.split(" ")[0].strip("`") for c in ddl.split(", ")]
+
+        def dec(payload_s: pd.Series, op_s: pd.Series) -> pd.DataFrame:
+            rows = []
+            for b, op_ in zip(payload_s, op_s):
+                if b is None:
+                    rows.append(dict.fromkeys(names))
+                    continue
+                try:
+                    rows.append(decode_specific_record(op_, bytes(b), fields))
+                except Exception:
+                    rows.append(dict.fromkeys(names))
+            return pd.DataFrame(rows, columns=names)
+
+        _UDFS[key] = pandas_udf(ddl)(dec)
+    return _UDFS[key](payload_bytes, op)

@@ -590,3 +590,74 @@ def specific_projection(df: DataFrame, table_schema: StructType, image: str = "n
         )
         cols.append(src.alias(name))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# SPECIFIC wire path — framed per-table Avro records
+# (KafkaMutationSpecificAvroProducer.scala:9-11 + KafkaSpecificAvroSerializer)
+# ---------------------------------------------------------------------------
+
+
+def encode_specific(df: DataFrame, table_schema: StructType, registry: SchemaRegistry) -> DataFrame:
+    """Mutations → framed SPECIFIC-record wire bytes: the per-table
+    Avro record (database, table, then the table's columns — update
+    rows carry old_/new_ pairs) behind the same
+    ``[magic][mtype][schema id]`` frame as the generic path. The
+    schema id resolves per row from the registry's specific subject
+    ``<db>_<table>_<op>`` via a plan-literal map (driver-side registry,
+    no join); a mutation whose subject is unregistered gets a NULL
+    schema_id and therefore a NULL frame — route through
+    :func:`frame_dead_letter_split`'s null_frame class or register the
+    table first (registry.register_table)."""
+    from .avro_codec import specific_encode_expr
+
+    enveloped = generic_envelope(df)
+    pairs: list[Column] = []
+    for s in registry.subjects():
+        latest = registry.get_latest(s)
+        if latest:
+            pairs += [F.lit(s), F.lit(latest[0])]
+    subject = F.concat_ws("_", F.col("database"), F.col("table"), F.col("op"))
+    schema_id = F.create_map(*pairs)[subject] if pairs else F.lit(None).cast("int")
+    payload_bytes = specific_encode_expr(
+        F.col("payload"), F.col("op"), table_schema
+    )
+    return enveloped.withColumn("schema_id", schema_id).withColumn(
+        "value", frame(payload_bytes, mtype_byte("op"), F.col("schema_id"))
+    )
+
+
+def decode_specific(
+    df: DataFrame,
+    table_schema: StructType,
+    value_col: str = "value",
+    which: str = "single",
+) -> DataFrame:
+    """Framed specific-record bytes → typed per-table columns.
+
+    ``which="single"`` decodes insert/delete frames (one image),
+    ``which="update"`` the update frames (old_/new_ column pairs) —
+    two calls cover a mixed stream, mirroring the reference consumer's
+    record-class choice by mutation byte. Malformed bodies decode to
+    all-null structs (permissive), same as the generic codecs."""
+    from .avro_codec import specific_decode_expr
+
+    v = F.col(value_col)
+    parts = unframe(v)
+    if which == "update":
+        mtypes = [MUTATION_MAGIC["update"]]
+    elif which == "single":
+        mtypes = [MUTATION_MAGIC["insert"], MUTATION_MAGIC["delete"]]
+    else:
+        raise ValueError(f"which must be 'single' or 'update', got {which!r}")
+    filtered = df.filter(parts["mtype"].isin(mtypes))
+    payload = specific_decode_expr(
+        parts["payload"], _op_from_mtype(parts["mtype"]), table_schema, which
+    )
+    return (
+        filtered.withColumn("magic_ok", parts["magic_ok"])
+        .withColumn("mtype", parts["mtype"])
+        .withColumn("schema_id", parts["schema_id"])
+        .withColumn("op", _op_from_mtype(parts["mtype"]))
+        .withColumn("record", payload)
+    )

@@ -473,3 +473,58 @@ def test_avro_dead_letter_split_classifies_bad_bodies(spark):
     )
     assert valid.count() == muts.count()
     assert [r["dlq_reason"] for r in dead.collect()] == ["bad_payload"]
+
+
+def test_specific_wire_roundtrip(spark):
+    """The framed SPECIFIC wire path (KafkaMutationSpecificAvroProducer
+    analog): per-table Avro records behind the standard frame, schema
+    id resolved per row from the registry's <db>_<table>_<op> subject.
+    Insert/delete frames decode to single-image typed columns equal to
+    specific_projection; update frames carry old_/new_ pairs."""
+    from pyspark.sql.types import BinaryType
+    from mypipe_spark.sinks.wire import decode_specific, encode_specific
+
+    muts = mutations_only(changelog_df(spark, num_transactions=6, rollback_prob=0.0))
+    user_schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("username", StringType()),
+            StructField("password", StringType()),
+            StructField("login_count", IntegerType()),
+            StructField("bio", BinaryType()),
+        ]
+    )
+    reg = SchemaRegistry()
+    register_table(reg, "mypipe", "user", user_schema)
+    framed = encode_specific(muts, user_schema, reg)
+    assert framed.filter(F.col("value").isNull()).count() == 0
+    # frame header: registered specific schema id, correct mtype magic
+    first = framed.filter("op='insert'").select("value").limit(1).collect()[0][0]
+    assert first[0] == 0x0 and first[1] == MUTATION_MAGIC["insert"]
+    assert int.from_bytes(first[2:4], "big") == reg.get_latest("mypipe_user_insert")[0]
+
+    singles = decode_specific(framed.select("value"), user_schema, which="single")
+    upds = decode_specific(framed.select("value"), user_schema, which="update")
+    assert singles.count() == muts.filter("op != 'update'").count()
+    assert upds.count() == muts.filter("op = 'update'").count()
+
+    proj = specific_projection(muts.filter("op='insert'"), user_schema)
+    got = sorted(
+        map(tuple, singles.filter("op='insert'")
+            .select("record.id", "record.username", "record.login_count").collect())
+    )
+    want = sorted(map(tuple, proj.select("id", "username", "login_count").collect()))
+    assert got == want and len(got) > 0
+    if upds.count():
+        u = upds.select("record.*").limit(1).collect()[0]
+        assert u["old_username"] != u["new_username"]
+        assert u["new_login_count"] == u["old_login_count"] + 1
+
+
+def test_specific_record_rejects_unsupported_column_types():
+    from pyspark.sql.types import DoubleType
+    from mypipe_spark.sinks.avro_codec import specific_fields
+
+    bad = StructType([StructField("x", DoubleType())])
+    with pytest.raises(ValueError, match="unsupported column type"):
+        specific_fields(bad)
