@@ -114,13 +114,22 @@ _MAP_WRITERS = {
 def _write_map(buf: bytearray, d: dict | None, vkind: str) -> None:
     """One block in sorted-key order, then the 0 terminator (empty map
     = just the terminator). Sorted keys make the bytes deterministic;
-    readers accept any spec-compliant block layout."""
+    readers accept any spec-compliant block layout.
+
+    NULL values are SKIPPED, not written: Avro map values here are
+    non-nullable, and the reference serializer drops null columns from
+    the envelope the same way (KafkaGenericAvroSerializer.scala:85,
+    :103 — `if (v.isDefined)` / `if (v != null)`). Without the skip a
+    single NULL column value would fail the encode and dead-letter the
+    whole row."""
     write_v = _MAP_WRITERS[vkind]
-    if d:
-        _write_varint(buf, len(d))
-        for k in sorted(d):
+    items = (
+        [(k, d[k]) for k in sorted(d) if d[k] is not None] if d else []
+    )
+    if items:
+        _write_varint(buf, len(items))
+        for k, v in items:
             _write_string(buf, k)
-            v = d[k]
             write_v(buf, bytes(v) if vkind == "bytes" else v)
     _write_varint(buf, 0)
 

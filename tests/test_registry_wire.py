@@ -528,3 +528,36 @@ def test_specific_record_rejects_unsupported_column_types():
     bad = StructType([StructField("x", DoubleType())])
     with pytest.raises(ValueError, match="unsupported column type"):
         specific_fields(bad)
+
+
+def test_avro_map_encoding_skips_null_values(spark):
+    """Spark maps may hold NULL values, Avro map values may not; the
+    reference drops null columns from the envelope (v.isDefined
+    guards) — the codec must do the same rather than dead-lettering
+    the whole row over one NULL column."""
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.avro_codec import (
+        decode_union_record,
+        encode_union_record,
+    )
+    from mypipe_spark.sinks.wire import decode_generic
+
+    # pure layer: null value skipped, others kept
+    rec = {"database": "d", "table": "t", "new_strings": {"a": None, "b": "x"}}
+    back = decode_union_record(encode_union_record(rec))
+    assert back["new_strings"] == {"b": "x"}
+
+    # end to end through the framed stream
+    muts = mutations_only(changelog_df(spark, num_transactions=3, rollback_prob=0.0))
+    withnull = muts.filter("op='insert'").withColumn(
+        "new_strings",
+        F.map_concat(
+            "new_strings",
+            F.create_map(F.lit("nullcol"), F.lit(None).cast("string")),
+        ),
+    )
+    framed = encode_generic(withnull, in_memory_repo(), codec="avro").select("value")
+    assert framed.filter(F.col("value").isNull()).count() == 0
+    dec = decode_generic(framed, codec="avro")
+    strings = dec.select("payload.strings").limit(1).collect()[0][0]
+    assert "nullcol" not in strings and "username" in strings
