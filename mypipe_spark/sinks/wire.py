@@ -661,3 +661,52 @@ def decode_specific(
         .withColumn("op", _op_from_mtype(parts["mtype"]))
         .withColumn("record", payload)
     )
+
+
+def decode_specific_versioned(
+    df: DataFrame,
+    registry: SchemaRegistry,
+    database: str,
+    table: str,
+    value_col: str = "value",
+    which: str = "single",
+) -> dict[tuple[str, int], DataFrame]:
+    """Versioned specific-record decode — the consumer side of schema
+    evolution (K11; the reference decoder fetches the writer schema BY
+    ID from the repo, KafkaAvroDecoder.scala:43-66). After an ALTER a
+    topic carries frames written under several schema versions; each
+    must decode with the schema its header id names, not the latest.
+
+    Returns ``{(op, version_id): DataFrame}`` — one typed branch per
+    (mutation type, registered version) whose StructType parses from
+    the registry. Branch schemas legitimately differ (that is the
+    point), so they cannot union; a consumer processes per-version,
+    exactly as the reference's per-class decoding does. Ids are
+    per-subject in this registry, so the (mtype, id) pair — both from
+    the frame header — is the full writer-schema key."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    v = F.col(value_col)
+    parts = unframe(v)
+    ops = ("update",) if which == "update" else ("insert", "delete")
+    out: dict[tuple[str, int], DataFrame] = {}
+    for op in ops:
+        subject = f"{database}_{table}_{op}"
+        for version in registry.versions(subject):
+            text = registry.get_schema(subject, version)
+            if text is None:
+                continue
+            try:
+                schema = _St.fromJson(_json.loads(text))
+            except (ValueError, KeyError, TypeError):
+                continue  # non-StructType schema text: not decodable here
+            branch = df.filter(
+                (parts["mtype"] == MUTATION_MAGIC[op])
+                & (parts["schema_id"] == version)
+            )
+            out[(op, version)] = decode_specific(
+                branch, schema, value_col=value_col, which=which
+            )
+    return out

@@ -561,3 +561,50 @@ def test_avro_map_encoding_skips_null_values(spark):
     dec = decode_generic(framed, codec="avro")
     strings = dec.select("payload.strings").limit(1).collect()[0][0]
     assert "nullcol" not in strings and "username" in strings
+
+
+def test_decode_specific_versioned_after_alter(spark):
+    """K11 versioned serde, consumer side: after an ALTER the topic
+    carries v1 and v2 frames; each must decode with the schema its
+    header id names. Encode a batch under v1, evolve the schema (ADD
+    COLUMN email), encode a second batch under v2, and decode the
+    mixed stream per (op, version)."""
+    from mypipe_spark.streaming.alter import evolve_schema
+    from mypipe_spark.sinks.wire import decode_specific_versioned, encode_specific
+
+    v1 = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("username", StringType()),
+        ]
+    )
+    reg = SchemaRegistry()
+    register_table(reg, "mypipe", "user", v1)
+
+    ins = mutations_only(
+        changelog_df(spark, num_transactions=4, rollback_prob=0.0)
+    ).filter("op='insert'")
+    batch1 = encode_specific(ins, v1, reg).select("value")
+
+    v2 = evolve_schema(v1, "ALTER TABLE mypipe.user ADD COLUMN email varchar(64)")
+    register_table(reg, "mypipe", "user", v2)
+    ins2 = ins.withColumn(
+        "new_strings",
+        F.map_concat(
+            "new_strings", F.create_map(F.lit("email"), F.lit("u@example.com"))
+        ),
+    )
+    batch2 = encode_specific(ins2, v2, reg).select("value")
+
+    mixed = batch1.unionByName(batch2)
+    branches = decode_specific_versioned(mixed, reg, "mypipe", "user")
+    n = ins.count()
+    assert n > 0
+    b1 = branches[("insert", 1)]
+    b2 = branches[("insert", 2)]
+    assert b1.count() == n and b2.count() == n
+    assert "email" not in b1.select("record.*").columns
+    r2 = b2.select("record.*").limit(1).collect()[0]
+    assert r2["email"] == "u@example.com" and r2["username"].startswith("username")
+    # delete branches exist (empty — the stream carried only inserts)
+    assert branches[("delete", 1)].count() == 0
