@@ -19,6 +19,9 @@ loading" is the named registries:
           "include-event-condition": "database = 'mypipe'",
           "group-mutations-by-tx": false,
           "topic-template": "${database}_${table}_generic",
+          "wire": {"flavor": "generic", "codec": "avro_ref"},
+          #   or {"flavor": "specific", "database": "db", "table": "t",
+          #       "schema-registry": {"path": "/saved/registry"}}
           "producer": {"name": "parquet", "path": "/out"},
           "checkpoint": "/ckpt/p1",
           "flush-interval-seconds": 10,
@@ -207,6 +210,60 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
             transforms.append(lambda df: tx_group_stream(df, group_by_tx=True))
         elif pconf.get("mutations-only", True):
             transforms.append(mutations_only)
+        wire_conf = pconf.get("wire")
+        if wire_conf:
+            # wire-encode the stream: the config-driven form of the
+            # reference's producer serializers. flavor 'generic' frames
+            # the typed-map envelope (codec json/avro/avro_ref);
+            # 'specific' frames per-table records against the table's
+            # latest registered schema. Requires ungrouped mutation
+            # rows — a tx-grouped row has no per-row images to encode.
+            if grouped:
+                raise ValueError(
+                    f"pipe '{pipe_id}': 'wire' encoding needs per-"
+                    "mutation rows; it cannot follow group-mutations-by-tx"
+                )
+            flavor = wire_conf.get("flavor", "generic")
+            wreg = _registry_from_conf(wire_conf)
+            if wreg is None:
+                from .registry import in_memory_repo
+
+                wreg = in_memory_repo()
+            if flavor == "generic":
+                codec = wire_conf.get("codec", "json")
+
+                def _encode(df: DataFrame, _r=wreg, _c=codec) -> DataFrame:
+                    from .sinks.wire import encode_dead_letter_split
+
+                    encoded, _dead = encode_dead_letter_split(df, _r, codec=_c)
+                    return encoded
+
+                transforms.append(_encode)
+            elif flavor == "specific":
+                import json as _json
+
+                from pyspark.sql.types import StructType as _St
+
+                db = wire_conf["database"]
+                tbl = wire_conf["table"]
+                latest = wreg.get_latest(f"{db}_{tbl}_insert")
+                if latest is None:
+                    raise KeyError(
+                        f"pipe '{pipe_id}': no registered schema for "
+                        f"{db}.{tbl} — register the table first"
+                    )
+                tschema = _St.fromJson(_json.loads(latest[1]))
+
+                def _encode_sp(df: DataFrame, _r=wreg, _s=tschema) -> DataFrame:
+                    from .sinks.wire import encode_specific
+
+                    return encode_specific(df, _s, _r)
+
+                transforms.append(_encode_sp)
+            else:
+                raise ValueError(
+                    f"pipe '{pipe_id}': unknown wire flavor {flavor!r}"
+                )
         topic_template = pconf.get("topic-template")
         if topic_template:
             if grouped:

@@ -309,3 +309,97 @@ def test_latest_state_and_scd2_producers_from_config(spark, tmp_path):
     # in-order feed: the guard diverted nothing
     dlq = spark.read.parquet(str(tmp_path / "scd2_dlq"))
     assert dlq.count() == 0
+
+
+def test_wire_encoding_from_config(spark, tmp_path):
+    """The config-driven form of the reference's producer serializers:
+    a pipe with "wire" config frames the stream (generic envelope or
+    per-table specific records) before the producer — the full
+    source → filter → encode → topic → sink pipeline as one dict."""
+    from pyspark.sql.types import BinaryType, IntegerType, StringType, StructField, StructType
+
+    from mypipe_spark.registry import SchemaRegistry, register_table, save_registry
+    from mypipe_spark.sinks.wire import decode_generic, decode_specific
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=8, rollback_prob=0.0, num_files=1)
+    n_muts = (
+        spark.read.parquet(src)
+        .filter(F.col("op").isin("insert", "update", "delete"))
+        .count()
+    )
+
+    # generic flavor with the avro_ref codec
+    out_g = str(tmp_path / "wire_generic")
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "wg": {
+                "consumer": "cl",
+                "wire": {"flavor": "generic", "codec": "avro_ref"},
+                "topic-template": "${database}_${table}_generic",
+                "producer": {"name": "parquet", "path": out_g},
+                "checkpoint": str(tmp_path / "ck_g"),
+            }
+        },
+    }
+    run_from_config(spark, config, block=True)
+    frames = spark.read.parquet(out_g)
+    assert frames.count() == n_muts
+    assert frames.select("topic").distinct().collect()[0][0] == "mypipe_user_generic"
+    dec = decode_generic(frames.select("value"), codec="avro_ref")
+    assert dec.filter("payload.database = 'mypipe'").count() == n_muts
+
+    # specific flavor against a config-pointed registry
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("username", StringType()),
+            StructField("password", StringType()),
+            StructField("login_count", IntegerType()),
+            StructField("bio", BinaryType()),
+        ]
+    )
+    reg = SchemaRegistry()
+    register_table(reg, "mypipe", "user", schema)
+    reg_path = str(tmp_path / "registry.json")
+    save_registry(reg, reg_path)
+    out_s = str(tmp_path / "wire_specific")
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "ws": {
+                "consumer": "cl",
+                "wire": {
+                    "flavor": "specific",
+                    "database": "mypipe",
+                    "table": "user",
+                    "schema-registry": {"path": reg_path},
+                },
+                "producer": {"name": "parquet", "path": out_s},
+                "checkpoint": str(tmp_path / "ck_s"),
+            }
+        },
+    }
+    run_from_config(spark, config, block=True)
+    sframes = spark.read.parquet(out_s)
+    assert sframes.count() == n_muts
+    singles = decode_specific(sframes.select("value"), schema, which="single")
+    assert singles.filter("record.username IS NOT NULL").count() == singles.count()
+
+    # grouped + wire is a config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot follow group-mutations-by-tx"):
+        build_pipes(
+            {
+                "consumers": {"cl": {"type": "changelog", "path": src}},
+                "pipes": {
+                    "bad": {
+                        "consumer": "cl",
+                        "group-mutations-by-tx": True,
+                        "wire": {"flavor": "generic"},
+                    }
+                },
+            }
+        )
