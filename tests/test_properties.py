@@ -109,3 +109,101 @@ def test_range_join_bucketing_never_misses(ts, start, length, bucket):
     lo, hi = start // bucket, end // bucket
     if in_range:
         assert lo <= point_bucket <= hi
+
+
+# ---------------------------------------------------------------------------
+# Avro binary codec properties (pure Python — no Spark needed)
+# ---------------------------------------------------------------------------
+
+_keys = st.text(min_size=0, max_size=8)
+_i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+def _maps(values):
+    return st.none() | st.dictionaries(_keys, values, max_size=5)
+
+
+_envelope = st.fixed_dictionaries(
+    {
+        "database": st.none() | st.text(max_size=12),
+        "table": st.none() | st.text(max_size=12),
+        "tableId": st.none() | _i64,
+        "txid": st.none() | st.uuids().map(str),
+        **{
+            f"{p}{n}": _maps(v)
+            for p in ("", "old_", "new_")
+            for n, v in (
+                ("bytes", st.binary(max_size=16)),
+                ("integers", _i32),
+                ("strings", st.text(max_size=16)),
+                ("longs", _i64),
+            )
+        },
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_envelope)
+def test_avro_union_record_roundtrip(rec):
+    """decode(encode(x)) == x for arbitrary envelopes over the union
+    wire record — unicode keys/values, binary, the full 64-bit signed
+    range (10-byte zigzag varints), empty and None maps."""
+    from mypipe_spark.sinks.avro_codec import (
+        decode_union_record,
+        encode_union_record,
+    )
+
+    assert decode_union_record(encode_union_record(rec)) == rec
+
+
+@settings(max_examples=200, deadline=None)
+@given(_envelope, st.sampled_from(["insert", "update", "delete"]))
+def test_avro_reference_record_roundtrip(rec, op):
+    """Reference-record round-trip: the per-op mutations.avsc layout
+    carries exactly the op's image maps (plain for insert/delete,
+    old_/new_ for update); header strings are non-nullable (absent →
+    ''), tableId defaults to 0, the Guid txid survives, and maps come
+    back as written (None → empty map — the reference schema has no
+    null maps)."""
+    from mypipe_spark.sinks.avro_codec import (
+        decode_reference_record,
+        encode_reference_record,
+    )
+
+    out = decode_reference_record(op, encode_reference_record(op, rec))
+    assert out["database"] == (rec["database"] or "")
+    assert out["table"] == (rec["table"] or "")
+    assert out["tableId"] == (rec["tableId"] or 0)
+    assert out["txid"] == rec["txid"]
+    names = (
+        ("old_bytes", "old_integers", "old_strings", "old_longs",
+         "new_bytes", "new_integers", "new_strings", "new_longs")
+        if op == "update"
+        else ("bytes", "integers", "strings", "longs")
+    )
+    for n in names:
+        assert out[n] == (rec[n] or {}), n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=64))
+def test_avro_decoder_never_hangs_or_overallocates_on_garbage(b):
+    """Arbitrary bytes must either decode or raise ValueError — never
+    hang, never allocate unboundedly from a huge length varint, never
+    raise anything a caller would not catch."""
+    from mypipe_spark.sinks.avro_codec import (
+        decode_reference_record,
+        decode_union_record,
+    )
+
+    for dec in (
+        decode_union_record,
+        lambda x: decode_reference_record("insert", x),
+        lambda x: decode_reference_record("update", x),
+    ):
+        try:
+            dec(b)
+        except (ValueError, UnicodeDecodeError):
+            pass
