@@ -114,7 +114,15 @@ def exact_ntile(
 
     ``order_cols`` must be a strict total order (include a unique
     tiebreak column) — the same requirement that makes the
-    single-partition NTILE deterministic in the first place."""
+    single-partition NTILE deterministic in the first place.
+
+    NOTE: construction is EAGER — the range partitioning materializes
+    (localCheckpoint) and the per-partition counts collect when this
+    function is CALLED, not when the returned DataFrame executes (the
+    same pattern as the k-means centroid and snapshot-split collects).
+    The result is therefore a snapshot of the input as of the call;
+    callers composing lazy pipelines should invoke it at execution
+    time, and repeated plan-building pays the two jobs each call."""
     from pyspark.sql import Window
 
     P = partitions or df.sparkSession.sparkContext.defaultParallelism

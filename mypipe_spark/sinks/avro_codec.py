@@ -134,6 +134,23 @@ def _write_map(buf: bytearray, d: dict | None, vkind: str) -> None:
     _write_varint(buf, 0)
 
 
+_INT_RANGES = {"int": (-(2**31), 2**31 - 1), "long": (-(2**63), 2**63 - 1)}
+
+
+def _checked_int(v: int, vkind: str):
+    """Range-validate a decoded varint against its declared Avro type.
+    Without this, structurally-valid garbage (a 5-byte varint in an
+    'int' map) would decode to an unbounded Python int and either wrap
+    silently in the Arrow int32 conversion or — with
+    convertToArrowArraySafely on — throw OUTSIDE the permissive
+    try/except and kill the query. Out-of-range → ValueError →
+    bad_payload, which is the contract."""
+    lo, hi = _INT_RANGES[vkind]
+    if not lo <= v <= hi:
+        raise ValueError(f"{vkind} out of range: {v}")
+    return v
+
+
 def _read_map(r: _Reader, vkind: str) -> dict:
     out: dict = {}
     while True:
@@ -146,7 +163,7 @@ def _read_map(r: _Reader, vkind: str) -> dict:
         for _ in range(count):
             k = r.string()
             if vkind in ("int", "long"):
-                out[k] = r.varint()
+                out[k] = _checked_int(r.varint(), vkind)
             elif vkind == "string":
                 out[k] = r.string()
             else:
@@ -222,7 +239,7 @@ def decode_union_record(b: bytes) -> dict:
         if kind == "string":
             out[name] = r.string()
         elif kind == "long":
-            out[name] = r.varint()
+            out[name] = _checked_int(r.varint(), "long")
         else:
             out[name] = _read_map(r, kind.removeprefix("map_"))
     if r.i != len(b):
@@ -260,7 +277,7 @@ def decode_reference_record(op: str, b: bytes) -> dict:
     out: dict = {
         "database": r.string(),
         "table": r.string(),
-        "tableId": r.varint(),
+        "tableId": _checked_int(r.varint(), "long"),
     }
     idx = r.varint()
     if idx == 0:
@@ -328,7 +345,10 @@ def _decode_frame(payload_s: pd.Series, op_s, decoder) -> pd.DataFrame:
             rows.append(decoder(op, bytes(b)))
         except Exception:
             rows.append(_none_row())  # PERMISSIVE: classify, don't kill
-    return pd.DataFrame(rows, columns=_FIELD_NAMES)
+    # dtype=object: a None anywhere in an integer column would
+    # otherwise infer float64 and corrupt int64 values above 2^53
+    # before the Arrow conversion sees them
+    return pd.DataFrame(rows, columns=_FIELD_NAMES, dtype=object)
 
 
 # pandas_udf parses its return-type DDL against the ACTIVE session, so
@@ -365,12 +385,24 @@ def _udf(name: str):
     return _UDFS[name]
 
 
+def _struct_cols(payload: Column) -> list[Column]:
+    """Extract the envelope fields for the encode UDFs. ``tableId``
+    crosses the Arrow boundary as a STRING: a nullable bigint series
+    becomes float64 in pandas, and int(float) silently corrupts values
+    above 2^53 — parsing the decimal string keeps full 64-bit
+    precision (int('…') in the writer)."""
+    return [
+        payload.getField(n).cast("string") if n == "tableId"
+        else payload.getField(n)
+        for n in _FIELD_NAMES
+    ]
+
+
 def avro_encode_expr(payload: Column, op: Column, ref: bool = False) -> Column:
     """``payload`` struct → Avro binary body. ``ref=True`` writes the
     reference's per-op mutations.avsc records; otherwise the repo's
     union wire record."""
-    cols = [payload.getField(n) for n in _FIELD_NAMES]
-    return _udf("enc_ref" if ref else "enc_union")(op, *cols)
+    return _udf("enc_ref" if ref else "enc_union")(op, *_struct_cols(payload))
 
 
 def avro_decode_expr(payload_bytes: Column, op: Column, ref: bool = False) -> Column:
@@ -472,7 +504,7 @@ def decode_specific_record(op: str, b: bytes, fields: list[tuple[str, str]]) -> 
             if idx != 1:
                 raise ValueError(f"bad union index {idx} for {prefix}{name}")
             if kind in ("int", "long"):
-                out[f"{prefix}{name}"] = r.varint()
+                out[f"{prefix}{name}"] = _checked_int(r.varint(), kind)
             elif kind == "string":
                 out[f"{prefix}{name}"] = r.string()
             else:
@@ -493,8 +525,7 @@ def specific_encode_expr(payload: Column, op: Column, table_schema) -> Column:
                 op_s, cols, lambda op_, rec: encode_specific_record(op_, rec, fields)
             )
         _UDFS[key] = pandas_udf("binary")(enc)
-    struct_cols = [payload.getField(n) for n in _FIELD_NAMES]
-    return _UDFS[key](op, *struct_cols)
+    return _UDFS[key](op, *_struct_cols(payload))
 
 
 def _specific_ddl(fields: list[tuple[str, str]], op_kind: str) -> str:
@@ -530,7 +561,7 @@ def specific_decode_expr(
                     rows.append(decode_specific_record(op_, bytes(b), fields))
                 except Exception:
                     rows.append(dict.fromkeys(names))
-            return pd.DataFrame(rows, columns=names)
+            return pd.DataFrame(rows, columns=names, dtype=object)
 
         _UDFS[key] = pandas_udf(ddl)(dec)
     return _UDFS[key](payload_bytes, op)

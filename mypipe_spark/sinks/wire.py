@@ -252,7 +252,25 @@ def encode_generic(
     enveloped = with_schema_id(generic_envelope(df), registry)
     if codec == "avro":
         if avro_available(df.sparkSession):
-            payload_bytes = to_avro(F.col("payload"), PAYLOAD_AVRO_SCHEMA)
+            # PAYLOAD_AVRO_SCHEMA's map values are non-nullable (like
+            # the reference's, which drops null columns via v.isDefined
+            # guards) — strip NULL map values BEFORE to_avro so the
+            # JVM path neither fails on them nor diverges from the
+            # pure-Python fallback's skip behavior.
+            stripped = F.struct(
+                *[
+                    F.col(f"payload.{n}").alias(n)
+                    for n in ("database", "table", "tableId", "txid")
+                ],
+                *[
+                    F.map_filter(
+                        F.col(f"payload.{p}{n}"), lambda _, v: v.isNotNull()
+                    ).alias(f"{p}{n}")
+                    for p in ("", "old_", "new_")
+                    for n in ("bytes", "integers", "strings", "longs")
+                ],
+            )
+            payload_bytes = to_avro(stripped, PAYLOAD_AVRO_SCHEMA)
         else:
             from .avro_codec import avro_encode_expr
 
@@ -286,9 +304,16 @@ def encode_dead_letter_split(
       silent NULL frame)
     - ``unregistered_subject`` — mutation op whose generic subject has
       no registered schema (the id lookup would be NULL)
+    - ``serialize_failure``    — a row the codec itself could not
+      serialize (POST-encode check: the pure-Python avro codecs emit a
+      NULL body when per-row encoding throws — e.g. a non-UUID txid
+      under codec='avro_ref', whose Guid field is fixed(16)). Without
+      this class those rows would leave as silent NULL frames (Kafka
+      tombstones) — data loss with zero diagnostics.
 
     Returns ``(encoded_valid, dead)``; valid rows carry the framed
-    ``value`` from :func:`encode_generic`."""
+    ``value`` from :func:`encode_generic`, and every valid row's frame
+    is non-NULL."""
     known_ops = [
         op
         for op in ("insert", "update", "delete")
@@ -304,7 +329,16 @@ def encode_dead_letter_split(
     classified = df.withColumn("dlq_reason", reason)
     valid = classified.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
     dead = classified.filter(F.col("dlq_reason").isNotNull())
-    return encode_generic(valid, registry, codec), dead
+    encoded = encode_generic(valid, registry, codec)
+    failed = (
+        encoded.filter(F.col("value").isNull())
+        .drop("value", "payload", "schema_id")
+        .withColumn("dlq_reason", F.lit("serialize_failure"))
+    )
+    return (
+        encoded.filter(F.col("value").isNotNull()),
+        dead.unionByName(failed, allowMissingColumns=True),
+    )
 
 
 def unframe(value: Column) -> dict[str, Column]:

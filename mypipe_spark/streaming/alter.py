@@ -281,9 +281,22 @@ class AlterOrchestrator:
         keeps arriving; the moment the DDL watcher registers an ALTER
         mid-stream the round stops and the pipe restarts, so the next
         round's sink build (``self.sink`` is re-invoked) sees the
-        evolved ``table_schemas``/registry and rows queued behind the
-        ALTER flow through it under the new schema — exactly-once
+        evolved ``table_schemas``/registry — exactly-once delivery
         across the restart via the shared checkpoint.
+
+        Consistency granularity (same as ``run_available``, stated
+        plainly): the sink and the DDL watcher are independent queries
+        over the source, so rows the sink's trigger picks up in the
+        SAME window as the ALTER — before the watcher's registration
+        and the poll loop's stop land — commit under the old schema.
+        Rows in later windows flow under the new schema. This is the
+        eventual consistency the reference's schema-repo polling gives
+        its serializer (KafkaAvroSerializer.scala:41-67): harmless for
+        the generic envelope (typed maps absorb new columns), and for
+        a specific-envelope sink it bounds the stale window to one
+        trigger interval — size ``trigger_seconds`` accordingly, or
+        drain with ``run_available`` when DDL and data are batched
+        together.
 
         ``done`` is the caller's completion predicate (e.g. "the feeder
         finished and every row landed"); it is only honored after a

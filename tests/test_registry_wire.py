@@ -608,3 +608,61 @@ def test_decode_specific_versioned_after_alter(spark):
     assert r2["email"] == "u@example.com" and r2["username"].startswith("username")
     # delete branches exist (empty — the stream carried only inserts)
     assert branches[("delete", 1)].count() == 0
+
+
+def test_encode_split_diverts_serialize_failures(spark):
+    """A row the codec cannot serialize (non-UUID txid under avro_ref,
+    whose Guid field is fixed(16)) must land in the dead-letter branch
+    with reason serialize_failure — not leave as a silent NULL frame
+    (a Kafka tombstone). Every valid frame is non-NULL."""
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import encode_dead_letter_split
+
+    muts = mutations_only(changelog_df(spark, num_transactions=4, rollback_prob=0.0))
+    bad = muts.limit(1).withColumn("txid", F.lit("not-a-uuid"))
+    valid, dead = encode_dead_letter_split(
+        muts.unionByName(bad), in_memory_repo(), codec="avro_ref"
+    )
+    assert valid.filter(F.col("value").isNull()).count() == 0
+    assert valid.count() == muts.count()
+    reasons = [r["dlq_reason"] for r in dead.collect()]
+    assert reasons == ["serialize_failure"]
+
+
+def test_avro_decoder_rejects_out_of_range_ints():
+    """Structurally-valid garbage (a 5-byte varint where an 'int' map
+    value belongs) must classify as bad payload, not decode to an
+    unbounded Python int that wraps or throws in the Arrow int32
+    conversion."""
+    from mypipe_spark.sinks.avro_codec import (
+        decode_union_record,
+        encode_union_record,
+    )
+
+    ok = encode_union_record({"database": "d", "new_integers": {"k": 1}})
+    assert decode_union_record(ok)["new_integers"] == {"k": 1}
+    # the writer's primitives don't range-check, so this produces a
+    # structurally-valid body carrying a 2^35 varint in an int32 map —
+    # exactly the wire bytes a hostile/buggy producer could emit
+    raw = encode_union_record({"database": "d", "new_integers": {"k": 2**35}})
+    with pytest.raises(ValueError, match="out of range"):
+        decode_union_record(raw)
+
+
+def test_avro_tableid_precision_survives_null_in_batch(spark):
+    """A NULL tableId anywhere in the Arrow batch makes the pandas
+    series float64; values above 2^53 must still round-trip exactly
+    (tableId crosses the boundary as a decimal string)."""
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.wire import decode_generic, encode_generic
+
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    muts = mutations_only(changelog_df(spark, num_transactions=3, rollback_prob=0.0))
+    one = muts.limit(1).withColumn("table_id", F.lit(big).cast("long"))
+    nulled = muts.limit(1).withColumn("table_id", F.lit(None).cast("long"))
+    framed = encode_generic(
+        one.unionByName(nulled).coalesce(1), in_memory_repo(), codec="avro"
+    ).select("value")
+    dec = decode_generic(framed, codec="avro")
+    got = [r[0] for r in dec.select("payload.tableId").collect()]
+    assert sorted(got, key=lambda x: (x is None, x)) == [big, None]
