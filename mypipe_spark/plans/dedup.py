@@ -320,7 +320,11 @@ def jaccard_pairs_from_arrays(
             f" greatest(size(hsh) - cast(ceil({t} * n_sh) as int) + 1, 0))"
         ).alias("pref"),
     )
-    sh = pref.select("doc_id", "n_sh", F.explode("pref").alias("shingle"))
+    # posexplode: the shingle's 1-based POSITION inside the doc's
+    # sorted prefix feeds the PPJoin positional filter below
+    sh = pref.select(
+        "doc_id", "n_sh", F.posexplode("pref").alias("pos0", "shingle")
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
     # Inverted index as ONE aggregation: collect each prefix hash's
     # posting list and emit candidate pairs from the sorted array with
     # higher-order functions — half the shuffle of the classic
@@ -328,7 +332,11 @@ def jaccard_pairs_from_arrays(
     # sort-merge-join sort.
     grouped = (
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_sh", "pos"))
+            ).alias("docs")
+        )
         .filter((F.size("docs") >= 2) & (F.size("docs") <= df_cap))
     )
     pairs = grouped.select(
@@ -338,18 +346,37 @@ def jaccard_pairs_from_arrays(
                 flatten(transform(docs, (a, i) ->
                   transform(slice(docs, i + 2, size(docs) - i - 1), b ->
                     struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-                           a.n_sh AS na, b.n_sh AS nb))))
+                           a.n_sh AS na, b.n_sh AS nb,
+                           a.pos AS pa, b.pos AS pb))))
                 """
             )
         ).alias("p")
     ).select("p.*")
-    # Length bound (J ≤ min/max of the set sizes) evaluated map-side
-    # before the distinct shuffle, then dedup candidate pairs that
-    # collided in several posting lists.
+    # Two map-side prunes before the distinct shuffle (both lossless):
+    # - length bound: J ≤ min/max of the set sizes;
+    # - PPJoin positional filter (Xiao et al. WWW'08 §3.2): J(A,B) ≥ t
+    #   needs overlap α = ceil(t/(1+t)·(|A|+|B|)); a mention at sorted
+    #   positions (pa, pb) can contribute at most the elements AT OR
+    #   AFTER it on both sides, min(na-pa, nb-pb) + 1 of which can
+    #   still match. A qualifying pair's FIRST common prefix hash
+    #   passes this bound (it has the largest remaining suffixes), so
+    #   keeping a pair when ANY of its mentions passes loses nothing —
+    #   while pairs that only share late, deep-prefix hashes drop
+    #   before they ever shuffle.
+    alpha = (
+        F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb"))).cast("int")
+    )
     cand = (
         pairs.filter(
-            F.least("na", "nb").cast("double")
-            >= F.lit(t) * F.greatest("na", "nb")
+            (
+                F.least("na", "nb").cast("double")
+                >= F.lit(t) * F.greatest("na", "nb")
+            )
+            & (
+                F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                + 1
+                >= alpha
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()
