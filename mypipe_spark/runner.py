@@ -238,7 +238,46 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     encoded, _dead = encode_dead_letter_split(df, _r, codec=_c)
                     return encoded
 
+                pre_wire = tuple(transforms)
                 transforms.append(_encode)
+                wire_dlq = wire_conf.get("dead-letter-path")
+                if wire_dlq:
+                    # preserve what the serializer diverts (control
+                    # rows, unregistered subjects, serialize failures)
+                    # as a sibling checkpointed query — same
+                    # skipped-events-preserved contract as the kafka
+                    # decode DLQ above
+                    checkpoint = pconf.get("checkpoint")
+                    if not checkpoint:
+                        raise ValueError(
+                            f"pipe '{pipe_id}': wire dead-letter-path "
+                            "requires a 'checkpoint'"
+                        )
+
+                    def _wire_dead_source(
+                        s: SparkSession,
+                        _f=cfactory,
+                        _cc=cconf,
+                        _pre=pre_wire,
+                        _r=wreg,
+                        _c=codec,
+                    ) -> DataFrame:
+                        from .sinks.wire import encode_dead_letter_split
+
+                        df = _f(s, _cc)
+                        for tr in _pre:
+                            df = tr(df)
+                        return encode_dead_letter_split(df, _r, codec=_c)[1]
+
+                    pipes.append(
+                        Pipe(
+                            pipe_id=f"{pipe_id}_wire_dlq",
+                            source=_wire_dead_source,
+                            producer="parquet",
+                            producer_options={"path": wire_dlq},
+                            checkpoint_dir=checkpoint + "_wire_dlq",
+                        )
+                    )
             elif flavor == "specific":
                 import json as _json
 

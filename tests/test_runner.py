@@ -403,3 +403,45 @@ def test_wire_encoding_from_config(spark, tmp_path):
                 },
             }
         )
+
+
+def test_wire_dead_letters_preserved_from_config(spark, tmp_path):
+    """The wire-encode stage must preserve what the serializer diverts
+    (control rows piped in unfiltered, rows the codec cannot
+    serialize) at the configured dead-letter path — never drop them
+    silently."""
+    from mypipe_spark.sinks.wire import decode_generic
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=5, rollback_prob=0.0, num_files=1)
+    all_rows = spark.read.parquet(src)
+    n_muts = all_rows.filter(F.col("op").isin("insert", "update", "delete")).count()
+    n_controls = all_rows.count() - n_muts
+
+    out = str(tmp_path / "wire_out")
+    dlq = str(tmp_path / "wire_dlq")
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "wp": {
+                "consumer": "cl",
+                "mutations-only": False,  # controls reach the encoder
+                "wire": {
+                    "flavor": "generic",
+                    "codec": "avro_ref",
+                    "dead-letter-path": dlq,
+                },
+                "producer": {"name": "parquet", "path": out},
+                "checkpoint": str(tmp_path / "ck_w"),
+            }
+        },
+    }
+    run_from_config(spark, config, block=True)
+    frames = spark.read.parquet(out)
+    assert frames.count() == n_muts
+    assert frames.filter(F.col("value").isNull()).count() == 0
+    dec = decode_generic(frames.select("value"), codec="avro_ref")
+    assert dec.filter("payload.database = 'mypipe'").count() == n_muts
+    dead = spark.read.parquet(dlq)
+    assert dead.count() == n_controls > 0
+    assert set(r["dlq_reason"] for r in dead.collect()) == {"not_a_mutation"}
