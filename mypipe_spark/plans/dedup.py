@@ -330,11 +330,30 @@ def jaccard_pairs_from_arrays(
     # higher-order functions — half the shuffle of the classic
     # self-join (one copy of the postings instead of two) and no
     # sort-merge-join sort.
-    grouped = (
+    capped_shingles = (
         sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") > df_cap)
+        .select("shingle")
+    )
+    capped_counts = (
+        sh.join(F.broadcast(capped_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_capped"))
+    )
+    # n_capped rides INSIDE the mention structs (one broadcast join
+    # over the mention stream, map-side) instead of joining the pair
+    # stream twice — a pair-side join would re-plan the capped-count
+    # subtree per side (no static exchange reuse), tripling the
+    # shingle-keyed exchanges.
+    sh2 = sh.join(F.broadcast(capped_counts), "doc_id", "left").withColumn(
+        "ncap", F.coalesce(F.col("n_capped"), F.lit(0))
+    )
+    grouped = (
+        sh2.groupBy("shingle")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "n_sh", "pos"))
+                F.collect_list(F.struct("doc_id", "n_sh", "pos", "ncap"))
             ).alias("docs")
         )
         .filter((F.size("docs") >= 2) & (F.size("docs") <= df_cap))
@@ -347,27 +366,30 @@ def jaccard_pairs_from_arrays(
                   transform(slice(docs, i + 2, size(docs) - i - 1), b ->
                     struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
                            a.n_sh AS na, b.n_sh AS nb,
-                           a.pos AS pa, b.pos AS pb))))
+                           a.pos AS pa, b.pos AS pb,
+                           a.ncap AS nca, b.ncap AS ncb))))
                 """
             )
         ).alias("p")
     ).select("p.*")
-    # Two map-side prunes before the distinct shuffle (both lossless):
+    # Two prunes before the distinct shuffle (both lossless, the
+    # second via the capped-count slack):
     # - length bound: J ≤ min/max of the set sizes;
     # - PPJoin positional filter (Xiao et al. WWW'08 §3.2): J(A,B) ≥ t
     #   needs overlap α = ceil(t/(1+t)·(|A|+|B|)); a mention at sorted
     #   positions (pa, pb) can contribute at most the elements AT OR
-    #   AFTER it on both sides, min(na-pa, nb-pb) + 1 of which can
-    #   still match. A qualifying pair's FIRST common prefix hash
-    #   passes this bound (it has the largest remaining suffixes), so
-    #   keeping a pair when ANY of its mentions passes loses nothing —
-    #   while pairs that only share late, deep-prefix hashes drop
+    #   AFTER it on both sides — min(na-pa, nb-pb) + 1 — plus at most
+    #   min(n_capped) common hashes hiding in dropped hot lists below
+    #   it. A qualifying pair's first surviving mention passes this
+    #   bound, so keeping a pair when ANY mention passes loses nothing
+    #   — while pairs that only share late, deep-prefix hashes drop
     #   before they ever shuffle.
     alpha = (
         F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb"))).cast("int")
     )
     cand = (
-        pairs.filter(
+        pairs.withColumn("slack", F.least(F.col("nca"), F.col("ncb")))
+        .filter(
             (
                 F.least("na", "nb").cast("double")
                 >= F.lit(t) * F.greatest("na", "nb")
@@ -375,6 +397,7 @@ def jaccard_pairs_from_arrays(
             & (
                 F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
                 + 1
+                + F.col("slack")
                 >= alpha
             )
         )

@@ -344,3 +344,33 @@ def test_short_docs_do_not_crash_minhash(spark):
         for r in minhash_pairs_from_arrays(_with_shingle_arrays(docs)).collect()
     }
     assert pairs == {(4, 5): 1.0}
+
+
+def test_positional_filter_capped_slack_keeps_threshold_pairs(spark):
+    """Adversarial interaction of the PPJoin positional filter with
+    the stop-shingle cap: a qualifying pair whose smallest common
+    hashes all sit in CAPPED hot lists must still be found — the
+    capped-count slack restores the cap contract (pairs lost only when
+    EVERY shared prefix hash is capped). Construction: docs 0 and 1
+    share 4 hot hashes (in every doc → capped at cap=3) plus two rare
+    hashes; overlap 6 of 9 = Jaccard exactly 0.5 (the threshold). The
+    only surviving prefix mention sits at position 5, whose bare
+    suffix bound 9-5+1 = 5 < α = 6 — without the slack the pair is
+    silently dropped."""
+    from mypipe_spark.plans.dedup import jaccard_pairs_from_arrays
+
+    hot = [1, 2, 3, 4]
+    r1, r2 = 100, 200
+    rows = [
+        (0, 9, hot + [r1, r2, 1001, 1002, 1003]),
+        (1, 9, hot + [r1, r2, 2001, 2002, 2003]),
+    ]
+    # 8 more docs carry the hot hashes (posting lists hit size 10 > 3)
+    for d in range(2, 10):
+        rows.append((d, 9, hot + [10_000 + 10 * d + j for j in range(5)]))
+    arr = spark.createDataFrame(rows, "doc_id int, n_sh int, hsh array<bigint>")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs_from_arrays(arr, df_cap=3).collect()
+    }
+    assert got == {(0, 1): 0.5}
