@@ -232,52 +232,11 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
             if flavor == "generic":
                 codec = wire_conf.get("codec", "json")
 
-                def _encode(df: DataFrame, _r=wreg, _c=codec) -> DataFrame:
+                def _wire_split(df: DataFrame, _r=wreg, _c=codec):
                     from .sinks.wire import encode_dead_letter_split
 
-                    encoded, _dead = encode_dead_letter_split(df, _r, codec=_c)
-                    return encoded
+                    return encode_dead_letter_split(df, _r, codec=_c)
 
-                pre_wire = tuple(transforms)
-                transforms.append(_encode)
-                wire_dlq = wire_conf.get("dead-letter-path")
-                if wire_dlq:
-                    # preserve what the serializer diverts (control
-                    # rows, unregistered subjects, serialize failures)
-                    # as a sibling checkpointed query — same
-                    # skipped-events-preserved contract as the kafka
-                    # decode DLQ above
-                    checkpoint = pconf.get("checkpoint")
-                    if not checkpoint:
-                        raise ValueError(
-                            f"pipe '{pipe_id}': wire dead-letter-path "
-                            "requires a 'checkpoint'"
-                        )
-
-                    def _wire_dead_source(
-                        s: SparkSession,
-                        _f=cfactory,
-                        _cc=cconf,
-                        _pre=pre_wire,
-                        _r=wreg,
-                        _c=codec,
-                    ) -> DataFrame:
-                        from .sinks.wire import encode_dead_letter_split
-
-                        df = _f(s, _cc)
-                        for tr in _pre:
-                            df = tr(df)
-                        return encode_dead_letter_split(df, _r, codec=_c)[1]
-
-                    pipes.append(
-                        Pipe(
-                            pipe_id=f"{pipe_id}_wire_dlq",
-                            source=_wire_dead_source,
-                            producer="parquet",
-                            producer_options={"path": wire_dlq},
-                            checkpoint_dir=checkpoint + "_wire_dlq",
-                        )
-                    )
             elif flavor == "specific":
                 import json as _json
 
@@ -293,15 +252,58 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     )
                 tschema = _St.fromJson(_json.loads(latest[1]))
 
-                def _encode_sp(df: DataFrame, _r=wreg, _s=tschema) -> DataFrame:
-                    from .sinks.wire import encode_specific
+                def _wire_split(df: DataFrame, _r=wreg, _s=tschema):
+                    from .sinks.wire import encode_specific_dead_letter_split
 
-                    return encode_specific(df, _s, _r)
+                    return encode_specific_dead_letter_split(df, _s, _r)
 
-                transforms.append(_encode_sp)
             else:
                 raise ValueError(
                     f"pipe '{pipe_id}': unknown wire flavor {flavor!r}"
+                )
+            pre_wire = tuple(transforms)
+            transforms.append(lambda df, _sp=_wire_split: _sp(df)[0])
+            wire_dlq = wire_conf.get("dead-letter-path")
+            if wire_dlq:
+                # preserve what the serializer diverts (control rows,
+                # unregistered subjects, serialize failures) as a
+                # sibling checkpointed query — the skipped-events-
+                # preserved contract, for BOTH flavors. Cost note: the
+                # sibling query re-runs the pre-wire chain and the
+                # encode over the same source (two streaming queries
+                # cannot share one computation without a table-format
+                # sink); classification is expression-level except the
+                # serialize_failure class, which needs the encode pass
+                # itself — acceptable at the measured ~10^5 frames/s,
+                # and the reference's own skip-and-log serializer pays
+                # the serialize either way.
+                checkpoint = pconf.get("checkpoint")
+                if not checkpoint:
+                    raise ValueError(
+                        f"pipe '{pipe_id}': wire dead-letter-path "
+                        "requires a 'checkpoint'"
+                    )
+
+                def _wire_dead_source(
+                    s: SparkSession,
+                    _f=cfactory,
+                    _cc=cconf,
+                    _pre=pre_wire,
+                    _sp=_wire_split,
+                ) -> DataFrame:
+                    df = _f(s, _cc)
+                    for tr in _pre:
+                        df = tr(df)
+                    return _sp(df)[1]
+
+                pipes.append(
+                    Pipe(
+                        pipe_id=f"{pipe_id}_wire_dlq",
+                        source=_wire_dead_source,
+                        producer="parquet",
+                        producer_options={"path": wire_dlq},
+                        checkpoint_dir=checkpoint + "_wire_dlq",
+                    )
                 )
         topic_template = pconf.get("topic-template")
         if topic_template:

@@ -174,10 +174,19 @@ def _read_map(r: _Reader, vkind: str) -> dict:
 # record specs
 # ---------------------------------------------------------------------------
 
-# the repo's union wire record — MUST mirror wire.PAYLOAD_AVRO_SCHEMA's
-# field order and types (every field is a ["null", T] union)
+# the repo's union wire record — the ONE canonical statement of the
+# envelope's field names/kinds. wire.py derives its JSON-schema DDL
+# twin, the Avro writer schema, and the JVM-path null-strip struct
+# from these exports, so a future field cannot be added in one place
+# and silently missed in another (which would diverge the codecs).
 _MAP_KINDS = ("bytes", "int", "string", "long")
 _MAP_NAMES = ("bytes", "integers", "strings", "longs")
+ENVELOPE_HEADER_FIELDS = ("database", "table", "tableId", "txid")
+ENVELOPE_MAP_FIELDS = tuple(
+    f"{prefix}{name}"
+    for prefix in ("", "old_", "new_")
+    for name in _MAP_NAMES
+)
 UNION_FIELDS: list[tuple[str, str]] = [
     ("database", "string"),
     ("table", "string"),

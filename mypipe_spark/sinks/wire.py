@@ -257,17 +257,21 @@ def encode_generic(
             # guards) — strip NULL map values BEFORE to_avro so the
             # JVM path neither fails on them nor diverges from the
             # pure-Python fallback's skip behavior.
+            from .avro_codec import (
+                ENVELOPE_HEADER_FIELDS,
+                ENVELOPE_MAP_FIELDS,
+            )
+
             stripped = F.struct(
                 *[
                     F.col(f"payload.{n}").alias(n)
-                    for n in ("database", "table", "tableId", "txid")
+                    for n in ENVELOPE_HEADER_FIELDS
                 ],
                 *[
                     F.map_filter(
-                        F.col(f"payload.{p}{n}"), lambda _, v: v.isNotNull()
-                    ).alias(f"{p}{n}")
-                    for p in ("", "old_", "new_")
-                    for n in ("bytes", "integers", "strings", "longs")
+                        F.col(f"payload.{n}"), lambda _, v: v.isNotNull()
+                    ).alias(n)
+                    for n in ENVELOPE_MAP_FIELDS
                 ],
             )
             payload_bytes = to_avro(stripped, PAYLOAD_AVRO_SCHEMA)
@@ -744,3 +748,41 @@ def decode_specific_versioned(
                 branch, schema, value_col=value_col, which=which
             )
     return out
+
+
+def encode_specific_dead_letter_split(
+    df: DataFrame, table_schema: StructType, registry: SchemaRegistry
+) -> tuple[DataFrame, DataFrame]:
+    """Specific-flavor twin of :func:`encode_dead_letter_split`:
+
+    - ``not_a_mutation``       — control rows piped in unfiltered
+    - ``unregistered_subject`` — no registered <db>_<table>_<op>
+      subject (the per-row schema-id lookup is NULL)
+    - ``serialize_failure``    — the record codec threw for the row
+
+    Returns ``(encoded_valid, dead)``; every valid frame is non-NULL."""
+    classified = df.withColumn(
+        "dlq_reason",
+        F.when(
+            F.col("op").isNull()
+            | ~F.col("op").isin("insert", "update", "delete"),
+            "not_a_mutation",
+        ),
+    )
+    valid = classified.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
+    dead = classified.filter(F.col("dlq_reason").isNotNull())
+    encoded = encode_specific(valid, table_schema, registry)
+    failed = (
+        encoded.filter(F.col("value").isNull())
+        .withColumn(
+            "dlq_reason",
+            F.when(F.col("schema_id").isNull(), "unregistered_subject").otherwise(
+                "serialize_failure"
+            ),
+        )
+        .drop("value", "payload", "schema_id")
+    )
+    return (
+        encoded.filter(F.col("value").isNotNull()),
+        dead.unionByName(failed, allowMissingColumns=True),
+    )

@@ -666,3 +666,27 @@ def test_avro_tableid_precision_survives_null_in_batch(spark):
     dec = decode_generic(framed, codec="avro")
     got = [r[0] for r in dec.select("payload.tableId").collect()]
     assert sorted(got, key=lambda x: (x is None, x)) == [big, None]
+
+
+def test_encode_specific_split_diverts_controls_and_unregistered(spark):
+    """Specific-flavor encode split: control rows divert as
+    not_a_mutation, mutations of a table with no registered subject as
+    unregistered_subject — and every valid frame is non-NULL (no
+    silent tombstones for the specific path either)."""
+    from mypipe_spark.sinks.wire import encode_specific_dead_letter_split
+
+    user_schema = StructType(
+        [StructField("id", IntegerType()), StructField("username", StringType())]
+    )
+    reg = SchemaRegistry()
+    register_table(reg, "mypipe", "user", user_schema)
+    events = changelog_df(spark, num_transactions=4, rollback_prob=0.0)
+    muts = mutations_only(events)
+    other = muts.limit(1).withColumn("table", F.lit("othertable"))
+    mixed = events.unionByName(other)  # controls + mutations + alien table
+    valid, dead = encode_specific_dead_letter_split(mixed, user_schema, reg)
+    assert valid.count() == muts.count()
+    assert valid.filter(F.col("value").isNull()).count() == 0
+    reasons = sorted(r["dlq_reason"] for r in dead.collect())
+    assert "unregistered_subject" in reasons and "not_a_mutation" in reasons
+    assert dead.count() == (events.count() - muts.count()) + 1
