@@ -120,15 +120,23 @@ def mtype_byte(op: Column | str = "op") -> Column:
 # typed maps. Insert carries the after image in plain maps, delete the
 # before image, update both as old_*/new_* — this union struct covers
 # all three so one column type serves the whole stream.
-_PAYLOAD_JSON_SCHEMA = (
-    "database string, table string, tableId bigint, txid string, "
-    "bytes map<string,binary>, integers map<string,int>, "
-    "strings map<string,string>, longs map<string,bigint>, "
-    "old_bytes map<string,binary>, old_integers map<string,int>, "
-    "old_strings map<string,string>, old_longs map<string,bigint>, "
-    "new_bytes map<string,binary>, new_integers map<string,int>, "
-    "new_strings map<string,string>, new_longs map<string,bigint>"
-)
+def _payload_json_schema() -> str:
+    """Derived from the canonical field declaration in avro_codec so
+    the DDL twin, the Avro writer schema, and the JVM null-strip
+    struct can never drift apart field-by-field."""
+    from .avro_codec import UNION_FIELDS
+
+    ddl = {"string": "string", "long": "bigint"}
+    mddl = {
+        "map_bytes": "map<string,binary>", "map_int": "map<string,int>",
+        "map_string": "map<string,string>", "map_long": "map<string,bigint>",
+    }
+    return ", ".join(
+        f"{name} {ddl.get(kind) or mddl[kind]}" for name, kind in UNION_FIELDS
+    )
+
+
+_PAYLOAD_JSON_SCHEMA = _payload_json_schema()
 
 
 # Avro twin of _PAYLOAD_JSON_SCHEMA — the reference's generic envelope
@@ -143,24 +151,18 @@ def _payload_avro_schema() -> str:
     def m(values):
         return {"type": "map", "values": values}
 
+    from .avro_codec import UNION_FIELDS
+
     fields = [
-        {"name": "database", "type": nullable("string"), "default": None},
-        {"name": "table", "type": nullable("string"), "default": None},
-        {"name": "tableId", "type": nullable("long"), "default": None},
-        {"name": "txid", "type": nullable("string"), "default": None},
+        {
+            "name": name,
+            "type": nullable(
+                m(kind.removeprefix("map_")) if kind.startswith("map_") else kind
+            ),
+            "default": None,
+        }
+        for name, kind in UNION_FIELDS
     ]
-    for prefix in ("", "old_", "new_"):
-        for name, vtype in (
-            ("bytes", "bytes"), ("integers", "int"),
-            ("strings", "string"), ("longs", "long"),
-        ):
-            fields.append(
-                {
-                    "name": f"{prefix}{name}",
-                    "type": nullable(m(vtype)),
-                    "default": None,
-                }
-            )
     return json.dumps(
         {
             "type": "record",
