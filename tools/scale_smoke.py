@@ -139,12 +139,13 @@ def main() -> int:
     ap.add_argument("--rebuild", action="store_true", help="rebuild the amplified corpus even if present")
     ap.add_argument(
         "--scaling-md",
-        nargs="?",
-        const="SCALING.md",
         default=None,
+        metavar="PATH",
         help="append the per-query rows + summary as a markdown section "
-        "to this file (default SCALING.md next to the repo root), so the "
-        "recorded evidence cannot drift from what the tool measured",
+        "to PATH (e.g. SCALING.md), so the recorded evidence cannot "
+        "drift from what the tool measured. Takes an explicit path: an "
+        "optional-value flag would swallow a following positional "
+        "query name as its value.",
     )
     ap.add_argument("queries", nargs="*", help="default: the bench set")
     args = ap.parse_args()
