@@ -207,3 +207,68 @@ def test_avro_decoder_never_hangs_or_overallocates_on_garbage(b):
             dec(b)
         except (ValueError, UnicodeDecodeError):
             pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.fixed_dictionaries(
+        {
+            "database": st.text(max_size=8),
+            "table": st.text(max_size=8),
+            **{
+                f"{p}{m}": st.none()
+                | st.fixed_dictionaries(
+                    {},
+                    optional={
+                        "c_int": _i32 if m == "integers" else st.nothing(),
+                        "c_long": _i64 if m == "longs" else st.nothing(),
+                        "c_str": st.text(max_size=12) if m == "strings" else st.nothing(),
+                        "c_bin": st.binary(max_size=8) if m == "bytes" else st.nothing(),
+                    },
+                )
+                for p in ("new_", "old_")
+                for m in ("integers", "longs", "strings", "bytes")
+            },
+        }
+    ),
+    st.sampled_from(["insert", "update", "delete"]),
+)
+def test_specific_record_roundtrip(rec, op):
+    """Per-table record round-trip: for every op the decoded columns
+    equal what the envelope's typed maps held for that op's image(s),
+    under the same dual-integer-map rule the columnar projection uses
+    (int columns may ride 'integers' or 'longs')."""
+    from mypipe_spark.sinks.avro_codec import (
+        _column_value,
+        decode_specific_record,
+        encode_specific_record,
+        specific_fields,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("c_int", IntegerType()),
+            StructField("c_long", LongType()),
+            StructField("c_str", StringType()),
+            StructField("c_bin", BinaryType()),
+        ]
+    )
+    fields = specific_fields(schema)
+    out = decode_specific_record(op, encode_specific_record(op, rec, fields), fields)
+    assert out["database"] == rec["database"] and out["table"] == rec["table"]
+    prefixes = ("old_", "new_") if op == "update" else (
+        ("old_",) if op == "delete" else ("new_",)
+    )
+    out_prefixes = prefixes if op == "update" else ("",)
+    for src_p, out_p in zip(prefixes, out_prefixes):
+        for name, kind in fields:
+            want = _column_value(rec, src_p, name, kind)
+            assert out[f"{out_p}{name}"] == want, (src_p, name)
