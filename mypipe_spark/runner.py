@@ -76,6 +76,31 @@ def _changelog_consumer(spark: SparkSession, conf: dict) -> DataFrame:
     )
 
 
+@register_consumer("debezium")
+def _debezium_consumer(spark: SparkSession, conf: dict) -> DataFrame:
+    """JSON-lines Debezium envelopes (``path`` watched as a text
+    stream) → canonical change events. With a config-pointed
+    ``schema-registry`` plus ``database``/``table``, row images bucket
+    into the typed maps by the table's latest registered schema;
+    without one, values ride the strings maps (lossless for JSON
+    scalars). A Kafka-hosted Debezium topic composes the same way:
+    kafka consumer → debezium_change_events on the value column."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from .sources.debezium import debezium_change_events
+
+    tschema = None
+    reg = _registry_from_conf(conf)
+    if reg is not None and "database" in conf and "table" in conf:
+        latest = reg.get_latest(f"{conf['database']}_{conf['table']}_insert")
+        if latest:
+            tschema = _St.fromJson(_json.loads(latest[1]))
+    raw = spark.readStream.text(conf["path"])
+    return debezium_change_events(raw, table_schema=tschema)
+
+
 @register_consumer("kafka")
 def _kafka_consumer(spark: SparkSession, conf: dict) -> DataFrame:
     from .sources.stream import kafka_stream
