@@ -13,8 +13,11 @@ state materializations, DLQ cascade) without the binlog tap:
   snapshot-read class — same semantics as this engine's snapshot
   preload rows)
 - ``seq``:    ``source.pos`` when present (the binlog (file,pos)
-  analog within a file) else ``ts_ms`` — monotone per partition,
-  which is what seq-keyed redelivery dedup needs
+  analog WITHIN one file) else ``ts_ms``. Caveat stated plainly: pos
+  resets on binlog-file rotation, so seq-keyed redelivery dedup over
+  a stream spanning a rotation should dedup on (a hash of)
+  ``source.file`` + seq, or fall back to ts_ms ordering — the
+  watermark horizon bounds how long a collision window could matter
 - ``txid``:   ``transaction.id`` when present else ``source.txId``
 - images:     ``before``/``after`` parse as ``map<string,string>``
   (Debezium JSON renders scalars; from_json string-coerces), then
