@@ -131,3 +131,45 @@ def test_rest_registry_encodes_subject_names():
         assert fresh.get_schema_id(awkward, schema) == sid
     finally:
         server.shutdown()
+
+
+def test_versioned_specific_decode_over_rest(spark, live_repo):
+    """decode_specific_versioned duck-types over the repo interface
+    (versions + get_schema); pin that against a LIVE RestSchemaRegistry
+    — the consumer fetching the writer schema by id over HTTP, exactly
+    the reference decoder's repo round-trip
+    (KafkaAvroDecoder.scala:43-66)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from mypipe_spark.changelog import changelog_df
+    from mypipe_spark.operators.decode import mutations_only
+    from mypipe_spark.registry import register_table
+    from mypipe_spark.sinks.wire import decode_specific_versioned, encode_specific
+    from mypipe_spark.streaming.alter import evolve_schema
+
+    _, url = live_repo
+    client = RestSchemaRegistry(url)
+    v1 = StructType(
+        [StructField("id", IntegerType()), StructField("username", StringType())]
+    )
+    register_table(client, "mypipe", "user", v1)
+    ins = mutations_only(
+        changelog_df(spark, num_transactions=3, rollback_prob=0.0)
+    ).filter("op='insert'")
+    b1 = encode_specific(ins, v1, client).select("value")
+    v2 = evolve_schema(v1, "ALTER TABLE mypipe.user ADD COLUMN email varchar(32)")
+    register_table(client, "mypipe", "user", v2)
+    ins2 = ins.withColumn(
+        "new_strings",
+        F.map_concat("new_strings", F.create_map(F.lit("email"), F.lit("e@example.com"))),
+    )
+    b2 = encode_specific(ins2, v2, client).select("value")
+
+    branches = decode_specific_versioned(
+        b1.unionByName(b2), client, "mypipe", "user"
+    )
+    n = ins.count()
+    assert branches[("insert", 1)].count() == n
+    r2 = branches[("insert", 2)].select("record.*").limit(1).collect()[0]
+    assert r2["email"] == "e@example.com"
