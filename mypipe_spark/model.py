@@ -195,3 +195,34 @@ def topic_name(database: str, table: str, flavor: str = "generic") -> str:
     """Kafka topic templating `${db}_${table}_generic`
     (reference: KafkaUtil.scala:7-27, mypipe-kafka reference.conf:3-9)."""
     return f"{database}_{table}_{flavor}"
+
+
+# ---------------------------------------------------------------------------
+# Canonical wire-envelope field declaration
+#
+# The ONE statement of the generic envelope's field names/kinds. The
+# wire layer derives its JSON-schema DDL twin, the Avro writer schema,
+# and the JVM null-strip struct from these; the pure-Python codec
+# (sinks/avro_codec.py) derives its record spec. Living here keeps the
+# declaration importable without pandas (avro_codec's module-level
+# dependency), so decode-only / JSON-codec pipes don't pay that import.
+# ---------------------------------------------------------------------------
+
+ENVELOPE_MAP_KINDS = ("bytes", "int", "string", "long")
+ENVELOPE_MAP_NAMES = ("bytes", "integers", "strings", "longs")
+ENVELOPE_HEADER_FIELDS = ("database", "table", "tableId", "txid")
+ENVELOPE_MAP_FIELDS = tuple(
+    f"{prefix}{name}"
+    for prefix in ("", "old_", "new_")
+    for name in ENVELOPE_MAP_NAMES
+)
+ENVELOPE_FIELDS: list[tuple[str, str]] = [
+    ("database", "string"),
+    ("table", "string"),
+    ("tableId", "long"),
+    ("txid", "string"),
+] + [
+    (f"{prefix}{name}", f"map_{kind}")
+    for prefix in ("", "old_", "new_")
+    for name, kind in zip(ENVELOPE_MAP_NAMES, ENVELOPE_MAP_KINDS)
+]

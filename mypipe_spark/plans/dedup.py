@@ -346,7 +346,13 @@ def jaccard_pairs_from_arrays(
     # stream twice — a pair-side join would re-plan the capped-count
     # subtree per side (no static exchange reuse), tripling the
     # shingle-keyed exchanges.
-    sh2 = sh.join(F.broadcast(capped_counts), "doc_id", "left").withColumn(
+    # no broadcast HINT on capped_counts: its cardinality is one row
+    # per doc touching a hot shingle — corpus boilerplate can make
+    # that ~every doc, and a forced broadcast of a docs-sized table
+    # dies at exactly the scales the cap targets. AQE broadcasts it at
+    # runtime when it is actually small (the usual case) and falls
+    # back to a shuffled join that scales when it is not.
+    sh2 = sh.join(capped_counts, "doc_id", "left").withColumn(
         "ncap", F.coalesce(F.col("n_capped"), F.lit(0))
     )
     grouped = (

@@ -96,7 +96,14 @@ def _debezium_consumer(spark: SparkSession, conf: dict) -> DataFrame:
     if reg is not None and "database" in conf and "table" in conf:
         latest = reg.get_latest(f"{conf['database']}_{conf['table']}_insert")
         if latest:
-            tschema = _St.fromJson(_json.loads(latest[1]))
+            try:
+                tschema = _St.fromJson(_json.loads(latest[1]))
+            except (ValueError, KeyError, TypeError):
+                # non-StructType schema text (an Avro record registered
+                # by another producer): degrade to the documented
+                # schema-less strings-map mode, same tolerance as
+                # decode_specific_versioned
+                tschema = None
     raw = spark.readStream.text(conf["path"])
     return debezium_change_events(raw, table_schema=tschema)
 
@@ -213,6 +220,43 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     Pipe(
                         pipe_id=f"{pipe_id}_dlq",
                         source=_dead_source,
+                        producer="parquet",
+                        producer_options={"path": dlq_path},
+                        checkpoint_dir=checkpoint + "_dlq",
+                    )
+                )
+        elif ctype == "debezium":
+            # the adapter surfaces unparseable/unknown-op envelopes as
+            # op NULL; with a dead-letter-path they are PRESERVED (raw
+            # line + reason) instead of silently dropped by the
+            # mutations-only default downstream
+            dlq_path = pconf.get("dead-letter-path")
+            if dlq_path:
+                checkpoint = pconf.get("checkpoint")
+                if not checkpoint:
+                    raise ValueError(
+                        f"pipe '{pipe_id}': dead-letter-path requires "
+                        "a 'checkpoint' (the DLQ parquet sink cannot "
+                        "run without one)"
+                    )
+
+                def _dbz_dead_source(s: SparkSession, _cc=cconf) -> DataFrame:
+                    from .sources.debezium import debezium_change_events
+
+                    raw = s.readStream.text(_cc["path"])
+                    return (
+                        debezium_change_events(raw, keep_raw=True)
+                        .filter(F.col("op").isNull())
+                        .select(
+                            "raw_value",
+                            F.lit("unparseable_envelope").alias("dlq_reason"),
+                        )
+                    )
+
+                pipes.append(
+                    Pipe(
+                        pipe_id=f"{pipe_id}_dlq",
+                        source=_dbz_dead_source,
                         producer="parquet",
                         producer_options={"path": dlq_path},
                         checkpoint_dir=checkpoint + "_dlq",

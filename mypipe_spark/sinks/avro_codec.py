@@ -174,29 +174,16 @@ def _read_map(r: _Reader, vkind: str) -> dict:
 # record specs
 # ---------------------------------------------------------------------------
 
-# the repo's union wire record — the ONE canonical statement of the
-# envelope's field names/kinds. wire.py derives its JSON-schema DDL
-# twin, the Avro writer schema, and the JVM-path null-strip struct
-# from these exports, so a future field cannot be added in one place
-# and silently missed in another (which would diverge the codecs).
-_MAP_KINDS = ("bytes", "int", "string", "long")
-_MAP_NAMES = ("bytes", "integers", "strings", "longs")
-ENVELOPE_HEADER_FIELDS = ("database", "table", "tableId", "txid")
-ENVELOPE_MAP_FIELDS = tuple(
-    f"{prefix}{name}"
-    for prefix in ("", "old_", "new_")
-    for name in _MAP_NAMES
+# the union wire record spec comes from the canonical declaration in
+# model.py (importable without pandas); re-exported here for callers
+# that already import them from this module
+from ..model import (  # noqa: E402
+    ENVELOPE_FIELDS as UNION_FIELDS,
+    ENVELOPE_HEADER_FIELDS,
+    ENVELOPE_MAP_FIELDS,
+    ENVELOPE_MAP_KINDS as _MAP_KINDS,
+    ENVELOPE_MAP_NAMES as _MAP_NAMES,
 )
-UNION_FIELDS: list[tuple[str, str]] = [
-    ("database", "string"),
-    ("table", "string"),
-    ("tableId", "long"),
-    ("txid", "string"),
-] + [
-    (f"{prefix}{name}", f"map_{kind}")
-    for prefix in ("", "old_", "new_")
-    for name, kind in zip(_MAP_NAMES, _MAP_KINDS)
-]
 
 # the reference's per-op records (mutations.avsc): non-null header
 # fields, txid is ["null", fixed(16) Guid], maps are non-null

@@ -124,7 +124,7 @@ def _payload_json_schema() -> str:
     """Derived from the canonical field declaration in avro_codec so
     the DDL twin, the Avro writer schema, and the JVM null-strip
     struct can never drift apart field-by-field."""
-    from .avro_codec import UNION_FIELDS
+    from ..model import ENVELOPE_FIELDS
 
     ddl = {"string": "string", "long": "bigint"}
     mddl = {
@@ -132,7 +132,7 @@ def _payload_json_schema() -> str:
         "map_string": "map<string,string>", "map_long": "map<string,bigint>",
     }
     return ", ".join(
-        f"{name} {ddl.get(kind) or mddl[kind]}" for name, kind in UNION_FIELDS
+        f"{name} {ddl.get(kind) or mddl[kind]}" for name, kind in ENVELOPE_FIELDS
     )
 
 
@@ -151,7 +151,7 @@ def _payload_avro_schema() -> str:
     def m(values):
         return {"type": "map", "values": values}
 
-    from .avro_codec import UNION_FIELDS
+    from ..model import ENVELOPE_FIELDS
 
     fields = [
         {
@@ -161,7 +161,7 @@ def _payload_avro_schema() -> str:
             ),
             "default": None,
         }
-        for name, kind in UNION_FIELDS
+        for name, kind in ENVELOPE_FIELDS
     ]
     return json.dumps(
         {
@@ -259,7 +259,7 @@ def encode_generic(
             # guards) — strip NULL map values BEFORE to_avro so the
             # JVM path neither fails on them nor diverges from the
             # pure-Python fallback's skip behavior.
-            from .avro_codec import (
+            from ..model import (
                 ENVELOPE_HEADER_FIELDS,
                 ENVELOPE_MAP_FIELDS,
             )

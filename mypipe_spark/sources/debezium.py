@@ -61,39 +61,65 @@ _DBZ_SCHEMA = (
 _OP_MAP = {"c": "insert", "u": "update", "d": "delete", "r": "insert"}
 
 
+_BUCKET_TYPES = {
+    "integers": ("int", "smallint", "tinyint"),
+    "longs": ("bigint",),
+    "strings": ("string",),
+    "bytes": ("binary",),
+}
+_BUCKET_CASTS = {
+    "integers": "int", "longs": "bigint", "strings": "string", "bytes": "binary",
+}
+
+
 def _typed_map(img: Column, table_schema: StructType | None, kind: str) -> Column:
     """Bucket a string-map row image into one typed map by the
-    schema's Spark types (absent schema → everything in strings)."""
+    schema's Spark types (absent schema → everything in strings).
+
+    Totality rules (the adapter must never poison the stream and must
+    never silently lose data):
+    - values cast with ``try_cast`` / ``try_to_binary`` — the session
+      runs ANSI mode, where a plain CAST of a drifted value ('true',
+      '1.5') would throw on the executor and kill the query; a
+      per-value parse failure becomes a NULL entry instead;
+    - columns whose declared type has no bucket here (double, boolean,
+      date, …) fall back to the STRINGS map, matching the schema-less
+      behavior — providing a schema must never lose values the
+      schema-less path keeps;
+    - a bucket with no matching columns is NULL, same as the snapshot
+      path's empty typed_map — snapshot and CDC rows of one table must
+      not disagree on NULL-vs-empty images."""
     if table_schema is None:
         if kind == "strings":
             return img
-        casts = {"integers": "int", "longs": "bigint", "bytes": "binary"}
-        return F.lit(None).cast(f"map<string,{casts[kind]}>")
-    wanted = {
-        "integers": ("int", "smallint", "tinyint"),
-        "longs": ("bigint",),
-        "strings": ("string",),
-        "bytes": ("binary",),
-    }[kind]
-    names = [f.name for f in table_schema.fields if f.dataType.simpleString() in wanted]
-    if not names:
-        casts = {
-            "integers": "int", "longs": "bigint",
-            "strings": "string", "bytes": "binary",
+        return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")
+    names = [
+        f.name
+        for f in table_schema.fields
+        if f.dataType.simpleString() in _BUCKET_TYPES[kind]
+    ]
+    if kind == "strings":
+        bucketed = {
+            f.name
+            for f in table_schema.fields
+            for k in _BUCKET_TYPES.values()
+            if f.dataType.simpleString() in k
         }
-        return F.when(
-            img.isNotNull(), F.expr(f"map()").cast(f"map<string,{casts[kind]}>")
-        )
+        names += [f.name for f in table_schema.fields if f.name not in bucketed]
+    if not names:
+        return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")
     pairs: list[Column] = []
     for n in names:
         pairs.append(F.lit(n))
         v = img.getItem(n)
         if kind == "integers":
-            pairs.append(v.cast("int"))
+            pairs.append(v.try_cast("int"))
         elif kind == "longs":
-            pairs.append(v.cast("bigint"))
+            pairs.append(v.try_cast("bigint"))
         elif kind == "bytes":
-            pairs.append(F.unbase64(v))  # binary.handling.mode=base64
+            # binary.handling.mode=base64; try_to_binary: a malformed
+            # body becomes a NULL entry, never an executor throw
+            pairs.append(F.try_to_binary(v, F.lit("base64")))
         else:
             pairs.append(v)
     # keep only keys the image actually carried (Debezium omits none,
@@ -108,6 +134,7 @@ def debezium_change_events(
     df: DataFrame,
     value_col: str = "value",
     table_schema: StructType | None = None,
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Raw Debezium JSON strings/bytes → CHANGE_EVENT_SCHEMA columns.
 
@@ -115,7 +142,9 @@ def debezium_change_events(
     value, a JSON-lines file line, …). Rows that do not parse — or
     whose ``op`` is not c/u/d/r — surface with op NULL, letting the
     caller route them through the errors-module DLQ convention instead
-    of poisoning the stream."""
+    of poisoning the stream; ``keep_raw=True`` appends the original
+    envelope as ``raw_value`` so a DLQ branch can preserve the exact
+    bytes that failed."""
     raw = F.col(value_col).cast("string")
     p = F.from_json(raw, _DBZ_SCHEMA)
     # envelope-or-flattened: prefer payload.*, fall back to top level
@@ -150,5 +179,6 @@ def debezium_change_events(
             _typed_map(after, table_schema, k).alias(f"new_{k}")
             for k in ("integers", "longs", "strings", "bytes")
         ],
+        *([raw.alias("raw_value")] if keep_raw else []),
     )
     return out

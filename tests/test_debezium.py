@@ -148,6 +148,7 @@ def test_debezium_consumer_from_config(spark, tmp_path):
                 "consumer": "dbz",
                 "producer": {"name": "parquet", "path": str(tmp_path / "out")},
                 "checkpoint": str(tmp_path / "ck"),
+                "dead-letter-path": str(tmp_path / "dlq"),
             }
         },
     }
@@ -156,3 +157,36 @@ def test_debezium_consumer_from_config(spark, tmp_path):
     assert out.count() == 3  # mutations-only dropped the garbage row
     assert {r["op"] for r in out.collect()} == {"insert", "update", "delete"}
     assert out.filter("new_integers.id = 1").count() == 2
+    # the garbage line is PRESERVED (raw bytes + reason), not dropped
+    dead = spark.read.parquet(str(tmp_path / "dlq"))
+    assert [(r["raw_value"], r["dlq_reason"]) for r in dead.collect()] == [
+        ("oops not json", "unparseable_envelope")
+    ]
+
+
+def test_debezium_survives_value_drift_under_ansi(spark):
+    """ANSI mode throws on CAST of a drifted value; the adapter must
+    use try-variants so a 'true' in an int column or a non-base64 body
+    becomes a NULL entry — never an executor throw. Types outside the
+    four buckets (double here) fall back to the strings map: adding a
+    schema never loses values the schema-less path keeps."""
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("flag", IntegerType()),
+            StructField("score", DoubleType()),
+            StructField("bio", BinaryType()),
+        ]
+    )
+    after = {"id": 1, "flag": "true", "score": 2.5, "bio": "!!!not base64"}
+    df = spark.createDataFrame([(_env("c", None, after, 1, "t"),)], "value string")
+    r = debezium_change_events(df, table_schema=schema).collect()[0]
+    assert r["new_integers"] == {"id": 1, "flag": None}
+    assert r["new_strings"] == {"score": "2.5"}
+    assert dict(r["new_bytes"]) == {"bio": None}
+    # bucket with no matching columns is NULL (snapshot parity)
+    two_col = StructType([StructField("id", IntegerType())])
+    r2 = debezium_change_events(df, table_schema=two_col).collect()[0]
+    assert r2["new_longs"] is None and r2["new_bytes"] is None
