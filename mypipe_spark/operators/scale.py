@@ -21,6 +21,8 @@ remedies so pipelines built on this engine apply them declaratively:
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -155,3 +157,28 @@ def exact_ntile(
         .withColumn(out_col, bucket)
         .drop("_pid", "_rank")
     )
+
+
+def exact_ntile_fn(
+    k: int,
+    order_cols: list[str],
+    partitions: int | None = None,
+    out_col: str = "ntile",
+) -> Callable[[DataFrame], DataFrame]:
+    """Deferred form of :func:`exact_ntile` for callers that COMPOSE
+    pipelines rather than execute them immediately (foreachBatch
+    bodies, repeatedly-rebuilt plans): returns a ``df -> DataFrame``
+    closure, so the eager two-job offset computation (range-partition
+    materialize + P-scalar collect) is paid when the closure runs on a
+    concrete batch — by construction per EXECUTION, never at pipeline
+    build. Building the closure itself runs zero Spark jobs (pinned by
+    tests/test_scale.py). Typical use::
+
+        bucketize = exact_ntile_fn(10, ["balance", "id"])
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: sink(bucketize(batch))).start()
+    """
+    def apply(df: DataFrame) -> DataFrame:
+        return exact_ntile(df, k, order_cols, partitions, out_col)
+
+    return apply

@@ -739,7 +739,13 @@ def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     index metadata). Bit-identical buckets to the window function (the
     oracle hash-checks that), but the plan now survives a 100x
     scale-up; the approx_percentile twin remains the cheapest form
-    when sketch cutpoints suffice."""
+    when sketch cutpoints suffice.
+
+    EAGER NOTE (the one catalog builder that executes work when
+    BUILT): exact_ntile materializes the range partitioning and
+    collects P per-partition counts at call time, so this function
+    runs two small Spark jobs before its DataFrame is ever acted on.
+    Composition-safe alternative: operators.scale.exact_ntile_fn."""
     t = load_tables(spark, sf_dir)
     from ..operators.scale import exact_ntile
 

@@ -300,11 +300,15 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                 wreg = in_memory_repo()
             if flavor == "generic":
                 codec = wire_conf.get("codec", "json")
+                # strict-txid: opt-in reference-parity mode — non-UUID
+                # txids (Debezium GTIDs) dead-letter instead of uuid5-
+                # mapping onto the fixed-16 Guid (avro_codec.txid_to_guid)
+                strict = bool(wire_conf.get("strict-txid", False))
 
-                def _wire_split(df: DataFrame, _r=wreg, _c=codec):
+                def _wire_split(df: DataFrame, _r=wreg, _c=codec, _s=strict):
                     from .sinks.wire import encode_dead_letter_split
 
-                    return encode_dead_letter_split(df, _r, codec=_c)
+                    return encode_dead_letter_split(df, _r, codec=_c, strict_txid=_s)
 
             elif flavor == "specific":
                 import json as _json

@@ -243,14 +243,47 @@ def decode_union_record(b: bytes) -> dict:
     return out
 
 
-def encode_reference_record(op: str, rec: dict) -> bytes:
+# The reference's Guid field is fixed(16) (mutations.avsc) — a txid
+# that is not itself a UUID (a MySQL GTID "3E11FA47-…:23" from the
+# Debezium source, a numeric Postgres txId) cannot ride verbatim.
+# txid_to_guid maps such strings DETERMINISTICALLY via uuid5 over this
+# dedicated namespace: equal txids always map to the same Guid, so
+# transaction grouping survives on the wire. One-way by construction
+# (any 128-bit digest of an arbitrary string is), which the decode
+# docstring states.
+TXID_GUID_NAMESPACE = uuid.uuid5(uuid.NAMESPACE_URL, "mypipe-spark:txid")
+
+
+def txid_to_guid(txid, strict: bool = False) -> uuid.UUID:
+    """txid string → the fixed-16 Guid written on the avro_ref wire.
+
+    A string that parses as a UUID rides verbatim (bit-identical to the
+    reference's Guid for its UUID-shaped XIDs). Anything else — GTID
+    "uuid:interval" forms, numeric txIds — maps to
+    ``uuid5(TXID_GUID_NAMESPACE, txid)`` unless ``strict`` is set, in
+    which case it raises ValueError (→ serialize_failure dead-letter),
+    the pre-round-6 behavior for exact reference-parity pipelines that
+    would rather divert than rewrite a txid."""
+    s = str(txid)
+    try:
+        return uuid.UUID(s)
+    except ValueError:
+        if strict:
+            raise
+        return uuid.uuid5(TXID_GUID_NAMESPACE, s)
+
+
+def encode_reference_record(op: str, rec: dict, strict_txid: bool = False) -> bytes:
     """Encode against the REFERENCE's mutations.avsc record for
     ``op``: Insert/DeleteMutation carry the plain maps, UpdateMutation
-    the old_/new_ pairs; txid rides as a ["null", Guid fixed-16]
-    (uuid-string → 16 raw bytes). Header strings are non-nullable in
-    the reference schema — absent values encode as empty strings,
-    tableId as 0 (the reference builds these from live metadata, so
-    they are always present on its side)."""
+    the old_/new_ pairs; txid rides as a ["null", Guid fixed-16].
+    UUID-shaped txids encode verbatim; other txid strings (Debezium
+    GTIDs, numeric txIds) go through :func:`txid_to_guid`'s
+    deterministic uuid5 mapping — or, under ``strict_txid``, raise and
+    dead-letter. Header strings are non-nullable in the reference
+    schema — absent values encode as empty strings, tableId as 0 (the
+    reference builds these from live metadata, so they are always
+    present on its side)."""
     buf = bytearray()
     _write_string(buf, rec.get("database") or "")
     _write_string(buf, rec.get("table") or "")
@@ -260,7 +293,7 @@ def encode_reference_record(op: str, rec: dict) -> bytes:
         _write_varint(buf, 0)
     else:
         _write_varint(buf, 1)
-        buf += uuid.UUID(str(txid)).bytes  # fixed(16): raw, no length
+        buf += txid_to_guid(txid, strict=strict_txid).bytes  # fixed(16): raw
     maps = _REF_UPDATE_MAPS if op == "update" else _REF_PLAIN_MAPS
     for name, kind in maps:
         v = rec.get(name)
@@ -269,6 +302,12 @@ def encode_reference_record(op: str, rec: dict) -> bytes:
 
 
 def decode_reference_record(op: str, b: bytes) -> dict:
+    """Inverse of :func:`encode_reference_record`. The txid decodes to
+    the Guid's canonical UUID string — for a UUID-shaped writer txid
+    that is the original value; for a uuid5-mapped GTID/numeric txid it
+    is the mapped Guid (the fixed-16 wire field cannot carry the
+    original string back — grouping keys stay equal, the spelling does
+    not)."""
     r = _Reader(b)
     out: dict = {
         "database": r.string(),
@@ -364,6 +403,11 @@ def _udf(name: str):
     def enc_ref(op_s: pd.Series, *cols: pd.Series) -> pd.Series:
         return _encode_series(op_s, cols, encode_reference_record)
 
+    def enc_ref_strict(op_s: pd.Series, *cols: pd.Series) -> pd.Series:
+        return _encode_series(
+            op_s, cols, lambda op, rec: encode_reference_record(op, rec, strict_txid=True)
+        )
+
     def dec_union(payload_s: pd.Series) -> pd.DataFrame:
         return _decode_frame(
             payload_s,
@@ -376,6 +420,7 @@ def _udf(name: str):
 
     _UDFS["enc_union"] = pandas_udf("binary")(enc_union)
     _UDFS["enc_ref"] = pandas_udf("binary")(enc_ref)
+    _UDFS["enc_ref_strict"] = pandas_udf("binary")(enc_ref_strict)
     _UDFS["dec_union"] = pandas_udf(_PAYLOAD_DDL)(dec_union)
     _UDFS["dec_ref"] = pandas_udf(_PAYLOAD_DDL)(dec_ref)
     return _UDFS[name]
@@ -394,11 +439,16 @@ def _struct_cols(payload: Column) -> list[Column]:
     ]
 
 
-def avro_encode_expr(payload: Column, op: Column, ref: bool = False) -> Column:
+def avro_encode_expr(
+    payload: Column, op: Column, ref: bool = False, strict_txid: bool = False
+) -> Column:
     """``payload`` struct → Avro binary body. ``ref=True`` writes the
     reference's per-op mutations.avsc records; otherwise the repo's
-    union wire record."""
-    return _udf("enc_ref" if ref else "enc_union")(op, *_struct_cols(payload))
+    union wire record. ``strict_txid`` (ref only) dead-letters rows
+    whose txid is not UUID-shaped instead of uuid5-mapping them —
+    see :func:`txid_to_guid`."""
+    name = "enc_ref_strict" if (ref and strict_txid) else ("enc_ref" if ref else "enc_union")
+    return _udf(name)(op, *_struct_cols(payload))
 
 
 def avro_decode_expr(payload_bytes: Column, op: Column, ref: bool = False) -> Column:

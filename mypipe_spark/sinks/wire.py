@@ -237,7 +237,8 @@ def frame(payload: Column, mtype: Column, schema_id: Column) -> Column:
 
 
 def encode_generic(
-    df: DataFrame, registry: SchemaRegistry, codec: str = "json"
+    df: DataFrame, registry: SchemaRegistry, codec: str = "json",
+    strict_txid: bool = False,
 ) -> DataFrame:
     """Mutations → framed wire bytes in column ``value`` (K5+K7).
 
@@ -250,7 +251,11 @@ def encode_generic(
     ``codec="avro_ref"``: the REFERENCE's actual wire records
     (mutations.avsc Insert/Update/DeleteMutation with the fixed-16
     Guid txid; KafkaAvroSerializer.scala:189-201) — the true
-    reference-topic interop format, always pure-Python."""
+    reference-topic interop format, always pure-Python. Non-UUID
+    txids (Debezium GTIDs, numeric txIds) map deterministically onto
+    the Guid via uuid5 (avro_codec.txid_to_guid) so a Debezium-fed
+    stream is never wholesale diverted; ``strict_txid=True`` restores
+    the divert-to-dead-letter behavior for exact-parity pipelines."""
     enveloped = with_schema_id(generic_envelope(df), registry)
     if codec == "avro":
         if avro_available(df.sparkSession):
@@ -284,7 +289,9 @@ def encode_generic(
     elif codec == "avro_ref":
         from .avro_codec import avro_encode_expr
 
-        payload_bytes = avro_encode_expr(F.col("payload"), F.col("op"), ref=True)
+        payload_bytes = avro_encode_expr(
+            F.col("payload"), F.col("op"), ref=True, strict_txid=strict_txid
+        )
     elif codec == "json":
         payload_bytes = F.encode(F.to_json(F.col("payload")), "UTF-8")
     else:
@@ -295,7 +302,8 @@ def encode_generic(
 
 
 def encode_dead_letter_split(
-    df: DataFrame, registry: SchemaRegistry, codec: str = "json"
+    df: DataFrame, registry: SchemaRegistry, codec: str = "json",
+    strict_txid: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Encode-side twin of :func:`frame_dead_letter_split`: rows the
     serializer cannot frame divert to a dead-letter branch instead of
@@ -313,9 +321,11 @@ def encode_dead_letter_split(
     - ``serialize_failure``    — a row the codec itself could not
       serialize (POST-encode check: the pure-Python avro codecs emit a
       NULL body when per-row encoding throws — e.g. a non-UUID txid
-      under codec='avro_ref', whose Guid field is fixed(16)). Without
-      this class those rows would leave as silent NULL frames (Kafka
-      tombstones) — data loss with zero diagnostics.
+      under ``codec='avro_ref', strict_txid=True``, whose Guid field
+      is fixed(16); the default maps such txids via uuid5 instead of
+      diverting, avro_codec.txid_to_guid). Without this class those
+      rows would leave as silent NULL frames (Kafka tombstones) —
+      data loss with zero diagnostics.
 
     Returns ``(encoded_valid, dead)``; valid rows carry the framed
     ``value`` from :func:`encode_generic`, and every valid row's frame
@@ -335,7 +345,7 @@ def encode_dead_letter_split(
     classified = df.withColumn("dlq_reason", reason)
     valid = classified.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
     dead = classified.filter(F.col("dlq_reason").isNotNull())
-    encoded = encode_generic(valid, registry, codec)
+    encoded = encode_generic(valid, registry, codec, strict_txid=strict_txid)
     failed = (
         encoded.filter(F.col("value").isNull())
         .drop("value", "payload", "schema_id")
@@ -648,7 +658,21 @@ def encode_specific(df: DataFrame, table_schema: StructType, registry: SchemaReg
     no join); a mutation whose subject is unregistered gets a NULL
     schema_id and therefore a NULL frame — route through
     :func:`frame_dead_letter_split`'s null_frame class or register the
-    table first (registry.register_table)."""
+    table first (registry.register_table).
+
+    INTEROP NOTE (stated plainly, like the generic path's): these
+    specific bytes are NOT reference-topic compatible. The reference's
+    per-table records (User-1-insert.avsc via
+    KafkaSpecificAvroSerializer.scala:40-61) use NON-nullable column
+    fields and dotted ``old.``/``new.`` field names; this path writes
+    every column as a ``["null", T]`` union with ``old_``/``new_``
+    underscore prefixes (nullable unions because a Spark row can carry
+    NULL in any column — the reference relies on Avro record defaults
+    instead, which the byte format here cannot assume). For true
+    reference-topic bytes use ``codec='avro_ref'`` (the mutations.avsc
+    union records), which IS wire-compatible. This path's decoder is
+    :func:`decode_specific` / ``decode_specific_versioned`` — a
+    matched pair, round-trip-tested against itself."""
     from .avro_codec import specific_encode_expr
 
     enveloped = generic_envelope(df)
@@ -679,7 +703,11 @@ def decode_specific(
     ``which="update"`` the update frames (old_/new_ column pairs) —
     two calls cover a mixed stream, mirroring the reference consumer's
     record-class choice by mutation byte. Malformed bodies decode to
-    all-null structs (permissive), same as the generic codecs."""
+    all-null structs (permissive), same as the generic codecs.
+    Decodes THIS repo's specific bytes (nullable-union fields,
+    underscore old_/new_ names) — not the reference's non-nullable
+    dotted-name records; see the interop note on
+    :func:`encode_specific`."""
     from .avro_codec import specific_decode_expr
 
     v = F.col(value_col)

@@ -274,7 +274,7 @@ class AlterOrchestrator:
         done: Callable[[], bool],
         trigger_seconds: float = 1.0,
         poll_seconds: float = 0.25,
-        max_wall_seconds: float = 180.0,
+        max_wall_seconds: float | None = None,
     ) -> int:
         """Continuous mode — the full KafkaAlterSpec.scala:54-94 analog:
         the pipe runs under ``trigger(processingTime=...)`` while data
@@ -301,9 +301,20 @@ class AlterOrchestrator:
         ``done`` is the caller's completion predicate (e.g. "the feeder
         finished and every row landed"); it is only honored after a
         final drain so a race between the last file and the poll loop
-        cannot strand rows. Returns the restart count."""
+        cannot strand rows. ``max_wall_seconds`` is OPT-IN: by default
+        there is no deadline (a continuous mode must outlive 3-minute
+        runs); set it in bounded harnesses to get a TimeoutError
+        instead of a wedge when ``done`` never fires. Returns the
+        restart count."""
         restarts = 0
-        deadline = time.monotonic() + max_wall_seconds
+        # No deadline unless the caller opts in: a continuous mode must
+        # not kill a healthy long-running pipe by default (round-5
+        # advisory) — pass max_wall_seconds for a bounded test harness.
+        deadline = (
+            time.monotonic() + max_wall_seconds
+            if max_wall_seconds is not None
+            else None
+        )
         while True:
             query, watcher, saw_alter = self._start_round(spark, trigger_seconds)
             try:
@@ -318,7 +329,7 @@ class AlterOrchestrator:
                         if not saw_alter[0]:
                             return restarts
                         break
-                    if time.monotonic() > deadline:
+                    if deadline is not None and time.monotonic() > deadline:
                         raise TimeoutError(
                             f"run_live: no completion in {max_wall_seconds}s"
                         )

@@ -467,8 +467,12 @@ def test_alter_orchestrator_live_trigger_mid_stream(spark, tmp_path):
 
     feeder = threading.Thread(target=feed, daemon=True)
     feeder.start()
+    # the wall clock is opt-in (run_live defaults to no deadline —
+    # continuous mode must not kill a healthy pipe); the test harness
+    # wants one so a hung feeder fails fast instead of wedging CI
     restarts = orch.run_live(
-        spark, done=feeder_done.is_set, trigger_seconds=0.5
+        spark, done=feeder_done.is_set, trigger_seconds=0.5,
+        max_wall_seconds=180.0,
     )
     feeder.join()
     assert restarts >= 1  # the ALTER really forced a restart

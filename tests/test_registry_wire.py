@@ -611,22 +611,64 @@ def test_decode_specific_versioned_after_alter(spark):
 
 
 def test_encode_split_diverts_serialize_failures(spark):
-    """A row the codec cannot serialize (non-UUID txid under avro_ref,
-    whose Guid field is fixed(16)) must land in the dead-letter branch
-    with reason serialize_failure — not leave as a silent NULL frame
-    (a Kafka tombstone). Every valid frame is non-NULL."""
+    """Under ``strict_txid=True`` (the opt-in reference-parity mode) a
+    non-UUID txid under avro_ref — whose Guid field is fixed(16) —
+    must land in the dead-letter branch with reason serialize_failure,
+    not leave as a silent NULL frame (a Kafka tombstone). Every valid
+    frame is non-NULL."""
     from mypipe_spark.registry import in_memory_repo
     from mypipe_spark.sinks.wire import encode_dead_letter_split
 
     muts = mutations_only(changelog_df(spark, num_transactions=4, rollback_prob=0.0))
     bad = muts.limit(1).withColumn("txid", F.lit("not-a-uuid"))
     valid, dead = encode_dead_letter_split(
-        muts.unionByName(bad), in_memory_repo(), codec="avro_ref"
+        muts.unionByName(bad), in_memory_repo(), codec="avro_ref",
+        strict_txid=True,
     )
     assert valid.filter(F.col("value").isNull()).count() == 0
     assert valid.count() == muts.count()
     reasons = [r["dlq_reason"] for r in dead.collect()]
     assert reasons == ["serialize_failure"]
+
+
+def test_avro_ref_gtid_txid_maps_instead_of_diverting(spark):
+    """Real Debezium txids are NOT bare UUIDs (MySQL GTID 'uuid:1-5',
+    numeric Postgres txId) — by default the avro_ref encoder must map
+    them deterministically onto the fixed-16 Guid (uuid5) rather than
+    dead-lettering every tx-bearing row as serialize_failure (the
+    round-5 advisory: composing the Debezium source with codec=
+    'avro_ref' diverted 100% of the stream). Same txid → same Guid, so
+    transaction grouping survives the wire."""
+    import uuid as _uuid
+
+    from mypipe_spark.registry import in_memory_repo
+    from mypipe_spark.sinks.avro_codec import (
+        TXID_GUID_NAMESPACE,
+        txid_to_guid,
+    )
+    from mypipe_spark.sinks.wire import decode_generic, encode_dead_letter_split
+
+    gtid = "3e11fa47-71ca-11e1-9e33-c80aa9429562:23"
+    muts = mutations_only(
+        changelog_df(spark, num_transactions=4, rollback_prob=0.0)
+    ).withColumn("txid", F.lit(gtid))
+    valid, dead = encode_dead_letter_split(
+        muts, in_memory_repo(), codec="avro_ref"
+    )
+    assert dead.count() == 0
+    assert valid.count() == muts.count()
+    # decode: every row carries the SAME mapped Guid (grouping keys
+    # stay equal), and it is exactly uuid5(namespace, gtid)
+    decoded = decode_generic(valid, codec="avro_ref")
+    got = {r["txid"] for r in decoded.select("payload.txid").collect()}
+    assert got == {str(_uuid.uuid5(TXID_GUID_NAMESPACE, gtid))}
+    # unit surface: UUID-shaped txids ride verbatim; numeric txids map;
+    # strict raises (the dead-letter trigger)
+    u = "0f0e7e9a-1111-4222-8333-444455556666"
+    assert str(txid_to_guid(u)) == u
+    assert txid_to_guid("12345") == _uuid.uuid5(TXID_GUID_NAMESPACE, "12345")
+    with pytest.raises(ValueError):
+        txid_to_guid("12345", strict=True)
 
 
 def test_avro_decoder_rejects_out_of_range_ints():

@@ -346,3 +346,37 @@ def test_exact_ntile_matches_window_ntile(spark):
         for r in withnulls.select("id", F.ntile(5).over(w).alias("nt")).collect()
     }
     assert got == want
+
+
+def test_exact_ntile_fn_defers_jobs_to_invocation(spark):
+    """exact_ntile is EAGER at call time (range-partition materialize +
+    P-scalar collect — documented); exact_ntile_fn is the composition-
+    safe form: BUILDING the closure must run zero Spark jobs, and the
+    two-job cost lands only when the closure is applied to a concrete
+    DataFrame (the foreachBatch contract). Pinned by counting jobs per
+    job group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators.scale import exact_ntile_fn
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(i, i % 17) for i in range(500)], "id int, v int")
+
+    sc.setJobGroup("ntile_build", "closure construction must be lazy")
+    bucketize = exact_ntile_fn(4, ["v", "id"], out_col="nt")
+    assert list(sc.statusTracker().getJobIdsForGroup("ntile_build")) == []
+
+    sc.setJobGroup("ntile_apply", "eager offsets land here")
+    out = bucketize(df)
+    # the eager prelude (localCheckpoint + per-partition counts) ran
+    assert len(sc.statusTracker().getJobIdsForGroup("ntile_apply")) >= 2
+    sc.setJobGroup("ntile_result", "")
+    got = {r["id"]: r["nt"] for r in out.collect()}
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["nt"]
+        for r in df.select("id", F.ntile(4).over(w).alias("nt")).collect()
+    }
+    assert got == want
+    sc.setJobGroup("", "")
