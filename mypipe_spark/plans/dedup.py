@@ -329,40 +329,42 @@ def jaccard_pairs_from_arrays(
     # posting list and emit candidate pairs from the sorted array with
     # higher-order functions — half the shuffle of the classic
     # self-join (one copy of the postings instead of two) and no
-    # sort-merge-join sort.
-    capped_shingles = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df_count"))
-        .filter(F.col("df_count") > df_cap)
-        .select("shingle")
+    # sort-merge-join sort. Round 6 fuses the cap-slack facts into
+    # this SAME posting-list relation: the round-5 plan paid a second
+    # shingle-keyed count aggregation plus a doc-keyed aggregation
+    # over a RE-COMPUTED mention stream, serialized BEFORE the heavy
+    # groupBy (~0.5 s fixed stage overhead at sf0.1, 1.75 s
+    # fastest-of-5). Now the slack derives from grouped_all itself by
+    # exploding only the >cap lists — rare by construction (the cap
+    # exists precisely because such shingles are boilerplate
+    # outliers) — and joins the PAIR stream, so it runs concurrently
+    # with pair generation instead of gating it.
+    grouped_all = sh.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "n_sh", "pos"))
+        ).alias("docs")
     )
+    # per-doc count of capped (dropped) prefix shingles — the
+    # positional filter's lossless slack below. Spark plans each
+    # reference to grouped_all as its own exchange+aggregate subtree
+    # (no static ReusedExchange across the branches — measured, not
+    # assumed), so every reference costs a posting-list aggregation.
+    # Hence the slack joins ONE side only (doc_a), keeping exactly one
+    # extra reference: the symmetric two-sided min(nca, ncb) form
+    # planned the subtree twice and measured 1.58 s at sf0.1 vs
+    # 1.30 s one-sided (round-5 serialized count+join form: 1.75 s) —
+    # and one-sided slack is strictly safe (losslessness note at the
+    # filter). This branch also runs CONCURRENTLY with pair
+    # generation instead of gating the heavy aggregation's input, the
+    # other half of the round-5 overhead.
     capped_counts = (
-        sh.join(F.broadcast(capped_shingles), "shingle")
+        grouped_all.filter(F.size("docs") > df_cap)
+        .select(F.explode(F.col("docs.doc_id")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_capped"))
     )
-    # n_capped rides INSIDE the mention structs (one broadcast join
-    # over the mention stream, map-side) instead of joining the pair
-    # stream twice — a pair-side join would re-plan the capped-count
-    # subtree per side (no static exchange reuse), tripling the
-    # shingle-keyed exchanges.
-    # no broadcast HINT on capped_counts: its cardinality is one row
-    # per doc touching a hot shingle — corpus boilerplate can make
-    # that ~every doc, and a forced broadcast of a docs-sized table
-    # dies at exactly the scales the cap targets. AQE broadcasts it at
-    # runtime when it is actually small (the usual case) and falls
-    # back to a shuffled join that scales when it is not.
-    sh2 = sh.join(capped_counts, "doc_id", "left").withColumn(
-        "ncap", F.coalesce(F.col("n_capped"), F.lit(0))
-    )
-    grouped = (
-        sh2.groupBy("shingle")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "n_sh", "pos", "ncap"))
-            ).alias("docs")
-        )
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= df_cap))
+    grouped = grouped_all.filter(
+        (F.size("docs") >= 2) & (F.size("docs") <= df_cap)
     )
     pairs = grouped.select(
         F.explode(
@@ -372,40 +374,53 @@ def jaccard_pairs_from_arrays(
                   transform(slice(docs, i + 2, size(docs) - i - 1), b ->
                     struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
                            a.n_sh AS na, b.n_sh AS nb,
-                           a.pos AS pa, b.pos AS pb,
-                           a.ncap AS nca, b.ncap AS ncb))))
+                           a.pos AS pa, b.pos AS pb))))
                 """
             )
         ).alias("p")
     ).select("p.*")
     # Two prunes before the distinct shuffle (both lossless, the
     # second via the capped-count slack):
-    # - length bound: J ≤ min/max of the set sizes;
+    # - length bound: J ≤ min/max of the set sizes — applied FIRST so
+    #   the slack joins below see the already-thinned pair stream;
     # - PPJoin positional filter (Xiao et al. WWW'08 §3.2): J(A,B) ≥ t
     #   needs overlap α = ceil(t/(1+t)·(|A|+|B|)); a mention at sorted
     #   positions (pa, pb) can contribute at most the elements AT OR
     #   AFTER it on both sides — min(na-pa, nb-pb) + 1 — plus at most
-    #   min(n_capped) common hashes hiding in dropped hot lists below
-    #   it. A qualifying pair's first surviving mention passes this
-    #   bound, so keeping a pair when ANY mention passes loses nothing
-    #   — while pairs that only share late, deep-prefix hashes drop
+    #   min(nca, ncb) common hashes hiding in dropped hot lists below
+    #   it. The filter uses nca ALONE, which only ever ENLARGES the
+    #   allowance (nca ≥ min(nca, ncb)): every pair the exact-slack
+    #   filter keeps, this one keeps too — losslessness is preserved
+    #   a fortiori — and the pruning it gives up (pairs whose a-side
+    #   doc is hot-heavy but whose b-side is not) is bought back
+    #   threefold by planning the capped subtree once (see above).
+    #   A qualifying pair's first surviving mention passes the bound,
+    #   so keeping a pair when ANY mention passes loses nothing —
+    #   while pairs that only share late, deep-prefix hashes drop
     #   before they ever shuffle.
+    # No broadcast HINT on the slack join: capped_counts is one row
+    # per doc touching a hot shingle — corpus boilerplate can make
+    # that ~every doc, and a forced broadcast of a docs-sized table
+    # dies at exactly the scales the cap targets. AQE broadcasts it at
+    # runtime when it is actually small (the usual case) and falls
+    # back to a shuffled join that scales when it is not.
     alpha = (
         F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb"))).cast("int")
     )
+    length_ok = pairs.filter(
+        F.least("na", "nb").cast("double") >= F.lit(t) * F.greatest("na", "nb")
+    )
+    nca = capped_counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_capped").alias("nca")
+    )
     cand = (
-        pairs.withColumn("slack", F.least(F.col("nca"), F.col("ncb")))
+        length_ok.join(nca, "doc_a", "left")
+        .withColumn("slack", F.coalesce(F.col("nca"), F.lit(0)))
         .filter(
-            (
-                F.least("na", "nb").cast("double")
-                >= F.lit(t) * F.greatest("na", "nb")
-            )
-            & (
-                F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
-                + 1
-                + F.col("slack")
-                >= alpha
-            )
+            F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            + 1
+            + F.col("slack")
+            >= alpha
         )
         .select("doc_a", "doc_b")
         .distinct()
