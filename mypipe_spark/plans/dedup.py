@@ -926,13 +926,38 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     shuffle-join cascade. Same fixpoint: every label a vertex would
     ever learn still reaches it, just exactly once.
 
+    Each round ALSO applies one POINTER-JUMPING step (path doubling —
+    Shiloach & Vishkin '82; the same O(log d) round bound the
+    large-star/small-star algorithms of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14, get from star
+    contractions): after the neighbor step, ``component`` is replaced
+    by ``min(component, component[component])`` via a self-join on
+    the just-materialized label table. A label is always a REACHABLE
+    vertex's id, so its label is reachable too — correctness is
+    untouched, but the pointer distance compounds each round and a
+    path of length d converges in O(log d) rounds instead of d
+    (pinned by the planted-path test: a 100-edge chain closes in 6
+    propagation rounds). One extra vertex-table self-join +
+    checkpoint per round buys the logarithm; chain-heavy graphs are
+    exactly where diameter-many |V| rounds would dominate at 100 TB.
+
     100 TB note: rounds are shuffle-on-vertex joins; diameter of
     near-dup clusters is tiny in practice (near-dups of a doc are
     near-dups of each other), so 3-4 rounds dominate real corpora —
-    the round count itself is Θ(diameter), held by the same test."""
+    and the jump step bounds the adversarial (chain) case."""
+    # ONE reference to ``edges``: a union of two selects would plan
+    # the (expensive) edge-producing subtree twice — materializing the
+    # symmetric form re-ran the whole Jaccard join per branch, ~half
+    # the measured K=32 smoke cost before round 6. explode() emits
+    # both directions from a single pass instead.
     sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.*")
     sym = sym.persist()
     labels = (
         sym.select(F.col("src").alias("doc_id"))
@@ -953,7 +978,7 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         # materialized table instead of a join back to the old one —
         # one fewer shuffle join per round (round overhead dominates
         # this op: the data per round is tiny, the DAG is not).
-        staged = (
+        prop = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -961,6 +986,26 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
                 F.col("component").alias("prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump on the CURRENT table (prop is checkpointed, so
+        # the self-join reads the materialized rows twice rather than
+        # recomputing the propagation join): component <- min of its
+        # own label's label. Composing the table with itself is what
+        # doubles the pointer distance; jumping through the PREVIOUS
+        # round's table would only add a constant step.
+        ptr = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        staged = (
+            prop.join(ptr, prop.component == ptr.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+                ).alias("component"),
+                "prev",
             )
             .localCheckpoint(eager=True)
         )

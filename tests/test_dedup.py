@@ -160,14 +160,17 @@ def test_stop_shingle_cap_bounds_fanout_keeps_recall(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()} == {(100, 101)}
 
 
-def test_components_converge_in_diameter_rounds(spark):
-    """Min-label propagation's round count is Θ(graph diameter) — the
-    docstring's convergence claim, held by a planted path graph instead
-    of a comment. A 10-vertex path (diameter 9) needs exactly 9
-    propagation rounds for label 0 to reach the far end, plus one
-    fixpoint-detection round: max_iters=10 must succeed, max_iters=9
-    must raise. A second (disjoint) triangle must keep its own label
-    and not stretch the round count (components converge in parallel)."""
+def test_components_converge_in_log_diameter_rounds(spark):
+    """The pointer-jumping step makes the round count O(log diameter)
+    — the docstring's convergence claim, held by planted path graphs
+    instead of a comment. A 10-vertex path (diameter 9) closes in 4
+    rounds (each round: one neighbor step + one pointer doubling;
+    pre-round-6 pure propagation needed 10); max_iters=3 must raise.
+    A second (disjoint) triangle must keep its own label and not
+    stretch the round count (components converge in parallel). The
+    log claim is the 100-edge chain: 7 rounds, where Θ(diameter)
+    propagation would need 101 — the adversarial chain shape this
+    step exists for."""
     import pytest as _pytest
 
     from mypipe_spark.plans.dedup import connected_components
@@ -178,13 +181,22 @@ def test_components_converge_in_diameter_rounds(spark):
 
     labels = {
         r["doc_id"]: r["component"]
-        for r in connected_components(edges, max_iters=10).collect()
+        for r in connected_components(edges, max_iters=4).collect()
     }
     assert {labels[i] for i in range(10)} == {0}
     assert {labels[i] for i in (100, 101, 102)} == {100}
 
     with _pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, max_iters=9).collect()
+        connected_components(edges, max_iters=3).collect()
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a int, doc_b int"
+    )
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(chain, max_iters=7).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 101
 
 
 def test_components_are_consistent_with_pair_graph(spark, sf_dir):
