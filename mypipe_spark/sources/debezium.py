@@ -11,7 +11,10 @@ state materializations, DLQ cascade) without the binlog tap:
 
 - ``op``:     c → insert, u → update, d → delete, r → insert (the
   snapshot-read class — same semantics as this engine's snapshot
-  preload rows)
+  preload rows); a schema-change-topic record (``ddl`` present) →
+  ``alter`` with the statement in ``sql`` — the AlterOrchestrator's
+  watcher consumes it directly, closing the Debezium × live-schema-
+  evolution composition
 - ``seq``:    ``source.pos`` when present (the binlog (file,pos)
   analog WITHIN one file) else ``ts_ms``. Caveat stated plainly: pos
   resets on binlog-file rotation, so seq-keyed redelivery dedup over
@@ -47,7 +50,10 @@ _DBZ_SCHEMA = (
     "op: string, ts_ms: bigint, "
     "source: struct<db: string, table: string, ts_ms: bigint, "
     "  file: string, pos: bigint, txId: string>, "
-    "transaction: struct<id: string>"
+    "transaction: struct<id: string>, "
+    # schema-change-topic records (DDL events): no c/u/d/r op; the
+    # statement rides in `ddl`, the database in `databaseName`
+    "ddl: string, databaseName: string"
     ">, "
     # payload-only form (ExtractNewRecordState-unwrapped producers
     # keep op/source at the top level)
@@ -55,7 +61,8 @@ _DBZ_SCHEMA = (
     "op string, ts_ms bigint, "
     "source struct<db: string, table: string, ts_ms: bigint, "
     "  file: string, pos: bigint, txId: string>, "
-    "transaction struct<id: string>"
+    "transaction struct<id: string>, "
+    "ddl string, databaseName string"
 )
 
 _OP_MAP = {"c": "insert", "u": "update", "d": "delete", "r": "insert"}
@@ -153,9 +160,18 @@ def debezium_change_events(
 
     src = pick("source")
     op_raw = pick("op")
-    op = F.create_map(
-        *[x for kv in _OP_MAP.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-    )[op_raw]
+    # schema-change-topic records (Debezium's DDL events) carry the
+    # statement in `ddl` and no c/u/d/r op — they map to this engine's
+    # op='alter' + sql columns, which is exactly what the
+    # AlterOrchestrator's DDL watcher filters on: a Debezium-fed pipe
+    # gets live schema evolution with no extra adapter
+    # (tests/test_debezium.py pins the composition end to end).
+    ddl = pick("ddl")
+    op = F.when(ddl.isNotNull(), F.lit("alter")).otherwise(
+        F.create_map(
+            *[x for kv in _OP_MAP.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )[op_raw]
+    )
     before = pick("before")
     after = pick("after")
     ts_ms = F.coalesce(src.getField("ts_ms"), pick("ts_ms"))
@@ -165,12 +181,12 @@ def debezium_change_events(
     out = df.select(
         F.coalesce(src.getField("pos"), ts_ms).alias("seq"),
         op.alias("op"),
-        src.getField("db").alias("database"),
+        F.coalesce(src.getField("db"), pick("databaseName")).alias("database"),
         src.getField("table").alias("table"),
         F.lit(None).cast("long").alias("table_id"),
         txid.alias("txid"),
         F.timestamp_millis(ts_ms).alias("ts"),
-        F.lit(None).cast("string").alias("sql"),
+        ddl.alias("sql"),
         *[
             _typed_map(before, table_schema, k).alias(f"old_{k}")
             for k in ("integers", "longs", "strings", "bytes")
