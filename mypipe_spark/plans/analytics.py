@@ -871,3 +871,166 @@ def q_nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> Data
         F.coalesce("c_nk", "s_nk").alias("nationkey"),
         "cust_bal", "n_cust", "supp_bal", "n_supp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch tolerance twins (round-6): oracle-checkable accuracy claims
+# for the engine-specific sketches. The sketch queries themselves
+# (q_approx_distinct_parts, q_quantity_quartiles_approx,
+# q_customer_balance_deciles_approx) have no SQL oracle — DuckDB
+# cannot twin HLL++/Greenwald-Khanna internals — so the external gate
+# could only row-count them. These _check twins restate each sketch's
+# DOCUMENTED accuracy contract as a BOOLEAN column beside the
+# SQL-expressible exact side: the oracle asserts the claim holds
+# (TRUE) and cross-checks the exact values; a sketch drifting out of
+# its contract turns the Spark side FALSE and the driver row red.
+# They are VERIFICATION queries — the exact side is deliberately
+# computed (a distinct-expansion / full-group pass a production plan
+# would avoid; that is what the sketch originals are for).
+
+
+@register(
+    "q_approx_distinct_parts_check",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "check"),
+)
+def q_approx_distinct_parts_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ accuracy claim, oracle-checked: per group, the
+    approx_count_distinct(rsd=0.02) estimate must sit within 3·rsd of
+    the exact distinct count (the same bound the pytest pin uses).
+    The exact side is SQL — DuckDB verifies it value-for-value, and
+    verifies the claim column is TRUE."""
+    rsd = 0.02
+    t = load_tables(spark, sf_dir)
+    g = t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    within = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= F.lit(3 * rsd) * F.col("exact_parts")
+    )
+    return g.select("l_returnflag", "exact_parts", within.alias("within_tol"))
+
+
+def _rank_bound_checks(
+    grouped: DataFrame, fracs: list[float], eps: float
+) -> list[F.Column]:
+    """Greenwald-Khanna rank-contract columns: the sketch's returned
+    value for quantile p occupies ranks (cnt_lt, cnt_le]; GK
+    guarantees that interval intersects [n(p-eps), n(p+eps)]. One
+    rank of rounding slack on each side keeps integer-boundary ties
+    out of the claim. ``grouped`` carries n plus lt{i}/le{i} counts."""
+    out = []
+    for i, p in enumerate(fracs):
+        out.append(
+            (
+                F.col(f"lt{i}")
+                <= F.ceil(F.lit(p + eps) * F.col("n")) + F.lit(1)
+            )
+            & (
+                F.col(f"le{i}")
+                >= F.floor(F.lit(p - eps) * F.col("n")) - F.lit(1)
+            )
+        )
+    return out
+
+
+@register(
+    "q_quantity_quartiles_check",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile", "sketch", "check"),
+)
+def q_quantity_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna rank contract for q_quantity_quartiles_approx,
+    oracle-checked: each returned quartile's rank interval must
+    intersect [n(p-eps), n(p+eps)], eps = 1/accuracy. The group sizes
+    are SQL — DuckDB verifies them value-for-value and the claims as
+    TRUE."""
+    acc = 10_000
+    eps = 1.0 / acc
+    fracs = [0.25, 0.50, 0.75]
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_returnflag", "l_quantity")
+    arr = ", ".join(str(p) for p in fracs)
+    sk = li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, array({arr}), {acc})").alias("qs")
+    )
+    j = li.join(F.broadcast(sk), "l_returnflag")
+    g = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                (F.col("l_quantity") < F.element_at("qs", i + 1)).cast("long")
+            ).alias(f"lt{i}")
+            for i in range(len(fracs))
+        ],
+        *[
+            F.sum(
+                (F.col("l_quantity") <= F.element_at("qs", i + 1)).cast("long")
+            ).alias(f"le{i}")
+            for i in range(len(fracs))
+        ],
+    )
+    checks = _rank_bound_checks(g, fracs, eps)
+    return g.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        checks[0].alias("q25_ok"),
+        checks[1].alias("q50_ok"),
+        checks[2].alias("q75_ok"),
+    )
+
+
+@register(
+    "q_customer_balance_deciles_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers, TRUE AS all_cuts_ok
+    FROM customer
+    """,
+    tags=("agg", "percentile", "sketch", "check"),
+)
+def q_customer_balance_deciles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank contract for the 9 approx_percentile decile cutpoints
+    behind q_customer_balance_deciles_approx: every cutpoint's rank
+    interval must intersect [n(i/10 - eps), n(i/10 + eps)]. Collapsed
+    to one (n_customers, all_cuts_ok) row the oracle verifies."""
+    acc = 10_000
+    eps = 1.0 / acc
+    fracs = [i / 10 for i in range(1, 10)]
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_acctbal")
+    arr = ", ".join(str(p) for p in fracs)
+    cuts = c.agg(
+        F.expr(f"approx_percentile(c_acctbal, array({arr}), {acc})").alias("qs")
+    )
+    g = c.crossJoin(F.broadcast(cuts)).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                (F.col("c_acctbal") < F.element_at("qs", i + 1)).cast("long")
+            ).alias(f"lt{i}")
+            for i in range(len(fracs))
+        ],
+        *[
+            F.sum(
+                (F.col("c_acctbal") <= F.element_at("qs", i + 1)).cast("long")
+            ).alias(f"le{i}")
+            for i in range(len(fracs))
+        ],
+    )
+    checks = _rank_bound_checks(g, fracs, eps)
+    all_ok = checks[0]
+    for ck in checks[1:]:
+        all_ok = all_ok & ck
+    return g.select(F.col("n").alias("n_customers"), all_ok.alias("all_cuts_ok"))

@@ -1157,3 +1157,59 @@ def incremental_dedup_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
             F.col("canonical").alias("dup_of"),
         )
     )
+
+
+@register(
+    "dedup_simhash_check",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SHINGLE_WORDS}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS all_recovered
+    FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "simhash", "check"),
+)
+def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin for the xxhash64 SimHash plane (round-6:
+    every catalog surface gets at least one oracle-bearing row; the
+    sketch original stays for the plan shape, its recall pinned by
+    pytest). The deterministic claim DuckDB can verify: every
+    EXACT-duplicate pair (identical text, long enough to shingle)
+    must appear in dedup_simhash's output at Hamming distance 0 —
+    identical shingles vote identical fingerprints, which share every
+    block-pair bucket. The pair COUNT is plain SQL, verified
+    value-for-value; a banding/fingerprint regression that loses such
+    a pair turns all_recovered FALSE and the driver row red."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(
+        F.size(F.split("text", " ")) >= _SHINGLE_WORDS
+    ).select("doc_id", "text")
+    exact_pairs = (
+        d.groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ids, (a, i) ->
+                      transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+                        struct(a AS doc_a, b AS doc_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+    )
+    sim_zero = dedup_simhash(spark, sf_dir).filter(F.col("hamming") == 0)
+    joined = exact_pairs.join(sim_zero, ["doc_a", "doc_b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_exact_pairs"),
+        # empty-pair-set edge: the claim holds vacuously (TRUE), and
+        # min() over booleans is AND
+        F.coalesce(F.min(F.col("hamming").isNotNull()), F.lit(True)).alias(
+            "all_recovered"
+        ),
+    )
