@@ -220,7 +220,20 @@ def write_changelog(
     not be seen before its transaction's mutations)."""
     df = changelog_df(spark, num_transactions, seed, rollback_prob, seq_start=seq_start)
     df.repartitionByRange(num_files, "seq").write.mode("overwrite").parquet(path)
+    stamp_increasing_mtimes(path)
 
+
+def stamp_increasing_mtimes(path: str) -> None:
+    """Stamp the directory's part files with strictly increasing
+    mtimes in filename (= seq-range) order — the delivery-order
+    contract behind every changelog replay: a single write job gives
+    all part files ~the same mtime, the file stream source replays
+    equal-mtime files in NONDETERMINISTIC order, and a COMMIT
+    delivered before its transaction's mutations is silently dropped
+    by the tx state machine (observed as a nondeterministic ~15-row
+    loss at file boundaries in the K-fold streaming smoke before its
+    amplifier used this). Shared by write_changelog and any tool that
+    writes its own replayable changelog (tools/stream_smoke.py)."""
     import glob as _glob
     import os as _os
     import time as _time

@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register, round4_double_sql, round_div_sql
+from .catalog import (
+    APPROX_RSD,
+    PCTL_ACCURACY,
+    load_tables,
+    register,
+    round4_double_sql,
+    round_div_sql,
+)
 
 _DEC = "decimal(38,6)"
 
@@ -536,7 +543,7 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(F.approx_count_distinct("l_partkey", APPROX_RSD).alias("approx_parts"))
     )
 
 
@@ -791,7 +798,7 @@ def q_customer_balance_deciles_approx(spark: SparkSession, sf_dir: str) -> DataF
     c = t["customer"].select("c_acctbal")
     fracs = ", ".join(str(i / 10) for i in range(1, 10))
     cuts = c.agg(
-        F.expr(f"approx_percentile(c_acctbal, array({fracs}), 10000)").alias("cuts")
+        F.expr(f"approx_percentile(c_acctbal, array({fracs}), {PCTL_ACCURACY})").alias("cuts")
     )
     return (
         c.crossJoin(F.broadcast(cuts))
@@ -905,7 +912,7 @@ def q_approx_distinct_parts_check(spark: SparkSession, sf_dir: str) -> DataFrame
     the exact distinct count (the same bound the pytest pin uses).
     The exact side is SQL — DuckDB verifies it value-for-value, and
     verifies the claim column is TRUE."""
-    rsd = 0.02
+    rsd = APPROX_RSD
     t = load_tables(spark, sf_dir)
     g = t["lineitem"].groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
@@ -918,14 +925,13 @@ def q_approx_distinct_parts_check(spark: SparkSession, sf_dir: str) -> DataFrame
     return g.select("l_returnflag", "exact_parts", within.alias("within_tol"))
 
 
-def _rank_bound_checks(
-    grouped: DataFrame, fracs: list[float], eps: float
-) -> list[F.Column]:
-    """Greenwald-Khanna rank-contract columns: the sketch's returned
-    value for quantile p occupies ranks (cnt_lt, cnt_le]; GK
-    guarantees that interval intersects [n(p-eps), n(p+eps)]. One
-    rank of rounding slack on each side keeps integer-boundary ties
-    out of the claim. ``grouped`` carries n plus lt{i}/le{i} counts."""
+def _rank_bound_checks(fracs: list[float], eps: float) -> list[F.Column]:
+    """Greenwald-Khanna rank-contract columns over a relation carrying
+    ``n`` plus ``lt{i}``/``le{i}`` counts: the sketch's returned value
+    for quantile p occupies ranks (cnt_lt, cnt_le]; GK guarantees that
+    interval intersects [n(p-eps), n(p+eps)]. One rank of rounding
+    slack on each side keeps integer-boundary ties out of the
+    claim."""
     out = []
     for i, p in enumerate(fracs):
         out.append(
@@ -957,7 +963,7 @@ def q_quantity_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect [n(p-eps), n(p+eps)], eps = 1/accuracy. The group sizes
     are SQL — DuckDB verifies them value-for-value and the claims as
     TRUE."""
-    acc = 10_000
+    acc = PCTL_ACCURACY
     eps = 1.0 / acc
     fracs = [0.25, 0.50, 0.75]
     t = load_tables(spark, sf_dir)
@@ -982,7 +988,7 @@ def q_quantity_quartiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(fracs))
         ],
     )
-    checks = _rank_bound_checks(g, fracs, eps)
+    checks = _rank_bound_checks(fracs, eps)
     return g.select(
         "l_returnflag",
         F.col("n").alias("n_items"),
@@ -1005,7 +1011,7 @@ def q_customer_balance_deciles_check(spark: SparkSession, sf_dir: str) -> DataFr
     behind q_customer_balance_deciles_approx: every cutpoint's rank
     interval must intersect [n(i/10 - eps), n(i/10 + eps)]. Collapsed
     to one (n_customers, all_cuts_ok) row the oracle verifies."""
-    acc = 10_000
+    acc = PCTL_ACCURACY
     eps = 1.0 / acc
     fracs = [i / 10 for i in range(1, 10)]
     t = load_tables(spark, sf_dir)
@@ -1029,7 +1035,7 @@ def q_customer_balance_deciles_check(spark: SparkSession, sf_dir: str) -> DataFr
             for i in range(len(fracs))
         ],
     )
-    checks = _rank_bound_checks(g, fracs, eps)
+    checks = _rank_bound_checks(fracs, eps)
     all_ok = checks[0]
     for ck in checks[1:]:
         all_ok = all_ok & ck

@@ -303,48 +303,87 @@ def _load_all_plan_modules() -> None:
 # the head with an explicit permutation; the round-5 advisory correctly
 # flagged that a curated head makes the sampled set author-chosen and
 # permanently exiles whatever sits past the prefix. Round 6 replaces
-# curation with a NEUTRAL ROTATION: iteration order is plain
-# registration order (module import order in _load_all_plan_modules,
-# top-to-bottom within a module) rotated by
-#
-#     offset = (completed_rounds * SAMPLE_PREFIX) mod N
-#
-# where ``completed_rounds`` counts the harness's own artifacts
-# (CORRECTNESS_r*.json beside __spark_entry__.py). The offset depends
-# only on how many sampling rounds have run and on the catalog size —
-# never on which queries the author would like sampled — and
-# consecutive SAMPLE_PREFIX-wide windows cover the entire catalog every
-# ceil(N / SAMPLE_PREFIX) rounds, so no query is ever permanently
-# unsampled (tests/test_catalog_order.py pins both properties).
+# curation with a NEUTRAL, COVERAGE-GUARANTEED schedule:
+# least-recently-sampled first. Each query's "last sampled round" is
+# read from the harness's own CORRECTNESS_r*.json artifacts (never
+# from anything the author chooses); iteration order is ascending by
+# that round, with plain registration order (module import order in
+# _load_all_plan_modules, top-to-bottom within a module) breaking
+# ties. Consequences, both pinned by tests/test_catalog_order.py:
+# - never-sampled queries (new registrations included) sort FIRST, so
+#   nothing waits more than one round for its first external row;
+# - every round re-verifies the SAMPLE_PREFIX stalest queries, so the
+#   whole catalog is sampled at least once every ceil(N/SAMPLE_PREFIX)
+#   rounds EVEN WHILE THE CATALOG GROWS — a fixed-offset rotation
+#   (the first round-6 design) loses that guarantee the moment N
+#   changes between rounds, because the offset and every index shift.
+# The schedule is author-neutral: it is a pure function of the
+# harness's own sampling history plus registration order.
 # tools/preflight.py replays the FULL catalog against the oracles at
 # two scale factors before every handoff, which is what makes any
-# window safe to sample.
+# sampled window safe.
 
 SAMPLE_PREFIX = 50
 
+# Sketch accuracy parameters, shared by each sketch query AND its
+# oracle-checkable _check twin — a single source of truth, so tuning a
+# sketch cannot silently decouple it from the accuracy contract the
+# external gate verifies (the twins would otherwise test a parallel
+# sketch built from their own copies of these literals).
+APPROX_RSD = 0.02        # approx_count_distinct relative std deviation
+PCTL_ACCURACY = 10_000   # approx_percentile 1/eps rank-error bound
 
-def _completed_sampling_rounds() -> int:
-    """Completed external correctness rounds, counted from the
-    harness's own ``CORRECTNESS_r*.json`` artifacts at the repo root
-    (the directory holding ``__spark_entry__.py``). Returns 0 when the
-    package runs outside a repo checkout — rotation then degrades to
-    plain registration order, which is still a valid neutral order."""
+
+def _last_sampled_rounds() -> dict[str, int]:
+    """query name -> highest round number whose ``CORRECTNESS_r*.json``
+    artifact (at the repo root, beside ``__spark_entry__.py``) contains
+    a row for it; absent = never externally sampled. Returns {} when
+    the package runs outside a repo checkout — the schedule then
+    degrades to plain registration order, still a valid neutral
+    order."""
     import glob
+    import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return len(glob.glob(os.path.join(root, "CORRECTNESS_r[0-9]*.json")))
+    out: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r[0-9]*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
-def all_queries(rotation: int | None = None) -> dict[str, QueryDef]:
-    """The catalog in neutral rotated registration order (see the
-    rotation note above). ``rotation`` overrides the artifact-derived
-    round count — for tests pinning the mechanics, or for a harness
-    owner who wants to steer the window explicitly."""
+def sampling_order(
+    names: list[str], last_sampled: dict[str, int]
+) -> list[str]:
+    """The least-recently-sampled-first schedule as a pure function —
+    ascending last-sampled round (0 = never), registration order as
+    the tiebreak (Python's sort is stable, so simply sorting the
+    registration list by round preserves it)."""
+    return sorted(names, key=lambda n: last_sampled.get(n, 0))
+
+
+def all_queries(
+    last_sampled: dict[str, int] | None = None,
+) -> dict[str, QueryDef]:
+    """The catalog in neutral least-recently-sampled-first order (see
+    the schedule note above). ``last_sampled`` overrides the
+    artifact-derived history — for tests pinning the mechanics, or a
+    harness owner steering the schedule explicitly."""
     _load_all_plan_modules()
     names = list(QUERIES)
-    r = _completed_sampling_rounds() if rotation is None else rotation
-    off = (r * SAMPLE_PREFIX) % len(names) if names else 0
-    return {n: QUERIES[n] for n in names[off:] + names[:off]}
+    hist = _last_sampled_rounds() if last_sampled is None else last_sampled
+    return {n: QUERIES[n] for n in sampling_order(names, hist)}

@@ -1165,9 +1165,13 @@ def incremental_dedup_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     WITH d AS (
       SELECT doc_id, text FROM documents
       WHERE len(string_split(text, ' ')) >= {_SHINGLE_WORDS}
+    ), g AS (
+      SELECT COUNT(*) AS k FROM d GROUP BY text
+      HAVING COUNT(*) BETWEEN 2 AND {_STOP_SHINGLE_DF_CAP}
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS all_recovered
-    FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+    SELECT CAST(COALESCE(SUM(k * (k - 1) / 2), 0) AS BIGINT) AS n_exact_pairs,
+           TRUE AS all_recovered
+    FROM g
     """,
     tags=("dedup", "simhash", "check"),
 )
@@ -1181,7 +1185,17 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical shingles vote identical fingerprints, which share every
     block-pair bucket. The pair COUNT is plain SQL, verified
     value-for-value; a banding/fingerprint regression that loses such
-    a pair turns all_recovered FALSE and the driver row red."""
+    a pair turns all_recovered FALSE and the driver row red.
+
+    Scope of the claim (aligned with dedup_simhash's own contract):
+    only duplicate clusters of size ≤ the hot-bucket cap — a larger
+    cluster overflows every one of its 28 band buckets BY DESIGN (the
+    boilerplate guard) and its pairs are documented false negatives,
+    not regressions. The same bound caps this check's own pair
+    expansion at C(cap, 2) per text. Residual assumption: a ≤cap
+    cluster's buckets are not pushed past the cap by ~cap unrelated
+    16-bit band-key collisions in all 28 bands at once — vanishingly
+    unlikely at any corpus this check would run on."""
     t = load_tables(spark, sf_dir)
     d = t["documents"].filter(
         F.size(F.split("text", " ")) >= _SHINGLE_WORDS
@@ -1189,7 +1203,7 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_pairs = (
         d.groupBy("text")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _STOP_SHINGLE_DF_CAP))
         .select(
             F.explode(
                 F.expr(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .analytics import _money, _sql_money
 from .catalog import (
+    PCTL_ACCURACY,
     count_of_sql,
     load_tables,
     micro_sum_sql,
@@ -538,7 +539,7 @@ def q_quantity_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific; the error bound vs the exact form is pinned by
     pytest (test_oracle_parity.py)."""
     t = load_tables(spark, sf_dir)
-    acc = 10_000  # 1/accuracy relative-error bound for the GK sketch
+    acc = PCTL_ACCURACY  # shared with q_quantity_quartiles_check (catalog.py)
     return (
         t["lineitem"]
         .groupBy("l_returnflag")

@@ -11,10 +11,12 @@ state materializations, DLQ cascade) without the binlog tap:
 
 - ``op``:     c → insert, u → update, d → delete, r → insert (the
   snapshot-read class — same semantics as this engine's snapshot
-  preload rows); a schema-change-topic record (``ddl`` present) →
-  ``alter`` with the statement in ``sql`` — the AlterOrchestrator's
+  preload rows); a schema-change-topic record (``ddl`` present) runs
+  through the canonical prefix classifier — ALTER statements →
+  ``alter`` with the statement in ``sql`` (the AlterOrchestrator's
   watcher consumes it directly, closing the Debezium × live-schema-
-  evolution composition
+  evolution composition); CREATE/DROP/TRUNCATE → ``unknown``, never a
+  spurious schema registration
 - ``seq``:    ``source.pos`` when present (the binlog (file,pos)
   analog WITHIN one file) else ``ts_ms``. Caveat stated plainly: pos
   resets on binlog-file rotation, so seq-keyed redelivery dedup over
@@ -161,13 +163,19 @@ def debezium_change_events(
     src = pick("source")
     op_raw = pick("op")
     # schema-change-topic records (Debezium's DDL events) carry the
-    # statement in `ddl` and no c/u/d/r op — they map to this engine's
-    # op='alter' + sql columns, which is exactly what the
-    # AlterOrchestrator's DDL watcher filters on: a Debezium-fed pipe
-    # gets live schema evolution with no extra adapter
-    # (tests/test_debezium.py pins the composition end to end).
+    # statement in `ddl` and no c/u/d/r op — classify them with the
+    # SAME prefix classifier the binlog QueryEvent path uses (S4,
+    # operators/decode.classify_query): ALTER statements surface as
+    # op='alter' + sql, exactly what the AlterOrchestrator's DDL
+    # watcher filters on (tests/test_debezium.py pins the composition
+    # end to end), while non-ALTER DDL (the CREATE/DROP/TRUNCATE
+    # bursts a Debezium snapshot emits per captured table) classifies
+    # 'unknown' — routable, but never a spurious schema registration
+    # or pipe restart.
+    from ..operators.decode import classify_query
+
     ddl = pick("ddl")
-    op = F.when(ddl.isNotNull(), F.lit("alter")).otherwise(
+    op = F.when(ddl.isNotNull(), classify_query(ddl)).otherwise(
         F.create_map(
             *[x for kv in _OP_MAP.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
         )[op_raw]

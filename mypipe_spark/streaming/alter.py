@@ -202,6 +202,13 @@ class AlterOrchestrator:
         """Evolve + register for one observed ALTER; returns whether it
         targeted a resolvable table (non-table DDL is skipped)."""
         sql_db, sql_table = alter_target(sql or "")
+        if sql_table is None:
+            # the statement itself is not an ALTER TABLE (ALTER USER /
+            # CREATE / DROP / TRUNCATE ...) — never register a schema
+            # version or force a restart off the EVENT's table column,
+            # which DDL sources (Debezium schema-change records) fill
+            # for every statement class
+            return False
         database = database or sql_db
         table = table or sql_table
         if not table:

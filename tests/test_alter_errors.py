@@ -490,3 +490,31 @@ def test_alter_orchestrator_live_trigger_mid_stream(spark, tmp_path):
     with_email = delivered.filter(F.col("email").isNotNull())
     assert with_email.count() == len(post)
     assert with_email.select("email").distinct().collect()[0][0] == "user@example.com"
+
+
+def test_apply_alter_skips_non_alter_ddl_even_with_event_table(spark):
+    """_apply_alter must refuse statements that are not ALTER TABLE
+    even when the EVENT carries database/table columns — DDL sources
+    (Debezium schema-change records) fill source.table for every
+    statement class, and registering a schema version + forcing a
+    restart per CREATE/DROP/TRUNCATE would exhaust max_restarts
+    during an ordinary connector snapshot."""
+    registry = SchemaRegistry()
+    orch = AlterOrchestrator(
+        source=lambda s: None,
+        sink=lambda df, ckpt: None,
+        checkpoint_dir="/tmp/unused",
+        registry=registry,
+        table_schemas={("mypipe", "user"): USER_SCHEMA},
+    )
+    before = set(registry.subjects())
+    for sql in (
+        "DROP TABLE IF EXISTS `user`",
+        "CREATE TABLE `user` (id INT)",
+        "TRUNCATE TABLE user",
+        "ALTER USER 'x'@'%' IDENTIFIED BY 'y'",
+    ):
+        assert not orch._apply_alter("mypipe", "user", sql), sql
+    assert set(registry.subjects()) == before
+    # a real ALTER with the same event columns still applies
+    assert orch._apply_alter("mypipe", "user", "ALTER TABLE user ADD COLUMN age INT")

@@ -7,10 +7,11 @@ estate. Round 5 curated the head with an explicit permutation; the
 round-5 advisory flagged that a curated head makes the sampled set
 author-chosen and permanently exiles whatever sits past the prefix.
 These pins hold the round-6 replacement to its contract: a NEUTRAL
-rotation of plain registration order whose offset derives only from
-the number of completed sampling rounds and the catalog size — and
-which provably samples every query within ceil(N / SAMPLE_PREFIX)
-consecutive rounds.
+least-recently-sampled-first schedule, a pure function of the
+harness's own sampling artifacts plus registration order, that
+provably samples every query within ceil(N / SAMPLE_PREFIX)
+consecutive rounds — including while the catalog grows between
+rounds, which a fixed-offset rotation cannot guarantee.
 """
 
 import math
@@ -18,12 +19,13 @@ import math
 from mypipe_spark.plans.catalog import (
     QUERIES,
     SAMPLE_PREFIX,
-    _completed_sampling_rounds,
+    _last_sampled_rounds,
     all_queries,
+    sampling_order,
 )
 
 
-def test_rotation_is_a_pure_permutation():
+def test_schedule_is_a_pure_permutation():
     qs = all_queries()
     assert set(qs) == set(QUERIES)
     assert len(qs) == len(QUERIES)
@@ -31,36 +33,58 @@ def test_rotation_is_a_pure_permutation():
     assert all(qs[n] is QUERIES[n] for n in qs)
 
 
-def test_rotation_is_registration_order_rotated():
-    """The order must be EXACTLY registration order rotated by
-    (rounds * SAMPLE_PREFIX) mod N — no insertions, promotions, or
+def test_schedule_is_lrs_with_registration_tiebreak():
+    """The order must be EXACTLY ascending last-sampled round with
+    registration order breaking ties — no insertions, promotions, or
     author-chosen exceptions anywhere."""
     reg = list(QUERIES)
-    n = len(reg)
-    for rounds in (0, 1, 5, 7, 12):
-        off = (rounds * SAMPLE_PREFIX) % n
-        assert list(all_queries(rotation=rounds)) == reg[off:] + reg[:off]
-    # rotation=0 IS registration order
-    assert list(all_queries(rotation=0)) == reg
+    hist = {n: (7 if i % 3 == 0 else (2 if i % 3 == 1 else 0)) for i, n in enumerate(reg)}
+    got = list(all_queries(last_sampled=hist))
+    want = sorted(reg, key=lambda n: hist[n])  # stable → reg tiebreak
+    assert got == want
+    # no history at all → plain registration order
+    assert list(all_queries(last_sampled={})) == reg
 
 
-def test_default_rotation_tracks_harness_artifacts():
+def test_default_schedule_tracks_harness_artifacts():
     reg = list(QUERIES)
-    n = len(reg)
-    off = (_completed_sampling_rounds() * SAMPLE_PREFIX) % n
-    assert list(all_queries()) == reg[off:] + reg[:off]
+    hist = _last_sampled_rounds()
+    assert list(all_queries()) == sampling_order(reg, hist)
+    # never-sampled queries lead the catalog: nothing waits more than
+    # one round for its first external row
+    never = [n for n in reg if n not in hist]
+    assert list(all_queries())[: len(never)] == never
 
 
-def test_every_query_sampled_within_full_cycle():
-    """No query is ever permanently unsampled: the union of the
-    SAMPLE_PREFIX-wide windows over any ceil(N / SAMPLE_PREFIX)
-    consecutive rounds covers the entire catalog, from ANY starting
-    round."""
-    names = list(QUERIES)
-    n = len(names)
-    cycle = math.ceil(n / SAMPLE_PREFIX)
-    for start in range(cycle * 3):
-        covered: set[str] = set()
-        for rounds in range(start, start + cycle):
-            covered.update(list(all_queries(rotation=rounds))[:SAMPLE_PREFIX])
-        assert covered == set(names), f"start={start}: missing {set(names) - covered}"
+def test_every_query_sampled_within_full_cycle_even_under_growth():
+    """The coverage guarantee the schedule exists for: simulate the
+    harness loop (sample the first SAMPLE_PREFIX, record the round)
+    over a catalog that GROWS between rounds, and assert that from any
+    point, every query present then is sampled within
+    ceil(N/SAMPLE_PREFIX) rounds of it. This is exactly the property
+    the first round-6 design (fixed-offset rotation) loses when N
+    changes between rounds."""
+    names = [f"q{i:03d}" for i in range(86)]
+    hist: dict[str, int] = {}
+    sampled_at: dict[str, list[int]] = {n: [] for n in names}
+    for rnd in range(1, 13):
+        order = sampling_order(names, hist)
+        window = order[:SAMPLE_PREFIX]
+        for n in window:
+            hist[n] = rnd
+            sampled_at[n].append(rnd)
+        # catalog grows mid-loop, like real rounds do
+        if rnd in (2, 5, 9):
+            for j in range(4):
+                new = f"q{len(names):03d}_r{rnd}"
+                names.append(new)
+                sampled_at[new] = []
+    horizon = math.ceil(len(names) / SAMPLE_PREFIX)
+    for n in names:
+        rounds = sampled_at[n]
+        assert rounds, f"{n} never sampled"
+        # from any round a query exists, it is sampled within `horizon`
+        first_needed = 1 if "_r" not in n else int(n.rsplit("_r", 1)[1]) + 1
+        assert rounds[0] <= first_needed + horizon - 1, (n, rounds)
+        for a, b in zip(rounds, rounds[1:]):
+            assert b - a <= horizon + 1, (n, rounds)

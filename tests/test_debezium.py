@@ -302,6 +302,20 @@ def test_debezium_schema_change_event_maps_to_alter(spark):
     assert got[1]["database"] == "mypipe" and got[1]["table"] == "user"
     assert got[0]["sql"] is None
 
+    # non-ALTER DDL (the CREATE/DROP burst a Debezium snapshot emits
+    # per captured table) must classify 'unknown' — routable, but
+    # never op='alter': a spurious alter row would register a schema
+    # version and force a pipe restart per statement
+    snap_ddl = [
+        _schema_change_env("DROP TABLE IF EXISTS `user`", 20),
+        _schema_change_env("CREATE TABLE `user` (id INT)", 21),
+        _schema_change_env("TRUNCATE TABLE user", 22),
+    ]
+    ddl_ev = debezium_change_events(
+        spark.createDataFrame([(x,) for x in snap_ddl], "value string")
+    )
+    assert [r["op"] for r in ddl_ev.orderBy("seq").collect()] == ["unknown"] * 3
+
 
 def test_debezium_alter_composes_with_orchestrator_live(spark, tmp_path):
     """The KafkaAlterSpec.scala:54-94 analog on the DEBEZIUM path

@@ -49,7 +49,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 _ID_OFFSET = 10_000_000  # int32-safe key offset per replica
 
@@ -84,21 +84,13 @@ def amplify_changelog(
     for r in reps[1:]:
         out = out.unionByName(r)
     # same file count as the base: fixed microbatch count, K× rows per
-    # microbatch (see module docstring)
+    # microbatch (see module docstring); mtime stamping carries the
+    # delivery-order contract (see its docstring — equal mtimes lose
+    # straddling transactions nondeterministically)
     out.repartitionByRange(num_files, "seq").write.mode("overwrite").parquet(out_dir)
-    # Strictly increasing mtimes in seq order — the SAME contract
-    # write_changelog enforces on its own output: a single write job
-    # stamps every part file with ~the same mtime, and the file stream
-    # source replays equal-mtime files in nondeterministic order,
-    # which can deliver a COMMIT before its transaction's mutations
-    # (the state machine then drops the commit, losing the tx — seen
-    # as a nondeterministic ~15-row loss at file boundaries before
-    # this stamp existed).
-    import glob as _glob
+    from mypipe_spark.changelog import stamp_increasing_mtimes
 
-    now = time.time()
-    for i, f in enumerate(sorted(_glob.glob(out_dir + "/part-*.parquet"))):
-        os.utime(f, (now + i, now + i))
+    stamp_increasing_mtimes(out_dir)
 
 
 def run_pipeline(spark: SparkSession, cl_dir: str, scratch: str) -> dict:
@@ -200,24 +192,30 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     root = tempfile.mkdtemp(prefix="stream_smoke_")
-    base_dir = os.path.join(root, "cl_base")
-    amp_dir = os.path.join(root, f"cl_x{args.factor}")
-    write_changelog(
-        spark, base_dir, num_transactions=args.tx, num_files=args.files
-    )
-    amplify_changelog(spark, base_dir, args.factor, amp_dir, args.files)
+    # the amplified corpus is the run's largest artifact — clean it up
+    # on the failure paths too, not just after a green summary
+    try:
+        base_dir = os.path.join(root, "cl_base")
+        amp_dir = os.path.join(root, f"cl_x{args.factor}")
+        write_changelog(
+            spark, base_dir, num_transactions=args.tx, num_files=args.files
+        )
+        amplify_changelog(spark, base_dir, args.factor, amp_dir, args.files)
 
-    results = {}
-    for tag, d in (("base", base_dir), ("amp", amp_dir)):
-        best = None
-        for rep in range(args.repeat):
-            scratch = os.path.join(root, f"run_{tag}_{rep}")
-            r = run_pipeline(spark, d, scratch)
-            if best is None or r["wall_s"] < best["wall_s"]:
-                best = r
-            shutil.rmtree(scratch, ignore_errors=True)
-        results[tag] = best
-        print(json.dumps({"scale": tag, "factor": args.factor, **best}))
+        results = {}
+        for tag, d in (("base", base_dir), ("amp", amp_dir)):
+            best = None
+            for rep in range(args.repeat):
+                scratch = os.path.join(root, f"run_{tag}_{rep}")
+                r = run_pipeline(spark, d, scratch)
+                if best is None or r["wall_s"] < best["wall_s"]:
+                    best = r
+                shutil.rmtree(scratch, ignore_errors=True)
+            results[tag] = best
+            print(json.dumps({"scale": tag, "factor": args.factor, **best}))
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
 
     base, amp = results["base"], results["amp"]
     ok = amp["state_rows"] == args.factor * base["state_rows"]
