@@ -1227,3 +1227,59 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_recovered"
         ),
     )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, qv,
+             (SELECT SUM(x * x) FROM (SELECT UNNEST(qv) AS x)) AS nrm2
+      FROM q),
+    cpairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.nrm2 > 0 AND b.nrm2 > 0
+        AND (SELECT SUM(a.qv[i] * b.qv[i])
+             FROM (SELECT UNNEST(range(1, len(a.qv) + 1)) AS i))
+            / SQRT(CAST(a.nrm2 AS DOUBLE) * CAST(b.nrm2 AS DOUBLE))
+            >= {_COSINE_THRESHOLD}),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM cpairs
+      UNION SELECT vec_b, vec_a FROM cpairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "embedding", "semantic", "iterative"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters — the SemDeDup-style pipeline (Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", 2023 — public method): embeddings are
+    coarsely partitioned (the ``label`` column plays the k-means cell),
+    near-duplicate pairs form WITHIN cells by quantized-integer cosine
+    (dedup_embedding_cosine's exact, oracle-checkable kernel), and
+    connected components label every vector with its cluster's
+    smallest vec_id — the canonical survivor a curation pipeline keeps
+    while dropping the rest. Spark side: within-cell pair join (never
+    a corpus cross join) feeding the pointer-jumping label
+    propagation; oracle: the same fixpoint as a recursive transitive
+    closure. 100 TB note: cells bound the pair join exactly as in
+    dedup_embedding_cosine, and the component rounds are O(log
+    diameter) vertex-keyed joins over the (tiny) near-dup graph —
+    the cluster step costs nothing at corpus scale compared to the
+    pair generation it consumes."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("component").alias("cluster")
+    )

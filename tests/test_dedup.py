@@ -386,3 +386,30 @@ def test_positional_filter_capped_slack_keeps_threshold_pairs(spark):
         for r in jaccard_pairs_from_arrays(arr, df_cap=3).collect()
     }
     assert got == {(0, 1): 0.5}
+
+
+def test_semantic_clusters_consistent_with_cosine_pairs(spark, sf_dir):
+    """dedup_semantic (SemDeDup-style): every cosine near-dup pair's
+    endpoints share a cluster, each cluster is labeled by its smallest
+    member, and vectors outside any pair carry no label (only
+    edge-involved vectors are clustered — the survivors-by-default)."""
+    from mypipe_spark.plans.dedup import dedup_embedding_cosine
+    from collections import defaultdict
+
+    clusters = {
+        r["vec_id"]: r["cluster"]
+        for r in _Q["dedup_semantic"].fn(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture has cosine near-dup pairs"
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], (a, b)
+    members = defaultdict(list)
+    for v, c in clusters.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
+    assert set(clusters) == {v for p in pairs for v in p}
