@@ -908,8 +908,9 @@ def q_nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> Data
 )
 def q_approx_distinct_parts_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ accuracy claim, oracle-checked: per group, the
-    approx_count_distinct(rsd=0.02) estimate must sit within 3·rsd of
-    the exact distinct count (the same bound the pytest pin uses).
+    approx_count_distinct(rsd=catalog.APPROX_RSD) estimate must sit
+    within 3·rsd of the exact distinct count (the same bound the
+    pytest pin uses).
     The exact side is SQL — DuckDB verifies it value-for-value, and
     verifies the claim column is TRUE."""
     rsd = APPROX_RSD

@@ -810,9 +810,12 @@ _COSINE_THRESHOLD = 0.4  # corpus max within-cell cosine is ~0.51 at sf0.1
 _QSCALE = 10_000
 
 
-def _cosine_oracle() -> str:
-    return f"""
-    WITH q AS (
+# Quantized-cosine pair CTEs + the threshold predicate, shared by the
+# dedup_embedding_cosine oracle and dedup_semantic's closure oracle —
+# one source of truth, so tuning the kernel (quantization scale,
+# zero-norm guard, threshold comparison) cannot silently decouple the
+# semantic-dedup twin from the pair semantics it builds on.
+_COSINE_PAIR_CTES = f"""q AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
       FROM embeddings),
@@ -825,17 +828,24 @@ def _cosine_oracle() -> str:
              (SELECT SUM(a.qv[i] * b.qv[i])
               FROM (SELECT UNNEST(range(1, len(a.qv) + 1)) AS i)) AS dot,
              a.nrm2 AS na, b.nrm2 AS nb
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)"""
+
+# zero-norm guard mirrors the Spark plan: an all-zero embedding scores
+# 0.0 there (below any positive threshold), while an unguarded 0/0
+# here is NaN, which DuckDB orders ABOVE every number — the pair would
+# pass the threshold in the oracle only
+_COSINE_PAIR_PREDICATE = f"""na > 0 AND nb > 0
+      AND dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= {_COSINE_THRESHOLD}"""
+
+
+def _cosine_oracle() -> str:
+    return f"""
+    WITH {_COSINE_PAIR_CTES}
     SELECT vec_a, vec_b,
            CAST(ROUND(dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4)
                 AS DOUBLE) AS cosine
     FROM pairs
-    -- zero-norm guard mirrors the Spark plan: an all-zero embedding
-    -- scores 0.0 there (below any positive threshold), while an
-    -- unguarded 0/0 here is NaN, which DuckDB orders ABOVE every
-    -- number — the pair would pass the threshold in the oracle only
-    WHERE na > 0 AND nb > 0
-      AND dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= {_COSINE_THRESHOLD}
+    WHERE {_COSINE_PAIR_PREDICATE}
     """
 
 
@@ -893,6 +903,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # connected-components clustering (the canonical-doc assignment step)
 # ---------------------------------------------------------------------------
+
+def _cc_closure_sql(
+    pairs_rel: str, a_col: str, b_col: str, id_alias: str, label_alias: str
+) -> str:
+    """The recursive-transitive-closure tail shared by every
+    components oracle (dedup_components, dedup_semantic): symmetrize a
+    pair relation, close it, label each vertex with the smallest
+    reachable id — the exact fixpoint connected_components computes.
+    One source of truth, so a closure-semantics change cannot leave a
+    twin oracle behind."""
+    return f"""
+    edges AS (
+      SELECT {a_col} AS src, {b_col} AS dst FROM {pairs_rel}
+      UNION SELECT {b_col}, {a_col} FROM {pairs_rel}),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS {id_alias}, LEAST(src, MIN(dst)) AS {label_alias}
+    FROM reach GROUP BY src
+    """
+
 
 _CC_MAX_ITERS = 20
 
@@ -1033,15 +1065,7 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
       JOIN counts cb ON cb.doc_id = i.doc_b
       WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common)
             >= {_JACCARD_THRESHOLD}),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
-    FROM reach GROUP BY src
+    {_cc_closure_sql("pairs", "doc_a", "doc_b", "doc_id", "component")}
     """,
     tags=("dedup", "components", "iterative"),
 )
@@ -1232,31 +1256,10 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_semantic",
     oracle=f"""
-    WITH RECURSIVE q AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
-      FROM embeddings),
-    n AS (
-      SELECT vec_id, label, qv,
-             (SELECT SUM(x * x) FROM (SELECT UNNEST(qv) AS x)) AS nrm2
-      FROM q),
+    WITH RECURSIVE {_COSINE_PAIR_CTES},
     cpairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE a.nrm2 > 0 AND b.nrm2 > 0
-        AND (SELECT SUM(a.qv[i] * b.qv[i])
-             FROM (SELECT UNNEST(range(1, len(a.qv) + 1)) AS i))
-            / SQRT(CAST(a.nrm2 AS DOUBLE) * CAST(b.nrm2 AS DOUBLE))
-            >= {_COSINE_THRESHOLD}),
-    edges AS (
-      SELECT vec_a AS src, vec_b AS dst FROM cpairs
-      UNION SELECT vec_b, vec_a FROM cpairs),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-    SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster
-    FROM reach GROUP BY src
+      SELECT vec_a, vec_b FROM pairs WHERE {_COSINE_PAIR_PREDICATE}),
+    {_cc_closure_sql("cpairs", "vec_a", "vec_b", "vec_id", "cluster")}
     """,
     tags=("dedup", "embedding", "semantic", "iterative"),
 )

@@ -192,8 +192,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     root = tempfile.mkdtemp(prefix="stream_smoke_")
-    # the amplified corpus is the run's largest artifact — clean it up
-    # on the failure paths too, not just after a green summary
+    # the amplified corpus is the run's largest artifact — the finally
+    # covers EVERY exit (amplifier/pipeline exceptions, a failing
+    # --scaling-md append), not just a green summary
     try:
         base_dir = os.path.join(root, "cl_base")
         amp_dir = os.path.join(root, f"cl_x{args.factor}")
@@ -213,28 +214,26 @@ def main() -> int:
                 shutil.rmtree(scratch, ignore_errors=True)
             results[tag] = best
             print(json.dumps({"scale": tag, "factor": args.factor, **best}))
-    except BaseException:
-        shutil.rmtree(root, ignore_errors=True)
-        raise
 
-    base, amp = results["base"], results["amp"]
-    ok = amp["state_rows"] == args.factor * base["state_rows"]
-    summary = {
-        "summary": "stream_smoke",
-        "factor": args.factor,
-        "pipeline": "file replay -> tx grouping -> effectively-once dedup -> latest-state MERGE",
-        "base_s": base["wall_s"],
-        "amp_s": amp["wall_s"],
-        "ratio": round(amp["wall_s"] / max(base["wall_s"], 1e-9), 2),
-        "structure_ok": ok,
-        "base_state_rows": base["state_rows"],
-        "amp_state_rows": amp["state_rows"],
-    }
-    print(json.dumps(summary))
-    if args.scaling_md:
-        _append_md(args.scaling_md, args, summary)
-    shutil.rmtree(root, ignore_errors=True)
-    return 0 if ok else 1
+        base, amp = results["base"], results["amp"]
+        ok = amp["state_rows"] == args.factor * base["state_rows"]
+        summary = {
+            "summary": "stream_smoke",
+            "factor": args.factor,
+            "pipeline": "file replay -> tx grouping -> effectively-once dedup -> latest-state MERGE",
+            "base_s": base["wall_s"],
+            "amp_s": amp["wall_s"],
+            "ratio": round(amp["wall_s"] / max(base["wall_s"], 1e-9), 2),
+            "structure_ok": ok,
+            "base_state_rows": base["state_rows"],
+            "amp_state_rows": amp["state_rows"],
+        }
+        print(json.dumps(summary))
+        if args.scaling_md:
+            _append_md(args.scaling_md, args, summary)
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _append_md(path: str, args, s: dict) -> None:
