@@ -381,3 +381,38 @@ def test_zero_norm_vectors_agree_with_oracles(spark, tmp_path):
         },
     )
     assert failures == []
+
+
+def test_sketch_check_twins_can_go_red(spark):
+    """The _check twins' claims must be FALSIFIABLE, not vacuous: feed
+    each check's core an out-of-contract input and pin that the
+    boolean flips. (The driver only proves the twins stay green on
+    healthy sketches; this proves a broken sketch would turn them
+    red.)"""
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.plans.analytics import _rank_bound_checks
+
+    # GK rank contract: a "cutpoint" whose rank interval sits far from
+    # the requested quantile must fail the bound
+    rows = [(100, 10, 12)]  # n=100, lt=10, le=12 claimed as the p=0.75 cut
+    g = spark.createDataFrame(rows, "n long, lt0 long, le0 long")
+    bad = g.select(_rank_bound_checks([0.75], 1e-4)[0].alias("ok")).collect()[0]["ok"]
+    assert bad is False
+    ok = spark.createDataFrame([(100, 74, 76)], "n long, lt0 long, le0 long")
+    assert ok.select(_rank_bound_checks([0.75], 1e-4)[0].alias("ok")).collect()[0]["ok"] is True
+
+    # HLL tolerance: the within_tol expression is the same shape —
+    # verify the arithmetic flips outside 3*rsd
+    from mypipe_spark.plans.catalog import APPROX_RSD
+
+    tol = 3 * APPROX_RSD
+    df = spark.createDataFrame(
+        [(1000, int(1000 * (1 + tol) + 2)), (1000, int(1000 * (1 + tol) - 2))],
+        "exact long, approx long",
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact")) <= F.lit(tol) * F.col("exact")
+    )
+    got = [r[0] for r in df.select(within).collect()]
+    assert got == [False, True]

@@ -272,3 +272,35 @@ def test_specific_record_roundtrip(rec, op):
         for name, kind in fields:
             want = _column_value(rec, src_p, name, kind)
             assert out[f"{out_p}{name}"] == want, (src_p, name)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=1, max_size=80))
+def test_txid_to_guid_total_and_deterministic(txid):
+    """Any non-empty txid string maps to a valid 16-byte Guid, the
+    mapping is deterministic (equal txids → equal Guids, the property
+    transaction grouping rides on), UUID-shaped inputs ride verbatim,
+    and the reference-record encode/decode round-trips the mapped
+    value — so no txid shape can dead-letter the default avro_ref
+    path (the round-5 advisory's failure mode)."""
+    import uuid
+
+    from mypipe_spark.sinks.avro_codec import (
+        decode_reference_record,
+        encode_reference_record,
+        txid_to_guid,
+    )
+
+    g1 = txid_to_guid(txid)
+    g2 = txid_to_guid(txid)
+    assert isinstance(g1, uuid.UUID) and g1 == g2
+    try:
+        parsed = uuid.UUID(txid)
+    except ValueError:
+        parsed = None
+    if parsed is not None:
+        assert g1 == parsed  # verbatim for UUID-shaped txids
+    rec = {"database": "d", "table": "t", "tableId": 1, "txid": txid,
+           "integers": {"id": 1}, "strings": None, "bytes": None, "longs": None}
+    out = decode_reference_record("insert", encode_reference_record("insert", rec))
+    assert out["txid"] == str(g1)
