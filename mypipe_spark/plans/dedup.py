@@ -905,25 +905,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _cc_closure_sql(
-    pairs_rel: str, a_col: str, b_col: str, id_alias: str, label_alias: str
+    pairs_rel: str, a_col: str, b_col: str, id_alias: str, label_alias: str,
+    as_cte: str | None = None,
 ) -> str:
     """The recursive-transitive-closure tail shared by every
-    components oracle (dedup_components, dedup_semantic): symmetrize a
-    pair relation, close it, label each vertex with the smallest
-    reachable id — the exact fixpoint connected_components computes.
-    One source of truth, so a closure-semantics change cannot leave a
-    twin oracle behind."""
-    return f"""
+    components oracle (dedup_components, dedup_semantic,
+    dedup_leakage_safe_split): symmetrize a pair relation, close it,
+    label each vertex with the smallest reachable id — the exact
+    fixpoint connected_components computes. One source of truth, so a
+    closure-semantics change cannot leave a twin oracle behind.
+    ``as_cte``: wrap the final SELECT as a named CTE instead of the
+    statement tail, for oracles that keep composing on top of the
+    component labels."""
+    defs = f"""
     edges AS (
       SELECT {a_col} AS src, {b_col} AS dst FROM {pairs_rel}
       UNION SELECT {b_col}, {a_col} FROM {pairs_rel}),
     reach(src, dst) AS (
       SELECT src, dst FROM edges
       UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-    SELECT src AS {id_alias}, LEAST(src, MIN(dst)) AS {label_alias}
-    FROM reach GROUP BY src
-    """
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
+    sel = f"""SELECT src AS {id_alias}, LEAST(src, MIN(dst)) AS {label_alias}
+    FROM reach GROUP BY src"""
+    if as_cte:
+        return f"{defs},\n    {as_cte} AS ({sel})"
+    return f"{defs}\n    {sel}\n    "
 
 
 _CC_MAX_ITERS = 20
@@ -1285,4 +1291,73 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), F.col("component").alias("cluster")
+    )
+
+
+# floor(0.9 * 2^60): the train fraction threshold over the 60-bit
+# md5 cluster hash — an integer literal, so both engines compare the
+# exact same value (a float fraction would re-open the cross-engine
+# rounding door the shingle-hash machinery closed).
+_SPLIT_TRAIN_THRESHOLD = 1037629354146162278
+
+
+@register(
+    "dedup_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    jpairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common)
+            >= {_JACCARD_THRESHOLD}),
+    {_cc_closure_sql("jpairs", "doc_a", "doc_b", "doc_id", "cluster", as_cte="comp")},
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 15)
+                     AS BIGINT) < {_SPLIT_TRAIN_THRESHOLD}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM alldocs
+    """,
+    tags=("dedup", "split", "leakage", "iterative"),
+)
+def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split — the curation step that keeps
+    near-duplicate documents OUT of opposite splits (a doc in train
+    with its near-dup in eval silently inflates every benchmark it
+    touches). Assignment is per CLUSTER, not per doc: connected
+    components over the exact-Jaccard pair graph label each involved
+    doc with its cluster (singletons are their own cluster), and the
+    ~90/10 split decision hashes the CLUSTER id — so an entire
+    near-dup family lands on one side, deterministically and
+    reproducibly (the same 60-bit md5-prefix integer both engines
+    compute, compared against an exact integer threshold; no RNG, no
+    seed drift between runs or engines).
+
+    100 TB note: the split adds ONE broadcast-ish left join (cluster
+    labels exist only for docs in near-dup pairs — a tiny relation
+    beside the corpus) and a per-row hash on top of the components
+    cost; assignment is embarrassingly parallel and re-runnable on a
+    grown corpus (stable cluster ids keep prior members' split stable
+    unless a new edge merges two clusters — the unavoidable semantic,
+    stated rather than hidden)."""
+    comps = connected_components(
+        _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    labeled = docs.join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster")
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(cast(cast(cluster as string) as binary)),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    return labeled.select(
+        "doc_id",
+        F.when(h < F.lit(_SPLIT_TRAIN_THRESHOLD), "train")
+        .otherwise("eval")
+        .alias("split"),
     )

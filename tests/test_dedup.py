@@ -413,3 +413,24 @@ def test_semantic_clusters_consistent_with_cosine_pairs(spark, sf_dir):
     for c, vs in members.items():
         assert c == min(vs)
     assert set(clusters) == {v for p in pairs for v in p}
+
+
+def test_leakage_safe_split_keeps_neardup_families_together(spark, sf_dir):
+    """dedup_leakage_safe_split: every exact-Jaccard near-dup pair's
+    endpoints land in the SAME split (the leakage guarantee), every
+    document gets exactly one assignment, the split is deterministic
+    across invocations, and the train fraction is in the ~90% band."""
+    from mypipe_spark.plans.dedup import _jaccard_pairs
+
+    out = {r["doc_id"]: r["split"] for r in
+           _Q["dedup_leakage_safe_split"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(out) == docs.count()
+    assert set(out.values()) <= {"train", "eval"}
+    for r in _jaccard_pairs(spark, sf_dir).collect():
+        assert out[r["doc_a"]] == out[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    frac = sum(1 for s in out.values() if s == "train") / len(out)
+    assert 0.80 <= frac <= 0.97, frac
+    again = {r["doc_id"]: r["split"] for r in
+             _Q["dedup_leakage_safe_split"].fn(spark, sf_dir).collect()}
+    assert again == out
