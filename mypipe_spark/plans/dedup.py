@@ -1301,10 +1301,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_TRAIN_THRESHOLD = 1037629354146162278
 
 
-@register(
-    "dedup_leakage_safe_split",
-    oracle=f"""
-    WITH RECURSIVE {_SQL_JACCARD_CTES},
+# The full split derivation as reusable CTEs (jaccard pairs → cluster
+# closure → per-cluster hash split) — shared by the split oracle and
+# the decontamination oracle so the two can never disagree on what
+# "the split" means.
+_SPLIT_CTES = f"""{_SQL_JACCARD_CTES},
     jpairs AS (
       SELECT i.doc_a, i.doc_b
       FROM inter i
@@ -1315,12 +1316,20 @@ _SPLIT_TRAIN_THRESHOLD = 1037629354146162278
     {_cc_closure_sql("jpairs", "doc_a", "doc_b", "doc_id", "cluster", as_cte="comp")},
     alldocs AS (
       SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
-      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
-    SELECT doc_id,
-           CASE WHEN CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 15)
-                     AS BIGINT) < {_SPLIT_TRAIN_THRESHOLD}
-                THEN 'train' ELSE 'eval' END AS split
-    FROM alldocs
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 15)
+                       AS BIGINT) < {_SPLIT_TRAIN_THRESHOLD}
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM alldocs)"""
+
+
+@register(
+    "dedup_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SPLIT_CTES}
+    SELECT doc_id, split FROM splits
     """,
     tags=("dedup", "split", "leakage", "iterative"),
 )
@@ -1360,4 +1369,56 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < F.lit(_SPLIT_TRAIN_THRESHOLD), "train")
         .otherwise("eval")
         .alias("split"),
+    )
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH RECURSIVE {_SPLIT_CTES},
+    esh AS (
+      SELECT DISTINCT s.shingle
+      FROM shh s JOIN splits p ON p.doc_id = s.doc_id AND p.split = 'eval')
+    SELECT s.doc_id,
+           CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_contaminated
+    FROM shh s
+    JOIN splits p ON p.doc_id = s.doc_id AND p.split = 'train'
+    JOIN esh e ON e.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup", "decontamination", "split", "iterative"),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram overlap sweep the public
+    LLM training reports run before training (GPT-3 appx. C / PaLM
+    appx.: drop or flag training documents sharing n-grams with the
+    eval set): every TRAIN document that shares at least one 3-word
+    shingle with any EVAL document, with its contaminated-shingle
+    count. The eval/train assignment is dedup_leakage_safe_split's
+    cluster-keyed split (the two oracles share one CTE chain, so the
+    ops cannot disagree on what 'the split' means); shingles come from
+    the session-cached 60-bit hashed-shingle table, so the sweep adds
+    no second shingling pass.
+
+    100 TB note: the eval shingle set is the small side by
+    construction (~10% of docs) — AQE broadcasts it under the join,
+    and the train-side mention stream never shuffles on anything but
+    the shingle hash it already carries. At a scale where even the
+    eval shingle set outgrows broadcast, the equi-join degrades to a
+    hash join on uniformly-distributed 60-bit keys — no skew, no
+    cross join, the same topology as the inverted-index dedup ops."""
+    split = dedup_leakage_safe_split(spark, sf_dir)
+    mention = shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("hsh").alias("h")
+    )
+    eval_sh = (
+        mention.join(split.filter(F.col("split") == "eval"), "doc_id")
+        .select("h")
+        .distinct()
+    )
+    return (
+        mention.join(split.filter(F.col("split") == "train"), "doc_id")
+        .join(eval_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_contaminated"))
     )

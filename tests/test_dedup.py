@@ -434,3 +434,26 @@ def test_leakage_safe_split_keeps_neardup_families_together(spark, sf_dir):
     again = {r["doc_id"]: r["split"] for r in
              _Q["dedup_leakage_safe_split"].fn(spark, sf_dir).collect()}
     assert again == out
+
+
+def test_decontaminate_flags_exactly_cross_split_overlaps(spark, sf_dir):
+    """dedup_decontaminate: flagged docs are train-side only, their
+    counts equal the true distinct-shingle overlap with the eval
+    shingle pool, and NO unflagged train doc shares any shingle with
+    eval (completeness — a missed contamination is the failure mode
+    the op exists to prevent)."""
+    from mypipe_spark.plans.dedup import shingle_arrays
+
+    split = {r["doc_id"]: r["split"] for r in
+             _Q["dedup_leakage_safe_split"].fn(spark, sf_dir).collect()}
+    sh = {r["doc_id"]: set(r["hsh"]) for r in
+          shingle_arrays(spark, sf_dir).collect()}
+    eval_pool = set().union(*(sh[d] for d, s in split.items() if s == "eval"))
+    got = {r["doc_id"]: r["n_contaminated"] for r in
+           _Q["dedup_decontaminate"].fn(spark, sf_dir).collect()}
+    for d, n in got.items():
+        assert split[d] == "train"
+        assert n == len(sh[d] & eval_pool) and n >= 1
+    for d, s in split.items():
+        if s == "train" and d not in got:
+            assert not (sh[d] & eval_pool), d
