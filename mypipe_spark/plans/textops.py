@@ -494,3 +494,91 @@ def text_subtoken_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("subtokens_per_word"),
         )
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    b AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM w WHERE len(ws) >= 2),
+    tc AS (
+      SELECT doc_id, MAX(c) AS top_cnt
+      FROM (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
+      GROUP BY doc_id),
+    feats AS (
+      SELECT w.doc_id,
+             len(ws) AS n_words,
+             len(ws) - len(list_distinct(ws)) AS n_dup_words,
+             GREATEST(len(ws) - 1, 0) AS n_bigrams,
+             COALESCE(tc.top_cnt, 0) AS top_cnt
+      FROM w LEFT JOIN tc ON tc.doc_id = w.doc_id)
+    SELECT doc_id, n_words,
+           {round4_frac_sql('n_dup_words', 'n_words', '//')} AS dup_word_frac,
+           CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE {round4_frac_sql('top_cnt', 'n_bigrams', '//')}
+           END AS top_bigram_frac,
+           CASE WHEN n_bigrams = 0 OR 5 * top_cnt <= n_bigrams
+                THEN 1 ELSE 0 END AS keep
+    FROM feats
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021, table A1 — public method):
+    duplicate-word fraction and the fraction of bigrams taken by the
+    single most frequent bigram, plus the keep-gate 'top bigram ≤ 20%
+    of bigrams' (short docs with no bigrams keep). Boilerplate-looped
+    pages score high and drop before any cross-document dedup runs.
+
+    Pure higher-order functions, no shuffle: the top-bigram
+    multiplicity is the longest equal-run in the SORTED per-row bigram
+    list, computed by one aggregate() fold instead of an
+    explode+groupBy round trip (the oracle states the same quantity
+    the relational way). Ratios render through the exact integer
+    round4 machinery; the keep-gate compares integers (5·top ≤ n), so
+    neither engine ever rounds a double."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", F.split("text", " ").alias("ws"))
+    feats = d.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        (F.size("ws") - F.size(F.array_distinct("ws"))).alias("n_dup_words"),
+        F.greatest(F.size("ws") - 1, F.lit(0)).alias("n_bigrams"),
+        F.expr(
+            """
+            aggregate(
+              array_sort(if(size(ws) < 2, array(),
+                transform(sequence(1, size(ws) - 1),
+                  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))),
+              struct(0 AS best, 0 AS run, CAST(NULL AS STRING) AS prev),
+              (acc, x) -> struct(
+                greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)),
+                if(x = acc.prev, acc.run + 1, 1),
+                x),
+              acc -> acc.best)
+            """
+        ).alias("top_cnt"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.expr(round4_frac_sql("n_dup_words", "n_words", "div")).alias(
+            "dup_word_frac"
+        ),
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(F.expr(round4_frac_sql("top_cnt", "n_bigrams", "div")))
+        .alias("top_bigram_frac"),
+        F.when(
+            (F.col("n_bigrams") == 0)
+            | (5 * F.col("top_cnt") <= F.col("n_bigrams")),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )

@@ -127,3 +127,43 @@ def test_reservoir_keeps_exactly_k_or_all(spark):
     counts = {r["lang"]: r["n"] for r in
               pick.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts == {"big": k, "tiny": 10}
+
+
+def test_repetition_score_flags_planted_loops(spark):
+    """text_repetition_score on planted documents: a boilerplate loop
+    (one bigram dominating) drops, ordinary prose keeps, the
+    degenerate one-word doc keeps with zero fractions, and the
+    duplicate-word fraction is the exact multiset excess."""
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.plans import textops  # registration side effects  # noqa: F401
+    from mypipe_spark.plans.catalog import QUERIES, load_tables
+
+    rows = [
+        (1, "spam eggs " * 30),              # 'eggs spam'/'spam eggs' loops
+        (2, "the quick brown fox jumps over a lazy dog near the bank"),
+        (3, "single"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id int, text string"
+    )
+    # run the registered builder against the planted docs by swapping
+    # the table through a temp view-compatible path: call the inner
+    # logic via the same expressions (builder reads load_tables, so
+    # drive the expression path directly instead)
+    fn = QUERIES["text_repetition_score"].fn
+    import mypipe_spark.plans.catalog as C
+
+    real = C.load_tables
+    try:
+        C.load_tables = lambda spark, sf_dir: {"documents": docs}
+        textops.load_tables = C.load_tables
+        out = {r["doc_id"]: r for r in fn(spark, "ignored").collect()}
+    finally:
+        C.load_tables = real
+        textops.load_tables = real
+    assert out[1]["keep"] == 0 and out[1]["top_bigram_frac"] > 0.4
+    assert out[2]["keep"] == 1 and out[2]["dup_word_frac"] < 0.2
+    assert out[3]["keep"] == 1 and out[3]["top_bigram_frac"] == 0.0
+    # exact multiset excess: 60 words, 2 distinct -> 58/60
+    assert abs(out[1]["dup_word_frac"] - round(58 / 60, 4)) < 1e-9
