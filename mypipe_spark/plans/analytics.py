@@ -913,17 +913,26 @@ def q_approx_distinct_parts_check(spark: SparkSession, sf_dir: str) -> DataFrame
     pytest pin uses).
     The exact side is SQL — DuckDB verifies it value-for-value, and
     verifies the claim column is TRUE."""
-    rsd = APPROX_RSD
     t = load_tables(spark, sf_dir)
     g = t["lineitem"].groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", APPROX_RSD).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
-    within = (
-        F.abs(F.col("approx_parts") - F.col("exact_parts"))
-        <= F.lit(3 * rsd) * F.col("exact_parts")
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        hll_within_tol(F.col("exact_parts"), F.col("approx_parts")).alias(
+            "within_tol"
+        ),
     )
-    return g.select("l_returnflag", "exact_parts", within.alias("within_tol"))
+
+
+def hll_within_tol(exact: F.Column, approx: F.Column) -> F.Column:
+    """The HLL accuracy claim itself — |approx − exact| ≤
+    3·APPROX_RSD·exact — as ONE expression shared by the _check twin
+    and its falsifiability pin (tests/test_oracle_parity.py), so the
+    pin exercises the production arithmetic, not a local copy."""
+    return F.abs(approx - exact) <= F.lit(3 * APPROX_RSD) * exact
 
 
 def _rank_bound_checks(fracs: list[float], eps: float) -> list[F.Column]:

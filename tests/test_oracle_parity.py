@@ -402,8 +402,9 @@ def test_sketch_check_twins_can_go_red(spark):
     ok = spark.createDataFrame([(100, 74, 76)], "n long, lt0 long, le0 long")
     assert ok.select(_rank_bound_checks([0.75], 1e-4)[0].alias("ok")).collect()[0]["ok"] is True
 
-    # HLL tolerance: the within_tol expression is the same shape —
-    # verify the arithmetic flips outside 3*rsd
+    # HLL tolerance: drive the PRODUCTION claim expression (not a
+    # local copy of the arithmetic) and verify it flips outside 3*rsd
+    from mypipe_spark.plans.analytics import hll_within_tol
     from mypipe_spark.plans.catalog import APPROX_RSD
 
     tol = 3 * APPROX_RSD
@@ -411,8 +412,10 @@ def test_sketch_check_twins_can_go_red(spark):
         [(1000, int(1000 * (1 + tol) + 2)), (1000, int(1000 * (1 + tol) - 2))],
         "exact long, approx long",
     )
-    within = (
-        F.abs(F.col("approx") - F.col("exact")) <= F.lit(tol) * F.col("exact")
-    )
-    got = [r[0] for r in df.select(within).collect()]
+    got = [
+        r[0]
+        for r in df.select(
+            hll_within_tol(F.col("exact"), F.col("approx"))
+        ).collect()
+    ]
     assert got == [False, True]
