@@ -186,6 +186,23 @@ def round_div_sql(num: str, den: str, intdiv: str) -> str:
     )
 
 
+def isqrt_sql(n: str) -> str:
+    """Exact ``floor(sqrt(n))`` for a non-negative BIGINT expression,
+    valid verbatim in both dialects. ``SQRT`` is IEEE correctly
+    rounded in both engines, but floor(correctly_rounded(sqrt(n)))
+    can still be off by one when the true irrational root rounds up
+    across an integer boundary (or, for n just above a perfect
+    square, rounds down below it) — so the candidate is clamped with
+    two exact integer comparisons. Exact for n < 2^52 (the corpus
+    counts this feeds are far below that)."""
+    s0 = f"CAST(FLOOR(SQRT(CAST(({n}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({n}) THEN {s0} + 1"
+        f" WHEN {s0} * {s0} > ({n}) THEN {s0} - 1"
+        f" ELSE {s0} END)"
+    )
+
+
 def round4_frac_sql(num: str, den: str, intdiv: str) -> str:
     """Exact ``CAST(ROUND(num/den, 4) AS DOUBLE)`` for integer num/den
     (den > 0) — the portable form of the catalog's ratio displays."""
@@ -293,7 +310,16 @@ def register(
 
 def _load_all_plan_modules() -> None:
     """Import every plan module for its registration side effects."""
-    from . import analytics, cdc, dedup, multimodal, similarity, textops, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        cdc,
+        curation,
+        dedup,
+        multimodal,
+        similarity,
+        textops,
+        tpch,
+    )
 
 
 # Catalog iteration order. External correctness harnesses sample a

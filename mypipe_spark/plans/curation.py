@@ -1,0 +1,248 @@
+"""Corpus-curation operators over the ``documents`` table.
+
+The curation plane a large-scale training-data pipeline runs between
+raw ingest and tokenization: PII scrubbing, temperature-based
+multilingual rebalancing (the XLM-R / mT5 p_l^alpha sampling scheme —
+public method), and source-level pruning by aggregate quality. All
+pure built-in column expressions (whole-stage codegen, zero UDFs)
+with exact DuckDB oracles; every data-dependent number that crosses
+an engine boundary is integer math (exact isqrt, integer rounding),
+never a rounded double.
+
+Reference note: the reference (mypipe) has no text plane at all —
+these operators exist for the 100 TB training-data brief, not for
+reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import isqrt_sql, load_tables, register, round4_frac_sql, round_div_sql
+from .textops import N_STOP_DUCK, N_TOKENS_DUCK, n_stop_col, n_tokens_col, quality_keep_sql
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Detector patterns, shared verbatim by the Spark plan and the DuckDB
+# oracle. Syntax is the RE2-compatible subset (\b, \d, bounded
+# repetition, alternation-free) that Java regex and RE2 interpret
+# identically — no backreferences, no lookaround. Order matters for
+# redaction: longer digit shapes first so a shorter pattern can never
+# eat a prefix of a longer one.
+PII_PATTERNS = (
+    # (name, pattern, replacement)
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+)
+
+
+def _redacted_sql(dialect: str) -> str:
+    """Nested regexp_replace applying every pattern in order; DuckDB
+    needs the explicit 'g' flag (first-match default) where Spark
+    replaces all occurrences."""
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        if dialect == "duck":
+            expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        else:
+            expr = f"regexp_replace({expr}, '{pat}', '{repl}')"
+    return expr
+
+
+_PII_COUNTS_DUCK = ",\n           ".join(
+    f"CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{name}"
+    for name, pat, _ in PII_PATTERNS
+)
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {_PII_COUNTS_DUCK},
+           CAST(SUM(length(text) - length({_redacted_sql('duck')})) AS BIGINT)
+             AS redaction_delta
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("curation", "pii", "regex"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit: per-language hit counts for
+    each detector and the net character delta after applying all
+    redactions in sequence. One codegen pass over the scan, counts
+    map-side combinable — at 100 TB this is a pure scan-aggregate
+    with no shuffle beyond the per-language final exchange, and the
+    redacted projection (minus the aggregate) is the write-path form.
+
+    The driver corpus is synthetic word-salad with no PII-shaped
+    spans, so the catalog row proves the two regex engines agree on
+    zero-hit text; tests/test_newops.py runs the same shared
+    detectors over a constructed corpus WITH emails / cards / IPs /
+    phones on both engines and pins the positive behavior."""
+    t = load_tables(spark, sf_dir)
+    count_cols = [
+        F.sum(F.regexp_count("text", F.lit(pat))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    delta = F.length("text") - F.length(F.expr(_redacted_sql("spark")))
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *count_cols,
+            F.sum(delta).alias("redaction_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based multilingual mixing
+# ---------------------------------------------------------------------------
+
+# Doc budget for the rebalanced mix; alpha = 0.5 (weights are exact
+# integer sqrt of per-language counts, so no double ever crosses the
+# engine boundary).
+_MIX_BUDGET = 200
+
+
+@register(
+    "curation_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    wts AS (
+      SELECT lang, n, {isqrt_sql('n')} AS wt FROM counts),
+    tot AS (
+      SELECT CAST(SUM(wt) AS BIGINT) AS sw FROM wts),
+    targets AS (
+      SELECT lang,
+             CAST(LEAST(n, {round_div_sql(f'{_MIX_BUDGET} * wt', 'sw', '//')})
+                  AS BIGINT) AS lang_target
+      FROM wts, tot),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    SELECT r.doc_id, r.lang, t.lang_target, r.rk
+    FROM ranked r JOIN targets t ON t.lang = r.lang
+    WHERE r.rk <= t.lang_target
+    """,
+    tags=("curation", "sampling", "multilingual"),
+)
+def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (p_l^alpha sampling,
+    alpha=1/2): per-language selection targets proportional to
+    sqrt(n_l), capped at n_l, filled by deterministic hash order so
+    re-runs and both engines pick the SAME documents. All integer
+    math — exact isqrt for the weights, exact half-away rounding for
+    the budget split — so no cross-engine double ever exists.
+
+    Scale shape: the weight/target table is one tiny two-level
+    aggregate (|langs| rows, broadcast); document ranking is one
+    window per lang partition with an rk <= budget pre-filter that
+    engages WindowGroupLimit, so each input partition forwards at
+    most budget rows per language to the window shuffle."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    wts = counts.select("lang", "n", F.expr(isqrt_sql("n")).alias("wt"))
+    tot = wts.agg(F.sum("wt").cast("bigint").alias("sw"))
+    targets = wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.col("n"),
+            F.expr(round_div_sql(f"{_MIX_BUDGET} * wt", "sw", "div")),
+        )
+        .cast("bigint")
+        .alias("lang_target"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    ranked = (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        # lang_target <= _MIX_BUDGET by construction (wt <= sw), so this
+        # constant pre-filter cannot drop a selected row — it exists to
+        # engage WindowGroupLimit before the data-dependent join filter.
+        .filter(F.col("rk") <= _MIX_BUDGET)
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.col("lang_target"))
+        .select("doc_id", "lang", "lang_target", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# source-level pruning by aggregate quality
+# ---------------------------------------------------------------------------
+
+# A source survives when >= 60% of its documents pass the per-doc
+# quality gate (integer cross-multiply — no ratio is ever compared
+# as a double).
+_PRUNE_NUM = 3
+_PRUNE_DEN = 5
+
+
+@register(
+    "curation_source_prune",
+    oracle=f"""
+    WITH feats AS (
+      SELECT source,
+             {N_TOKENS_DUCK} AS n_tokens,
+             {N_STOP_DUCK} AS n_stop
+      FROM documents),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM({quality_keep_sql('n_stop', 'n_tokens')}) AS BIGINT)
+               AS n_keep
+      FROM feats GROUP BY source)
+    SELECT source, n_docs, n_keep,
+           {round4_frac_sql('n_keep', 'n_docs', '//')} AS keep_rate,
+           CASE WHEN {_PRUNE_DEN} * n_keep >= {_PRUNE_NUM} * n_docs
+                THEN 1 ELSE 0 END AS source_kept
+    FROM agg
+    """,
+    tags=("curation", "quality", "source"),
+)
+def curation_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation: aggregate the per-document quality gate
+    (the SAME shared expression text_quality_score applies — one
+    definition, so the gates cannot drift) to a per-source keep-rate,
+    and drop whole sources below the 60% bar — the Dolma-style
+    "prune at the provenance granularity" pass that runs before any
+    per-document filtering at scale. Pure scan-aggregate: map-side
+    combinable, one |sources|-row exchange, no joins."""
+    t = load_tables(spark, sf_dir)
+    feats = t["documents"].select(
+        "source",
+        n_tokens_col().alias("n_tokens"),
+        n_stop_col().alias("n_stop"),
+    )
+    agg = feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(quality_keep_sql("n_stop", "n_tokens")))
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.expr(round4_frac_sql("n_keep", "n_docs", "div")).alias("keep_rate"),
+        F.when(
+            _PRUNE_DEN * F.col("n_keep") >= _PRUNE_NUM * F.col("n_docs"), 1
+        )
+        .otherwise(0)
+        .alias("source_kept"),
+    )

@@ -19,6 +19,40 @@ _STOPWORDS = ("the", "a", "of", "to", "and", "in")
 _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 _SW_SPARK = _SW_SQL  # one constant: the oracle and the plan must agree
 
+# Quality keep-gate: ONE expression string, valid verbatim in both
+# Spark SQL and DuckDB, shared by text_quality_score (per-doc gate)
+# and curation_source_prune (source-level keep-rate) so the two
+# queries can never drift apart on what "keep" means. The ratio
+# compare stays in DOUBLE exactly as the per-doc gate always did —
+# the division is correctly rounded in both engines and compared to
+# the same literal, so the outcome is engine-identical.
+QUALITY_MIN_TOKENS = 20
+QUALITY_STOP_RATIO = "0.05"
+
+
+def quality_keep_sql(n_stop: str, n_tokens: str) -> str:
+    """The keep/drop gate over precomputed integer token counts as a
+    dialect-portable SQL expression (1 = keep)."""
+    return (
+        f"(CASE WHEN {n_tokens} >= {QUALITY_MIN_TOKENS}"
+        f" AND CAST({n_stop} AS DOUBLE) / {n_tokens} >= {QUALITY_STOP_RATIO}"
+        " THEN 1 ELSE 0 END)"
+    )
+
+
+# The gate's two integer features, one definition per dialect (DuckDB
+# list_filter vs Spark filter — same lambda, same stopword list).
+N_TOKENS_DUCK = "len(string_split(text, ' '))"
+N_STOP_DUCK = f"len(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL})))"
+
+
+def n_tokens_col():
+    return F.size(F.split("text", " "))
+
+
+def n_stop_col():
+    return F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_SW_SPARK}))"))
+
 
 @register(
     "text_token_stats",
@@ -62,9 +96,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH feats AS (
       SELECT doc_id, lang,
-             len(string_split(text, ' ')) AS n_tokens,
-             len(list_filter(string_split(text, ' '),
-                 w -> w IN ({_SW_SQL}))) AS n_stop,
+             {N_TOKENS_DUCK} AS n_tokens,
+             {N_STOP_DUCK} AS n_stop,
              length(text) AS n_char,
              length(replace(text, ' ', '')) AS n_nonspace
       FROM documents)
@@ -73,9 +106,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS stopword_ratio,
            {round4_frac_sql('n_nonspace', 'n_tokens', '//')}
              AS avg_token_len,
-           CASE WHEN n_tokens >= 20
-                 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
-                THEN 1 ELSE 0 END AS keep
+           {quality_keep_sql('n_stop', 'n_tokens')} AS keep
     FROM feats
     """,
     tags=("text", "quality"),
@@ -85,8 +116,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     length) + a keep/drop gate — the standard pre-training corpus
     filter, as one projection over the scan (no shuffle at all)."""
     t = load_tables(spark, sf_dir)
-    n_tokens = F.size(F.split("text", " "))
-    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_SW_SPARK}))"))
+    n_tokens = n_tokens_col()
+    n_stop = n_stop_col()
     n_nonspace = F.length(F.regexp_replace("text", " ", ""))
     feats = t["documents"].select(
         "doc_id",
@@ -97,7 +128,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # keep-gate on the raw ratio; display ratios in exact integer
     # rounding (ROUND(double, 4) is not portable at .5-repr boundaries)
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
     return feats.select(
         "doc_id",
         "lang",
@@ -106,9 +136,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(round4_frac_sql("n_nonspace", "n_tokens", "div")).alias(
             "avg_token_len"
         ),
-        F.when((F.col("n_tokens") >= 20) & (stop_ratio >= 0.05), 1)
-        .otherwise(0)
-        .alias("keep"),
+        F.expr(quality_keep_sql("n_stop", "n_tokens")).alias("keep"),
     )
 
 
