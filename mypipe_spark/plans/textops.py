@@ -524,6 +524,84 @@ def text_subtoken_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+_IDF_SCALE = 1_000_000  # rational idf: (N * scale) // df — exact integers
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tfc AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tfc GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             t.tf * ((n.n_docs * {_IDF_SCALE}) // d.df) AS score
+      FROM tf t JOIN df d ON d.term = t.term, n),
+    ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, score, rk
+    FROM ranked WHERE rk <= {_TFIDF_TOP}
+    """,
+    tags=("text", "tfidf", "topk"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the {k} highest TF-IDF terms
+    per doc. IDF is the RATIONAL form (N·10⁶) div df — a monotone
+    integer-exact stand-in for log(N/df), so scores are BIGINTs both
+    engines compute identically (a log-based idf is a double whose
+    libm rounding the two engines need not share). Tie-break is
+    (score desc, term asc) so both engines pick identical rows.
+
+    Scale shape: tf is one (doc,term) map-side-combinable aggregate
+    off the exploded scan; df is a second combinable aggregate over
+    the already-distinct tf pairs (never the raw token stream); the
+    corpus size joins in as a broadcast scalar; the df join shuffles
+    on term (vocabulary size is data-dependent — AQE picks broadcast
+    when it fits rather than a forced hint); the final top-k window
+    runs per doc_id with WindowGroupLimit."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(f"tf * ((n_docs * {_IDF_SCALE}) div df)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
 @register(
     "text_repetition_score",
     oracle=f"""
