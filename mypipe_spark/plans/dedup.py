@@ -1095,13 +1095,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # normalization + exact dedup (the canonicalizing variant)
 # ---------------------------------------------------------------------------
 
+# Text canonicalization (lowercase, strip non-alphanumerics, collapse
+# whitespace) — ONE definition per dialect, shared by
+# dedup_exact_normalized and dedup_keep_best so "same document modulo
+# formatting" cannot mean two different things.
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def _norm_col():
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+
+
 @register(
     "dedup_exact_normalized",
-    oracle="""
+    oracle=f"""
     WITH norm AS (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+      SELECT doc_id, {_NORM_DUCK} AS ntext
       FROM documents)
     SELECT md5(ntext) AS text_hash,
            MIN(doc_id) AS canonical_doc_id,
@@ -1120,13 +1138,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag (its regexp_replace is first-match by default where Spark's
     replaces all)."""
     t = load_tables(spark, sf_dir)
-    ntext = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +",
-            " ",
-        )
-    )
+    ntext = _norm_col()
     return (
         t["documents"]
         .select("doc_id", ntext.alias("ntext"))
@@ -1136,6 +1148,61 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate resolution: keep the best copy per normalized group
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, n_chars, {_NORM_DUCK} AS ntext
+      FROM documents),
+    ranked AS (
+      SELECT doc_id,
+             md5(ntext) AS text_hash,
+             COUNT(*) OVER (PARTITION BY md5(ntext)) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY md5(ntext)
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM norm)
+    SELECT doc_id, text_hash, n_copies, rk,
+           CASE WHEN rk = 1 THEN 1 ELSE 0 END AS kept
+    FROM ranked
+    """,
+    tags=("dedup", "exact", "normalize", "resolution"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster RESOLUTION, not just detection: within each
+    normalized-text group (same canonicalization dedup_exact_normalized
+    uses — one shared definition) keep the variant carrying the most
+    raw content (n_chars desc, doc_id as the total tie-break) and mark
+    the rest dropped. This is the curation pipeline's "which copy
+    survives" step — canonical-by-MIN(doc_id) keeps an arbitrary copy,
+    while real pipelines keep the richest one (case/punctuation
+    variants differ in bytes even when canonically equal).
+
+    One shuffle on the 128-bit normalized hash (uniform, skew-free);
+    both window functions share the single partition exchange and the
+    output stays per-document so downstream ops can anti-join the
+    dropped set."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    norm = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        F.md5(_norm_col().cast("binary")).alias("text_hash"),
+    )
+    wp = Window.partitionBy("text_hash")
+    wr = wp.orderBy(F.desc("n_chars"), "doc_id")
+    return norm.select(
+        "doc_id",
+        "text_hash",
+        F.count("*").over(wp).alias("n_copies"),
+        F.row_number().over(wr).alias("rk"),
+    ).withColumn("kept", F.when(F.col("rk") == 1, 1).otherwise(0))
 
 
 # ---------------------------------------------------------------------------
