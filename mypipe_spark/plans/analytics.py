@@ -637,6 +637,84 @@ def events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gap-filled downsample (LOCF)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_gapfill_1h",
+    oracle="""
+    WITH closes AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             last(value ORDER BY ts, event_id) AS close
+      FROM events GROUP BY 1, 2),
+    nxt AS (
+      SELECT event_type, bucket, close,
+             LEAD(bucket) OVER (PARTITION BY event_type ORDER BY bucket)
+               AS next_b
+      FROM closes),
+    g AS (
+      SELECT event_type, close, bucket AS obs_bucket,
+             UNNEST(generate_series(
+               bucket, COALESCE(next_b - INTERVAL 1 HOUR, bucket),
+               INTERVAL 1 HOUR)) AS bucket
+      FROM nxt)
+    SELECT event_type, bucket, close AS value,
+           CASE WHEN bucket = obs_bucket THEN 0 ELSE 1 END AS is_gap
+    FROM g
+    """,
+    tags=("agg", "timeseries", "gapfill"),
+)
+def events_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly downsample with last-observation-carried-
+    forward — the hypertable ``time_bucket_gapfill`` + ``locf`` shape:
+    every hour between a series' first and last observation gets a
+    row, empty hours inheriting the previous hour's closing value and
+    an is_gap marker.
+
+    Implementation is the SINGLE-PASS form: one map-side-combinable
+    downsample (deterministic max_by close per bucket), one lead()
+    window per series, then each observed bar explodes into itself
+    plus the empty hours before the next bar (sequence → explode).
+    No spine self-join, no second scan of the fact table, and no
+    branch that would re-run the aggregate subtree (Spark does not
+    reuse exchanges across DataFrame branches); the carried value
+    travels WITH the generating row, so no second LOCF window is
+    needed either. Output is bounded by series×buckets regardless of
+    event volume."""
+    t = load_tables(spark, sf_dir)
+    closes = (
+        t["events"]
+        .groupBy("event_type", F.window("ts", "1 hour").start.alias("bucket"))
+        .agg(F.expr("max_by(value, struct(ts, event_id))").alias("close"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    nxt = closes.withColumn("next_b", F.lead("bucket").over(w))
+    return (
+        nxt.select(
+            "event_type",
+            "close",
+            F.col("bucket").alias("obs_bucket"),
+            F.explode(
+                F.expr(
+                    "sequence(bucket,"
+                    " coalesce(next_b - interval 1 hour, bucket),"
+                    " interval 1 hour)"
+                )
+            ).alias("bucket"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.col("close").alias("value"),
+            F.when(F.col("bucket") == F.col("obs_bucket"), 0)
+            .otherwise(1)
+            .alias("is_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # fixed-width histogram
 # ---------------------------------------------------------------------------
 
