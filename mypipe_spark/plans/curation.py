@@ -41,17 +41,27 @@ PII_PATTERNS = (
 )
 
 
-def _redacted_sql(dialect: str) -> str:
-    """Nested regexp_replace applying every pattern in order; DuckDB
-    needs the explicit 'g' flag (first-match default) where Spark
-    replaces all occurrences."""
+def _redacted_sql_duck() -> str:
+    """Nested regexp_replace applying every pattern in order for the
+    DuckDB oracle ('g' flag: DuckDB is first-match by default).
+    DuckDB string literals keep backslashes, so the patterns embed
+    verbatim."""
     expr = "text"
     for _, pat, repl in PII_PATTERNS:
-        if dialect == "duck":
-            expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
-        else:
-            expr = f"regexp_replace({expr}, '{pat}', '{repl}')"
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+def _redacted_col():
+    """The same redaction chain as Spark Columns. Deliberately NOT an
+    F.expr over shared SQL text: Spark SQL string literals treat
+    backslash as an escape (so '\\b\\d' would silently become
+    backspace + 'd' and the detectors would never fire), while the
+    Column API passes the pattern through untouched."""
+    c = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
 
 
 _PII_COUNTS_DUCK = ",\n           ".join(
@@ -66,7 +76,7 @@ _PII_COUNTS_DUCK = ",\n           ".join(
     SELECT lang,
            COUNT(*) AS n_docs,
            {_PII_COUNTS_DUCK},
-           CAST(SUM(length(text) - length({_redacted_sql('duck')})) AS BIGINT)
+           CAST(SUM(length(text) - length({_redacted_sql_duck()})) AS BIGINT)
              AS redaction_delta
     FROM documents
     GROUP BY lang
@@ -91,7 +101,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.regexp_count("text", F.lit(pat))).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    delta = F.length("text") - F.length(F.expr(_redacted_sql("spark")))
+    delta = F.length("text") - F.length(_redacted_col())
     return (
         t["documents"]
         .groupBy("lang")

@@ -167,3 +167,184 @@ def test_repetition_score_flags_planted_loops(spark):
     assert out[3]["keep"] == 1 and out[3]["top_bigram_frac"] == 0.0
     # exact multiset excess: 60 words, 2 distinct -> 58/60
     assert abs(out[1]["dup_word_frac"] - round(58 / 60, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-6 second-half ops: pii / isqrt / keep-best / gapfill / mix
+# ---------------------------------------------------------------------------
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _planted_tables(modules, tables):
+    """Swap load_tables in the catalog AND each plan module that
+    imported the name, so a registered builder runs over constructed
+    DataFrames instead of the driver parquet."""
+    import mypipe_spark.plans.catalog as C
+
+    real = C.load_tables
+
+    def fake(spark, sf_dir):
+        return tables
+
+    C.load_tables = fake
+    for m in modules:
+        m.load_tables = fake
+    try:
+        yield
+    finally:
+        C.load_tables = real
+        for m in modules:
+            m.load_tables = real
+
+
+def test_pii_scrub_positive_cross_engine_parity(spark):
+    """The driver corpus has no PII-shaped spans, so the catalog row
+    only proves zero-hit agreement; this runs the SAME registered
+    builder and the SAME registered oracle over a planted corpus WITH
+    emails / cards / phones / IPs on both engines and compares rows —
+    the positive-behavior twin of the driver gate."""
+    import duckdb
+    import pandas as pd
+
+    from mypipe_spark.plans import curation
+    from mypipe_spark.plans.catalog import QUERIES
+
+    rows = [
+        (1, "en", "contact bob.smith+x@example.co.uk for a quote"),
+        (2, "en", "card 1234 5678-9012 3456 expires soon call 415-555-0199"),
+        (3, "de", "server at 10.0.255.7 and 192.168.1.1 rebooted"),
+        (4, "de", "plain text with no sensitive spans at all"),
+        (5, "en", "two mails a@b.io c@d.org one ip 8.8.8.8"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    with _planted_tables([curation], {"documents": docs}):
+        got = sorted(
+            tuple(r) for r in QUERIES["pii_scrub"].fn(spark, "x").collect()
+        )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    )
+    want = sorted(tuple(r) for r in con.execute(QUERIES["pii_scrub"].oracle).fetchall())
+    assert got == want
+    by_lang = {r[0]: r for r in got}
+    # lang, n_docs, n_card, n_phone, n_ipv4, n_email, redaction_delta
+    assert by_lang["en"][5] == 3  # bob.smith, a@b.io, c@d.org
+    assert by_lang["en"][2] == 1 and by_lang["en"][3] == 1
+    assert by_lang["de"][4] == 2 and by_lang["de"][5] == 0
+    # redaction actually changed the text somewhere
+    assert any(r[6] != 0 for r in got)
+
+
+def test_isqrt_sql_exact_on_both_engines(spark):
+    """isqrt_sql must equal math.isqrt everywhere — including the
+    perfect-square boundaries where naive floor(sqrt()) goes off by
+    one. Checked on Spark and DuckDB with the same expression text."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from mypipe_spark.plans.catalog import isqrt_sql
+
+    ns = sorted(
+        {0, 1, 2, 3, 4, 15, 16, 17, 10**6 - 1, 10**6, 10**6 + 1}
+        | {k * k + d for k in (10, 999, 2**20, 67108864) for d in (-1, 0, 1)}
+        | {(1 << 52) - 1}
+    )
+    ns = [n for n in ns if n >= 0]
+    want = {n: math.isqrt(n) for n in ns}
+    sdf = spark.createDataFrame([(n,) for n in ns], "n bigint")
+    got_spark = {
+        r["n"]: r["s"]
+        for r in sdf.selectExpr("n", f"{isqrt_sql('n')} AS s").collect()
+    }
+    assert got_spark == want
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"n": ns}))
+    got_duck = {
+        n: s for n, s in con.execute(f"SELECT n, {isqrt_sql('n')} FROM t").fetchall()
+    }
+    assert got_duck == want
+
+
+def test_keep_best_prefers_richest_variant(spark):
+    """Formatting variants of one document land in one normalized
+    group and the variant with the most raw characters survives;
+    byte-identical copies tie-break by doc_id."""
+    from mypipe_spark.plans import dedup as dd
+    from mypipe_spark.plans.catalog import QUERIES
+
+    rows = [
+        (1, "hello world"),
+        (2, "Hello,   World!!"),        # richest variant of the group
+        (3, "HELLO WORLD"),
+        (10, "unique text a"),
+        (20, "twin text"),
+        (21, "twin text"),              # exact copy: doc_id 20 wins
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], "doc_id int, text string, n_chars int"
+    )
+    with _planted_tables([dd], {"documents": docs}):
+        out = {r["doc_id"]: r for r in QUERIES["dedup_keep_best"].fn(spark, "x").collect()}
+    assert out[2]["kept"] == 1 and out[1]["kept"] == 0 and out[3]["kept"] == 0
+    assert out[2]["n_copies"] == 3
+    assert out[10]["kept"] == 1 and out[10]["n_copies"] == 1
+    assert out[20]["kept"] == 1 and out[21]["kept"] == 0
+
+
+def test_gapfill_locf_carries_last_close(spark):
+    """Planted series: bars at hours 0 and 3 -> four output rows, the
+    empty hours carrying hour 0's close with is_gap=1; a second series
+    with one bar emits exactly one row."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as an
+    from mypipe_spark.plans.catalog import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 7, "a", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 7, "a", 1.5, "{}"),  # later in bucket 0
+        (3, t0 + dt.timedelta(hours=3), 7, "a", 2.0, "{}"),
+        (4, t0, 8, "b", 9.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([an], {"events": ev}):
+        out = QUERIES["events_gapfill_1h"].fn(spark, "x").collect()
+    a = sorted((r for r in out if r["event_type"] == "a"), key=lambda r: r["bucket"])
+    assert [r["value"] for r in a] == [1.5, 1.5, 1.5, 2.0]
+    assert [r["is_gap"] for r in a] == [0, 1, 1, 0]
+    b = [r for r in out if r["event_type"] == "b"]
+    assert len(b) == 1 and b[0]["value"] == 9.0 and b[0]["is_gap"] == 0
+
+
+def test_mix_temperature_targets_and_caps(spark):
+    """Planted language skew {a:400, b:100, c:16} with budget 200:
+    isqrt weights (20, 10, 4), sum 34, targets round(200*w/34) capped
+    at n -> a:118, b:59, c:16 (the cap binding only for the
+    low-resource language, where uncapped upsampling to 24 would have
+    to repeat documents)."""
+    from mypipe_spark.plans import curation
+    from mypipe_spark.plans.catalog import QUERIES
+
+    rows = [
+        (i, lang, "src0")
+        for lang, n, base in (("a", 400, 0), ("b", 100, 1000), ("c", 16, 2000))
+        for i in range(base, base + n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string, source string")
+    with _planted_tables([curation], {"documents": docs}):
+        out = QUERIES["curation_mix_temperature"].fn(spark, "x").collect()
+    per = {}
+    for r in out:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+        assert r["rk"] <= r["lang_target"]
+    assert per == {"a": 118, "b": 59, "c": 16}
