@@ -256,3 +256,137 @@ def curation_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("source_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the full curation funnel (composite keep/drop with reasons)
+# ---------------------------------------------------------------------------
+
+from .dedup import _NORM_DUCK, _norm_col
+from .textops import REP_CTES_DUCK, REP_TOP_CNT_SPARK, rep_keep_sql
+
+_FUNNEL_ORACLE = f"""
+    WITH {REP_CTES_DUCK},
+    feats AS (
+      SELECT doc_id, lang, source, n_chars,
+             {N_TOKENS_DUCK} AS n_tokens,
+             {N_STOP_DUCK} AS n_stop
+      FROM documents),
+    sagg AS (
+      SELECT source,
+             CASE WHEN {_PRUNE_DEN} *
+                       SUM({quality_keep_sql('n_stop', 'n_tokens')})
+                       >= {_PRUNE_NUM} * COUNT(*)
+                  THEN 1 ELSE 0 END AS source_kept
+      FROM feats GROUP BY source),
+    rep AS (
+      SELECT w.doc_id, GREATEST(len(ws) - 1, 0) AS n_bigrams,
+             COALESCE(tc.top_cnt, 0) AS top_cnt
+      FROM w LEFT JOIN tc ON tc.doc_id = w.doc_id),
+    norm AS (
+      SELECT doc_id, n_chars, {_NORM_DUCK} AS ntext FROM documents),
+    rnk AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(ntext)
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM norm),
+    flags AS (
+      SELECT f.doc_id, f.lang, f.source,
+             1 - s.source_kept AS drop_source,
+             1 - {quality_keep_sql('f.n_stop', 'f.n_tokens')} AS drop_quality,
+             1 - {rep_keep_sql('r.top_cnt', 'r.n_bigrams')} AS drop_repetition,
+             CASE WHEN k.rk > 1 THEN 1 ELSE 0 END AS drop_duplicate
+      FROM feats f
+      JOIN sagg s ON s.source = f.source
+      JOIN rep r ON r.doc_id = f.doc_id
+      JOIN rnk k ON k.doc_id = f.doc_id)
+    SELECT doc_id, lang, source, drop_source, drop_quality,
+           drop_repetition, drop_duplicate,
+           CASE WHEN drop_source + drop_quality + drop_repetition
+                     + drop_duplicate = 0
+                THEN 1 ELSE 0 END AS final_keep
+    FROM flags
+    """
+
+
+@register(
+    "curation_funnel",
+    oracle=_FUNNEL_ORACLE,
+    tags=("curation", "funnel", "composite"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole keep/drop decision chain as ONE query: per-document
+    drop reasons for source-level pruning, the quality gate, the
+    repetition gate, and duplicate resolution, plus the final verdict
+    — the audit table a curation pipeline materializes so every
+    dropped document is explainable. Every gate is the SAME shared
+    expression its standalone query uses (quality_keep_sql,
+    rep_keep_sql, the canonicalization, the 60% source bar), so the
+    funnel cannot disagree with its parts.
+
+    Scale shape: per-document features (token counts, repetition fold,
+    normalized hash) are one codegen projection over the scan; the
+    duplicate window is one uniform-hash shuffle; the source verdict
+    is a tiny broadcast-joined aggregate computed from a LEAN
+    (source, counts) projection so its branch re-scans cheaply rather
+    than re-running the heavy feature subtree (Spark does not reuse
+    exchanges across branches). Two real exchanges end to end."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.split("text", " ").alias("ws"),
+        n_tokens_col().alias("n_tokens"),
+        n_stop_col().alias("n_stop"),
+        F.md5(_norm_col().cast("binary")).alias("nhash"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_tokens",
+        "n_stop",
+        "nhash",
+        F.greatest(F.size("ws") - 1, F.lit(0)).alias("n_bigrams"),
+        F.expr(REP_TOP_CNT_SPARK).alias("top_cnt"),
+    )
+    lean = docs.select(
+        "source", n_tokens_col().alias("n_tokens"), n_stop_col().alias("n_stop")
+    )
+    sagg = lean.groupBy("source").agg(
+        F.when(
+            _PRUNE_DEN
+            * F.sum(F.expr(quality_keep_sql("n_stop", "n_tokens")))
+            >= _PRUNE_NUM * F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("source_kept")
+    )
+    wr = Window.partitionBy("nhash").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = feats.withColumn("rk", F.row_number().over(wr))
+    flags = ranked.join(F.broadcast(sagg), "source").select(
+        "doc_id",
+        "lang",
+        "source",
+        (1 - F.col("source_kept")).alias("drop_source"),
+        (1 - F.expr(quality_keep_sql("n_stop", "n_tokens"))).alias(
+            "drop_quality"
+        ),
+        (1 - F.expr(rep_keep_sql("top_cnt", "n_bigrams"))).alias(
+            "drop_repetition"
+        ),
+        F.when(F.col("rk") > 1, 1).otherwise(0).alias("drop_duplicate"),
+    )
+    total = (
+        F.col("drop_source")
+        + F.col("drop_quality")
+        + F.col("drop_repetition")
+        + F.col("drop_duplicate")
+    )
+    return flags.withColumn(
+        "final_keep", F.when(total == 0, 1).otherwise(0)
+    )

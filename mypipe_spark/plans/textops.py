@@ -602,10 +602,26 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_repetition_score",
-    oracle=f"""
-    WITH w AS (
+# Repetition primitives, shared by text_repetition_score and the
+# curation funnel. Spark: the top-bigram multiplicity as one
+# aggregate() fold over the sorted per-row bigram list (expects a
+# column ``ws`` = split words). DuckDB: the same quantity the
+# relational way, as a reusable CTE chain defining ``w``(doc_id, ws)
+# and ``tc``(doc_id, top_cnt).
+REP_TOP_CNT_SPARK = """
+    aggregate(
+      array_sort(if(size(ws) < 2, array(),
+        transform(sequence(1, size(ws) - 1),
+          i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))),
+      struct(0 AS best, 0 AS run, CAST(NULL AS STRING) AS prev),
+      (acc, x) -> struct(
+        greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)),
+        if(x = acc.prev, acc.run + 1, 1),
+        x),
+      acc -> acc.best)
+    """
+
+REP_CTES_DUCK = """w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     b AS (
       SELECT doc_id,
@@ -615,7 +631,21 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc AS (
       SELECT doc_id, MAX(c) AS top_cnt
       FROM (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2)
-      GROUP BY doc_id),
+      GROUP BY doc_id)"""
+
+# The repetition keep-gate over (top_cnt, n_bigrams) integers — top
+# bigram may take at most 1/5 of all bigrams; bigram-free docs keep.
+def rep_keep_sql(top_cnt: str, n_bigrams: str) -> str:
+    return (
+        f"(CASE WHEN {n_bigrams} = 0 OR 5 * {top_cnt} <= {n_bigrams}"
+        " THEN 1 ELSE 0 END)"
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH {REP_CTES_DUCK},
     feats AS (
       SELECT w.doc_id,
              len(ws) AS n_words,
@@ -628,8 +658,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
                 ELSE {round4_frac_sql('top_cnt', 'n_bigrams', '//')}
            END AS top_bigram_frac,
-           CASE WHEN n_bigrams = 0 OR 5 * top_cnt <= n_bigrams
-                THEN 1 ELSE 0 END AS keep
+           {rep_keep_sql('top_cnt', 'n_bigrams')} AS keep
     FROM feats
     """,
     tags=("text", "quality", "repetition"),
@@ -656,20 +685,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws").alias("n_words"),
         (F.size("ws") - F.size(F.array_distinct("ws"))).alias("n_dup_words"),
         F.greatest(F.size("ws") - 1, F.lit(0)).alias("n_bigrams"),
-        F.expr(
-            """
-            aggregate(
-              array_sort(if(size(ws) < 2, array(),
-                transform(sequence(1, size(ws) - 1),
-                  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))),
-              struct(0 AS best, 0 AS run, CAST(NULL AS STRING) AS prev),
-              (acc, x) -> struct(
-                greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)),
-                if(x = acc.prev, acc.run + 1, 1),
-                x),
-              acc -> acc.best)
-            """
-        ).alias("top_cnt"),
+        F.expr(REP_TOP_CNT_SPARK).alias("top_cnt"),
     )
     return feats.select(
         "doc_id",
@@ -680,11 +696,5 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_bigrams") == 0, F.lit(0.0))
         .otherwise(F.expr(round4_frac_sql("top_cnt", "n_bigrams", "div")))
         .alias("top_bigram_frac"),
-        F.when(
-            (F.col("n_bigrams") == 0)
-            | (5 * F.col("top_cnt") <= F.col("n_bigrams")),
-            1,
-        )
-        .otherwise(0)
-        .alias("keep"),
+        F.expr(rep_keep_sql("top_cnt", "n_bigrams")).alias("keep"),
     )
