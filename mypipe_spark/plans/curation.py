@@ -390,3 +390,20 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.withColumn(
         "final_keep", F.when(total == 0, 1).otherwise(0)
     )
+
+
+def scrub_documents(docs: DataFrame) -> DataFrame:
+    """Composable write-path form of pii_scrub: the redacted text plus
+    per-pattern hit counts, per document. A stateless deterministic
+    projection (no aggregate, no watermark needed), so it runs
+    unchanged on a STREAMING DataFrame — the per-microbatch scrub a
+    continuously ingesting pipeline applies is byte-identical to the
+    batch form (tests/test_windows.py pins stream == batch on a
+    corpus with planted PII)."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return docs.select(
+        "doc_id", "lang", "source", _redacted_col().alias("text"), *counts
+    )

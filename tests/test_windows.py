@@ -609,3 +609,41 @@ def test_scd2_late_event_routes_to_dead_letter(spark, tmp_path):
             stream, str(tmp_path / "x"), scd2_merge, str(tmp_path / "y"),
             split_fn=scd2_late_split,
         )
+
+
+def test_pii_scrub_streaming_equals_batch(spark, tmp_path):
+    """scrub_documents is a stateless projection: streaming a corpus
+    WITH planted PII through it yields exactly the batch result, and
+    the detectors actually fire (the driver corpus is PII-free, so
+    this is the streaming twin of the positive-parity pytest)."""
+    from mypipe_spark.plans.curation import scrub_documents
+
+    rows = [
+        (1, "en", "s0", "mail me at alice@example.org today"),
+        (2, "en", "s0", "card 1234 5678 9012 3456 on file"),
+        (3, "de", "s1", "host 10.1.2.3 call 415-555-0100"),
+        (4, "de", "s1", "nothing sensitive here"),
+    ]
+    src_dir = tmp_path / "docs"
+    batch = spark.createDataFrame(
+        rows, "doc_id int, lang string, source string, text string"
+    )
+    batch.write.parquet(str(src_dir))
+    batch = spark.read.parquet(str(src_dir))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+    q = (
+        scrub_documents(stream)
+        .writeStream.format("memory").queryName("piiscrub")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(map(tuple, spark.sql("select * from piiscrub").collect()))
+    want = sorted(map(tuple, scrub_documents(batch).collect()))
+    assert got == want and len(got) == 4
+    by_id = {r[0]: r for r in got}
+    assert "<EMAIL>" in by_id[1][3] and "alice" not in by_id[1][3]
+    assert "<CARD>" in by_id[2][3]
+    assert "<IP>" in by_id[3][3] and "<PHONE>" in by_id[3][3]
+    assert by_id[4][3] == "nothing sensitive here"
