@@ -1,0 +1,66 @@
+"""Training-shard parquet writer — the export side of the curation
+plane.
+
+A training pipeline does not end at a DataFrame: the curated corpus
+must land as partitioned, bounded-size, internally-ordered parquet
+shards that a data loader can stream deterministically. This module
+is that sink, expressed entirely through Spark's native writer (no
+custom commit protocol): Catalyst handles the scan/filter upstream,
+the shuffle lays rows out by (stratum, shard), and
+``maxRecordsPerFile`` bounds every file.
+
+Scale design (the part that must survive 100 TB):
+- the pre-write ``repartition(n, stratum, shard)`` keys on BOTH the
+  stratum and a hash-derived shard id, so a skewed stratum (English
+  is most of a real corpus) spreads over ``shards_per_stratum``
+  writer tasks instead of hot-spotting one;
+- ``sortWithinPartitions`` gives per-file key order without any
+  global sort (a global orderBy would be a full-corpus range
+  exchange);
+- ``maxRecordsPerFile`` caps file size irrespective of partition
+  sizing, so loader-side memory is bounded;
+- the writer claims NO exact file count (Spark may merge small
+  hash groups into one task); the contract is bounded files,
+  stratum-pure directories, per-file order, and deterministic
+  row→shard assignment (xxhash64 of the key — rerunning the export
+  reshuffles nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    shards_per_stratum: int = 4,
+    rows_per_file: int = 100_000,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` as ``path/<stratum>=<v>/part-*.parquet`` training
+    shards: every file holds at most ``rows_per_file`` rows of one
+    stratum, sorted by ``key``; rows map to shards by
+    ``xxhash64(key) % shards_per_stratum`` (deterministic across
+    reruns and cluster sizes)."""
+    if shards_per_stratum < 1:
+        raise ValueError("shards_per_stratum must be >= 1")
+    shard = F.pmod(F.xxhash64(F.col(key)), F.lit(shards_per_stratum))
+    (
+        df.withColumn("__shard", shard)
+        # hash-partition on (stratum, shard) at the session's default
+        # shuffle parallelism: strata*shards groups spread over the
+        # cluster, never a fixed task count that would serialize the
+        # export (shards_per_stratum bounds files per stratum, not
+        # writer parallelism)
+        .repartition(F.col(stratum), F.col("__shard"))
+        .sortWithinPartitions(stratum, key)
+        .drop("__shard")
+        .write.partitionBy(stratum)
+        .option("maxRecordsPerFile", rows_per_file)
+        .mode(mode)
+        .parquet(path)
+    )
