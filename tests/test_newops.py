@@ -348,3 +348,44 @@ def test_mix_temperature_targets_and_caps(spark):
         per[r["lang"]] = per.get(r["lang"], 0) + 1
         assert r["rk"] <= r["lang_target"]
     assert per == {"a": 118, "b": 59, "c": 16}
+
+
+def test_funnel_agrees_with_standalone_gates(spark, sf_dir):
+    """curation_funnel shares its gate expressions with the standalone
+    queries; this pins the composition itself — every per-document
+    drop flag must equal the corresponding standalone verdict on the
+    real corpus."""
+    from mypipe_spark.plans.catalog import all_queries
+
+    QUERIES = all_queries()
+    funnel = {
+        r["doc_id"]: r for r in QUERIES["curation_funnel"].fn(spark, sf_dir).collect()
+    }
+    quality = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["text_quality_score"].fn(spark, sf_dir).collect()
+    }
+    repetition = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["text_repetition_score"].fn(spark, sf_dir).collect()
+    }
+    keep_best = {
+        r["doc_id"]: r["kept"]
+        for r in QUERIES["dedup_keep_best"].fn(spark, sf_dir).collect()
+    }
+    src = {
+        r["source"]: r["source_kept"]
+        for r in QUERIES["curation_source_prune"].fn(spark, sf_dir).collect()
+    }
+    assert funnel.keys() == quality.keys()
+    for doc_id, row in funnel.items():
+        assert row["drop_quality"] == 1 - quality[doc_id]
+        assert row["drop_repetition"] == 1 - repetition[doc_id]
+        assert row["drop_duplicate"] == 1 - keep_best[doc_id]
+        assert row["drop_source"] == 1 - src[row["source"]]
+        assert row["final_keep"] == (
+            1
+            if row["drop_source"] == row["drop_quality"]
+            == row["drop_repetition"] == row["drop_duplicate"] == 0
+            else 0
+        )
