@@ -1,0 +1,98 @@
+"""End-to-end curation pipeline runner — the curation-plane analog of
+:mod:`mypipe_spark.runner` (which composes the CDC plane from one
+config): documents → funnel verdicts → PII scrub → temperature mix →
+training shards, with an audit dict of per-stage counts.
+
+One config dict drives the whole run:
+
+    run_curation(spark, {
+        "sf_dir": "/root/testdata/sf0.001",
+        "out_dir": "/tmp/shards",
+        "budget": 200,                 # temperature-mix doc budget
+        "shards_per_stratum": 4,
+        "rows_per_file": 100_000,
+    })
+
+Scale notes: every stage is the SAME composable core its catalog
+query uses (funnel_flags, scrub_documents, mix_select,
+write_training_shards) — the runner adds only joins on doc_id
+(uniform key, no skew) and the final write. The audit counts are
+computed in ONE aggregate over the funnel output plus the final
+write-side count, not a count() per stage.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.catalog import load_tables
+from .plans.curation import funnel_flags, mix_select, scrub_documents
+from .sinks.shards import write_training_shards
+
+
+def curate(docs: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
+    """The lazy pipeline: (final curated+scrubbed+selected docs,
+    funnel flags). Pure plan construction — nothing runs until the
+    caller writes/collects."""
+    flags = funnel_flags(docs)
+    kept_ids = flags.filter(F.col("final_keep") == 1).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    scrubbed = scrub_documents(kept)
+    selected = mix_select(scrubbed, budget=budget).select("doc_id")
+    return scrubbed.join(selected, "doc_id"), flags
+
+
+def run_curation(spark: SparkSession, config: dict[str, Any]) -> dict[str, int]:
+    """Run the full curation pipeline per ``config`` and return the
+    audit counts: input docs, per-reason drops, kept after funnel,
+    selected by the mix, rows written."""
+    sf_dir = config["sf_dir"]
+    out_dir = config["out_dir"]
+    budget = int(config.get("budget", 200))
+    docs = load_tables(spark, sf_dir)["documents"]
+    final, flags = curate(docs, budget)
+
+    write_training_shards(
+        final,
+        out_dir,
+        stratum=str(config.get("stratum", "lang")),
+        key="doc_id",
+        shards_per_stratum=int(config.get("shards_per_stratum", 4)),
+        rows_per_file=int(config.get("rows_per_file", 100_000)),
+        mode=str(config.get("mode", "error")),
+    )
+
+    audit_row = flags.agg(
+        F.count("*").alias("n_input"),
+        F.sum("drop_source").alias("n_drop_source"),
+        F.sum("drop_quality").alias("n_drop_quality"),
+        F.sum("drop_repetition").alias("n_drop_repetition"),
+        F.sum("drop_duplicate").alias("n_drop_duplicate"),
+        F.sum("final_keep").alias("n_kept"),
+    ).collect()[0]
+    audit = {k: int(v) for k, v in audit_row.asDict().items()}
+    audit["n_written"] = spark.read.parquet(out_dir).count()
+    return audit
+
+
+def main() -> int:
+    import json
+    import sys
+
+    from .session import get_spark
+
+    cfg = json.loads(sys.argv[1]) if len(sys.argv) > 1 else {}
+    cfg.setdefault("sf_dir", "/root/testdata/sf0.001")
+    cfg.setdefault("out_dir", "/tmp/curated_shards")
+    cfg.setdefault("mode", "overwrite")
+    spark = get_spark("curate")
+    audit = run_curation(spark, cfg)
+    print(json.dumps(audit))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -162,8 +162,13 @@ def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per lang partition with an rk <= budget pre-filter that
     engages WindowGroupLimit, so each input partition forwards at
     most budget rows per language to the window shuffle."""
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    return mix_select(load_tables(spark, sf_dir)["documents"])
+
+
+def mix_select(docs: DataFrame, budget: int = _MIX_BUDGET) -> DataFrame:
+    """Composable core of curation_mix_temperature over any
+    (doc_id, lang, …) DataFrame — the selection the end-to-end
+    curation runner applies after filtering/scrubbing."""
     counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
     wts = counts.select("lang", "n", F.expr(isqrt_sql("n")).alias("wt"))
     tot = wts.agg(F.sum("wt").cast("bigint").alias("sw"))
@@ -171,7 +176,7 @@ def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.least(
             F.col("n"),
-            F.expr(round_div_sql(f"{_MIX_BUDGET} * wt", "sw", "div")),
+            F.expr(round_div_sql(f"{budget} * wt", "sw", "div")),
         )
         .cast("bigint")
         .alias("lang_target"),
@@ -181,10 +186,10 @@ def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
-        # lang_target <= _MIX_BUDGET by construction (wt <= sw), so this
+        # lang_target <= budget by construction (wt <= sw), so this
         # constant pre-filter cannot drop a selected row — it exists to
         # engage WindowGroupLimit before the data-dependent join filter.
-        .filter(F.col("rk") <= _MIX_BUDGET)
+        .filter(F.col("rk") <= budget)
     )
     return (
         ranked.join(F.broadcast(targets), "lang")
@@ -331,8 +336,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, counts) projection so its branch re-scans cheaply rather
     than re-running the heavy feature subtree (Spark does not reuse
     exchanges across branches). Two real exchanges end to end."""
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    return funnel_flags(load_tables(spark, sf_dir)["documents"])
+
+
+def funnel_flags(docs: DataFrame) -> DataFrame:
+    """Composable core of curation_funnel over any
+    (doc_id, lang, source, n_chars, text) DataFrame."""
     feats = docs.select(
         "doc_id",
         "lang",

@@ -52,3 +52,39 @@ def test_write_training_shards_contract(spark, sf_dir, tmp_path):
             assert ids == sorted(ids)            # per-file key order
             seen += len(ids)
         assert seen == n_rows
+
+
+def test_run_curation_end_to_end(spark, sf_dir, tmp_path):
+    """The config-driven curation runner: funnel drops what the funnel
+    says, the mix respects per-language targets, the written shards
+    are exactly the selected scrubbed docs, and the audit adds up."""
+    from mypipe_spark.curate import run_curation
+    from mypipe_spark.plans.catalog import all_queries
+
+    out = str(tmp_path / "curated")
+    audit = run_curation(
+        spark,
+        {"sf_dir": sf_dir, "out_dir": out, "budget": 120,
+         "shards_per_stratum": 2, "rows_per_file": 50},
+    )
+    funnel = all_queries()["curation_funnel"].fn(spark, sf_dir).collect()
+    n_kept = sum(r["final_keep"] for r in funnel)
+    assert audit["n_input"] == len(funnel)
+    assert audit["n_kept"] == n_kept
+    assert 0 < audit["n_written"] <= min(n_kept, 120 + 10)
+    back = spark.read.parquet(out)
+    # written rows are a subset of kept doc_ids, scrubbed schema
+    kept_ids = {r["doc_id"] for r in funnel if r["final_keep"] == 1}
+    written_ids = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert written_ids <= kept_ids
+    assert audit["n_written"] == len(written_ids)
+    assert {"doc_id", "lang", "source", "text", "n_email"} <= set(back.columns)
+    # mix determinism: re-running into a second dir writes the same ids
+    out2 = str(tmp_path / "curated2")
+    audit2 = run_curation(
+        spark,
+        {"sf_dir": sf_dir, "out_dir": out2, "budget": 120,
+         "shards_per_stratum": 2, "rows_per_file": 50},
+    )
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert ids2 == written_ids and audit2 == audit
