@@ -36,13 +36,20 @@ from .sinks.shards import write_training_shards
 def curate(docs: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
     """The lazy pipeline: (final curated+scrubbed+selected docs,
     funnel flags). Pure plan construction — nothing runs until the
-    caller writes/collects."""
+    caller writes/collects.
+
+    The mix ranks over ``kept`` (pre-scrub), not the scrubbed side:
+    scrubbing never changes doc_id/lang, so the selection is
+    identical, and the mix branch becomes a 2-column
+    (doc_id, lang) projection the parquet scan can column-prune
+    instead of a second full scrub of the corpus."""
     flags = funnel_flags(docs)
     kept_ids = flags.filter(F.col("final_keep") == 1).select("doc_id")
     kept = docs.join(kept_ids, "doc_id")
-    scrubbed = scrub_documents(kept)
-    selected = mix_select(scrubbed, budget=budget).select("doc_id")
-    return scrubbed.join(selected, "doc_id"), flags
+    selected = mix_select(kept.select("doc_id", "lang"), budget=budget).select(
+        "doc_id"
+    )
+    return scrub_documents(kept).join(selected, "doc_id"), flags
 
 
 def run_curation(spark: SparkSession, config: dict[str, Any]) -> dict[str, int]:
@@ -55,27 +62,47 @@ def run_curation(spark: SparkSession, config: dict[str, Any]) -> dict[str, int]:
     docs = load_tables(spark, sf_dir)["documents"]
     final, flags = curate(docs, budget)
 
-    write_training_shards(
-        final,
-        out_dir,
-        stratum=str(config.get("stratum", "lang")),
-        key="doc_id",
-        shards_per_stratum=int(config.get("shards_per_stratum", 4)),
-        rows_per_file=int(config.get("rows_per_file", 100_000)),
-        mode=str(config.get("mode", "error")),
-    )
+    # The flags table feeds three consumers (both join sides inside
+    # the write job, plus the audit aggregate below) and Spark does
+    # not reuse exchanges across actions or branches — persist the
+    # small per-doc flag table once instead of re-running the funnel
+    # per consumer. Unpersisted before returning.
+    flags.persist()
+    try:
+        write_training_shards(
+            final,
+            out_dir,
+            stratum=str(config.get("stratum", "lang")),
+            key="doc_id",
+            shards_per_stratum=int(config.get("shards_per_stratum", 4)),
+            rows_per_file=int(config.get("rows_per_file", 100_000)),
+            mode=str(config.get("mode", "error")),
+        )
 
-    audit_row = flags.agg(
-        F.count("*").alias("n_input"),
-        F.sum("drop_source").alias("n_drop_source"),
-        F.sum("drop_quality").alias("n_drop_quality"),
-        F.sum("drop_repetition").alias("n_drop_repetition"),
-        F.sum("drop_duplicate").alias("n_drop_duplicate"),
-        F.sum("final_keep").alias("n_kept"),
-    ).collect()[0]
-    audit = {k: int(v) for k, v in audit_row.asDict().items()}
-    audit["n_written"] = spark.read.parquet(out_dir).count()
-    return audit
+        # COALESCE: SUM over zero rows is NULL — an empty corpus must
+        # audit as zeros, not crash.
+        audit_row = flags.agg(
+            F.count("*").alias("n_input"),
+            *[
+                F.coalesce(F.sum(c), F.lit(0)).alias(f"n_{c}")
+                for c in (
+                    "drop_source",
+                    "drop_quality",
+                    "drop_repetition",
+                    "drop_duplicate",
+                )
+            ],
+            F.coalesce(F.sum("final_keep"), F.lit(0)).alias("n_kept"),
+        ).collect()[0]
+        audit = {k: int(v) for k, v in audit_row.asDict().items()}
+        # Explicit schema: a run where nothing survived writes only
+        # _SUCCESS, and schema inference over zero files would raise.
+        audit["n_written"] = (
+            spark.read.schema(final.schema).parquet(out_dir).count()
+        )
+        return audit
+    finally:
+        flags.unpersist()
 
 
 def main() -> int:

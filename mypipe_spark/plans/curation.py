@@ -20,7 +20,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import isqrt_sql, load_tables, register, round4_frac_sql, round_div_sql
-from .textops import N_STOP_DUCK, N_TOKENS_DUCK, n_stop_col, n_tokens_col, quality_keep_sql
+from .dedup import NORM_TEXT_DUCK, norm_text_col
+from .textops import (
+    N_STOP_DUCK,
+    N_TOKENS_DUCK,
+    REP_CTES_DUCK,
+    REP_TOP_CNT_SPARK,
+    n_stop_col,
+    n_tokens_col,
+    quality_keep_sql,
+    rep_keep_sql,
+)
 
 # ---------------------------------------------------------------------------
 # PII scrubbing
@@ -267,9 +277,6 @@ def curation_source_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full curation funnel (composite keep/drop with reasons)
 # ---------------------------------------------------------------------------
 
-from .dedup import _NORM_DUCK, _norm_col
-from .textops import REP_CTES_DUCK, REP_TOP_CNT_SPARK, rep_keep_sql
-
 _FUNNEL_ORACLE = f"""
     WITH {REP_CTES_DUCK},
     feats AS (
@@ -289,7 +296,7 @@ _FUNNEL_ORACLE = f"""
              COALESCE(tc.top_cnt, 0) AS top_cnt
       FROM w LEFT JOIN tc ON tc.doc_id = w.doc_id),
     norm AS (
-      SELECT doc_id, n_chars, {_NORM_DUCK} AS ntext FROM documents),
+      SELECT doc_id, n_chars, {NORM_TEXT_DUCK} AS ntext FROM documents),
     rnk AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (PARTITION BY md5(ntext)
@@ -350,7 +357,7 @@ def funnel_flags(docs: DataFrame) -> DataFrame:
         F.split("text", " ").alias("ws"),
         n_tokens_col().alias("n_tokens"),
         n_stop_col().alias("n_stop"),
-        F.md5(_norm_col().cast("binary")).alias("nhash"),
+        F.md5(norm_text_col().cast("binary")).alias("nhash"),
     ).select(
         "doc_id",
         "lang",

@@ -1097,15 +1097,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Text canonicalization (lowercase, strip non-alphanumerics, collapse
 # whitespace) — ONE definition per dialect, shared by
-# dedup_exact_normalized and dedup_keep_best so "same document modulo
-# formatting" cannot mean two different things.
-_NORM_DUCK = (
+# dedup_exact_normalized, dedup_keep_best and the curation funnel
+# (plans/curation.py) so "same document modulo formatting" cannot
+# mean two different things. Public: cross-module consumers import
+# these by name.
+NORM_TEXT_DUCK = (
     "trim(regexp_replace(regexp_replace(lower(text),"
     " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 )
 
 
-def _norm_col():
+def norm_text_col():
     return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
@@ -1119,7 +1121,7 @@ def _norm_col():
     "dedup_exact_normalized",
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id, {_NORM_DUCK} AS ntext
+      SELECT doc_id, {NORM_TEXT_DUCK} AS ntext
       FROM documents)
     SELECT md5(ntext) AS text_hash,
            MIN(doc_id) AS canonical_doc_id,
@@ -1138,7 +1140,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag (its regexp_replace is first-match by default where Spark's
     replaces all)."""
     t = load_tables(spark, sf_dir)
-    ntext = _norm_col()
+    ntext = norm_text_col()
     return (
         t["documents"]
         .select("doc_id", ntext.alias("ntext"))
@@ -1158,7 +1160,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_best",
     oracle=f"""
     WITH norm AS (
-      SELECT doc_id, n_chars, {_NORM_DUCK} AS ntext
+      SELECT doc_id, n_chars, {NORM_TEXT_DUCK} AS ntext
       FROM documents),
     ranked AS (
       SELECT doc_id,
@@ -1193,7 +1195,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = t["documents"].select(
         "doc_id",
         "n_chars",
-        F.md5(_norm_col().cast("binary")).alias("text_hash"),
+        F.md5(norm_text_col().cast("binary")).alias("text_hash"),
     )
     wp = Window.partitionBy("text_hash")
     wr = wp.orderBy(F.desc("n_chars"), "doc_id")

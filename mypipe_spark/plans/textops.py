@@ -529,7 +529,15 @@ def text_subtoken_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TFIDF_TOP = 3
-_IDF_SCALE = 1_000_000  # rational idf: (N * scale) // df — exact integers
+# Rational idf: (N * scale) // df — exact integers. The scale and the
+# saturating tf cap together BOUND the score in BIGINT at any corpus
+# size: score <= TF_CAP * N * IDF_SCALE <= 1e5 * N * 1e3, which stays
+# under 2^63 for corpora up to ~9e10 documents (a 1e6 idf scale with
+# uncapped tf overflows at the 100 TB brief's own scale — a df=1 term
+# repeated enough in one document — and Spark 4 ANSI mode / DuckDB
+# both turn that into a runtime error, not a wrap).
+_IDF_SCALE = 1_000
+_TF_CAP = 100_000
 
 
 @register(
@@ -545,7 +553,8 @@ _IDF_SCALE = 1_000_000  # rational idf: (N * scale) // df — exact integers
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT t.doc_id, t.term, t.tf, d.df,
-             t.tf * ((n.n_docs * {_IDF_SCALE}) // d.df) AS score
+             LEAST(t.tf, {_TF_CAP}) * ((n.n_docs * {_IDF_SCALE}) // d.df)
+               AS score
       FROM tf t JOIN df d ON d.term = t.term, n),
     ranked AS (
       SELECT doc_id, term, tf, df, score,
@@ -559,11 +568,13 @@ _IDF_SCALE = 1_000_000  # rational idf: (N * scale) // df — exact integers
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: the {k} highest TF-IDF terms
-    per doc. IDF is the RATIONAL form (N·10⁶) div df — a monotone
+    per doc. IDF is the RATIONAL form (N·10³) div df — a monotone
     integer-exact stand-in for log(N/df), so scores are BIGINTs both
     engines compute identically (a log-based idf is a double whose
-    libm rounding the two engines need not share). Tie-break is
-    (score desc, term asc) so both engines pick identical rows.
+    libm rounding the two engines need not share); tf saturates at
+    {cap} so the score provably fits BIGINT at any realistic corpus
+    size (see the constants' note). Tie-break is (score desc, term
+    asc) so both engines pick identical rows.
 
     Scale shape: tf is one (doc,term) map-side-combinable aggregate
     off the exploded scan; df is a second combinable aggregate over
@@ -591,7 +602,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             "df",
-            F.expr(f"tf * ((n_docs * {_IDF_SCALE}) div df)").alias("score"),
+            F.expr(
+                f"least(tf, {_TF_CAP}L) * ((n_docs * {_IDF_SCALE}) div df)"
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")

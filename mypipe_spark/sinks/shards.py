@@ -19,11 +19,15 @@ Scale design (the part that must survive 100 TB):
   exchange);
 - ``maxRecordsPerFile`` caps file size irrespective of partition
   sizing, so loader-side memory is bounded;
-- the writer claims NO exact file count (Spark may merge small
-  hash groups into one task); the contract is bounded files,
-  stratum-pure directories, per-file order, and deterministic
-  row→shard assignment (xxhash64 of the key — rerunning the export
-  reshuffles nothing).
+- the writer claims NO exact file count or stable file boundaries:
+  row→shard-ID assignment is deterministic (xxhash64 of the key),
+  but which task writes which (stratum, shard) groups — and hence
+  the file layout — depends on the session's shuffle-partition
+  count and AQE coalescing, so two sessions with different configs
+  produce different file sets over the same rows. The contract a
+  loader may rely on is: bounded per-file rows, stratum-pure
+  directories, and per-file key order. Rerunning under the SAME
+  session config is file-for-file reproducible.
 """
 
 from __future__ import annotations

@@ -88,3 +88,25 @@ def test_run_curation_end_to_end(spark, sf_dir, tmp_path):
     )
     ids2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
     assert ids2 == written_ids and audit2 == audit
+
+
+def test_run_curation_zero_survivors(spark, tmp_path):
+    """A corpus where nothing passes the funnel must audit as zeros —
+    not crash on schema inference over a data-file-less write or on
+    NULL aggregate sums (review regression)."""
+    import mypipe_spark.curate as cur
+
+    docs = spark.createDataFrame(
+        [(i, "en", "src0", "too short", 9) for i in range(5)],
+        "doc_id int, lang string, source string, text string, n_chars int",
+    )
+    real = cur.load_tables
+    try:
+        cur.load_tables = lambda spark, sf_dir: {"documents": docs}
+        audit = cur.run_curation(
+            spark, {"sf_dir": "x", "out_dir": str(tmp_path / "empty_out")}
+        )
+    finally:
+        cur.load_tables = real
+    assert audit["n_kept"] == 0 and audit["n_written"] == 0
+    assert audit["n_input"] == 5 and audit["n_drop_quality"] == 5
