@@ -423,3 +423,42 @@ def scrub_documents(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", "lang", "source", _redacted_col().alias("text"), *counts
     )
+
+
+def gate_documents(docs: DataFrame) -> DataFrame:
+    """The funnel's STATELESS stages (quality gate + repetition gate)
+    as a per-document projection — safe on a live streaming
+    DataFrame, where the corpus-wide stages (source keep-rate,
+    duplicate resolution) cannot run without a batch/foreachBatch
+    boundary. Shares the exact gate expressions with the funnel, so
+    a document gated out on the stream is gated out in the batch
+    audit too (tests/test_windows.py pins stream == batch)."""
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.split("text", " ").alias("ws"),
+        n_tokens_col().alias("n_tokens"),
+        n_stop_col().alias("n_stop"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "n_tokens",
+        "n_stop",
+        F.greatest(F.size("ws") - 1, F.lit(0)).alias("n_bigrams"),
+        F.expr(REP_TOP_CNT_SPARK).alias("top_cnt"),
+    )
+    quality = F.expr(quality_keep_sql("n_stop", "n_tokens"))
+    repetition = F.expr(rep_keep_sql("top_cnt", "n_bigrams"))
+    return feats.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        quality.alias("quality_keep"),
+        repetition.alias("repetition_keep"),
+        (quality * repetition).alias("gate_keep"),
+    )

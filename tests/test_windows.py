@@ -647,3 +647,38 @@ def test_pii_scrub_streaming_equals_batch(spark, tmp_path):
     assert "<CARD>" in by_id[2][3]
     assert "<IP>" in by_id[3][3] and "<PHONE>" in by_id[3][3]
     assert by_id[4][3] == "nothing sensitive here"
+
+
+def test_document_gates_streaming_equal_batch_and_funnel(spark, tmp_path, sf_dir):
+    """gate_documents (the funnel's stateless stages) streams to the
+    same verdicts as batch, and each verdict equals the funnel's
+    corresponding flag on the same corpus."""
+    from mypipe_spark.plans.catalog import all_queries
+    from mypipe_spark.plans.curation import gate_documents
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import os
+
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
+    q = (
+        gate_documents(stream_docs)
+        .writeStream.format("memory").queryName("docgates")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(map(tuple, spark.sql("select * from docgates").collect()))
+    want = sorted(map(tuple, gate_documents(batch_docs).collect()))
+    assert got == want and len(got) > 0
+    funnel = {
+        r["doc_id"]: r
+        for r in all_queries()["curation_funnel"].fn(spark, sf_dir).collect()
+    }
+    for row in got:
+        f = funnel[row[0]]
+        assert row[4] == 1 - f["drop_quality"]      # quality_keep
+        assert row[5] == 1 - f["drop_repetition"]   # repetition_keep
