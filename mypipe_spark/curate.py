@@ -105,6 +105,44 @@ def run_curation(spark: SparkSession, config: dict[str, Any]) -> dict[str, int]:
         flags.unpersist()
 
 
+def run_streaming_curation(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    **shard_kwargs: Any,
+):
+    """Continuous curation: the stateless gates (quality, repetition)
+    and the PII scrub run per-row on a live document stream, and each
+    microbatch lands as training shards (append). Returns the started
+    StreamingQuery.
+
+    Division of labor at scale: per-row gates/scrub belong ON the
+    stream (no state, no watermark); the corpus-wide stages — source
+    keep-rates, duplicate resolution, temperature mix — are batch
+    jobs over the landed shards (run_curation), because their
+    verdicts depend on the whole corpus, not the row. foreachBatch
+    reuses write_training_shards verbatim, so batch and streaming
+    exports share one layout contract."""
+    from .plans.curation import gate_documents
+
+    gated = (
+        gate_documents(stream_docs)
+        .filter(F.col("gate_keep") == 1)
+        .select("doc_id", "lang", "source", "text")
+    )
+    scrubbed = scrub_documents(gated)
+
+    def _write(df: DataFrame, _epoch: int) -> None:
+        write_training_shards(df, out_dir, mode="append", **shard_kwargs)
+
+    return (
+        scrubbed.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def main() -> int:
     import json
     import sys

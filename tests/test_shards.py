@@ -110,3 +110,41 @@ def test_run_curation_zero_survivors(spark, tmp_path):
         cur.load_tables = real
     assert audit["n_kept"] == 0 and audit["n_written"] == 0
     assert audit["n_input"] == 5 and audit["n_drop_quality"] == 5
+
+
+def test_streaming_curation_matches_batch_gates(spark, sf_dir, tmp_path):
+    """run_streaming_curation lands exactly the rows the batch
+    gate+scrub pipeline produces, in the same shard layout contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.curate import run_streaming_curation
+    from mypipe_spark.plans.curation import gate_documents, scrub_documents
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
+    out = str(tmp_path / "stream_shards")
+    q = run_streaming_curation(
+        spark, stream_docs, out, str(tmp_path / "ckpt"),
+        shards_per_stratum=2, rows_per_file=50,
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = sorted(
+        map(
+            tuple,
+            scrub_documents(
+                gate_documents(batch_docs)
+                .filter(F.col("gate_keep") == 1)
+                .select("doc_id", "lang", "source", "text")
+            ).collect(),
+        )
+    )
+    back = spark.read.parquet(out)
+    cols = scrub_documents(batch_docs).columns
+    got = sorted(map(tuple, back.select(cols).collect()))
+    assert got == want and len(got) > 0
