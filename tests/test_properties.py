@@ -304,3 +304,27 @@ def test_txid_to_guid_total_and_deterministic(txid):
            "integers": {"id": 1}, "strings": None, "bytes": None, "longs": None}
     out = decode_reference_record("insert", encode_reference_record("insert", rec))
     assert out["txid"] == str(g1)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 52) - 1),
+                min_size=1, max_size=50))
+@settings(max_examples=30, deadline=None)
+def test_isqrt_sql_matches_math_isqrt(ns):
+    """catalog.isqrt_sql == math.isqrt over arbitrary 52-bit inputs
+    (the boundary pin in test_newops covers perfect squares; this
+    covers breadth). DuckDB evaluates the shared expression text —
+    the Spark evaluation of the same text is pinned separately."""
+    import math
+
+    import duckdb
+
+    from mypipe_spark.plans.catalog import isqrt_sql
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT n, " + isqrt_sql("n")
+        + " FROM (SELECT UNNEST(?::BIGINT[]) AS n)",
+        [ns],
+    ).fetchall()
+    for n, s in rows:
+        assert s == math.isqrt(n), (n, s)
