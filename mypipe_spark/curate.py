@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .plans.catalog import load_tables
-from .plans.curation import funnel_flags, mix_select, scrub_documents
+from .plans.curation import (
+    funnel_flags,
+    gate_documents,
+    mix_select,
+    scrub_documents,
+)
 from .sinks.shards import write_training_shards
 
 
@@ -52,14 +57,28 @@ def curate(docs: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
     return scrub_documents(kept).join(selected, "doc_id"), flags
 
 
-def run_curation(spark: SparkSession, config: dict[str, Any]) -> dict[str, int]:
+def run_curation(
+    spark: SparkSession,
+    config: dict[str, Any],
+    docs: DataFrame | None = None,
+) -> dict[str, int]:
     """Run the full curation pipeline per ``config`` and return the
     audit counts: input docs, per-reason drops, kept after funnel,
-    selected by the mix, rows written."""
-    sf_dir = config["sf_dir"]
+    selected by the mix, rows written.
+
+    ``docs`` overrides the default ``sf_dir`` corpus — pass e.g.
+    ``spark.read.parquet(landed_shards)`` to run the corpus-wide
+    stages over a streaming export's output. A corpus without
+    ``n_chars`` (the streamed shards drop it) gets the column derived
+    from the surviving text, which is exactly the richness signal the
+    duplicate resolution ranks on."""
+    sf_dir = config.get("sf_dir")
     out_dir = config["out_dir"]
     budget = int(config.get("budget", 200))
-    docs = load_tables(spark, sf_dir)["documents"]
+    if docs is None:
+        docs = load_tables(spark, sf_dir)["documents"]
+    if "n_chars" not in docs.columns:
+        docs = docs.withColumn("n_chars", F.length("text"))
     final, flags = curate(docs, budget)
 
     # The flags table feeds three consumers (both join sides inside
@@ -120,12 +139,24 @@ def run_streaming_curation(
     Division of labor at scale: per-row gates/scrub belong ON the
     stream (no state, no watermark); the corpus-wide stages — source
     keep-rates, duplicate resolution, temperature mix — are batch
-    jobs over the landed shards (run_curation), because their
-    verdicts depend on the whole corpus, not the row. foreachBatch
-    reuses write_training_shards verbatim, so batch and streaming
-    exports share one layout contract."""
-    from .plans.curation import gate_documents
+    jobs over the landed output, because their verdicts depend on the
+    whole corpus, not the row:
+    ``run_curation(spark, cfg, docs=spark.read.parquet(out_dir))``
+    (run_curation re-derives the ``n_chars`` the shards drop).
+    foreachBatch reuses write_training_shards verbatim, so batch and
+    streaming exports share one layout contract.
 
+    Exactly-once: foreachBatch is at-least-once, and a bare parquet
+    append would duplicate a replayed microbatch's rows. Each epoch
+    therefore lands under its own ``epoch=<id>`` directory with
+    mode=overwrite — a replay rewrites the same directory, so the
+    landed corpus is idempotent and still one partition-discoverable
+    parquet tree."""
+    if "mode" in shard_kwargs:
+        raise TypeError(
+            "run_streaming_curation owns the write mode (epoch-keyed "
+            "overwrite for replay idempotency); 'mode' is not accepted"
+        )
     gated = (
         gate_documents(stream_docs)
         .filter(F.col("gate_keep") == 1)
@@ -133,8 +164,10 @@ def run_streaming_curation(
     )
     scrubbed = scrub_documents(gated)
 
-    def _write(df: DataFrame, _epoch: int) -> None:
-        write_training_shards(df, out_dir, mode="append", **shard_kwargs)
+    def _write(df: DataFrame, epoch: int) -> None:
+        write_training_shards(
+            df, f"{out_dir}/epoch={epoch}", mode="overwrite", **shard_kwargs
+        )
 
     return (
         scrubbed.writeStream.foreachBatch(_write)

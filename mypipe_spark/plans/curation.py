@@ -346,28 +346,41 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_flags(load_tables(spark, sf_dir)["documents"])
 
 
-def funnel_flags(docs: DataFrame) -> DataFrame:
-    """Composable core of curation_funnel over any
-    (doc_id, lang, source, n_chars, text) DataFrame."""
-    feats = docs.select(
+def _doc_feats(docs: DataFrame, extra: list) -> DataFrame:
+    """ONE per-document feature projection shared by funnel_flags and
+    gate_documents — the stream==batch guarantee those two advertise
+    rests on the token/stopword/repetition features being the same
+    expressions, so they are built in exactly one place. ``extra`` is
+    a list of (name, Column) pairs to carry alongside."""
+    return docs.select(
         "doc_id",
         "lang",
         "source",
-        "n_chars",
+        *[c.alias(n) for n, c in extra],
         F.split("text", " ").alias("ws"),
         n_tokens_col().alias("n_tokens"),
         n_stop_col().alias("n_stop"),
-        F.md5(norm_text_col().cast("binary")).alias("nhash"),
     ).select(
         "doc_id",
         "lang",
         "source",
-        "n_chars",
+        *[n for n, _ in extra],
         "n_tokens",
         "n_stop",
-        "nhash",
         F.greatest(F.size("ws") - 1, F.lit(0)).alias("n_bigrams"),
         F.expr(REP_TOP_CNT_SPARK).alias("top_cnt"),
+    )
+
+
+def funnel_flags(docs: DataFrame) -> DataFrame:
+    """Composable core of curation_funnel over any
+    (doc_id, lang, source, n_chars, text) DataFrame."""
+    feats = _doc_feats(
+        docs,
+        [
+            ("n_chars", F.col("n_chars")),
+            ("nhash", F.md5(norm_text_col().cast("binary"))),
+        ],
     )
     lean = docs.select(
         "source", n_tokens_col().alias("n_tokens"), n_stop_col().alias("n_stop")
@@ -433,24 +446,7 @@ def gate_documents(docs: DataFrame) -> DataFrame:
     boundary. Shares the exact gate expressions with the funnel, so
     a document gated out on the stream is gated out in the batch
     audit too (tests/test_windows.py pins stream == batch)."""
-    feats = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.split("text", " ").alias("ws"),
-        n_tokens_col().alias("n_tokens"),
-        n_stop_col().alias("n_stop"),
-    ).select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        "n_tokens",
-        "n_stop",
-        F.greatest(F.size("ws") - 1, F.lit(0)).alias("n_bigrams"),
-        F.expr(REP_TOP_CNT_SPARK).alias("top_cnt"),
-    )
+    feats = _doc_feats(docs, [("text", F.col("text"))])
     quality = F.expr(quality_keep_sql("n_stop", "n_tokens"))
     repetition = F.expr(rep_keep_sql("top_cnt", "n_bigrams"))
     return feats.select(

@@ -15,3 +15,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+def drain_stream(q):
+    """processAllAvailable + guaranteed stop — a raising drain must
+    not leak a running StreamingQuery into the session-scoped spark
+    fixture shared by later tests."""
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

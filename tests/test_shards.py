@@ -128,12 +128,13 @@ def test_streaming_curation_matches_batch_gates(spark, sf_dir, tmp_path):
     os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
     stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
     out = str(tmp_path / "stream_shards")
+    from conftest import drain_stream
+
     q = run_streaming_curation(
         spark, stream_docs, out, str(tmp_path / "ckpt"),
         shards_per_stratum=2, rows_per_file=50,
     )
-    q.processAllAvailable()
-    q.stop()
+    drain_stream(q)
     want = sorted(
         map(
             tuple,
@@ -148,3 +149,37 @@ def test_streaming_curation_matches_batch_gates(spark, sf_dir, tmp_path):
     cols = scrub_documents(batch_docs).columns
     got = sorted(map(tuple, back.select(cols).collect()))
     assert got == want and len(got) > 0
+
+
+def test_batch_curation_over_landed_stream_shards(spark, sf_dir, tmp_path):
+    """The documented division of labor actually composes: run the
+    corpus-wide stages (run_curation) over a streaming export's
+    landed shards — n_chars is re-derived, nothing crashes, and the
+    audit is over exactly the landed rows."""
+    import os
+
+    from conftest import drain_stream
+    from mypipe_spark.curate import run_curation, run_streaming_curation
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
+    landed = str(tmp_path / "landed")
+    drain_stream(
+        run_streaming_curation(
+            spark, stream_docs, landed, str(tmp_path / "ckpt"),
+            shards_per_stratum=2, rows_per_file=100,
+        )
+    )
+    shards = spark.read.parquet(landed)
+    audit = run_curation(
+        spark,
+        {"out_dir": str(tmp_path / "final"), "budget": 50},
+        docs=shards.select("doc_id", "lang", "source", "text"),
+    )
+    assert audit["n_input"] == shards.count()
+    # the stream already applied the quality/repetition gates
+    assert audit["n_drop_quality"] == 0 and audit["n_drop_repetition"] == 0
+    assert 0 < audit["n_written"] <= audit["n_kept"]
