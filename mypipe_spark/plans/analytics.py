@@ -32,9 +32,11 @@ from .catalog import (
     APPROX_RSD,
     PCTL_ACCURACY,
     load_tables,
+    micro_quant_sql,
     register,
     round4_double_sql,
     round_div_sql,
+    round_micro_ratio_sql,
 )
 
 _DEC = "decimal(38,6)"
@@ -1128,3 +1130,79 @@ def q_customer_balance_deciles_check(spark: SparkSession, sf_dir: str) -> DataFr
     for ck in checks[1:]:
         all_ok = all_ok & ck
     return g.select(F.col("n").alias("n_customers"), all_ok.alias("all_cuts_ok"))
+
+
+# ---------------------------------------------------------------------------
+# interval RANGE window frame (trailing moving aggregate)
+# ---------------------------------------------------------------------------
+
+_TRAIL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@register(
+    "events_trailing_1h",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             value
+      FROM events),
+    win AS (
+      SELECT event_id, user_id, us,
+             COUNT(*) OVER w AS n_1h,
+             CAST(SUM({micro_quant_sql('value')}) OVER w AS BIGINT)
+               AS sum_micro_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, n_1h, sum_micro_1h,
+           {round_micro_ratio_sql('sum_micro_1h', '(n_1h * 1000000)', 1, 4, '//')}
+             AS avg_1h
+    FROM win
+    """,
+    tags=("window", "range-frame", "timeseries"),
+)
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving aggregate per user via an interval RANGE
+    window frame — the event-time sliding metric (rate limiting,
+    rolling spend, anomaly baselines) that ROWS frames cannot express
+    because it must follow the clock, not the row count. The frame
+    orders on integer epoch-microseconds so both engines resolve
+    identical bounds (RANGE peers — equal timestamps — are included
+    by both by definition); the moving SUM runs over exact micro-unit
+    decimals (shared micro_quant_sql quantization) so no
+    order-dependent double accumulation ever exists, and the average
+    renders through the exact integer rounding helpers.
+
+    Scale shape: one exchange on user_id (uniform key), then a linear
+    per-partition frame scan; output is one row per event, never
+    materializing per-window row sets."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    win = e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.expr(micro_quant_sql("value"))).over(w).cast("bigint").alias("sum_micro_1h"),
+    )
+    return win.select(
+        "event_id",
+        "user_id",
+        "n_1h",
+        "sum_micro_1h",
+        F.expr(
+            round_micro_ratio_sql(
+                "sum_micro_1h", "(n_1h * 1000000)", 1, 4, "div"
+            )
+        ).alias("avg_1h"),
+    )

@@ -250,8 +250,16 @@ def micro_sum_sql(expr: str) -> str:
     for per-row values under 10¹⁸ and group sums under 10³². Use with
     :func:`round_micro_ratio_sql` to round a ratio of sums without a
     double quotient ever existing."""
+    return f"SUM({micro_quant_sql(expr)})"
+
+
+def micro_quant_sql(expr: str) -> str:
+    """The per-row micro-unit quantization ``micro_sum_sql`` sums —
+    exposed separately so WINDOW aggregates (which need the summand
+    as a column, not a pre-baked SUM(...) string) quantize through
+    the identical expression."""
     q = f"CAST(CAST({expr} AS DECIMAL(38,6)) AS DECIMAL(24,6))"
-    return f"SUM(CAST({q} * 1000000 AS DECIMAL(32,0)))"
+    return f"CAST({q} * 1000000 AS DECIMAL(32,0))"
 
 
 def round_micro_ratio_sql(
