@@ -1206,3 +1206,44 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("avg_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (melt) — the inverse of q_pivot_events_daily
+# ---------------------------------------------------------------------------
+
+_MELT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_unpivot_lineitem_measures",
+    oracle=f"""
+    WITH m AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS measure, {c} AS v FROM lineitem"
+          for c in _MELT_MEASURES)})
+    SELECT measure, COUNT(*) AS n, {_sql_money('v', 'total')}
+    FROM m GROUP BY measure
+    """,
+    tags=("unpivot", "agg"),
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of the lineitem measures plus a per-measure
+    rollup — the melt step feeding generic profiling/metric sinks
+    (the inverse shape of the pivot query). Spark's ``stack``
+    unpivots in ONE scan of the fact table where the relational
+    UNION-ALL form (the oracle) reads it once per measure — at 100 TB
+    that is a 4x scan saving for identical results; the aggregate
+    stays map-side combinable with exact decimal money sums."""
+    t = load_tables(spark, sf_dir)
+    n = len(_MELT_MEASURES)
+    args = ", ".join(f"'{c}', {c}" for c in _MELT_MEASURES)
+    return (
+        t["lineitem"]
+        .selectExpr(f"stack({n}, {args}) AS (measure, v)")
+        .groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            _money(F.col("v"), "total"),
+        )
+    )
