@@ -309,7 +309,10 @@ _FUNNEL_ORACLE = f"""
              1 - {rep_keep_sql('r.top_cnt', 'r.n_bigrams')} AS drop_repetition,
              CASE WHEN k.rk > 1 THEN 1 ELSE 0 END AS drop_duplicate
       FROM feats f
-      JOIN sagg s ON s.source = f.source
+      -- NULL-safe: a NULL-source document belongs to the NULL-source
+      -- stratum (GROUP BY keeps it); a plain equi-join would silently
+      -- DROP such rows and the audit would no longer be total.
+      JOIN sagg s ON s.source IS NOT DISTINCT FROM f.source
       JOIN rep r ON r.doc_id = f.doc_id
       JOIN rnk k ON k.doc_id = f.doc_id)
     SELECT doc_id, lang, source, drop_source, drop_quality,
@@ -397,7 +400,14 @@ def funnel_flags(docs: DataFrame) -> DataFrame:
     )
     wr = Window.partitionBy("nhash").orderBy(F.desc("n_chars"), "doc_id")
     ranked = feats.withColumn("rk", F.row_number().over(wr))
-    flags = ranked.join(F.broadcast(sagg), "source").select(
+    # eqNullSafe mirrors the oracle's IS NOT DISTINCT FROM: the audit
+    # must stay TOTAL over input docs, and an equi-join would silently
+    # drop every NULL-source row (observed on a planted corpus; the
+    # driver corpus has no NULLs so parity alone could not catch it).
+    sagg_r = F.broadcast(sagg.withColumnRenamed("source", "__src"))
+    flags = ranked.join(
+        sagg_r, F.col("source").eqNullSafe(F.col("__src"))
+    ).select(
         "doc_id",
         "lang",
         "source",

@@ -389,3 +389,26 @@ def test_funnel_agrees_with_standalone_gates(spark, sf_dir):
             == row["drop_repetition"] == row["drop_duplicate"] == 0
             else 0
         )
+
+
+def test_funnel_total_over_null_metadata(spark):
+    """The funnel audit must be TOTAL: documents with NULL source /
+    lang / text still get a verdict row (a plain equi-join on source
+    silently dropped NULL-source rows — regression). NULL text gates
+    out on quality; the NULL-source stratum gets its own keep-rate."""
+    from mypipe_spark.plans.curation import funnel_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "s0", None, 0),
+            (2, "en", None, "the a of to and in " * 5, 95),
+            (3, None, None, None, None),
+            (4, "en", "s0", "the a of to and in " * 5, 95),
+        ],
+        "doc_id int, lang string, source string, text string, n_chars int",
+    )
+    rows = {r["doc_id"]: r for r in funnel_flags(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}            # nothing lost
+    assert rows[1]["drop_quality"] == 1         # NULL text fails the gate
+    assert rows[3]["drop_quality"] == 1
+    assert rows[2]["drop_quality"] == 0         # stopword-rich, 95 tokens
