@@ -270,3 +270,149 @@ def multimodal_media_dedup(spark, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     meta = decode_media(synthetic_media(spark, t["documents"]))
     return media_dedup(meta)
+
+
+# ---------------------------------------------------------------------------
+# resize plan + feature extraction (the remaining multimodal stages)
+# ---------------------------------------------------------------------------
+
+_RESIZE_MAX_DIM = 512
+
+MEDIA_FEAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("f0", IntegerType(), False),
+        StructField("f1", IntegerType(), False),
+        StructField("f2", IntegerType(), False),
+        StructField("f3", IntegerType(), False),
+    ]
+)
+
+
+def resize_plan(meta: DataFrame, max_dim: int = _RESIZE_MAX_DIM) -> DataFrame:
+    """Image resize *plan*: aspect-preserving target dimensions in
+    pure integer arithmetic (scale so the longer side equals
+    ``max_dim``; never upscale). The pixel resample itself would be
+    the next mapInPandas stage keyed by media_id — this computes WHAT
+    to decode-and-resize without touching bytes, exactly like
+    frame_sample_plan computes the frame work list."""
+    m = F.greatest(F.col("width"), F.col("height"))
+    scale = lambda c: F.greatest(  # noqa: E731 - tiny local combinator
+        F.lit(1), F.expr(f"({c} * {max_dim}) div greatest(width, height)")
+    )
+    return (
+        meta.filter(F.col("media_type") == "image")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.when(m <= max_dim, F.col("width"))
+            .otherwise(scale("width"))
+            .cast("int")
+            .alias("new_width"),
+            F.when(m <= max_dim, F.col("height"))
+            .otherwise(scale("height"))
+            .cast("int")
+            .alias("new_height"),
+            F.when(m <= max_dim, 0).otherwise(1).alias("resized"),
+        )
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage: blobs → fixed-width feature columns
+    via one Arrow-batched mapInPandas pass (the embedding-model /
+    CLIP-encoder slot). The stub derives features from the content
+    hash so the oracle can recompute them; a real extractor swaps the
+    body and keeps the schema, batching, and shuffle shape."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.media) if row.media is not None else b""
+                d = hashlib.sha256(blob).digest()
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "media_type": row.media_type,
+                        "f0": d[0],
+                        "f1": d[1],
+                        "f2": d[2],
+                        "f3": d[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FEAT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(feats, MEDIA_FEAT_SCHEMA)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CAST('0x' || substr(sha256(text), 1, 16) AS UBIGINT) AS hv
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 0),
+    dims AS (
+      SELECT media_id,
+             CAST(64 + hv % 1024 AS INT) AS width,
+             CAST(64 + (hv >> 10) % 1024 AS INT) AS height
+      FROM media)
+    SELECT media_id, width, height,
+           CAST(CASE WHEN GREATEST(width, height) <= {_RESIZE_MAX_DIM}
+                THEN width
+                ELSE GREATEST(1, (width * {_RESIZE_MAX_DIM})
+                                 // GREATEST(width, height)) END AS INT)
+             AS new_width,
+           CAST(CASE WHEN GREATEST(width, height) <= {_RESIZE_MAX_DIM}
+                THEN height
+                ELSE GREATEST(1, (height * {_RESIZE_MAX_DIM})
+                                 // GREATEST(width, height)) END AS INT)
+             AS new_height,
+           CASE WHEN GREATEST(width, height) <= {_RESIZE_MAX_DIM}
+                THEN 0 ELSE 1 END AS resized
+    FROM dims
+    """,
+    tags=("multimodal", "image", "pandas-udf"),
+)
+def multimodal_resize_plan(spark, sf_dir: str) -> DataFrame:
+    """Image resize planning driven end-to-end: blobs → mapInPandas
+    decode (stub yields sha-derived dimensions) → aspect-preserving
+    integer target dims. The oracle recomputes the stub's dimensions
+    with UBIGINT hex arithmetic and applies the same integer scaling,
+    so the Python decode AND the resize arithmetic are value-checked.
+    At 100 TB the plan rows are the work list a resample stage
+    consumes in (media_id) batches."""
+    t = load_tables(spark, sf_dir)
+    meta = decode_media(synthetic_media(spark, t["documents"]))
+    return resize_plan(meta)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           CAST('0x' || substr(sha256(text), 1, 2) AS INT) AS f0,
+           CAST('0x' || substr(sha256(text), 3, 2) AS INT) AS f1,
+           CAST('0x' || substr(sha256(text), 5, 2) AS INT) AS f2,
+           CAST('0x' || substr(sha256(text), 7, 2) AS INT) AS f3
+    FROM documents
+    """,
+    tags=("multimodal", "features", "pandas-udf"),
+)
+def multimodal_feature_extract(spark, sf_dir: str) -> DataFrame:
+    """The feature-extraction (encoder) slot driven end-to-end: blobs
+    → Arrow-batched mapInPandas → per-media feature columns. The
+    oracle recomputes the stub features from the source bytes'
+    sha256, proving the batch path preserves every value; swapping in
+    a real encoder changes the UDF body only."""
+    t = load_tables(spark, sf_dir)
+    return extract_features(synthetic_media(spark, t["documents"]))

@@ -159,8 +159,10 @@ def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
     allowed = {
         "ann_topk_pandas",
         "multimodal_decode_stats",
+        "multimodal_feature_extract",
         "multimodal_frame_sample",
         "multimodal_media_dedup",
+        "multimodal_resize_plan",
     }
     for name in sorted(_QUERIES):
         plan = _plan(spark, name, sf_dir)
