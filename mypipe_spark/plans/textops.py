@@ -711,3 +711,66 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_bigram_frac"),
         F.expr(rep_keep_sql("top_cnt", "n_bigrams")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (embedding/RAG chunker)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 128
+_CHUNK_STRIDE = 96  # 25% overlap
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    starts AS (
+      SELECT doc_id, n_tokens,
+             UNNEST(range(0, GREATEST(n_tokens - {_CHUNK_TOKENS}, 0) + 1,
+                          {_CHUNK_STRIDE})) AS tok_start
+      FROM toks)
+    SELECT doc_id, n_tokens,
+           CAST(tok_start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(LEAST({_CHUNK_TOKENS}, n_tokens - tok_start) AS BIGINT)
+             AS tok_len
+    FROM starts
+    """,
+    tags=("text", "chunking", "rag"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the embedding/RAG
+    chunker (window {w}, stride {s}: 25% overlap so no boundary
+    context is lost), distinct from text_pack_sequences' head-to-tail
+    training layout. Each document explodes into its chunk work list
+    (chunk_idx, tok_start, tok_len); the last chunk is short rather
+    than padded. Stride-aligned starts guarantee every token is
+    covered and chunk_idx is derivable from tok_start in both
+    engines' integer arithmetic. A pure sequence→explode projection:
+    no shuffle, no UDF, output bounded by total_tokens/stride."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    starts = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                f"sequence(0, greatest(n_tokens - {_CHUNK_TOKENS}, 0),"
+                f" {_CHUNK_STRIDE})"
+            )
+        ).alias("tok_start"),
+    )
+    return starts.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"tok_start div {_CHUNK_STRIDE}").cast("bigint").alias("chunk_idx"),
+        F.col("tok_start").cast("bigint"),
+        F.least(F.lit(_CHUNK_TOKENS), F.col("n_tokens") - F.col("tok_start"))
+        .cast("bigint")
+        .alias("tok_len"),
+    )
