@@ -1247,3 +1247,30 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money(F.col("v"), "total"),
         )
     )
+
+
+@register(
+    "q_cube_order_mix",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {_sql_money('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — every subtotal combination in
+    one pass, completing the grouping family beside ROLLUP and
+    GROUPING SETS. Catalyst expands to a single Expand + hash
+    aggregate (4 grouping sets, one fact scan, map-side combinable);
+    never a self-union of per-set aggregates."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money(F.col("o_totalprice"), "total_price"),
+        )
+    )
