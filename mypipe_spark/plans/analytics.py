@@ -1193,16 +1193,20 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "us",
         F.count("*").over(w).alias("n_1h"),
-        F.sum(F.expr(micro_quant_sql("value"))).over(w).cast("bigint").alias("sum_micro_1h"),
+        # the sum STAYS DECIMAL through the ratio (Spark's div accepts
+        # decimal operands — see _avg_sql_text): a BIGINT intermediate
+        # would shrink the exact headroom ~4 orders of magnitude below
+        # the oracle's HUGEINT path and ANSI-overflow on heavy windows
+        F.sum(F.expr(micro_quant_sql("value"))).over(w).alias("sum_micro_dec"),
     )
     return win.select(
         "event_id",
         "user_id",
         "n_1h",
-        "sum_micro_1h",
+        F.col("sum_micro_dec").cast("bigint").alias("sum_micro_1h"),
         F.expr(
             round_micro_ratio_sql(
-                "sum_micro_1h", "(n_1h * 1000000)", 1, 4, "div"
+                "sum_micro_dec", "(n_1h * 1000000)", 1, 4, "div"
             )
         ).alias("avg_1h"),
     )

@@ -387,9 +387,16 @@ def multimodal_resize_plan(spark, sf_dir: str) -> DataFrame:
     with UBIGINT hex arithmetic and applies the same integer scaling,
     so the Python decode AND the resize arithmetic are value-checked.
     At 100 TB the plan rows are the work list a resample stage
-    consumes in (media_id) batches."""
+    consumes in (media_id) batches. Only image blobs cross the
+    Python boundary: the media_type filter sits BEFORE the opaque
+    mapInPandas decode (Spark cannot push a filter through it), so
+    audio/video bytes are never serialized and hashed for nothing."""
     t = load_tables(spark, sf_dir)
-    meta = decode_media(synthetic_media(spark, t["documents"]))
+    meta = decode_media(
+        synthetic_media(spark, t["documents"]).filter(
+            F.col("media_type") == "image"
+        )
+    )
     return resize_plan(meta)
 
 

@@ -729,9 +729,11 @@ _CHUNK_STRIDE = 96  # 25% overlap
       FROM documents),
     starts AS (
       SELECT doc_id, n_tokens,
-             UNNEST(range(0, GREATEST(n_tokens - {_CHUNK_TOKENS}, 0) + 1,
+             UNNEST(range(0, GREATEST(n_tokens - {_CHUNK_TOKENS}, 0)
+                             + {_CHUNK_STRIDE},
                           {_CHUNK_STRIDE})) AS tok_start
-      FROM toks)
+      FROM toks
+      WHERE n_tokens IS NOT NULL)
     SELECT doc_id, n_tokens,
            CAST(tok_start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
            CAST(tok_start AS BIGINT) AS tok_start,
@@ -743,7 +745,7 @@ _CHUNK_STRIDE = 96  # 25% overlap
 )
 def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap — the embedding/RAG
-    chunker (window {w}, stride {s}: 25% overlap so no boundary
+    chunker (window 128, stride 96: 25% overlap so no boundary
     context is lost), distinct from text_pack_sequences' head-to-tail
     training layout. Each document explodes into its chunk work list
     (chunk_idx, tok_start, tok_len); the last chunk is short rather
@@ -755,13 +757,24 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    starts = toks.select(
+    # NULL text must yield NO chunks: greatest/least skip NULLs, so an
+    # unguarded sequence would emit a phantom full-width chunk for a
+    # document with no text (both engines agree, so parity alone
+    # cannot catch it).
+    starts = toks.filter(F.col("n_tokens").isNotNull()).select(
         "doc_id",
         "n_tokens",
         F.explode(
+            # bound greatest(n-w, 0) + stride - 1 (Spark sequence is
+            # bound-INCLUSIVE; the oracle's range is exclusive, hence
+            # its + stride): one extra stride-aligned start past n-w,
+            # so trailing tokens always land in a (shorter) final
+            # chunk — the bare n-w bound left up to stride-1 tokens
+            # of every document uncovered — while a start whose
+            # predecessor already reached the end is never emitted.
             F.expr(
-                f"sequence(0, greatest(n_tokens - {_CHUNK_TOKENS}, 0),"
-                f" {_CHUNK_STRIDE})"
+                f"sequence(0, greatest(n_tokens - {_CHUNK_TOKENS}, 0)"
+                f" + {_CHUNK_STRIDE - 1}, {_CHUNK_STRIDE})"
             )
         ).alias("tok_start"),
     )

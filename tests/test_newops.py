@@ -412,3 +412,32 @@ def test_funnel_total_over_null_metadata(spark):
     assert rows[1]["drop_quality"] == 1         # NULL text fails the gate
     assert rows[3]["drop_quality"] == 1
     assert rows[2]["drop_quality"] == 0         # stopword-rich, 95 tokens
+
+
+def test_chunker_emits_nothing_for_null_text(spark):
+    """NULL-text documents yield NO chunks (greatest/least skip NULLs,
+    so an unguarded sequence emitted a phantom 128-token chunk —
+    regression); normal docs chunk with full stride coverage."""
+    from mypipe_spark.plans import textops as T
+    from mypipe_spark.plans.catalog import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, " ".join(["w"] * 300)), (3, " ".join(["w"] * 128)),
+         (4, " ".join(["w"] * 40))],
+        "doc_id int, text string",
+    )
+    with _planted_tables([T], {"documents": docs}):
+        out = QUERIES["text_chunk_sliding"].fn(spark, "x").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc
+    chunks = sorted(by_doc[2], key=lambda r: r["tok_start"])
+    # starts 0,96,192 cover all 300 tokens; last chunk short (108) —
+    # the unfixed bare n-window bound stopped at 96 and silently left
+    # tokens 224..299 of every document uncovered
+    assert [c["tok_start"] for c in chunks] == [0, 96, 192]
+    assert [c["tok_len"] for c in chunks] == [128, 128, 108]
+    # exactly-one-window doc: no redundant tail chunk
+    assert [(c["tok_start"], c["tok_len"]) for c in by_doc[3]] == [(0, 128)]
+    assert [(c["tok_start"], c["tok_len"]) for c in by_doc[4]] == [(0, 40)]
