@@ -457,3 +457,41 @@ def test_decontaminate_flags_exactly_cross_split_overlaps(spark, sf_dir):
     for d, s in split.items():
         if s == "train" and d not in got:
             assert not (sh[d] & eval_pool), d
+
+
+def test_containment_finds_embedded_doc_jaccard_misses(spark):
+    """A small document fully embedded in a much larger one: Jaccard
+    (symmetric, >= 0.5) structurally cannot flag it, containment
+    reports sub -> super at 1.0 in that direction only. Also pins the
+    floor direction asymmetry: a sub under the reporting floor stays
+    silent even when the reverse direction reports."""
+    from pyspark.sql import functions as F
+
+    import mypipe_spark.plans.dedup as D
+    from mypipe_spark.plans.catalog import all_queries
+
+    words = [f"w{i}" for i in range(200)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words[:30])),              # 28 shingles, all in doc 2
+            (2, " ".join(words)),                   # the superset
+            (3, " ".join(f"x{i}" for i in range(100))),  # unrelated
+            (4, " ".join(words[:10])),              # 8 shingles: under floor
+        ],
+        "doc_id long, text string",
+    )
+    arr = D._with_shingle_arrays(docs)
+    real = D.shingle_arrays
+    try:
+        D.shingle_arrays = lambda spark, sf_dir: arr
+        got = all_queries()["dedup_containment"].fn(spark, "x").collect()
+    finally:
+        D.shingle_arrays = real
+    by_dir = {(r["doc_sub"], r["doc_super"]): r for r in got}
+    assert by_dir[(1, 2)]["containment"] == 1.0
+    assert (2, 1) not in by_dir                       # superset is no sub
+    assert all(r["doc_sub"] != 4 for r in got)        # floor holds
+    assert all(3 not in (r["doc_sub"], r["doc_super"]) for r in got)
+    # and Jaccard indeed misses the embedded pair
+    jac = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs_from(docs).collect()}
+    assert (1, 2) not in jac
