@@ -649,7 +649,7 @@ def events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
              last(value ORDER BY ts, event_id) AS close
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     nxt AS (
       SELECT event_type, bucket, close,
              LEAD(bucket) OVER (PARTITION BY event_type ORDER BY bucket)
@@ -685,8 +685,14 @@ def events_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed either. Output is bounded by series×buckets regardless of
     event volume."""
     t = load_tables(spark, sf_dir)
+    # Timeless (NULL-ts) events are not bucketable — excluded by
+    # explicit contract ON BOTH SIDES: unfiltered, DuckDB's
+    # time_bucket(NULL) yields a NULL-bucket row while Spark's
+    # explode(sequence(NULL, …)) silently drops it, a latent parity
+    # break the NULL-free driver corpus never exercises.
     closes = (
         t["events"]
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.window("ts", "1 hour").start.alias("bucket"))
         .agg(F.expr("max_by(value, struct(ts, event_id))").alias("close"))
     )
@@ -1145,7 +1151,7 @@ _TRAIL_US = 3_600_000_000  # 1 hour in microseconds
     WITH e AS (
       SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
              value
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     win AS (
       SELECT event_id, user_id, us,
              COUNT(*) OVER w AS n_1h,
@@ -1177,7 +1183,11 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition frame scan; output is one row per event, never
     materializing per-window row sets."""
     t = load_tables(spark, sf_dir)
-    e = t["events"].select(
+    # Timeless events have no trailing window — excluded by explicit
+    # contract on both sides (a NULL order key would otherwise land in
+    # engine-specific NULL-ordering frames: Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST).
+    e = t["events"].filter(F.col("ts").isNotNull()).select(
         "event_id",
         "user_id",
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),

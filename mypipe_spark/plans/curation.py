@@ -154,7 +154,7 @@ _MIX_BUDGET = 200
                AS rk
       FROM documents)
     SELECT r.doc_id, r.lang, t.lang_target, r.rk
-    FROM ranked r JOIN targets t ON t.lang = r.lang
+    FROM ranked r JOIN targets t ON t.lang IS NOT DISTINCT FROM r.lang
     WHERE r.rk <= t.lang_target
     """,
     tags=("curation", "sampling", "multilingual"),
@@ -201,8 +201,13 @@ def mix_select(docs: DataFrame, budget: int = _MIX_BUDGET) -> DataFrame:
         # engage WindowGroupLimit before the data-dependent join filter.
         .filter(F.col("rk") <= budget)
     )
+    # eqNullSafe: NULL-lang documents form their own stratum (groupBy
+    # keeps the NULL group, the window partitions it) — an equi-join
+    # would silently exclude the whole stratum from the mix, the same
+    # totality bug class the funnel's source join had.
+    targets_r = F.broadcast(targets.withColumnRenamed("lang", "__lang"))
     return (
-        ranked.join(F.broadcast(targets), "lang")
+        ranked.join(targets_r, F.col("lang").eqNullSafe(F.col("__lang")))
         .filter(F.col("rk") <= F.col("lang_target"))
         .select("doc_id", "lang", "lang_target", "rk")
     )

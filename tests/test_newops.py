@@ -441,3 +441,44 @@ def test_chunker_emits_nothing_for_null_text(spark):
     # exactly-one-window doc: no redundant tail chunk
     assert [(c["tok_start"], c["tok_len"]) for c in by_doc[3]] == [(0, 128)]
     assert [(c["tok_start"], c["tok_len"]) for c in by_doc[4]] == [(0, 40)]
+
+
+def test_timeseries_and_mix_null_contracts(spark):
+    """Edge contracts found by NULL probing (the driver corpus has no
+    NULLs, so oracle parity alone cannot see these):
+    - mix_select: a NULL-lang stratum participates in the mix (the
+      equi-join silently excluded it — same class as the funnel bug);
+    - gapfill / trailing: timeless (NULL-ts) events are excluded by
+      explicit contract on BOTH engines (unfiltered, the engines
+      disagree on NULL bucketing/ordering)."""
+    import datetime as dt
+
+    import mypipe_spark.plans.catalog as C
+    from mypipe_spark.plans import analytics as an
+    from mypipe_spark.plans import curation as cu
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    docs = spark.createDataFrame(
+        [(i, None if i < 4 else "en", "s0", "x", 1) for i in range(8)],
+        "doc_id int, lang string, source string, text string, n_chars int",
+    )
+    with _planted_tables([cu], {"documents": docs}):
+        mix = QUERIES["curation_mix_temperature"].fn(spark, "x").collect()
+    langs = {r["lang"] for r in mix}
+    assert None in langs and "en" in langs     # NULL stratum present
+    assert len(mix) == 8                       # budget >> corpus: all kept
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    ev = spark.createDataFrame(
+        [(1, t0, 7, "a", 1.0, "{}"),
+         (2, None, 7, "a", 2.0, "{}"),
+         (3, t0 + dt.timedelta(hours=2), 7, "a", 3.0, "{}")],
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([an], {"events": ev}):
+        gap = QUERIES["events_gapfill_1h"].fn(spark, "x").collect()
+        trail = QUERIES["events_trailing_1h"].fn(spark, "x").collect()
+    assert len(gap) == 3 and all(r["value"] is not None for r in gap)
+    assert sorted(r["event_id"] for r in trail) == [1, 3]
