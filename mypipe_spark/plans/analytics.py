@@ -608,6 +608,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            last(value ORDER BY ts, event_id) AS close,
            COUNT(*) AS n_events
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     tags=("agg", "timeseries", "rollup"),
@@ -624,6 +625,10 @@ def events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
+        # same timeless-event contract as the gapfill/trailing pair:
+        # unfiltered, DuckDB's time_bucket(NULL) emits a NULL-bucket
+        # group that Spark's F.window silently drops
+        .filter(F.col("ts").isNotNull())
         .groupBy(
             "event_type",
             F.window("ts", "15 minutes").start.alias("bucket"),

@@ -1602,7 +1602,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-generation bug surfaces as a hash mismatch rather than
     being replicated (same policy as the Jaccard oracle; the above-
     cap divergence is pinned by the planted-skew pytest)."""
-    arr = shingle_arrays(spark, sf_dir)
+    return containment_pairs_from_arrays(shingle_arrays(spark, sf_dir))
+
+
+def containment_pairs_from_arrays(
+    arr: DataFrame, df_cap: int = _STOP_SHINGLE_DF_CAP
+) -> DataFrame:
+    """Core of dedup_containment over a precomputed (doc_id, n_sh,
+    hsh) table, with the stop-shingle cap injectable so the
+    planted-skew test can pin its false-negative-only contract."""
     # integer-exact α = ceil(NUM·n/DEN): (NUM·n + DEN − 1) div DEN —
     # a double ceil(0.8·n) sits on round-to-even knife edges at
     # exact multiples and is not portable
@@ -1620,7 +1628,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr.select("doc_id", F.explode("hsh").alias("shingle"))
         .groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("supers"))
-        .filter(F.size("supers") <= _STOP_SHINGLE_DF_CAP)
+        # size >= 2: a singleton list is always exactly the probing
+        # doc itself and can never yield a candidate (same bound as
+        # every sibling posting-list path); size <= cap: hot-shingle
+        # fanout guard, false-negative-only above the cap
+        .filter((F.size("supers") >= 2) & (F.size("supers") <= df_cap))
     )
     cand = (
         subpref.join(posting, "shingle")

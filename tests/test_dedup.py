@@ -495,3 +495,31 @@ def test_containment_finds_embedded_doc_jaccard_misses(spark):
     # and Jaccard indeed misses the embedded pair
     jac = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs_from(docs).collect()}
     assert (1, 2) not in jac
+
+
+def test_containment_cap_is_false_negative_only(spark):
+    """Planted hot shingle: with a tiny df cap, pairs that share ONLY
+    the hot shingle's prefix hashes lose candidacy (documented
+    false-negative-only divergence from the exact oracle), while
+    pairs sharing unhot shingles keep their exact containment rows —
+    the containment twin of the jaccard planted-skew pin."""
+    import mypipe_spark.plans.dedup as D
+    from pyspark.sql import functions as F
+
+    hot = " ".join(f"h{i}" for i in range(12))       # shared by many docs
+    docs = [(99, hot + " " + " ".join(f"u{i}" for i in range(2)))]
+    # 30 docs all containing the hot 12-word span -> its shingles'
+    # posting lists have ~30 entries
+    docs += [(i, hot + f" t{i} t{i}x t{i}y t{i}z") for i in range(30)]
+    # one clean containment pair with unique shingles only
+    base = " ".join(f"q{i}" for i in range(30))
+    docs += [(200, base), (201, base + " " + " ".join(f"z{i}" for i in range(60)))]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    arr = D._with_shingle_arrays(sdf)
+    exact = D.containment_pairs_from_arrays(arr, df_cap=10_000)
+    capped = D.containment_pairs_from_arrays(arr, df_cap=5)
+    e = {(r["doc_sub"], r["doc_super"]) for r in exact.collect()}
+    c = {(r["doc_sub"], r["doc_super"]) for r in capped.collect()}
+    assert c <= e                        # never a false positive
+    assert (200, 201) in c               # unhot pair survives the cap
+    assert len(e - c) > 0                # the cap did bite hot pairs
