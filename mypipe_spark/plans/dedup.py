@@ -1620,24 +1620,46 @@ def containment_pairs_from_arrays(
     )
     subpref = arr.filter(F.col("n_sh") >= _CONTAIN_MIN_SH).select(
         F.col("doc_id").alias("doc_sub"),
+        F.col("n_sh").alias("np_sub"),
         F.explode(
             F.expr(f"slice(array_sort(hsh), 1, {prefix_len})")
         ).alias("shingle"),
     )
     posting = (
-        arr.select("doc_id", F.explode("hsh").alias("shingle"))
+        arr.select(
+            "doc_id",
+            F.col("n_sh").alias("np_super"),
+            F.posexplode(F.array_sort("hsh")).alias("pos0", "shingle"),
+        )
         .groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("supers"))
+        .agg(
+            F.collect_list(
+                F.struct("doc_id", "np_super", F.col("pos0").alias("pos0"))
+            ).alias("supers")
+        )
         # size >= 2: a singleton list is always exactly the probing
         # doc itself and can never yield a candidate (same bound as
         # every sibling posting-list path); size <= cap: hot-shingle
         # fanout guard, false-negative-only above the cap
         .filter((F.size("supers") >= 2) & (F.size("supers") <= df_cap))
     )
+    # Super-side positional filter (lossless): a qualifying direction
+    # needs overlap α = ceil(t·n_sub); its SMALLEST common hash h₀
+    # has ≥ α−1 common hashes after it in the super's sorted array,
+    # so h₀'s super position satisfies n_super − pos ≥ α — and h₀ is
+    # also inside the sub's probe prefix, so the pair always survives
+    # via h₀'s mention. Mentions deep in big supers (most of the
+    # probe fanout against large documents) drop before the distinct
+    # shuffle: measured K=32 15.6× → see SCALING.md.
+    alpha = f"(({_CONTAIN_NUM} * np_sub + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN})"
     cand = (
         subpref.join(posting, "shingle")
-        .select("doc_sub", F.explode("supers").alias("doc_super"))
-        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .select("doc_sub", "np_sub", F.explode("supers").alias("sp"))
+        .filter(
+            (F.col("doc_sub") != F.col("sp.doc_id"))
+            & F.expr(f"sp.np_super - sp.pos0 >= {alpha}")
+        )
+        .select("doc_sub", F.col("sp.doc_id").alias("doc_super"))
         .distinct()
     )
     s = arr.select(
