@@ -115,6 +115,7 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE ts IS NOT NULL
     ), marked AS (
       SELECT user_id, event_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
@@ -144,7 +145,10 @@ def cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst reuses the child partitioning across all three."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = t["events"].select(
+    # timeless-event contract: NULL ts sorts NULLS FIRST here but
+    # NULLS LAST in DuckDB, silently splitting sessions differently —
+    # excluded identically on both sides
+    marked = t["events"].filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         "ts",
@@ -219,7 +223,9 @@ def cdc_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_props_json_extract",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+    SELECT CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS BIGINT) % 10
+             AS k_bucket,
            COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
     FROM events
@@ -230,7 +236,11 @@ def cdc_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload extraction — the generic-envelope
     map-lookup pattern (F4/K5: typed maps carry any table's columns)
-    applied to a JSON props column; get_json_object stays JVM-side."""
+    applied to a JSON props column; get_json_object stays JVM-side.
+    Malformed props bucket to NULL on BOTH engines: Spark's
+    get_json_object is NULL-on-garbage by construction, and the
+    oracle guards with json_valid (DuckDB's json_extract otherwise
+    RAISES on the first dirty row)."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]

@@ -567,9 +567,10 @@ def q_quantity_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id, p.user_id, c.click_id AS last_click_id
     FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase') p
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
     ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS click_id
-                    FROM events WHERE event_type = 'click'
+                    FROM events
+                    WHERE event_type = 'click' AND ts IS NOT NULL
                     GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
@@ -589,7 +590,11 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"]
+    # timeless-event contract (see events_gapfill_1h): a NULL-ts click
+    # would sort NULLS FIRST in Spark's carry-forward and match every
+    # purchase as "before everything" while DuckDB's ASOF matches
+    # nothing — excluded identically on both sides
+    ev = t["events"].filter(F.col("ts").isNotNull())
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")

@@ -482,3 +482,63 @@ def test_timeseries_and_mix_null_contracts(spark):
         trail = QUERIES["events_trailing_1h"].fn(spark, "x").collect()
     assert len(gap) == 3 and all(r["value"] is not None for r in gap)
     assert sorted(r["event_id"] for r in trail) == [1, 3]
+
+
+def test_event_ops_null_edge_cross_engine_parity(spark):
+    """The dirty-events probe that found three latent divergences, as
+    a standing pin: NULL ts, NULL user, NULL/garbage props through
+    asof, range, sessionize, funnel and JSON extraction must agree
+    ACROSS ENGINES row-for-row (the driver corpus is NULL-free, so
+    only a planted corpus can exercise these contracts)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import mypipe_spark.plans.catalog as C
+    from mypipe_spark.plans import cdc as CD
+    from mypipe_spark.plans import tpch as TP
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0, 1, "purchase", 10.0, '{"k": 1}'),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 1.0, None),
+        (3, None, 1, "click", 2.0, '{"k": 2}'),
+        (4, t0 + dt.timedelta(minutes=9), None, "purchase", 3.0, "not json"),
+        (5, t0 + dt.timedelta(minutes=20), 2, "purchase", 4.0, '{"k": null}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+    )
+    for name, mod in (
+        ("q_asof_last_click", TP),
+        ("q_range_clicks_after_purchase", TP),
+        ("cdc_sessionize", CD),
+        ("cdc_props_json_extract", CD),
+        ("cdc_event_funnel", CD),
+    ):
+        with _planted_tables([mod], {"events": ev}):
+            got = sorted(
+                (tuple(r) for r in QUERIES[name].fn(spark, "x").collect()), key=str
+            )
+        want = sorted(
+            (tuple(r) for r in con.execute(QUERIES[name].oracle).fetchall()),
+            key=str,
+        )
+        assert got == want, (name, got, want)
+    # the timeless click (event 3) matches no purchase
+    with _planted_tables([TP], {"events": ev}):
+        asof = QUERIES["q_asof_last_click"].fn(spark, "x").collect()
+    assert all(r["last_click_id"] != 3 for r in asof)
