@@ -52,8 +52,10 @@ MEDIA_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("media_type", StringType(), False),
-        StructField("n_bytes", LongType(), False),
-        StructField("content_sha", StringType(), False),
+        # nullable: a NULL blob decodes to NULL metadata (failed-
+        # decode semantics) rather than masquerading as an empty one
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha", StringType(), True),
         # image: pixel dims / audio+video: duration_ms; frames for video
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
@@ -100,7 +102,25 @@ def decode_media(df: DataFrame) -> DataFrame:
         for pdf in batches:
             metas = []
             for row in pdf.itertuples(index=False):
-                blob = bytes(row.media) if row.media is not None else b""
+                # NULL blob -> NULL metadata (failed decode), NOT a
+                # fake empty blob: coercing to b"" made a missing
+                # asset indistinguishable from a zero-byte one and
+                # diverged from the sha256(NULL)=NULL oracle
+                if row.media is None:
+                    metas.append(
+                        {
+                            "media_id": row.media_id,
+                            "media_type": row.media_type,
+                            "n_bytes": None,
+                            "content_sha": None,
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "n_frames": None,
+                        }
+                    )
+                    continue
+                blob = bytes(row.media)
                 m = _decode_stub(row.media_type, blob)
                 metas.append(
                     {
@@ -128,7 +148,12 @@ def frame_sample_plan(meta: DataFrame, every_n: int = 24) -> DataFrame:
     ``explode``, and the actual frame decode would be another
     mapInPandas keyed by (media_id, frame_idx)."""
     return (
-        meta.filter(F.col("media_type") == "video")
+        # n_frames IS NOT NULL: greatest() SKIPS NULLs in both
+        # engines, so a failed-decode video would otherwise emit a
+        # phantom frame 0
+        meta.filter(
+            (F.col("media_type") == "video") & F.col("n_frames").isNotNull()
+        )
         .select(
             "media_id",
             F.explode(
@@ -218,7 +243,7 @@ def multimodal_decode_stats(spark, sf_dir: str) -> DataFrame:
              CAST(24 + (CAST('0x' || substr(sha256(text), 1, 16) AS UBIGINT)
                         >> 16) % 10000 AS INT) AS n_frames
       FROM documents
-      WHERE CAST(doc_id % 3 AS INT) = 2)
+      WHERE CAST(doc_id % 3 AS INT) = 2 AND text IS NOT NULL)
     SELECT media_id,
            CAST(UNNEST(range(0, greatest(n_frames - 1, 0) + 1, 24)) AS INT)
              AS frame_idx
@@ -282,10 +307,10 @@ MEDIA_FEAT_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("media_type", StringType(), False),
-        StructField("f0", IntegerType(), False),
-        StructField("f1", IntegerType(), False),
-        StructField("f2", IntegerType(), False),
-        StructField("f3", IntegerType(), False),
+        StructField("f0", IntegerType(), True),
+        StructField("f1", IntegerType(), True),
+        StructField("f2", IntegerType(), True),
+        StructField("f3", IntegerType(), True),
     ]
 )
 
@@ -302,7 +327,11 @@ def resize_plan(meta: DataFrame, max_dim: int = _RESIZE_MAX_DIM) -> DataFrame:
         F.lit(1), F.expr(f"({c} * {max_dim}) div greatest(width, height)")
     )
     return (
-        meta.filter(F.col("media_type") == "image")
+        # failed decodes (NULL dims) carry no resize work — without
+        # the guard both engines emit a phantom resized=1 row of NULLs
+        meta.filter(
+            (F.col("media_type") == "image") & F.col("width").isNotNull()
+        )
         .select(
             "media_id",
             "width",
@@ -331,8 +360,16 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
-                blob = bytes(row.media) if row.media is not None else b""
-                d = hashlib.sha256(blob).digest()
+                if row.media is None:  # failed decode -> NULL features
+                    rows.append(
+                        {
+                            "media_id": row.media_id,
+                            "media_type": row.media_type,
+                            "f0": None, "f1": None, "f2": None, "f3": None,
+                        }
+                    )
+                    continue
+                d = hashlib.sha256(bytes(row.media)).digest()
                 rows.append(
                     {
                         "media_id": row.media_id,
@@ -357,7 +394,7 @@ def extract_features(df: DataFrame) -> DataFrame:
       SELECT doc_id AS media_id,
              CAST('0x' || substr(sha256(text), 1, 16) AS UBIGINT) AS hv
       FROM documents
-      WHERE CAST(doc_id % 3 AS INT) = 0),
+      WHERE CAST(doc_id % 3 AS INT) = 0 AND text IS NOT NULL),
     dims AS (
       SELECT media_id,
              CAST(64 + hv % 1024 AS INT) AS width,

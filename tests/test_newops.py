@@ -542,3 +542,71 @@ def test_event_ops_null_edge_cross_engine_parity(spark):
     with _planted_tables([TP], {"events": ev}):
         asof = QUERIES["q_asof_last_click"].fn(spark, "x").collect()
     assert all(r["last_click_id"] != 3 for r in asof)
+
+
+def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
+    """Standing sweep: EVERY oracle-bearing documents-plane query runs
+    over a planted dirty corpus (NULL text/lang/source/n_chars, empty
+    text, exact dups, boilerplate loops) through BOTH engines and must
+    agree row-for-row. This is the gate that found the multimodal
+    NULL-blob divergence (stub coerced missing blobs to b'' while the
+    oracle propagated NULL) — the NULL-free driver corpus can never
+    exercise these paths."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    import mypipe_spark.plans.catalog as C
+    from mypipe_spark.plans import curation, dedup, multimodal, textops
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rows = [
+        (1, None, None, None, None),
+        (2, "", "en", "s0", 0),
+        (3, "the a of to and in quick brown fox jumps over dog near bank river " * 2,
+         "en", "s0", 131),
+        (4, "the a of to and in quick brown fox jumps over dog near bank river " * 2,
+         "en", "s1", 131),
+        (5, "x y z", "de", None, 5),
+        (6, "spam eggs " * 40, None, "s0", 399),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+    )
+    mods = {"text": textops, "dedu": dedup, "pii_": curation,
+            "cura": curation, "mult": multimodal}
+    skip = {
+        # EAGER component builders / embeddings-table dependent
+        "dedup_semantic", "dedup_leakage_safe_split", "dedup_decontaminate",
+        "dedup_components", "dedup_embedding_cosine",
+    }
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    checked = 0
+    for name, qd in sorted(QUERIES.items()):
+        mod = mods.get(name[:4])
+        if mod is None or qd.oracle is None or name in skip:
+            continue
+        with _planted_tables([mod], {"documents": docs}):
+            got = sorted(
+                (tuple(norm(v) for v in r) for r in qd.fn(spark, "x").collect()),
+                key=str,
+            )
+        want = sorted(
+            (tuple(norm(v) for v in r) for r in con.execute(qd.oracle).fetchall()),
+            key=str,
+        )
+        assert got == want, (name, got[:4], want[:4])
+        checked += 1
+    assert checked >= 25
