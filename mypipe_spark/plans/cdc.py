@@ -353,7 +353,7 @@ def cdc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
       SELECT user_id, event_id, event_type, value,
              CAST(ts AS TIMESTAMP) AS ts
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT user_id, event_id, event_type, value,
            ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id
@@ -373,11 +373,14 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc_latest_state's keep-last compaction). One LEAD window per key
     partition — a single shuffle on the key, linear within partition;
     (ts, event_id) ordering makes interval boundaries deterministic
-    under same-timestamp updates."""
+    under same-timestamp updates. Timeless (NULL-ts) changes are
+    excluded on both sides: the engines' opposite NULL ordering would
+    otherwise version them as the OLDEST (Spark, NULLS FIRST) vs the
+    CURRENT (DuckDB, NULLS LAST) row — opposite histories."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
-    return t["events"].select(
+    return t["events"].filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         "event_type",

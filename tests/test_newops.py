@@ -610,3 +610,74 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
         assert got == want, (name, got[:4], want[:4])
         checked += 1
     assert checked >= 25
+
+
+def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
+    """Standing sweep for the events plane: every oracle-bearing
+    events-only query over a planted dirty stream (NULL ts/user/
+    event_type/value, garbage and null-valued JSON props) through
+    BOTH engines, row-for-row. Found the SCD2 opposite-histories
+    divergence (Spark versioned a timeless change as the OLDEST row,
+    DuckDB as the CURRENT one)."""
+    import datetime as dt
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    import mypipe_spark.plans.catalog as C
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans import cdc as CD
+    from mypipe_spark.plans import tpch as TP
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0, 1, "purchase", 10.0, '{"k": 1}'),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 1.0, None),
+        (3, None, 1, "click", 2.0, '{"k": 2}'),
+        (4, t0 + dt.timedelta(minutes=9), None, "purchase", None, "not json"),
+        (5, t0 + dt.timedelta(minutes=20), 2, "purchase", 4.0, '{"k": null}'),
+        (6, t0 + dt.timedelta(days=1), 2, "error", -7.5, '{"k": 15}'),
+        (7, t0 + dt.timedelta(days=1), 2, None, 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+    )
+    names = {
+        "events_ohlc_15m": AN, "events_value_histogram": AN,
+        "events_gapfill_1h": AN, "events_trailing_1h": AN,
+        "cdc_sessionize": CD, "cdc_event_funnel": CD,
+        "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
+        "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
+        "q_asof_last_click": TP, "q_range_clicks_after_purchase": TP,
+    }
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    for name, mod in sorted(names.items()):
+        qd = QUERIES[name]
+        with _planted_tables([mod], {"events": ev}):
+            got = sorted(
+                (tuple(norm(v) for v in r) for r in qd.fn(spark, "x").collect()),
+                key=str,
+            )
+        want = sorted(
+            (tuple(norm(v) for v in r) for r in con.execute(qd.oracle).fetchall()),
+            key=str,
+        )
+        assert got == want, (name, got[:4], want[:4])
