@@ -735,3 +735,78 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", "cluster", F.count("*").over(w).alias("cell_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# input validation / quarantine (the dirty-vector firewall)
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def validate_embeddings(
+    df: DataFrame, dim: int = _EMB_DIM
+) -> tuple[DataFrame, DataFrame]:
+    """Split an embeddings table into (valid, quarantined): valid =
+    non-null vector of exactly ``dim`` finite components. The ANN /
+    centroid / semantic-dedup kernels are deliberately STRICT (exact
+    integer quantization under ANSI) — a single NaN, infinity, or
+    wrong-dimension vector from a bad upstream encoder otherwise
+    kills the whole job with CAST_OVERFLOW / array-index errors at
+    any scale (measured on a planted dirty corpus: every one of the
+    nine embedding queries crashed). This is the firewall a pipeline
+    runs at ingest, mirroring the wire plane's dead-letter split:
+    nothing is silently dropped — quarantined rows carry a reason.
+
+    One codegen pass, no shuffle; ``forall`` short-circuits JVM-side."""
+    # the lambda is NULL-safe by construction: a NULL component makes
+    # `x IS NOT NULL` false rather than propagating NULL through
+    # forall (a bare isnan-based predicate silently passed vectors
+    # holding NULL components)
+    finite = (
+        "forall(embedding,"
+        " x -> x IS NOT NULL AND NOT isnan(x) AND abs(x) <> float('inf'))"
+    )
+    reason = (
+        F.when(F.col("embedding").isNull(), "null_vector")
+        .when(F.size("embedding") != dim, "wrong_dim")
+        .when(~F.expr(finite), "nonfinite")
+    )
+    tagged = df.withColumn("__reason", reason)
+    valid = tagged.filter(F.col("__reason").isNull()).drop("__reason")
+    quarantined = tagged.filter(F.col("__reason").isNotNull()).select(
+        "vec_id", "label", F.col("__reason").alias("reason")
+    )
+    return valid, quarantined
+
+
+@register(
+    "embedding_validate",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT label,
+             CASE WHEN embedding IS NULL THEN 'null_vector'
+                  WHEN len(embedding) <> {_EMB_DIM} THEN 'wrong_dim'
+                  WHEN len(list_filter(embedding,
+                       x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+                    THEN 'nonfinite'
+                  ELSE 'valid' END AS verdict
+      FROM embeddings)
+    SELECT label, verdict, COUNT(*) AS n
+    FROM tagged GROUP BY label, verdict
+    """,
+    tags=("similarity", "validation", "quarantine"),
+)
+def embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label validation verdict counts over the embeddings table —
+    the audit row the firewall emits before the strict kernels run.
+    The driver corpus is clean (all rows 'valid'); the dirty-corpus
+    pytest sweeps planted NULL / wrong-dim / NaN vectors through both
+    engines and through every downstream kernel on the validated
+    side."""
+    t = load_tables(spark, sf_dir)
+    valid, quarantined = validate_embeddings(t["embeddings"])
+    verdicts = valid.select("label", F.lit("valid").alias("verdict")).unionAll(
+        quarantined.select("label", F.col("reason").alias("verdict"))
+    )
+    return verdicts.groupBy("label", "verdict").agg(F.count("*").alias("n"))

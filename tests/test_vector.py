@@ -128,3 +128,111 @@ def test_batch_lsh_retrieves_planted_near_neighbors(spark, tmp_path):
         for v, c in neigh.items():
             if q in exact and v in exact[q]:
                 assert c == exact[q][v]
+
+
+def test_embedding_firewall_quarantines_and_unblocks_kernels(spark):
+    """Dirty embeddings (NULL vector, wrong dimension, NaN component)
+    crash every strict kernel by design; the validate_embeddings
+    firewall must (a) agree with its DuckDB oracle on the dirty
+    corpus, (b) quarantine exactly the three bad rows with reasons,
+    and (c) make every downstream kernel run green on the validated
+    side with results matching DuckDB over the same validated rows."""
+    import math
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import mypipe_spark.plans.catalog as C
+    from mypipe_spark.plans import similarity as SM
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+    from mypipe_spark.plans.similarity import validate_embeddings
+
+    all_queries()
+    rnd = random.Random(7)
+
+    def vec(dim=64):
+        return [rnd.uniform(-0.3, 0.3) for _ in range(dim)]
+
+    rows = [(i, vec(), i % 3) for i in range(20)]
+    nullcomp = vec()
+    nullcomp[5] = None  # survives the pandas->DuckDB trip verbatim
+    rows += [(100, None, 1), (101, vec(32), 2), (102, nullcomp, 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    def run(name, tables):
+        with _pt([SM], tables):
+            return sorted(
+                (tuple(norm(v) for v in r) for r in QUERIES[name].fn(spark, "x").collect()),
+                key=str,
+            )
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _pt(modules, tables):
+        real = C.load_tables
+
+        def fake(s, d):
+            return tables
+
+        C.load_tables = fake
+        for m in modules:
+            m.load_tables = fake
+        try:
+            yield
+        finally:
+            C.load_tables = real
+            for m in modules:
+                m.load_tables = real
+
+    # (a) validator parity on the dirty corpus
+    got = run("embedding_validate", {"embeddings": emb})
+    want = sorted(
+        (tuple(norm(v) for v in r)
+         for r in con.execute(QUERIES["embedding_validate"].oracle).fetchall()),
+        key=str,
+    )
+    assert got == want
+
+    # (b) exact quarantine set — plus a Spark-only NaN row (pandas
+    # coerces NaN to NULL on the DuckDB trip, so parity can't carry
+    # it, but the firewall must catch a real NaN identically)
+    valid, quarantined = validate_embeddings(emb)
+    q = {r["vec_id"]: r["reason"] for r in quarantined.collect()}
+    assert q == {100: "null_vector", 101: "wrong_dim", 102: "nonfinite"}
+    assert valid.count() == 20
+    nanv = vec()
+    nanv[3] = float("nan")
+    _, qn = validate_embeddings(
+        spark.createDataFrame(
+            [(200, nanv, 0)], "vec_id long, embedding array<float>, label int"
+        )
+    )
+    assert [tuple(r) for r in qn.collect()] == [(200, 0, "nonfinite")]
+
+    # (c) kernels run green over the validated side and match DuckDB
+    # over the SAME validated rows
+    clean_rows = [r for r in rows if r[0] < 100]
+    con2 = duckdb.connect()
+    con2.register(
+        "embeddings",
+        pd.DataFrame(clean_rows, columns=["vec_id", "embedding", "label"]),
+    )
+    for name in ("ann_topk_bruteforce", "embedding_centroids", "ann_topk_lsh"):
+        got = run(name, {"embeddings": valid})
+        want = sorted(
+            (tuple(norm(v) for v in r)
+             for r in con2.execute(QUERIES[name].oracle).fetchall()),
+            key=str,
+        )
+        assert got == want, name
