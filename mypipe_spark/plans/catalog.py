@@ -186,6 +186,23 @@ def round_div_sql(num: str, den: str, intdiv: str) -> str:
     )
 
 
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_fold_sql(expr: str) -> str:
+    """Locale-independent ASCII-only case fold, valid verbatim in both
+    dialects. The engines' full Unicode lower() TAILORS differently
+    (JVM maps Turkish dotted İ to i+combining-dot and applies the
+    Greek final-sigma rule; DuckDB's utf8proc does neither — measured
+    live), so any HASH computed over lower()'d text diverges across
+    engines on non-ASCII corpora. translate() folds A-Z byte-wise and
+    passes every other codepoint through untouched — identical
+    everywhere, and the right property for content hashes, which must
+    be stable across engines, locales and library versions."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
 def isqrt_sql(n: str) -> str:
     """Exact ``floor(sqrt(n))`` for a non-negative BIGINT expression,
     valid verbatim in both dialects. ``SQRT`` is IEEE correctly

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register, round4_frac_sql, scale_out
+from .catalog import ASCII_LOWER, ASCII_UPPER, ascii_fold_sql, load_tables, register, round4_frac_sql, scale_out
 
 # 3-word shingles; docs shorter than 3 words are kept verbatim (no pairs).
 _SHINGLE_WORDS = 3
@@ -1102,15 +1102,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean two different things. Public: cross-module consumers import
 # these by name.
 NORM_TEXT_DUCK = (
-    "trim(regexp_replace(regexp_replace(lower(text),"
+    "trim(regexp_replace(regexp_replace(" + ascii_fold_sql("text") + ","
     " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 )
 
 
 def norm_text_col():
+    # ASCII-only fold (see catalog.ascii_fold_sql): full-Unicode
+    # lower() is engine-tailored and would make the normalized hash
+    # corpus-dependent on which engine computed it
+    folded = F.translate(F.col("text"), ASCII_UPPER, ASCII_LOWER)
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            F.regexp_replace(folded, "[^a-z0-9 ]", ""),
             " +",
             " ",
         )

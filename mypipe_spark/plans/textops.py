@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register, round4_frac_sql
+from .catalog import ASCII_LOWER, ASCII_UPPER, load_tables, register, round4_frac_sql
 
 # Marker stopwords for the language-ID heuristic and quality score.
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
@@ -175,16 +175,19 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(text) AS content_hash,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split(lower(text), ' '))), ' ')) AS bag_hash
+           md5(array_to_string(list_sort(list_distinct(string_split(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'), ' '))), ' '))
+             AS bag_hash
     FROM documents
     """,
     tags=("text", "fingerprint"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact content hash + an order-insensitive
-    bag-of-words hash (lowercased sorted distinct tokens re-joined →
-    md5), the cheap word-shuffle-dup detector. content_hash is
+    bag-of-words hash (ASCII-case-folded sorted distinct tokens
+    re-joined → md5 — see catalog.ascii_fold_sql for why NOT full
+    Unicode lower()), the cheap word-shuffle-dup detector. content_hash is
     md5(text) VERBATIM — the same key dedup_exact and
     incremental_dedup_flags group/join on, so this table IS the
     materialized fingerprint corpus those ops read (a case-folded hash
@@ -196,9 +199,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        # ASCII-only fold: engine-tailored Unicode lower() would make
+        # this hash differ by engine on non-ASCII corpora
         F.md5(
             F.array_join(
-                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+                F.array_sort(
+                    F.array_distinct(
+                        F.split(
+                            F.translate(
+                                F.col("text"), ASCII_UPPER, ASCII_LOWER
+                            ),
+                            " ",
+                        )
+                    )
+                ),
+                " ",
             ).cast("binary")
         ).alias("bag_hash"),
     )

@@ -681,3 +681,50 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
             key=str,
         )
         assert got == want, (name, got[:4], want[:4])
+
+
+def test_hash_paths_unicode_cross_engine_parity(spark):
+    """Non-ASCII corpus through the hash-bearing queries on BOTH
+    engines: full-Unicode lower() is engine-TAILORED (JVM maps
+    Turkish dotted I to i+combining-dot and applies the Greek
+    final-sigma rule; DuckDB does neither — measured), which made
+    bag_hash / normalized-dedup hashes engine-dependent. The hash
+    paths now fold ASCII only (locale-independent), so the same
+    corpus hashes identically everywhere."""
+    import duckdb
+    import pandas as pd
+
+    import mypipe_spark.plans.catalog as C
+    from mypipe_spark.plans import curation, dedup, textops
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rows = [
+        (1, "İstanbul STRASSE straße", "tr", "s0", 23),
+        (2, "ΣΊΣΥΦΟΣ σίσυφος MIXED case Words", "el", "s0", 32),
+        (3, "Łódź naïve ＡＢＣ 👍🏽 Emoji", "pl", "s1", 24),
+        (4, "plain ascii UPPER lower", "en", "s1", 23),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+    )
+    for name, mod in (
+        ("text_fingerprint", textops),
+        ("dedup_exact_normalized", dedup),
+        ("dedup_keep_best", dedup),
+        ("curation_funnel", curation),
+    ):
+        with _planted_tables([mod], {"documents": docs}):
+            got = sorted(
+                (tuple(r) for r in QUERIES[name].fn(spark, "x").collect()), key=str
+            )
+        want = sorted(
+            (tuple(r) for r in con.execute(QUERIES[name].oracle).fetchall()),
+            key=str,
+        )
+        assert got == want, (name, got[:3], want[:3])
