@@ -571,6 +571,9 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
          "en", "s1", 131),
         (5, "x y z", "de", None, 5),
         (6, "spam eggs " * 40, None, "s0", 399),
+        (7, "  leading and trailing  ", "en", "s0", 24),
+        (8, " ", "de", "s0", 1),
+        (9, "a\nb newline the of to in and a", "en", "s1", 30),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id int, text string, lang string, source string, n_chars int"
