@@ -1615,25 +1615,27 @@ def containment_pairs_from_arrays(
     """Core of dedup_containment over a precomputed (doc_id, n_sh,
     hsh) table, with the stop-shingle cap injectable so the
     planted-skew test can pin its false-negative-only contract."""
-    # integer-exact α = ceil(NUM·n/DEN): (NUM·n + DEN − 1) div DEN —
-    # a double ceil(0.8·n) sits on round-to-even knife edges at
+    # Sort ONCE per run: both the probe prefixes and the positional
+    # posting index read the same sorted order (a per-branch
+    # array_sort would re-sort every document array twice).
+    sarr = arr.select("doc_id", "n_sh", F.array_sort("hsh").alias("hsh"))
+    # integer-exact alpha = ceil(NUM*n/DEN): (NUM*n + DEN-1) div DEN —
+    # a double ceil(0.8*n) sits on round-to-even knife edges at
     # exact multiples and is not portable
     prefix_len = (
         f"greatest(size(hsh) - (({_CONTAIN_NUM} * n_sh + {_CONTAIN_DEN - 1})"
         f" div {_CONTAIN_DEN}) + 1, 0)"
     )
-    subpref = arr.filter(F.col("n_sh") >= _CONTAIN_MIN_SH).select(
+    subpref = sarr.filter(F.col("n_sh") >= _CONTAIN_MIN_SH).select(
         F.col("doc_id").alias("doc_sub"),
         F.col("n_sh").alias("np_sub"),
-        F.explode(
-            F.expr(f"slice(array_sort(hsh), 1, {prefix_len})")
-        ).alias("shingle"),
+        F.explode(F.expr(f"slice(hsh, 1, {prefix_len})")).alias("shingle"),
     )
-    posting = (
-        arr.select(
+    posting_all = (
+        sarr.select(
             "doc_id",
             F.col("n_sh").alias("np_super"),
-            F.posexplode(F.array_sort("hsh")).alias("pos0", "shingle"),
+            F.posexplode("hsh").alias("pos0", "shingle"),
         )
         .groupBy("shingle")
         .agg(
@@ -1641,27 +1643,58 @@ def containment_pairs_from_arrays(
                 F.struct("doc_id", "np_super", F.col("pos0").alias("pos0"))
             ).alias("supers")
         )
+    )
+    posting = posting_all.filter(
         # size >= 2: a singleton list is always exactly the probing
         # doc itself and can never yield a candidate (same bound as
         # every sibling posting-list path); size <= cap: hot-shingle
         # fanout guard, false-negative-only above the cap
-        .filter((F.size("supers") >= 2) & (F.size("supers") <= df_cap))
+        (F.size("supers") >= 2)
+        & (F.size("supers") <= df_cap)
     )
-    # Super-side positional filter (lossless): a qualifying direction
-    # needs overlap α = ceil(t·n_sub); its SMALLEST common hash h₀
-    # has ≥ α−1 common hashes after it in the super's sorted array,
-    # so h₀'s super position satisfies n_super − pos ≥ α — and h₀ is
-    # also inside the sub's probe prefix, so the pair always survives
-    # via h₀'s mention. Mentions deep in big supers (most of the
-    # probe fanout against large documents) drop before the distinct
-    # shuffle: measured K=32 15.6× → see SCALING.md.
+    # Cap slack — the Jaccard pattern ported: per doc, how many of its
+    # OWN prefix shingles sit in capped (> df_cap) posting lists. The
+    # positional bound's proof anchors on the smallest SURVIVING
+    # common hash h_j; every smaller common hash is also inside the
+    # sub's prefix (the prefix IS the smallest hashes) and, not
+    # surviving, must be capped — so j <= slack_sub and h_j still has
+    # >= alpha - slack_sub common hashes at-or-after it in the super.
+    # Without the slack, a pair whose smallest common shingles are hot
+    # could lose EVERY mention to the positional bound even though the
+    # pre-positional form kept it (regression-pinned with a crafted
+    # arr in tests/test_dedup.py).
+    cap_slack = (
+        posting_all.filter(F.size("supers") > df_cap)
+        .select(F.explode("supers").alias("sp"))
+        .filter(
+            F.expr(
+                "sp.pos0 < greatest(sp.np_super -"
+                f" (({_CONTAIN_NUM} * sp.np_super + {_CONTAIN_DEN - 1})"
+                f" div {_CONTAIN_DEN}) + 1, 0)"
+            )
+        )
+        .groupBy(F.col("sp.doc_id").alias("doc_sub"))
+        .agg(F.count("*").alias("n_capped"))
+    )
+    # Super-side positional filter: a qualifying direction needs
+    # overlap alpha = ceil(t*n_sub); its smallest surviving common
+    # hash has >= alpha - slack common hashes at-or-after it in the
+    # super's sorted array, so at least one mention satisfies
+    # n_super - pos + slack >= alpha. Mentions deep in big supers
+    # (most of the probe fanout) drop before the distinct shuffle:
+    # measured K=32 15.6x -> 5.3x (SCALING.md). Slack joins ONE side
+    # (the sub) — each extra reference to the posting aggregate
+    # re-plans it (no cross-branch exchange reuse), same reasoning as
+    # the Jaccard plan.
     alpha = f"(({_CONTAIN_NUM} * np_sub + {_CONTAIN_DEN - 1}) div {_CONTAIN_DEN})"
     cand = (
         subpref.join(posting, "shingle")
         .select("doc_sub", "np_sub", F.explode("supers").alias("sp"))
+        .join(cap_slack, "doc_sub", "left")
+        .withColumn("slack", F.coalesce(F.col("n_capped"), F.lit(0)))
         .filter(
             (F.col("doc_sub") != F.col("sp.doc_id"))
-            & F.expr(f"sp.np_super - sp.pos0 >= {alpha}")
+            & F.expr(f"sp.np_super - sp.pos0 + slack >= {alpha}")
         )
         .select("doc_sub", F.col("sp.doc_id").alias("doc_super"))
         .distinct()

@@ -523,3 +523,38 @@ def test_containment_cap_is_false_negative_only(spark):
     assert c <= e                        # never a false positive
     assert (200, 201) in c               # unhot pair survives the cap
     assert len(e - c) > 0                # the cap did bite hot pairs
+
+
+def test_containment_positional_slack_keeps_hot_prefix_pair(spark):
+    """Crafted hash arrays where the sub's two smallest common
+    shingles sit in capped posting lists and the only surviving
+    prefix mention (hash 30) sits DEEP in the super (position 23 of
+    30 ⟹ 30−23 = 7 < α = 8): the slackless positional bound rejects
+    every mention of a TRUE containment pair that the pre-positional
+    candidate generation kept. With the cap slack (2 capped prefix
+    shingles ⟹ 30−23+2 = 9 ≥ 8) the pair survives, and the exact
+    verify still computes containment = 8/10."""
+    from mypipe_spark.plans.dedup import containment_pairs_from_arrays
+
+    commons = [10, 20, 30, 40, 50, 60, 70, 80]
+    sub = sorted(commons + [200, 300])                      # n=10, α=8, prefix {10,20,30}
+    fillers_below = [x for x in range(1, 30) if x not in (10, 20)][:21]
+    sup = sorted(commons + fillers_below + [95])            # n=30, 23 elements < 30
+    assert len(sup) == 30 and sup.index(30) == 23
+    arr = spark.createDataFrame(
+        [
+            (1, len(sub), sub),
+            (2, len(sup), sup),
+            # hot-list makers: hashes 10 and 20 appear in 4 docs
+            # (> cap 2); too small to be subs themselves (floor 10)
+            (3, 2, [10, 20]),
+            (4, 2, [10, 20]),
+        ],
+        "doc_id long, n_sh int, hsh array<bigint>",
+    )
+    out = {
+        (r["doc_sub"], r["doc_super"]): r
+        for r in containment_pairs_from_arrays(arr, df_cap=2).collect()
+    }
+    assert (1, 2) in out, "cap slack must keep the hot-prefix pair"
+    assert out[(1, 2)]["n_common"] == 8 and out[(1, 2)]["containment"] == 0.8
