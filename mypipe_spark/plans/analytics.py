@@ -35,6 +35,7 @@ from .catalog import (
     micro_quant_sql,
     register,
     round4_double_sql,
+    round4_frac_sql,
     round_div_sql,
     round_micro_ratio_sql,
 )
@@ -1293,3 +1294,173 @@ def q_cube_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money(F.col("o_totalprice"), "total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: weekly activity matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), firsts AS (
+      -- CAST: DuckDB's date_trunc('week') yields DATE where Spark's
+      -- yields TIMESTAMP; uncast, the cohort column types diverge
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+               AS cohort_w
+      FROM ev GROUP BY user_id
+    ), weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_w FROM ev
+    ), per AS (
+      SELECT f.cohort_w AS cohort_week,
+             CAST(date_diff('day', f.cohort_w, w.act_w) // 7 AS INT)
+               AS week_offset,
+             COUNT(*) AS n_active
+      FROM weeks w JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT cohort_week, week_offset, n_active,
+             FIRST_VALUE(n_active) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset) AS cohort_n
+      FROM per)
+    SELECT cohort_week, week_offset, n_active,
+           {round4_frac_sql("n_active", "cohort_n", "//")} AS retention
+    FROM sized
+    """,
+    tags=("events", "window", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the week
+    of their FIRST event; each (cohort_week, week_offset) cell counts
+    users from that cohort active that many weeks later, with the
+    retention ratio against the cohort size (= the offset-0 cell,
+    which every cohort has by construction: a user's first week is an
+    active week).
+
+    Shape: one groupBy(user) for first-touch, one distinct over
+    (user, week) — both shuffle on user_id, so Catalyst reuses ONE
+    exchange partitioning for the aggregate, the distinct and the
+    equi-join; the final (cohort, offset) aggregate and its ordered
+    window run over cohort-sized data (weeks², not events). Timeless
+    (NULL-ts) events are unbucketable and anonymous (NULL user_id)
+    events uncohortable — both excluded by the SAME explicit contract
+    on both engines (the events-plane NULL-ordering and equi-join
+    lessons; see the dirty-corpus sweep). Retention is rounded through
+    the exact integer helper so the .5-boundary reprs cannot diverge.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    weeks = ev.select("user_id", F.date_trunc("week", "ts").alias("act_w")).distinct()
+    per = (
+        weeks.join(firsts, "user_id")
+        .select(
+            F.col("cohort_w").alias("cohort_week"),
+            F.expr("cast(datediff(act_w, cohort_w) div 7 as int)").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return per.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.first("n_active").over(w).alias("cohort_n"),
+    ).select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.expr(round4_frac_sql("n_active", "cohort_n", "div")).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_FK_CHECKS = (
+    # (label, child table, fk column, parent table, pk column)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_audit_sql(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{label}' AS fk,
+           CAST(SUM(cnt) AS BIGINT) AS n_child,
+           CAST(COALESCE(SUM(CASE WHEN ck IS NOT NULL AND pk IS NULL
+                                  THEN cnt ELSE 0 END), 0) AS BIGINT)
+             AS n_orphan_rows,
+           CAST(COALESCE(SUM(CASE WHEN ck IS NOT NULL AND pk IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_orphan_keys,
+           CAST(COALESCE(SUM(CASE WHEN ck IS NULL THEN cnt ELSE 0 END), 0)
+                AS BIGINT) AS n_null_fk
+    FROM (SELECT {fk} AS ck, COUNT(*) AS cnt FROM {child} GROUP BY {fk}) c
+    LEFT JOIN (SELECT {pk} AS pk FROM {parent}) p ON c.ck = p.pk
+    """
+
+
+@register(
+    "q_integrity_orphans",
+    oracle="\nUNION ALL\n".join(_fk_audit_sql(*chk) for chk in _FK_CHECKS),
+    tags=("audit", "join", "quality"),
+)
+def q_integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's four FK
+    edges: rows and distinct keys in each child with no matching
+    parent, plus NULL-FK rows counted separately (a NULL FK is "no
+    parent", not a violation — the equi-join would otherwise silently
+    blend it into the orphan count, the funnel NULL-source lesson).
+
+    Scale shape: each child AGGREGATES TO ITS DISTINCT FK KEYS first
+    (map-side combinable; keys ≪ rows), so the probe join carries
+    (key, count) pairs, never child rows, and orphan ROW counts come
+    from summing the carried counts. Parent side prunes to the key
+    column only. At 100 TB this is the standard reconciliation audit:
+    four independent small joins, unioned driver-side into one result.
+    """
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for label, child, fk, parent, pk in _FK_CHECKS:
+        g = t[child].groupBy(F.col(fk).alias("ck")).agg(F.count("*").alias("cnt"))
+        p = t[parent].select(F.col(pk).alias("pk"))
+        j = g.join(p, F.col("ck") == F.col("pk"), "left")
+        orphan = F.col("ck").isNotNull() & F.col("pk").isNull()
+        parts.append(
+            j.agg(
+                F.sum("cnt").alias("n_child"),
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("cnt")).otherwise(0)), F.lit(0)
+                ).alias("n_orphan_rows"),
+                F.coalesce(
+                    F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0)
+                ).alias("n_orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("ck").isNull(), F.col("cnt")).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_null_fk"),
+            ).select(
+                F.lit(label).alias("fk"),
+                "n_child",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                "n_null_fk",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

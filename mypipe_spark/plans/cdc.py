@@ -450,3 +450,91 @@ def cdc_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_ts").alias("last_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: reconcile two corpus versions
+# ---------------------------------------------------------------------------
+
+# The two "snapshots" are deterministic slices of the documents table
+# (the driver provides one corpus version, so the diff inputs are
+# derived identically on both engines): rows with doc_id % 11 == 3 are
+# missing from the OLD snapshot (added since), rows with
+# doc_id % 19 == 7 are missing from the NEW one (deleted since), and
+# rows with doc_id % 13 == 2 carry a different OLD text (changed
+# since). In production the two sides are separate table versions.
+_DIFF_OLD_PRED = "doc_id % 11 <> 3"
+_DIFF_NEW_PRED = "doc_id % 19 <> 7"
+_DIFF_CHG_PRED = "doc_id % 13 = 2"
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id,
+             md5(CASE WHEN {_DIFF_CHG_PRED} THEN text || ' [v1]'
+                      ELSE text END) AS h,
+             source
+      FROM documents WHERE {_DIFF_OLD_PRED}
+    ), new AS (
+      SELECT doc_id, md5(text) AS h, source
+      FROM documents WHERE {_DIFF_NEW_PRED}
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'deleted'
+                WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COALESCE(n.source, o.source) AS source,
+           COUNT(*) AS n_docs
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("cdc", "diff", "join"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the table-diff behind CDC backfill
+    audits (did the replicated table drift from the source?): full
+    outer join of two corpus versions on the primary key comparing
+    CONTENT DIGESTS, classifying every key as added / deleted /
+    changed / unchanged with per-source counts.
+
+    Scale shape: each side projects to (pk, md5, source) BEFORE the
+    join, so the shuffle carries ~50-byte digests instead of document
+    blobs; the join is a PK-keyed sort-merge that co-locates for free
+    when both versions are bucketed by PK (sinks/shards.py writes
+    exactly that layout). NULL content hashes to NULL and NULL IS
+    DISTINCT FROM NULL is false, so a document whose text is missing
+    in BOTH versions classifies as unchanged rather than diverging on
+    engine NULL-equality rules."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    old = docs.filter(F.expr(_DIFF_OLD_PRED)).select(
+        F.col("doc_id").alias("o_id"),
+        F.md5(
+            F.when(
+                F.expr(_DIFF_CHG_PRED), F.concat(F.col("text"), F.lit(" [v1]"))
+            ).otherwise(F.col("text"))
+        ).alias("o_h"),
+        F.col("source").alias("o_src"),
+    )
+    new = docs.filter(F.expr(_DIFF_NEW_PRED)).select(
+        F.col("doc_id").alias("n_id"),
+        F.md5("text").alias("n_h"),
+        F.col("source").alias("n_src"),
+    )
+    j = old.join(new, F.col("o_id") == F.col("n_id"), "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "deleted")
+        .when(~F.col("o_h").eqNullSafe(F.col("n_h")), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("n_src", "o_src").alias("source"),
+        )
+        .groupBy("status", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -802,3 +802,98 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tok_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language quality buckets
+# ---------------------------------------------------------------------------
+
+_QB_N = 3  # head / middle / tail
+
+
+@register(
+    "text_quality_buckets_per_lang",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             {N_TOKENS_DUCK} AS n_tokens,
+             {N_STOP_DUCK} AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT lang, n_tokens, n_stop, doc_id,
+             COALESCE(CAST(n_stop AS BIGINT) * 1000000 // n_tokens, -1)
+               AS score
+      FROM feats
+    ), bucketed AS (
+      SELECT lang, n_tokens, n_stop,
+             NTILE({_QB_N}) OVER (
+               PARTITION BY lang ORDER BY score DESC, doc_id) AS b
+      FROM scored)
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           {round4_frac_sql('SUM(n_stop)', 'SUM(n_tokens)', '//')}
+             AS stop_ratio,
+           CAST(SUM({quality_keep_sql('n_stop', 'n_tokens')}) AS BIGINT)
+             AS n_keep
+    FROM bucketed GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "buckets"),
+)
+def text_quality_buckets_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality tiers: within each language,
+    rank documents by quality (the shared stopword-ratio signal — the
+    perplexity stand-in this container can express) and NTILE them
+    into head / middle / tail thirds, reporting each tier's size,
+    aggregate stop-ratio and how many docs the standing keep-gate
+    (quality_keep_sql — the SAME expression the funnel and source
+    pruner use) would retain. CCNet trains on the head and discards
+    the tail; the tier assignment is the reusable part.
+
+    Portability: the rank key is the INTEGER micro-ratio
+    n_stop·10⁶ div n_tokens (a double ratio could order differently
+    at the last ulp), tie-broken by doc_id, and NULL-text documents
+    get an explicit -1 key so they sink to the tail on BOTH engines —
+    unkeyed NULLs would sort NULLS FIRST under Spark's DESC but NULLS
+    LAST under DuckDB's (the events-plane lesson). NTILE's ceil/floor
+    fill is standard SQL and identical in both. Scale: one shuffle on
+    lang; per-language NTILE is a within-partition sort, which is the
+    documented CCNet shape — a production variant at extreme per-lang
+    skew would switch to approx-percentile cutoffs (the _check-twin
+    pattern) instead of a total order."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    feats = t["documents"].select(
+        "doc_id",
+        "lang",
+        n_tokens_col().alias("n_tokens"),
+        n_stop_col().alias("n_stop"),
+    )
+    scored = feats.select(
+        "lang",
+        "n_tokens",
+        "n_stop",
+        "doc_id",
+        F.expr(
+            "coalesce(cast(n_stop as bigint) * 1000000 div n_tokens, -1)"
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    bucketed = scored.select(
+        "lang", "n_tokens", "n_stop", F.ntile(_QB_N).over(w).alias("b")
+    )
+    return bucketed.groupBy(
+        "lang",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            round4_frac_sql("SUM(n_stop)", "SUM(n_tokens)", "div")
+        ).alias("stop_ratio"),
+        F.sum(F.expr(quality_keep_sql("n_stop", "n_tokens"))).alias("n_keep"),
+    )

@@ -583,8 +583,13 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
         "documents",
         pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
     )
+    from mypipe_spark.plans import cdc
+
     mods = {"text": textops, "dedu": dedup, "pii_": curation,
             "cura": curation, "mult": multimodal}
+    # documents-plane queries living in modules whose 4-char prefix
+    # would otherwise pull in non-documents queries
+    extra = {"cdc_snapshot_diff": cdc}
     skip = {
         # EAGER component builders / embeddings-table dependent
         "dedup_semantic", "dedup_leakage_safe_split", "dedup_decontaminate",
@@ -598,7 +603,7 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
 
     checked = 0
     for name, qd in sorted(QUERIES.items()):
-        mod = mods.get(name[:4])
+        mod = mods.get(name[:4]) or extra.get(name)
         if mod is None or qd.oracle is None or name in skip:
             continue
         with _planted_tables([mod], {"documents": docs}):
@@ -661,6 +666,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
     names = {
         "events_ohlc_15m": AN, "events_value_histogram": AN,
         "events_gapfill_1h": AN, "events_trailing_1h": AN,
+        "events_retention_cohorts": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -731,3 +737,135 @@ def test_hash_paths_unicode_cross_engine_parity(spark):
             key=str,
         )
         assert got == want, (name, got[:3], want[:3])
+
+
+def test_retention_cohorts_planted_matrix(spark):
+    """Crafted two-cohort stream: cohort W0 = users 1,2 (user 2 skips
+    week 1 and returns in week 2), cohort W1 = user 3. NULL-ts and
+    NULL-user events must not perturb any cell. Verifies the exact
+    (cohort, offset) matrix including the skip-week gap and the
+    offset-0 denominator."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    w0 = dt.datetime(2024, 1, 1)   # a Monday
+    wk = dt.timedelta(days=7)
+    rows = [
+        (1, w0, 1), (2, w0 + dt.timedelta(days=2), 2),          # cohort W0
+        (3, w0 + wk, 1),                                         # u1 week 1
+        (4, w0 + 2 * wk, 1), (5, w0 + 2 * wk + dt.timedelta(hours=5), 2),
+        (6, w0 + wk + dt.timedelta(days=3), 3),                  # cohort W1
+        (7, None, 1), (8, w0, None),                             # dirty
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, None) for i, ts, u in rows],
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = {
+            (r["cohort_week"], r["week_offset"]): (r["n_active"], r["retention"])
+            for r in QUERIES["events_retention_cohorts"].fn(spark, "x").collect()
+        }
+    assert got == {
+        (w0, 0): (2, 1.0),
+        (w0, 1): (1, 0.5),      # user 2's skip week
+        (w0, 2): (2, 1.0),      # and return
+        (w0 + wk, 0): (1, 1.0),
+    }
+
+
+def test_snapshot_diff_planted_classes(spark):
+    """One planted doc per diff class: %11==3 → added, %19==7 →
+    deleted, %13==2 → changed; a NULL-text changed-slot doc must
+    classify UNCHANGED (NULL digest on both sides, null-safe compare);
+    a doc in both drop slots (102: ≡3 mod 11 AND ≡7 mod 19) must
+    appear in neither snapshot and produce no row at all."""
+    from mypipe_spark.plans import cdc as CD
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rows = [
+        (1, "stable text", "s0", 11),
+        (2, "edited text", "s0", 11),     # 2 % 13 == 2 -> changed
+        (3, "new arrival", "s0", 11),     # 3 % 11 == 3 -> added
+        (26, "old removed", "s1", 11),    # 26 % 19 == 7 -> deleted
+        (15, None, "s1", 0),              # 15 % 13 == 2 but NULL text
+        (102, "ghost", "s1", 5),          # absent from BOTH snapshots
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, source string, n_chars int"
+    ).withColumn("lang", F.lit("en"))
+    with _planted_tables([CD], {"documents": docs}):
+        got = {
+            (r["status"], r["source"]): r["n_docs"]
+            for r in QUERIES["cdc_snapshot_diff"].fn(spark, "x").collect()
+        }
+    assert got == {
+        ("unchanged", "s0"): 1,
+        ("changed", "s0"): 1,
+        ("added", "s0"): 1,
+        ("deleted", "s1"): 1,
+        ("unchanged", "s1"): 1,   # NULL-text doc: NULL digests compare equal
+    }
+
+
+def test_quality_buckets_planted_tiers(spark):
+    """Nine same-lang docs with strictly decreasing stopword ratio
+    split 3/3/3 head/middle/tail in that quality order; a NULL-text
+    doc must sink to the TAIL on the explicit -1 key (not float to
+    the head via Spark's DESC NULLS FIRST)."""
+    from mypipe_spark.plans import textops as T
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    # doc i has i stopwords out of 10 tokens -> score monotone in i
+    mk = lambda n_stop: " ".join(["the"] * n_stop + ["zzz"] * (10 - n_stop))
+    rows = [(i, mk(i), "en", "s0", 40) for i in range(1, 10)]
+    rows.append((10, None, "en", "s0", None))
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    with _planted_tables([T], {"documents": docs}):
+        out = QUERIES["text_quality_buckets_per_lang"].fn(spark, "x").collect()
+    by = {r["bucket"]: r for r in out}
+    # 10 docs -> ntile(3) gives 4/3/3; head = docs 9,8,7,6 (highest ratios)
+    assert by["head"]["n_docs"] == 4 and by["head"]["stop_ratio"] == 0.75
+    assert by["middle"]["n_docs"] == 3 and by["middle"]["stop_ratio"] == 0.4
+    # tail = docs 2,1 and the NULL-text doc; ratio ignores the NULL row
+    assert by["tail"]["n_docs"] == 3 and by["tail"]["stop_ratio"] == 0.15
+    # keep-gate: >= 20 tokens required, so every 10-token doc is dropped
+    assert sum(r["n_keep"] for r in out) == 0
+
+
+def test_integrity_orphans_planted_counts(spark):
+    """Planted FK violations: two lineitem rows sharing one dangling
+    orderkey (orphan_rows=2, orphan_keys=1), a NULL FK counted
+    separately (not as an orphan), and clean parent edges elsewhere."""
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    line = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 999), (4, 999), (5, None)],
+        "l_linenumber int, l_orderkey int",
+    )
+    orders = spark.createDataFrame([(100, 7)], "o_orderkey int, o_custkey int")
+    customer = spark.createDataFrame([(7, 1)], "c_custkey int, c_nationkey int")
+    supplier = spark.createDataFrame([(1, 2)], "s_suppkey int, s_nationkey int")
+    nation = spark.createDataFrame([(1,), (2,)], "n_nationkey int")
+    with _planted_tables([AN], {
+        "lineitem": line, "orders": orders, "customer": customer,
+        "supplier": supplier, "nation": nation,
+    }):
+        got = {r["fk"]: r for r in QUERIES["q_integrity_orphans"].fn(spark, "x").collect()}
+    li = got["lineitem.l_orderkey->orders"]
+    assert (li["n_child"], li["n_orphan_rows"], li["n_orphan_keys"], li["n_null_fk"]) \
+        == (5, 2, 1, 1)
+    for k in ("orders.o_custkey->customer", "customer.c_nationkey->nation",
+              "supplier.s_nationkey->nation"):
+        r = got[k]
+        assert r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
