@@ -1464,3 +1464,123 @@ def q_integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# exact-integer anomaly detection (3-sigma) per event type
+# ---------------------------------------------------------------------------
+
+def _anomaly_sql(intdiv: str, hugecast: bool) -> str:
+    """The 3σ query in one dialect. All moments are exact integers
+    over micro-quantized values, so the anomaly VERDICT is an integer
+    comparison both engines evaluate identically — a double
+    stddev/z-score would disagree in the last ulp and flip boundary
+    rows. The test (x−μ)² > 9σ² is cleared of denominators:
+    (x·n − S)² > 9·(n·Q − S²) with S = Σx, Q = Σx² in micro-units.
+    Exact while n·max|x|·10⁶ < 10³⁸ (≈3·10⁹ rows/group at |x|≤10³;
+    at larger group cardinalities quantize coarser)."""
+    # The quantized value must live in an INTEGRAL type end-to-end:
+    # DuckDB's ``//`` over DECIMAL operands divides at decimal scale
+    # (15000.5 survives!) — only HUGEINT operands floor-divide. The
+    # events dirty-corpus sweep caught exactly that (+5e-5 on every
+    # mean) after an earlier draft left the sums as DECIMAL.
+    itype = "HUGEINT" if hugecast else "DECIMAL(38,0)"
+    x = f"CAST({micro_quant_sql('value')} AS {itype})"
+    mean4 = (
+        "CASE WHEN n_valued = 0 THEN NULL ELSE "
+        + f"(CAST({round_div_sql('s1 * 10000', 'n_valued * 1000000', intdiv)}"
+        " AS DOUBLE) / 10000) END"
+    )
+    var4 = (
+        "CASE WHEN n_valued = 0 THEN NULL ELSE "
+        + f"(CAST({round_div_sql('(n_valued * s2 - s1 * s1) * 10000', 'n_valued * n_valued * 1000000000000', intdiv)}"
+        " AS DOUBLE) / 10000) END"
+    )
+    return f"""
+    WITH q AS (
+      SELECT event_type, {x} AS x FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n_events, COUNT(x) AS n_valued,
+             SUM(x) AS s1, SUM(x * x) AS s2
+      FROM q GROUP BY event_type
+    ), flagged AS (
+      SELECT s.event_type, s.n_events, s.n_valued, s.s1, s.s2,
+             CASE WHEN q.x IS NULL OR s.n_valued < 2 THEN 0
+                  WHEN (q.x * s.n_valued - s.s1) * (q.x * s.n_valued - s.s1)
+                       > 9 * (s.n_valued * s.s2 - s.s1 * s.s1)
+                  THEN 1 ELSE 0 END AS is_anom
+      FROM q JOIN s ON q.event_type IS NOT DISTINCT FROM s.event_type
+    )
+    SELECT event_type, n_events, n_valued,
+           {mean4} AS mean_value,
+           {var4} AS var_value,
+           CAST(SUM(is_anom) AS BIGINT) AS n_anomalies
+    FROM flagged
+    GROUP BY event_type, n_events, n_valued, s1, s2
+    """
+
+
+@register(
+    "events_anomaly_3sigma",
+    oracle=_anomaly_sql("//", hugecast=True),
+    tags=("events", "stats", "anomaly"),
+)
+def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3σ outlier counts with EXACT distributed second
+    moments: one map-side-combinable pass computes (n, Σx, Σx²) in
+    micro-unit integers, the tiny per-type moment table broadcasts
+    back onto the stream, and each row's verdict is the
+    denominator-cleared integer test (x·n − S)² > 9·(n·Q − S²) — so
+    the flagged SET is engine-identical (a double z-score pipeline
+    flips boundary rows per-engine; the mean/variance displays go
+    through the exact-integer rounding helpers for the same reason).
+    NULL values are counted (n_events vs n_valued) but never flagged,
+    and NULL event types survive the moment join — it is null-safe on
+    BOTH engines (the funnel equi-join lesson). At 100 TB: partial
+    aggregation reduces the scan to ~types rows, the join back is a
+    broadcast, and no window ever sorts the fact table."""
+    t = load_tables(spark, sf_dir)
+    xu = F.expr(micro_quant_sql("value")).cast("decimal(38,0)")
+    q = t["events"].select("event_type", xu.alias("x"))
+    s = q.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.count("*").alias("n_events"),
+        F.count("x").alias("n_valued"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    dev = F.col("x") * F.col("n_valued") - F.col("s1")
+    is_anom = (
+        F.when(F.col("x").isNull() | (F.col("n_valued") < 2), 0)
+        .when(
+            dev * dev > 9 * (F.col("n_valued") * F.col("s2") - F.col("s1") * F.col("s1")),
+            1,
+        )
+        .otherwise(0)
+    )
+    mean4 = F.when(
+        F.col("n_valued") > 0,
+        F.expr(
+            f"(CAST({round_div_sql('s1 * 10000', 'n_valued * 1000000', 'div')}"
+            " AS DOUBLE) / 10000)"
+        ),
+    )
+    var4 = F.when(
+        F.col("n_valued") > 0,
+        F.expr(
+            f"(CAST({round_div_sql('(n_valued * s2 - s1 * s1) * 10000', 'n_valued * n_valued * 1000000000000', 'div')}"
+            " AS DOUBLE) / 10000)"
+        ),
+    )
+    return (
+        q.join(F.broadcast(s), F.col("event_type").eqNullSafe(F.col("s_type")))
+        .groupBy("s_type", "n_events", "n_valued", "s1", "s2")
+        .agg(F.sum(is_anom).alias("n_anomalies"))
+        .select(
+            F.col("s_type").alias("event_type"),
+            "n_events",
+            "n_valued",
+            mean4.alias("mean_value"),
+            var4.alias("var_value"),
+            "n_anomalies",
+        )
+    )

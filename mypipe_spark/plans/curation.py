@@ -473,3 +473,79 @@ def gate_documents(docs: DataFrame) -> DataFrame:
         repetition.alias("repetition_keep"),
         (quality * repetition).alias("gate_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection: greedy per-language prefix under a budget
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 5000  # tokens per language
+
+
+@register(
+    "curation_token_budget",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             {N_TOKENS_DUCK} AS n_tokens,
+             {N_STOP_DUCK} AS n_stop
+      FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(n_stop AS BIGINT) * 1000000 // n_tokens AS score,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY CAST(n_stop AS BIGINT) * 1000000 // n_tokens DESC,
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM feats)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+    tags=("curation", "sampling", "budget"),
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: per language, take documents in quality
+    order (the shared integer stopword-ratio key, doc_id tiebreak)
+    until the cumulative token count reaches the language's budget —
+    the materialized selection step downstream of
+    curation_mix_temperature's proportion planning (that query decides
+    HOW MANY tokens per language; this one decides WHICH documents).
+    Greedy prefix-by-quality is the standard corpus-assembly rule.
+
+    NULL-text documents carry no tokens and are excluded up front on
+    both engines (an unfiltered NULL would ride along at the previous
+    cumulative count and be selected for free). The running sum is a
+    per-language ROWS window over integer token counts — exact, and
+    at 100 TB the sort is per-language (the CCNet tier shape); the
+    output is budget-bounded per language regardless of corpus size.
+    """
+    t = load_tables(spark, sf_dir)
+    feats = t["documents"].filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        n_tokens_col().alias("n_tokens"),
+        n_stop_col().alias("n_stop"),
+    )
+    score = F.expr("cast(n_stop as bigint) * 1000000 div n_tokens")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(score.desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        feats.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )

@@ -666,7 +666,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
     names = {
         "events_ohlc_15m": AN, "events_value_histogram": AN,
         "events_gapfill_1h": AN, "events_trailing_1h": AN,
-        "events_retention_cohorts": AN,
+        "events_retention_cohorts": AN, "events_anomaly_3sigma": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -869,3 +869,71 @@ def test_integrity_orphans_planted_counts(spark):
               "supplier.s_nationkey->nation"):
         r = got[k]
         assert r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
+
+
+def test_anomaly_3sigma_planted_outlier(spark):
+    """Planted per-type streams: 11 values of 10.0 plus one 1000.0 —
+    the spike must be the ONLY anomaly ((x·n−S)² > 9(nQ−S²) exact);
+    a two-value tight group yields zero; a NULL-typed stream survives
+    the null-safe moment join; NULL values count in n_events only."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "a", 10.0, None) for i in range(11)]
+    rows.append((11, t0, 1, "a", 1000.0, None))
+    rows += [(12, t0, 2, "b", 5.0, None), (13, t0, 2, "b", 5.5, None)]
+    rows += [(14, t0, 3, None, 1.0, None), (15, t0, 3, None, 1.0, None),
+             (16, t0, 3, None, None, None)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["events_anomaly_3sigma"].fn(spark, "x").collect()
+        }
+    assert got["a"]["n_anomalies"] == 1 and got["a"]["n_events"] == 12
+    assert got["b"]["n_anomalies"] == 0
+    assert got[None]["n_events"] == 3 and got[None]["n_valued"] == 2
+    assert got[None]["n_anomalies"] == 0 and got[None]["mean_value"] == 1.0
+    assert got[None]["var_value"] == 0.0
+
+
+def test_token_budget_planted_greedy_prefix(spark):
+    """Crafted one-lang corpus: quality order is doc 1 > 2 > 3 > 4;
+    the budget admits docs 1 and 2, doc 3 straddles the budget and is
+    cut, and — prefix semantics, not knapsack — the SMALL doc 4 behind
+    the straddler is cut too. A NULL-text doc must not ride along at
+    the previous cumulative count."""
+    from mypipe_spark.plans import curation as CU
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    budget = CU._TOKEN_BUDGET
+    half = budget // 2  # docs 1 and 2 exactly fill the budget
+
+    def doc(n_total, n_stop):
+        return " ".join(["the"] * n_stop + ["zzz"] * (n_total - n_stop))
+
+    rows = [
+        (1, doc(half, half // 2), "en", "s", half),     # score 0.5
+        (2, doc(half, half // 4), "en", "s", half),     # score 0.25
+        (3, doc(half, half // 8), "en", "s", half),     # score 0.125 — straddles
+        (4, doc(10, 1), "en", "s", 10),                 # small, behind straddler
+        (5, None, "en", "s", None),                     # NULL text
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    with _planted_tables([CU], {"documents": docs}):
+        got = sorted(
+            (r["doc_id"], r["cum_tokens"])
+            for r in QUERIES["curation_token_budget"].fn(spark, "x").collect()
+        )
+    assert got == [(1, half), (2, budget)]
