@@ -1470,32 +1470,46 @@ def q_integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-integer anomaly detection (3-sigma) per event type
 # ---------------------------------------------------------------------------
 
-def _anomaly_sql(intdiv: str, hugecast: bool) -> str:
+def _anomaly_displays(intdiv: str, itype: str) -> tuple[str, str]:
+    """The mean/variance display fragments, built ONCE and shared by
+    the Spark plan and the DuckDB oracle (only the dialect tokens
+    differ) so an arithmetic fix can never land on one twin only.
+    Every operand of both divisions is promoted to the dialect's wide
+    integral type FIRST: the variance denominator n²·10¹² crosses
+    2⁶³ at n ≈ 2148 valued rows per group — BIGINT arithmetic there
+    RAISES in DuckDB and silently wraps in non-ANSI Spark (sf0.01's
+    2006-row groups passed by 8e17 of headroom; sf0.1's would not —
+    caught in review before the two-scale-factor preflight)."""
+    n = f"CAST(n_valued AS {itype})"
+    mean4 = (
+        "CASE WHEN n_valued = 0 THEN NULL ELSE "
+        f"(CAST({round_div_sql('s1 * 10000', f'{n} * 1000000', intdiv)}"
+        " AS DOUBLE) / 10000) END"
+    )
+    var4 = (
+        "CASE WHEN n_valued = 0 THEN NULL ELSE "
+        f"(CAST({round_div_sql(f'({n} * s2 - s1 * s1) * 10000', f'{n} * {n} * 1000000000000', intdiv)}"
+        " AS DOUBLE) / 10000) END"
+    )
+    return mean4, var4
+
+
+def _anomaly_sql(intdiv: str, itype: str) -> str:
     """The 3σ query in one dialect. All moments are exact integers
     over micro-quantized values, so the anomaly VERDICT is an integer
     comparison both engines evaluate identically — a double
     stddev/z-score would disagree in the last ulp and flip boundary
     rows. The test (x−μ)² > 9σ² is cleared of denominators:
     (x·n − S)² > 9·(n·Q − S²) with S = Σx, Q = Σx² in micro-units.
-    Exact while n·max|x|·10⁶ < 10³⁸ (≈3·10⁹ rows/group at |x|≤10³;
-    at larger group cardinalities quantize coarser)."""
+    Exact while the verdict product n·Q < 10³⁸ (≈3·10⁹ rows/group at
+    |x|≤10³; at larger group cardinalities quantize coarser)."""
     # The quantized value must live in an INTEGRAL type end-to-end:
     # DuckDB's ``//`` over DECIMAL operands divides at decimal scale
     # (15000.5 survives!) — only HUGEINT operands floor-divide. The
     # events dirty-corpus sweep caught exactly that (+5e-5 on every
     # mean) after an earlier draft left the sums as DECIMAL.
-    itype = "HUGEINT" if hugecast else "DECIMAL(38,0)"
     x = f"CAST({micro_quant_sql('value')} AS {itype})"
-    mean4 = (
-        "CASE WHEN n_valued = 0 THEN NULL ELSE "
-        + f"(CAST({round_div_sql('s1 * 10000', 'n_valued * 1000000', intdiv)}"
-        " AS DOUBLE) / 10000) END"
-    )
-    var4 = (
-        "CASE WHEN n_valued = 0 THEN NULL ELSE "
-        + f"(CAST({round_div_sql('(n_valued * s2 - s1 * s1) * 10000', 'n_valued * n_valued * 1000000000000', intdiv)}"
-        " AS DOUBLE) / 10000) END"
-    )
+    mean4, var4 = _anomaly_displays(intdiv, itype)
     return f"""
     WITH q AS (
       SELECT event_type, {x} AS x FROM events
@@ -1522,7 +1536,7 @@ def _anomaly_sql(intdiv: str, hugecast: bool) -> str:
 
 @register(
     "events_anomaly_3sigma",
-    oracle=_anomaly_sql("//", hugecast=True),
+    oracle=_anomaly_sql("//", "HUGEINT"),
     tags=("events", "stats", "anomaly"),
 )
 def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1557,20 +1571,8 @@ def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
     )
-    mean4 = F.when(
-        F.col("n_valued") > 0,
-        F.expr(
-            f"(CAST({round_div_sql('s1 * 10000', 'n_valued * 1000000', 'div')}"
-            " AS DOUBLE) / 10000)"
-        ),
-    )
-    var4 = F.when(
-        F.col("n_valued") > 0,
-        F.expr(
-            f"(CAST({round_div_sql('(n_valued * s2 - s1 * s1) * 10000', 'n_valued * n_valued * 1000000000000', 'div')}"
-            " AS DOUBLE) / 10000)"
-        ),
-    )
+    mean_frag, var_frag = _anomaly_displays("div", "DECIMAL(38,0)")
+    mean4, var4 = F.expr(mean_frag), F.expr(var_frag)
     return (
         q.join(F.broadcast(s), F.col("event_type").eqNullSafe(F.col("s_type")))
         .groupBy("s_type", "n_events", "n_valued", "s1", "s2")

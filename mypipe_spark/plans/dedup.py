@@ -1615,9 +1615,14 @@ def containment_pairs_from_arrays(
     """Core of dedup_containment over a precomputed (doc_id, n_sh,
     hsh) table, with the stop-shingle cap injectable so the
     planted-skew test can pin its false-negative-only contract."""
-    # Sort ONCE per run: both the probe prefixes and the positional
-    # posting index read the same sorted order (a per-branch
-    # array_sort would re-sort every document array twice).
+    # ONE definition of the sorted arrays so the probe prefixes, the
+    # positional index and the slack counter can never read different
+    # orders. NOTE this is a single *definition*, not a single
+    # *evaluation*: Spark inlines the projection into every consuming
+    # branch (no cross-branch reuse — the same plan fact the posting
+    # comment below records), so each of the three branches re-sorts;
+    # the slack correctness fix costs ~8% K=32 amplified wall
+    # (10.0 → 10.8 s, SCALING.md) and that is the honest price.
     sarr = arr.select("doc_id", "n_sh", F.array_sort("hsh").alias("hsh"))
     # integer-exact alpha = ceil(NUM*n/DEN): (NUM*n + DEN-1) div DEN —
     # a double ceil(0.8*n) sits on round-to-even knife edges at

@@ -854,9 +854,11 @@ def text_quality_buckets_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     Portability: the rank key is the INTEGER micro-ratio
     n_stop·10⁶ div n_tokens (a double ratio could order differently
     at the last ulp), tie-broken by doc_id, and NULL-text documents
-    get an explicit -1 key so they sink to the tail on BOTH engines —
-    unkeyed NULLs would sort NULLS FIRST under Spark's DESC but NULLS
-    LAST under DuckDB's (the events-plane lesson). NTILE's ceil/floor
+    get an explicit -1 key so the tail placement is a stated contract
+    rather than a default: Spark and DuckDB agree on DESC (both NULLS
+    LAST) but diverge on ASC (Spark NULLS FIRST, DuckDB NULLS LAST —
+    the events-plane divergences were all ASC orderings), so never
+    leave a NULLable sort key to engine defaults. NTILE's ceil/floor
     fill is standard SQL and identical in both. Scale: one shuffle on
     lang; per-language NTILE is a within-partition sort, which is the
     documented CCNet shape — a production variant at extreme per-lang

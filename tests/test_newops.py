@@ -816,8 +816,8 @@ def test_snapshot_diff_planted_classes(spark):
 def test_quality_buckets_planted_tiers(spark):
     """Nine same-lang docs with strictly decreasing stopword ratio
     split 3/3/3 head/middle/tail in that quality order; a NULL-text
-    doc must sink to the TAIL on the explicit -1 key (not float to
-    the head via Spark's DESC NULLS FIRST)."""
+    doc must sink to the TAIL on the explicit -1 key (a stated
+    contract, not a reliance on the engines' DESC NULL defaults)."""
     from mypipe_spark.plans import textops as T
     from mypipe_spark.plans.catalog import QUERIES, all_queries
 
