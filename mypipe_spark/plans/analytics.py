@@ -1534,6 +1534,89 @@ def _anomaly_sql(intdiv: str, itype: str) -> str:
     """
 
 
+def quantize_values(events: DataFrame) -> DataFrame:
+    """``events`` plus ``x``, the micro-quantized integral value (the
+    money-discipline quantization; DECIMAL(38,0) so every downstream
+    product stays exact). One definition shared by the registered
+    query, the moment cores and the streaming path — the anomaly
+    verdict is only engine-stable if every consumer quantizes
+    identically."""
+    return events.withColumn(
+        "x", F.expr(micro_quant_sql("value")).cast("decimal(38,0)")
+    )
+
+
+def moment_partials(events: DataFrame) -> DataFrame:
+    """Per-type exact moment partials (n_events, n_valued, S=Σx,
+    Q=Σx²) over micro-quantized values — one map-side-combinable
+    pass. The partials form a commutative monoid (counts and sums
+    ADD), which is the whole scaling story: shards/days/microbatches
+    aggregate independently and merge losslessly, so a 100 TB history
+    never rescans (cdc_incremental_refresh's pattern, extended to
+    second moments — pinned by test_moment_partials_merge_lossless)."""
+    return quantize_values(events).groupBy(
+        F.col("event_type").alias("s_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count("x").alias("n_valued"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+
+
+def merge_moment_partials(parts: DataFrame) -> DataFrame:
+    """Fold a union of moment-partial tables back into one table per
+    type — the merge half of the monoid. Output schema equals
+    moment_partials' (sums of DECIMAL(38,0) stay DECIMAL(38,0)), so
+    merges compose arbitrarily deep (day→month→corpus)."""
+    return parts.groupBy("s_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_valued").alias("n_valued"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+    )
+
+
+def _is_anom_col() -> F.Column:
+    """The denominator-cleared integer 3σ verdict over a row joined
+    with its type's moments — shared by the registered query and
+    flag_anomalies so the two paths cannot drift."""
+    dev = F.col("x") * F.col("n_valued") - F.col("s1")
+    return (
+        F.when(F.col("x").isNull() | (F.col("n_valued") < 2), 0)
+        .when(
+            dev * dev
+            > 9 * (F.col("n_valued") * F.col("s2") - F.col("s1") * F.col("s1")),
+            1,
+        )
+        .otherwise(0)
+    )
+
+
+def flag_anomalies(events: DataFrame, moments: DataFrame) -> DataFrame:
+    """Per-row 3σ verdicts against a (possibly merged, possibly
+    historical) moment table: ``events`` columns plus ``is_anom``.
+    This is the monitoring deployment shape — moments come from the
+    maintained history (merge_moment_partials over stored partials),
+    new rows are scored row-local against the broadcast table, so the
+    scorer runs on a live stream too (stateless projection after the
+    broadcast join; stream==batch pinned). The join is NULL-SAFE on
+    event_type: rows of an unseen-in-history type keep is_anom NULL
+    (left join) rather than silently vanishing."""
+    m = moments.select("s_type", "n_valued", "s1", "s2")
+    return (
+        quantize_values(events)
+        .join(F.broadcast(m), F.col("event_type").eqNullSafe(F.col("s_type")), "left")
+        .withColumn(
+            "is_anom",
+            F.when(F.col("n_valued").isNull(), F.lit(None).cast("int")).otherwise(
+                _is_anom_col()
+            ),
+        )
+        .drop("s_type", "n_valued", "s1", "s2", "x")
+    )
+
+
 @register(
     "events_anomaly_3sigma",
     oracle=_anomaly_sql("//", "HUGEINT"),
@@ -1554,23 +1637,9 @@ def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation reduces the scan to ~types rows, the join back is a
     broadcast, and no window ever sorts the fact table."""
     t = load_tables(spark, sf_dir)
-    xu = F.expr(micro_quant_sql("value")).cast("decimal(38,0)")
-    q = t["events"].select("event_type", xu.alias("x"))
-    s = q.groupBy(F.col("event_type").alias("s_type")).agg(
-        F.count("*").alias("n_events"),
-        F.count("x").alias("n_valued"),
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
-    )
-    dev = F.col("x") * F.col("n_valued") - F.col("s1")
-    is_anom = (
-        F.when(F.col("x").isNull() | (F.col("n_valued") < 2), 0)
-        .when(
-            dev * dev > 9 * (F.col("n_valued") * F.col("s2") - F.col("s1") * F.col("s1")),
-            1,
-        )
-        .otherwise(0)
-    )
+    q = quantize_values(t["events"]).select("event_type", "x")
+    s = moment_partials(t["events"])
+    is_anom = _is_anom_col()
     mean_frag, var_frag = _anomaly_displays("div", "DECIMAL(38,0)")
     mean4, var4 = F.expr(mean_frag), F.expr(var_frag)
     return (

@@ -937,3 +937,110 @@ def test_token_budget_planted_greedy_prefix(spark):
             for r in QUERIES["curation_token_budget"].fn(spark, "x").collect()
         )
     assert got == [(1, half), (2, budget)]
+
+
+def test_moment_partials_merge_lossless(spark, sf_dir):
+    """The monoid pin behind the 100 TB anomaly story: per-type moment
+    partials computed over THREE arbitrary slices of the events table
+    and merged — and a merge OF merges — must equal the single-pass
+    partials exactly (counts and integral sums, no tolerance)."""
+    from mypipe_spark.plans.analytics import (
+        merge_moment_partials,
+        moment_partials,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full = {tuple(r) for r in moment_partials(ev).collect()}
+    slices = [
+        ev.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    parts = moment_partials(slices[0])
+    for s in slices[1:]:
+        parts = parts.unionByName(moment_partials(s))
+    merged = {tuple(r) for r in merge_moment_partials(parts).collect()}
+    assert merged == full and len(full) > 0
+    # merge of merges: fold slices 0+1 first, then add slice 2
+    m01 = merge_moment_partials(
+        moment_partials(slices[0]).unionByName(moment_partials(slices[1]))
+    )
+    again = merge_moment_partials(m01.unionByName(moment_partials(slices[2])))
+    assert {tuple(r) for r in again.collect()} == full
+
+
+def test_flag_anomalies_matches_registered_query(spark, sf_dir):
+    """Row-level flag_anomalies against the merged moments must sum to
+    the registered query's per-type n_anomalies, and a type absent
+    from the moment table must keep is_anom NULL (not 0, not dropped
+    — the left null-safe join contract)."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flags = AN.flag_anomalies(ev, AN.moment_partials(ev))
+    got = {
+        r["event_type"]: r["n"]
+        for r in flags.groupBy("event_type")
+        .agg(F.sum("is_anom").alias("n"))
+        .collect()
+    }
+    with _planted_tables([AN], {"events": ev}):
+        want = {
+            r["event_type"]: r["n_anomalies"]
+            for r in QUERIES["events_anomaly_3sigma"].fn(spark, "x").collect()
+        }
+    assert got == want and sum(want.values()) > 0
+    # unseen type: score yesterday's moments against a novel stream
+    novel = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "brand_new", 1.0, None)],
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    out = AN.flag_anomalies(novel, AN.moment_partials(ev)).collect()
+    assert len(out) == 1 and out[0]["is_anom"] is None
+
+
+def test_anomaly_moments_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming accumulation pin: events replayed as a file stream,
+    each microbatch reduced to its moment partials and appended to a
+    partial store (at-least-once safe only because the fold is a
+    merge of per-epoch OVERWRITES — here each epoch lands once);
+    merging the store must equal the batch moments, and scoring with
+    the streamed moments must equal the batch flags row-for-row."""
+    from conftest import drain_stream
+
+    from mypipe_spark.plans.analytics import (
+        flag_anomalies,
+        merge_moment_partials,
+        moment_partials,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "parts")
+    ev.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    def fold(batch, epoch):
+        moment_partials(batch).withColumn("epoch", F.lit(epoch)).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    drain_stream(q)
+    streamed = merge_moment_partials(
+        spark.read.parquet(store).drop("epoch")
+    )
+    batch = moment_partials(ev)
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+    a = sorted(tuple(r) for r in flag_anomalies(ev, streamed).collect())
+    b = sorted(tuple(r) for r in flag_anomalies(ev, batch).collect())
+    assert a == b
