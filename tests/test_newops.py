@@ -722,11 +722,14 @@ def test_hash_paths_unicode_cross_engine_parity(spark):
         "documents",
         pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
     )
+    from mypipe_spark.plans import cdc as CD
+
     for name, mod in (
         ("text_fingerprint", textops),
         ("dedup_exact_normalized", dedup),
         ("dedup_keep_best", dedup),
         ("curation_funnel", curation),
+        ("cdc_snapshot_diff", CD),  # md5 digests over non-ASCII text
     ):
         with _planted_tables([mod], {"documents": docs}):
             got = sorted(
@@ -1044,3 +1047,57 @@ def test_anomaly_moments_stream_equals_batch(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in flag_anomalies(ev, streamed).collect())
     b = sorted(tuple(r) for r in flag_anomalies(ev, batch).collect())
     assert a == b
+
+
+def test_anomaly_verdict_equals_fraction_zscore(spark):
+    """Falsifiability pin for the denominator-cleared algebra: 200
+    seeded random groups (negative values, ties, NULLs, singletons)
+    through the registered plan, each verdict recomputed with exact
+    Fraction arithmetic as |x−μ| > 3σ ⟺ (x−μ)² > 9σ² on the
+    micro-quantized values. Any algebra slip (a dropped n, a sign,
+    an off-by-one in the clearing) breaks some group."""
+    import random
+    from fractions import Fraction
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rng = random.Random(20260814)
+    rows, expected = [], {}
+    eid = 0
+    for g in range(200):
+        n = rng.randint(1, 25)
+        vals = []
+        for _ in range(n):
+            if rng.random() < 0.08:
+                vals.append(None)
+            else:
+                # up to 6 decimals so micro-quantization is exact
+                vals.append(round(rng.uniform(-500, 500), rng.randint(0, 6)))
+        if rng.random() < 0.3 and vals:     # planted spike
+            vals[0] = 9999.5
+        gname = f"g{g}"
+        for v in vals:
+            rows.append((eid, None, 1, gname, v, None))
+            eid += 1
+        xs = [Fraction(str(v)) * 10**6 for v in vals if v is not None]
+        nn, s, q = len(xs), sum(Fraction(x) for x in xs), sum(x * x for x in xs)
+        n_anom = 0
+        if nn >= 2:
+            for x in xs:
+                if (x * nn - s) ** 2 > 9 * (nn * q - s * s):
+                    n_anom += 1
+        expected[gname] = n_anom
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = {
+            r["event_type"]: r["n_anomalies"]
+            for r in QUERIES["events_anomaly_3sigma"].fn(spark, "x").collect()
+        }
+    assert got == expected
+    assert sum(expected.values()) > 10  # the corpus actually has spikes
