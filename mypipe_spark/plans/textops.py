@@ -899,3 +899,101 @@ def text_quality_buckets_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("stop_ratio"),
         F.sum(F.expr(quality_keep_sql("n_stop", "n_tokens"))).alias("n_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal (CCNet / RefinedWeb line-level dedup)
+# ---------------------------------------------------------------------------
+
+_LINE_DF = 2  # a line present in >= this many distinct docs is boilerplate
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr
+      FROM documents WHERE text IS NOT NULL
+    ), lines0 AS (
+      -- generate_subscripts zips with unnest (the lateral range table
+      -- function rejects column parameters in DuckDB)
+      SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+             unnest(arr) AS line
+      FROM ls
+    ), lines AS (
+      SELECT doc_id, pos, line, md5(line) AS lkey FROM lines0
+    ), boiler AS (
+      SELECT lkey FROM (
+        SELECT lkey, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY lkey)
+      WHERE df >= {_LINE_DF}
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      WHERE l.lkey NOT IN (SELECT lkey FROM boiler)
+    ), reasm AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(string_split(d.text, chr(10)))
+                - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN reasm r ON d.doc_id = r.doc_id
+    WHERE d.text IS NOT NULL
+    """,
+    tags=("text", "dedup", "lines"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal — the CCNet / RefinedWeb line-level
+    dedup stage: a line occurring in ≥ {_LINE_DF} DISTINCT documents
+    (nav bars, cookie banners, license headers) is dropped from every
+    document, and the survivors are reassembled in original order.
+
+    Shape: posexplode keeps each line's position; the corpus-wide
+    document frequency groups on the line's md5 DIGEST (the shuffle
+    carries 16-byte keys, never the line text — the snapshot-diff
+    discipline); the boilerplate set joins back as a left-anti, and
+    reassembly is one per-doc aggregate (collect → array_sort by pos
+    → concat_ws), giving deterministic text independent of shuffle
+    arrival order. Totality: every text-bearing doc returns a row —
+    a fully-boilerplate doc keeps an EMPTY clean_text rather than
+    vanishing with the anti-join (the funnel lesson). The driver
+    corpus has single-line texts, so there the stage degenerates to
+    whole-text boilerplate removal (exact dups); the planted pin and
+    the dirty sweep exercise true multi-line reassembly."""
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].filter(F.col("text").isNotNull())
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.md5("line"))
+    boiler = (
+        lines.select("lkey", "doc_id")
+        .distinct()
+        .groupBy("lkey")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _LINE_DF)
+        .select("lkey")
+    )
+    reasm = (
+        lines.join(boiler, "lkey", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr(
+                "concat_ws('\n', transform(array_sort("
+                "collect_list(struct(pos, line))), s -> s.line))"
+            ).alias("clean_text"),
+        )
+    )
+    n_lines = F.size(F.split("text", "\n")).cast("bigint")
+    return (
+        base.select("doc_id", n_lines.alias("n_lines"))
+        .join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

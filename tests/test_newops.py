@@ -1101,3 +1101,38 @@ def test_anomaly_verdict_equals_fraction_zscore(spark):
         }
     assert got == expected
     assert sum(expected.values()) > 10  # the corpus actually has spikes
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """Multi-line docs sharing a cookie-banner line and a footer line:
+    both boilerplate lines vanish from every doc, unique lines keep
+    their original ORDER through the shuffle (array_sort by pos), a
+    doc that is 100% boilerplate survives with empty clean_text, and
+    a single-doc duplicated line (2 occurrences, 1 document) is NOT
+    boilerplate — df counts distinct docs, not occurrences."""
+    from mypipe_spark.plans import textops as T
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    banner, footer = "ACCEPT ALL COOKIES", "(c) 2024 example.com"
+    rows = [
+        (1, f"{banner}\nalpha first\nbeta second\n{footer}", "en"),
+        (2, f"{banner}\ngamma third\n{footer}", "en"),
+        (3, f"{banner}\n{footer}", "en"),                    # pure boilerplate
+        (4, "echo\necho\ndelta", "en"),                      # intra-doc repeat
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, t, lang in rows],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    with _planted_tables([T], {"documents": docs}):
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["text_line_dedup"].fn(spark, "x").collect()
+        }
+    assert got[1]["clean_text"] == "alpha first\nbeta second"
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (4, 2)
+    assert got[2]["clean_text"] == "gamma third"
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 2
+    assert got[4]["clean_text"] == "echo\necho\ndelta"
+    assert got[4]["n_removed"] == 0
