@@ -538,3 +538,160 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel: stage progression in event-time order
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+_FUNNEL_OUT_COLS = ("stage", "stage_name", "n_users", "pct_of_prev",
+                    "pct_of_start")
+
+
+def _ordered_funnel_rows(intdiv: str) -> list[list[str]]:
+    """Per output row, the five BARE column expressions (over the
+    one-row ``totals`` relation), shared across dialects; a zero
+    denominator yields NULL explicitly — DuckDB raises on integer
+    division by zero where non-ANSI Spark returns NULL, so the guard
+    must be in the SQL. The Spark side feeds these into ONE stack()
+    over totals — a 4-way UNION of selects was measured re-running
+    the entire window pipeline once per branch (no cross-branch
+    exchange reuse: 4x fact scans for a 4-row result)."""
+    from .catalog import round4_frac_sql
+
+    def pct(num: str, den: str) -> str:
+        return (
+            f"(CASE WHEN {den} = 0 THEN NULL"
+            f" ELSE {round4_frac_sql(num, den, intdiv)} END)"
+        )
+
+    rows = []
+    for k in range(1, 5):
+        prev = f"n{k - 1}" if k > 1 else "n1"
+        rows.append([
+            str(k),
+            f"'{_FUNNEL_STAGES[k - 1]}'",
+            f"n{k}",
+            pct(f"n{k}", prev),
+            pct(f"n{k}", "n1"),
+        ])
+    return rows
+
+
+@register(
+    "events_funnel_ordered",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), m1 AS (
+      SELECT user_id, event_type, ts, event_id,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER w AS s1
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), m2 AS (
+      SELECT user_id, event_type, ts, event_id, s1,
+             MAX(CASE WHEN event_type = 'view' AND s1 = 1
+                      THEN 1 ELSE 0 END) OVER w AS s2
+      FROM m1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), m3 AS (
+      SELECT user_id, event_type, s1, s2,
+             MAX(CASE WHEN event_type = 'click' AND s2 = 1
+                      THEN 1 ELSE 0 END) OVER w AS s3
+      FROM m2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), per_user AS (
+      SELECT user_id, MAX(s1) AS f1, MAX(s2) AS f2, MAX(s3) AS f3,
+             MAX(CASE WHEN event_type = 'purchase' AND s3 = 1
+                      THEN 1 ELSE 0 END) AS f4
+      FROM m3 GROUP BY user_id
+    ), totals AS (
+      SELECT CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS n3,
+             CAST(COALESCE(SUM(f4), 0) AS BIGINT) AS n4
+      FROM per_user)
+    {" UNION ALL ".join(
+        "SELECT " + ", ".join(f"{e} AS {c}"
+                              for e, c in zip(r, _FUNNEL_OUT_COLS))
+        + " FROM totals"
+        for r in _ordered_funnel_rows("//"))}
+    """,
+    tags=("cdc", "window", "funnel"),
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel — signup → view → click → purchase must occur in
+    event-time order (cdc_event_funnel's pivot counts stages in any
+    order; product analytics wants the sequential version). Per user,
+    a chain of cumulative-max windows marks "stage k-1 already seen at
+    this row", so stage k only counts when it happens at-or-after the
+    (ts, event_id)-ordered completion of the chain prefix; per-user
+    flags then aggregate to the 4-row conversion table (counts, pct of
+    previous stage, pct of start).
+
+    Scale shape: ONE shuffle + ONE sort on user_id serve all three
+    window passes and the per-user aggregate (same-partition,
+    same-order windows — Catalyst stacks them on a single exchange;
+    the events_retention exchange-reuse shape). The final table is 4
+    rows built from one driver-sized total. Timeless and anonymous
+    events are excluded by the standing contract on both engines;
+    zero-user corpora yield NULL percentages, never a division error
+    (DuckDB raises on x/0 where Spark returns NULL — guarded in the
+    shared expression)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def is_(stage: str) -> F.Column:
+        return F.when(F.col("event_type") == stage, 1).otherwise(0)
+
+    m = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.max(is_("signup")).over(w).alias("s1"),
+    )
+    m = m.withColumn(
+        "s2",
+        F.max(F.when((F.col("event_type") == "view") & (F.col("s1") == 1), 1)
+              .otherwise(0)).over(w),
+    )
+    m = m.withColumn(
+        "s3",
+        F.max(F.when((F.col("event_type") == "click") & (F.col("s2") == 1), 1)
+              .otherwise(0)).over(w),
+    )
+    per_user = m.groupBy("user_id").agg(
+        F.max("s1").alias("f1"),
+        F.max("s2").alias("f2"),
+        F.max("s3").alias("f3"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("s3") == 1), 1)
+            .otherwise(0)
+        ).alias("f4"),
+    )
+    totals = per_user.agg(
+        *[
+            F.coalesce(F.sum(f"f{k}"), F.lit(0)).cast("bigint").alias(f"n{k}")
+            for k in range(1, 5)
+        ]
+    )
+    args = ", ".join(", ".join(r) for r in _ordered_funnel_rows("div"))
+    return totals.selectExpr(
+        f"stack(4, {args}) AS ({', '.join(_FUNNEL_OUT_COLS)})"
+    )

@@ -667,6 +667,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_ohlc_15m": AN, "events_value_histogram": AN,
         "events_gapfill_1h": AN, "events_trailing_1h": AN,
         "events_retention_cohorts": AN, "events_anomaly_3sigma": AN,
+        "events_funnel_ordered": CD,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -1136,3 +1137,49 @@ def test_line_dedup_planted_boilerplate(spark):
     assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 2
     assert got[4]["clean_text"] == "echo\necho\ndelta"
     assert got[4]["n_removed"] == 0
+
+
+def test_funnel_ordered_planted_sequence_sensitivity(spark):
+    """The ordered funnel must reject out-of-order stages the pivot
+    funnel counts: a purchase BEFORE signup contributes nothing, a
+    view with no signup at all contributes nothing, same-timestamp
+    stage pairs resolve by event_id order, and the four conversion
+    rows carry exact integer-rounded percentages."""
+    import datetime as dt
+
+    from mypipe_spark.plans import cdc as CD
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1)
+    mn = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: purchase FIRST (must not count), then s -> v -> c
+        (1, t0, 1, "purchase"), (2, t0 + mn, 1, "signup"),
+        (3, t0 + 2 * mn, 1, "view"), (4, t0 + 3 * mn, 1, "click"),
+        # user 2: the full ordered chain
+        (5, t0, 2, "signup"), (6, t0 + mn, 2, "view"),
+        (7, t0 + 2 * mn, 2, "click"), (8, t0 + 3 * mn, 2, "purchase"),
+        # user 3: view with no signup ever
+        (9, t0, 3, "view"),
+        # user 4: signup and view at the SAME ts, ordered by event_id
+        (10, t0, 4, "signup"), (11, t0, 4, "view"),
+        # dirty rows: timeless and anonymous
+        (12, None, 1, "purchase"), (13, t0, None, "signup"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, None) for i, ts, u, et in rows],
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([CD], {"events": ev}):
+        got = {
+            r["stage"]: (r["n_users"], r["pct_of_prev"], r["pct_of_start"])
+            for r in QUERIES["events_funnel_ordered"].fn(spark, "x").collect()
+        }
+    assert got == {
+        1: (3, 1.0, 1.0),
+        2: (3, 1.0, 1.0),          # users 1, 2, 4
+        3: (2, 0.6667, 0.6667),    # users 1, 2
+        4: (1, 0.5, 0.3333),       # user 2 only
+    }
