@@ -1655,3 +1655,97 @@ def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling active users: DAU / trailing-7-day WAU / stickiness
+# ---------------------------------------------------------------------------
+
+_WAU_DAYS = 7
+
+
+@register(
+    "events_dau_wau",
+    oracle=f"""
+    WITH daily AS (
+      -- day stays TIMESTAMP on both engines (like the cohort weeks):
+      -- Spark DATE surfaces in pandas as datetime.date objects while
+      -- DuckDB DATE surfaces as datetime64 (measured on the cohort
+      -- query) — a dtype split the value-comparison layer should
+      -- never be asked to paper over
+      SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+             AS TIMESTAMP) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), contrib AS (
+      -- each active (user, day) contributes to the trailing window of
+      -- the next {_WAU_DAYS} days
+      SELECT DISTINCT d.user_id, d.day + INTERVAL (o.i) DAY AS day
+      FROM daily d, range(0, {_WAU_DAYS}) o(i)
+    ), wau AS (
+      SELECT c.day, COUNT(*) AS wau FROM contrib c, bounds b
+      WHERE c.day <= b.hi GROUP BY c.day
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM daily GROUP BY day
+    )
+    SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
+           (CASE WHEN w.wau = 0 THEN NULL ELSE
+            {round4_frac_sql("COALESCE(d.dau, 0)", "w.wau", "//")} END)
+             AS stickiness
+    FROM wau w LEFT JOIN dau d ON w.day = d.day
+    """,
+    tags=("events", "window", "distinct"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: daily active users, trailing-{_WAU_DAYS}-day
+    weekly actives, and DAU/WAU stickiness per day. A sliding DISTINCT
+    cannot ride a window frame (distinct does not decompose over
+    frames); the exact scalable form is the explode-into-buckets
+    trick: each active (user, day) pair — already collapsed to at most
+    one row per user-day — fans out to the {_WAU_DAYS} trailing days
+    it supports, and a plain distinct count per target day replaces
+    the sliding distinct. Shuffle volume is {_WAU_DAYS}x the user-day
+    pairs (bounded, independent of raw event volume); the alternative
+    HLL-merge sketch trades exactness for a 1x shuffle — this is the
+    exact baseline. Days beyond the corpus horizon are clipped; days
+    with a window but no same-day activity keep dau = 0 through the
+    LEFT join (never silently dropped). Timeless and anonymous events
+    are excluded by the standing contract on both sides."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    hi = daily.agg(F.max("day").alias("hi"))
+    contrib = (
+        daily.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day, day + interval {_WAU_DAYS - 1} day,"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .join(F.broadcast(hi), F.col("day") <= F.col("hi"))
+        .drop("hi")
+    )
+    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
+    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+            F.expr(
+                "CASE WHEN wau = 0 THEN NULL ELSE "
+                + round4_frac_sql("COALESCE(dau, 0)", "wau", "div")
+                + " END"
+            ).alias("stickiness"),
+        )
+    )

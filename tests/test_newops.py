@@ -667,7 +667,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_ohlc_15m": AN, "events_value_histogram": AN,
         "events_gapfill_1h": AN, "events_trailing_1h": AN,
         "events_retention_cohorts": AN, "events_anomaly_3sigma": AN,
-        "events_funnel_ordered": CD,
+        "events_funnel_ordered": CD, "events_dau_wau": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -1183,3 +1183,42 @@ def test_funnel_ordered_planted_sequence_sensitivity(spark):
         3: (2, 0.6667, 0.6667),    # users 1, 2
         4: (1, 0.5, 0.3333),       # user 2 only
     }
+
+
+def test_dau_wau_planted_trailing_windows(spark):
+    """Hand-computed rolling actives: activity on days 0 (users 1,2),
+    1 (user 1) and 8 (user 2). The trailing-7 window must carry both
+    users through day 6, only user 1's day-1 activity into day 7, and
+    clip at the corpus horizon; zero-DAU days inside a live window
+    appear with dau=0 (never dropped); dirty rows excluded."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    d0 = dt.datetime(2024, 3, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, d0 + dt.timedelta(hours=2), 1), (2, d0 + dt.timedelta(hours=9), 2),
+        (3, d0 + dt.timedelta(hours=3), 1),      # same-day repeat: 1 pair
+        (4, d0 + day, 1),
+        (5, d0 + 8 * day, 2),
+        (6, None, 1), (7, d0, None),             # dirty
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, None) for i, ts, u in rows],
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = {
+            r["day"]: (r["dau"], r["wau"], r["stickiness"])
+            for r in QUERIES["events_dau_wau"].fn(spark, "x").collect()
+        }
+    want = {d0: (2, 2, 1.0), d0 + day: (1, 2, 0.5)}
+    for k in range(2, 7):
+        want[d0 + k * day] = (0, 2, 0.0)
+    want[d0 + 7 * day] = (0, 1, 0.0)
+    want[d0 + 8 * day] = (1, 1, 1.0)
+    assert got == want
