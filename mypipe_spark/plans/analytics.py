@@ -1535,14 +1535,16 @@ def _anomaly_sql(intdiv: str, itype: str) -> str:
 
 
 def quantize_values(events: DataFrame) -> DataFrame:
-    """``events`` plus ``x``, the micro-quantized integral value (the
-    money-discipline quantization; DECIMAL(38,0) so every downstream
-    product stays exact). One definition shared by the registered
-    query, the moment cores and the streaming path — the anomaly
-    verdict is only engine-stable if every consumer quantizes
-    identically."""
+    """``events`` plus ``_xq``, the micro-quantized integral value
+    (the money-discipline quantization; DECIMAL(38,0) so every
+    downstream product stays exact). One definition shared by the
+    registered query, the moment cores and the streaming path — the
+    anomaly verdict is only engine-stable if every consumer quantizes
+    identically. The underscore name is reserved: a caller column
+    named plainly ``x`` survives flag_anomalies untouched (an earlier
+    draft silently overwrote-and-dropped it)."""
     return events.withColumn(
-        "x", F.expr(micro_quant_sql("value")).cast("decimal(38,0)")
+        "_xq", F.expr(micro_quant_sql("value")).cast("decimal(38,0)")
     )
 
 
@@ -1558,9 +1560,9 @@ def moment_partials(events: DataFrame) -> DataFrame:
         F.col("event_type").alias("s_type")
     ).agg(
         F.count("*").alias("n_events"),
-        F.count("x").alias("n_valued"),
-        F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.count("_xq").alias("n_valued"),
+        F.sum("_xq").alias("s1"),
+        F.sum(F.col("_xq") * F.col("_xq")).alias("s2"),
     )
 
 
@@ -1581,9 +1583,9 @@ def _is_anom_col() -> F.Column:
     """The denominator-cleared integer 3σ verdict over a row joined
     with its type's moments — shared by the registered query and
     flag_anomalies so the two paths cannot drift."""
-    dev = F.col("x") * F.col("n_valued") - F.col("s1")
+    dev = F.col("_xq") * F.col("n_valued") - F.col("s1")
     return (
-        F.when(F.col("x").isNull() | (F.col("n_valued") < 2), 0)
+        F.when(F.col("_xq").isNull() | (F.col("n_valued") < 2), 0)
         .when(
             dev * dev
             > 9 * (F.col("n_valued") * F.col("s2") - F.col("s1") * F.col("s1")),
@@ -1613,7 +1615,7 @@ def flag_anomalies(events: DataFrame, moments: DataFrame) -> DataFrame:
                 _is_anom_col()
             ),
         )
-        .drop("s_type", "n_valued", "s1", "s2", "x")
+        .drop("s_type", "n_valued", "s1", "s2", "_xq")
     )
 
 
@@ -1637,7 +1639,7 @@ def events_anomaly_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation reduces the scan to ~types rows, the join back is a
     broadcast, and no window ever sorts the fact table."""
     t = load_tables(spark, sf_dir)
-    q = quantize_values(t["events"]).select("event_type", "x")
+    q = quantize_values(t["events"]).select("event_type", "_xq")
     s = moment_partials(t["events"])
     is_anom = _is_anom_col()
     mean_frag, var_frag = _anomaly_displays("div", "DECIMAL(38,0)")
@@ -1677,7 +1679,7 @@ _WAU_DAYS = 7
              AS TIMESTAMP) AS day
       FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), bounds AS (
-      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+      SELECT MAX(day) AS hi FROM daily
     ), contrib AS (
       -- each active (user, day) contributes to the trailing window of
       -- the next {_WAU_DAYS} days
@@ -1698,7 +1700,7 @@ _WAU_DAYS = 7
     tags=("events", "window", "distinct"),
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling engagement: daily active users, trailing-{_WAU_DAYS}-day
+    f"""Rolling engagement: daily active users, trailing-{_WAU_DAYS}-day
     weekly actives, and DAU/WAU stickiness per day. A sliding DISTINCT
     cannot ride a window frame (distinct does not decompose over
     frames); the exact scalable form is the explode-into-buckets

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import count_of_sql, load_tables, register
+from .catalog import count_of_sql, load_tables, register, round4_frac_sql
 
 
 @register(
@@ -560,7 +560,6 @@ def _ordered_funnel_rows(intdiv: str) -> list[list[str]]:
     over totals — a 4-way UNION of selects was measured re-running
     the entire window pipeline once per branch (no cross-branch
     exchange reuse: 4x fact scans for a 4-row result)."""
-    from .catalog import round4_frac_sql
 
     def pct(num: str, den: str) -> str:
         return (

@@ -944,7 +944,7 @@ _LINE_DF = 2  # a line present in >= this many distinct docs is boilerplate
     tags=("text", "dedup", "lines"),
 )
 def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate line removal — the CCNet / RefinedWeb line-level
+    f"""Boilerplate line removal — the CCNet / RefinedWeb line-level
     dedup stage: a line occurring in ≥ {_LINE_DF} DISTINCT documents
     (nav bars, cookie banners, license headers) is dropped from every
     document, and the survivors are reassembled in original order.

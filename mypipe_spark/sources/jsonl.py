@@ -18,9 +18,12 @@ sinks/wire.py's NULL-frame DLQ and similarity.validate_embeddings):
 - a line that parses but carries no ``doc_id`` cannot join, dedup or
   shard — dead-lettered as ``missing_doc_id`` rather than flowing on
   as an unkeyed row (the NULL-key equi-join lessons);
-- ``n_chars`` is derived from the text when absent (COALESCE), never
-  trusted blindly when present — corpora disagree on whether it
-  exists.
+- ``n_chars`` is derived from the text when absent-or-null (COALESCE),
+  never trusted blindly when present — corpora disagree on whether it
+  exists. JSON cannot distinguish a shipped ``null`` from a missing
+  key after parsing, so a NULL ``n_chars`` beside non-NULL text
+  DENSIFIES to the derived value on ingest; every other column
+  round-trips exactly (pinned).
 
 Pure column expressions on a text scan: predicate pushdown aside
 (there is none to push on raw text), ingest is an embarrassingly
@@ -49,7 +52,9 @@ def parse_documents_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     (documents, dlq). Works identically on a batch ``read.text`` and
     a streaming ``readStream.text`` source (stateless projection —
     tests/test_jsonl.py pins stream == batch)."""
-    parsed = lines.filter(F.trim("value") != "").select(
+    # \s-class blank detection: F.trim strips ASCII spaces only, so a
+    # tab-padded blank line would otherwise dead-letter as malformed
+    parsed = lines.filter(~F.col("value").rlike(r"^\s*$")).select(
         F.col("value").alias("raw"),
         F.from_json(
             "value",
@@ -92,10 +97,13 @@ def stream_documents_jsonl(spark, path: str) -> tuple[DataFrame, DataFrame]:
 
 def write_documents_jsonl(docs: DataFrame, path: str, mode: str = "error") -> None:
     """Export a documents table as JSONL (``to_json`` over the five
-    canonical columns, one object per line) — the interchange sink
-    dual to the reader; round-trip pinned in tests/test_jsonl.py."""
+    canonical columns, one object per line, NULLs written explicitly)
+    — the interchange sink dual to the reader. Round-trip is exact
+    except the documented n_chars densification (module docstring);
+    both pinned in tests/test_jsonl.py."""
     docs.select(
         F.to_json(
-            F.struct("doc_id", "text", "lang", "source", "n_chars")
+            F.struct("doc_id", "text", "lang", "source", "n_chars"),
+            {"ignoreNullFields": "false"},
         ).alias("value")
     ).write.mode(mode).text(path)

@@ -18,6 +18,7 @@ def test_jsonl_dirty_lines_classify(spark, tmp_path):
         ' "n_chars": 999, "extra_field": true}',
         "",                                            # blank: skipped
         "   ",                                         # whitespace: skipped
+        "\t \t",                                       # tabs: skipped too
         "this is not json at all",                     # malformed
         '{"doc_id": "not-a-number", "text": "x"}',     # mistyped key
         '{"text": "keyless document", "lang": "en"}',  # missing doc_id
@@ -44,8 +45,10 @@ def test_jsonl_dirty_lines_classify(spark, tmp_path):
 
 def test_jsonl_round_trips_documents_table(spark, sf_dir, tmp_path):
     """documents parquet → JSONL export → JSONL ingest must reproduce
-    the table row-for-row (the interchange-fidelity pin), with an
-    empty DLQ."""
+    the table row-for-row (the interchange-fidelity pin; the driver
+    corpus has no NULL n_chars, so the documented densification never
+    fires here — test_jsonl_null_nchars_densifies pins that edge),
+    with an empty DLQ."""
     from mypipe_spark.sources.jsonl import (
         read_documents_jsonl,
         write_documents_jsonl,
@@ -102,3 +105,29 @@ def test_jsonl_stream_equals_batch(spark, tmp_path):
     assert sorted(got_docs) == sorted(tuple(r) for r in docs_b.collect())
     assert sorted(got_dlq) == sorted(tuple(r) for r in dlq_b.collect())
     assert len(got_docs) == 2 and len(got_dlq) == 2
+
+
+def test_jsonl_null_nchars_densifies(spark, tmp_path):
+    """The ONE documented round-trip normalization: a NULL n_chars
+    beside non-NULL text comes back as the derived length (JSON
+    cannot distinguish shipped-null from absent after parsing);
+    NULL text keeps n_chars NULL, and every other column is exact."""
+    from mypipe_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    orig = spark.createDataFrame(
+        [(1, "abc", "en", "s", None), (2, None, "de", "s", None),
+         (3, "xyzw", "en", "s", 77)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "exp")
+    write_documents_jsonl(orig, out)
+    back, dlq = read_documents_jsonl(spark, out)
+    assert dlq.count() == 0
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert got[1]["n_chars"] == 3          # densified from text
+    assert got[2]["n_chars"] is None       # NULL text -> stays NULL
+    assert got[3]["n_chars"] == 77         # shipped value kept
+    assert got[2]["text"] is None and got[3]["text"] == "xyzw"
