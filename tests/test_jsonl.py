@@ -131,3 +131,64 @@ def test_jsonl_null_nchars_densifies(spark, tmp_path):
     assert got[2]["n_chars"] is None       # NULL text -> stays NULL
     assert got[3]["n_chars"] == 77         # shipped value kept
     assert got[2]["text"] is None and got[3]["text"] == "xyzw"
+
+
+def test_jsonl_feeds_curation_runner(spark, sf_dir, tmp_path):
+    """Composition: a JSONL landing zone (with planted garbage lines)
+    drives the batch curation runner via the docs override, and the
+    audit equals running the same corpus from parquet directly — the
+    dirty lines stop at the source DLQ, never reaching curation."""
+    from mypipe_spark.curate import run_curation
+    from mypipe_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    zone = str(tmp_path / "zone")
+    write_documents_jsonl(orig, zone)
+    with open(f"{zone}/zz_garbage.txt", "w") as fh:
+        fh.write("not json\n{\"text\": \"keyless\"}\n")
+    docs, dlq = read_documents_jsonl(spark, zone)
+    assert dlq.count() == 2
+    cfg = {"sf_dir": sf_dir, "out_dir": str(tmp_path / "out_a"),
+           "mode": "overwrite"}
+    audit_jsonl = run_curation(spark, cfg | {"out_dir": str(tmp_path / "out_a")},
+                               docs=docs)
+    audit_parquet = run_curation(spark, cfg | {"out_dir": str(tmp_path / "out_b")})
+    assert audit_jsonl == audit_parquet
+    assert audit_jsonl["n_input"] == orig.count()
+
+
+def test_jsonl_streams_into_curation(spark, sf_dir, tmp_path):
+    """Composition: the streaming JSONL reader feeds
+    run_streaming_curation; the landed shard rows equal the batch
+    gate+scrub survivors over the same corpus."""
+    from conftest import drain_stream
+
+    from mypipe_spark.curate import run_streaming_curation
+    from mypipe_spark.plans.curation import gate_documents, scrub_documents
+    from mypipe_spark.sources.jsonl import (
+        stream_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    zone = str(tmp_path / "zone")
+    write_documents_jsonl(orig, zone)
+    docs_s, _dlq_s = stream_documents_jsonl(spark, zone)
+    q = run_streaming_curation(
+        spark,
+        docs_s,
+        out_dir=str(tmp_path / "shards"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    drain_stream(q)
+    landed = spark.read.parquet(str(tmp_path / "shards"))
+    batch_kept = scrub_documents(
+        gate_documents(orig).filter("gate_keep = 1")
+    )
+    assert landed.count() == batch_kept.count() > 0
+    assert sorted(
+        r["doc_id"] for r in landed.select("doc_id").collect()
+    ) == sorted(r["doc_id"] for r in batch_kept.select("doc_id").collect())
