@@ -810,3 +810,112 @@ def embedding_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         quarantined.select("label", F.col("reason").alias("verdict"))
     )
     return verdicts.groupBy("label", "verdict").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall check: the _check-twin pattern applied to the index plane
+# ---------------------------------------------------------------------------
+
+# Per-variant recall floors against the exact baseline — ONE constant
+# table shared by the query and its oracle (the sketch twins'
+# single-source-of-truth rule). The floors are REGRESSION BASELINES
+# measured on this corpus at sf0.01 AND sf0.1, not aspirations: the
+# driver's embeddings are uniform-random, so true neighbors have no
+# cluster structure and any cell/bucket pruning loses most of them by
+# construction (ivf 0.3, lsh 0.1 measured at both scale factors). The
+# pandas twin computes the identical quantized arithmetic, so its
+# floor is exact-equivalence (1.0). On real embedding geometry the
+# pruned variants' recall rises with the clusteredness; the check
+# exists so an index change that drops below the measured baseline
+# fails loudly.
+_ANN_RECALL_FLOORS = (
+    ("ivf", 3, 10),
+    ("lsh", 1, 10),
+    ("pandas", 10, 10),
+)
+
+
+def _ann_recall_oracle() -> str:
+    from .catalog import QUERIES, round4_frac_sql
+
+    ctes = [f"brute AS ({QUERIES['ann_topk_bruteforce'].oracle})"]
+    rows = []
+    for method, num, den in _ANN_RECALL_FLOORS:
+        ctes.append(f"m_{method} AS ({QUERIES[f'ann_topk_{method}'].oracle})")
+        rows.append(
+            f"SELECT '{method}' AS method, {_TOP_K} AS k,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM brute b"
+            f"  JOIN m_{method} m ON b.vec_id = m.vec_id) AS n_common"
+        )
+    unioned = " UNION ALL ".join(rows)
+    return f"""
+    WITH {", ".join(ctes)},
+    counts AS ({unioned})
+    SELECT method, k, n_common,
+           {round4_frac_sql("n_common", str(_TOP_K), "//")} AS recall,
+           CAST(CASE method
+                {"".join(f" WHEN '{m}' THEN CASE WHEN n_common * {d} >= {n} * {_TOP_K} THEN 1 ELSE 0 END" for m, n, d in _ANN_RECALL_FLOORS)}
+                END AS BIGINT) AS recall_ok
+    FROM counts
+    """
+
+
+@register(
+    "ann_recall_check",
+    oracle=None,  # assigned below: composes the twins' registered oracles
+    tags=("ann", "check", "recall"),
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of every ANN variant against the exact
+    brute-force baseline — the sketch-twin falsifiability pattern
+    applied to the index plane: approximate retrieval quality is a
+    MEASURED, oracle-verified number (|variant top-k ∩ exact top-k|/k
+    plus a shared-constant floor verdict), never an assumption. All
+    sides reuse the registered builders/oracles verbatim, so the
+    check cannot drift from what the index queries actually compute.
+    See _ANN_RECALL_FLOORS for why the pruned variants' floors are
+    low on THIS corpus (uniform-random vectors have no cluster
+    structure) and what the check actually guards (regression below
+    the measured baseline; the pandas twin must stay exact). At scale
+    the same joins run over a sampled query set to regression-gate an
+    index build."""
+    from .catalog import round4_frac_sql
+
+    b = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    variants = {
+        "ivf": ann_topk_ivf,
+        "lsh": ann_topk_lsh,
+        "pandas": ann_topk_pandas,
+    }
+    rows = []
+    for method, num, den in _ANN_RECALL_FLOORS:
+        o = variants[method](spark, sf_dir).select(
+            F.col("vec_id").alias("other_id")
+        )
+        rows.append(
+            b.join(o, F.col("vec_id") == F.col("other_id"))
+            .agg(F.count("*").cast("bigint").alias("n_common"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(_TOP_K).alias("k"),
+                "n_common",
+                F.expr(round4_frac_sql("n_common", str(_TOP_K), "div")).alias(
+                    "recall"
+                ),
+                F.expr(
+                    f"CAST(CASE WHEN n_common * {den} >= {num} * {_TOP_K}"
+                    " THEN 1 ELSE 0 END AS BIGINT)"
+                ).alias("recall_ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# the oracle composes the registered oracle strings, which are only
+# guaranteed present after module registration completes — assign last
+from .catalog import QUERIES as _QUERIES  # noqa: E402
+
+_QUERIES["ann_recall_check"].oracle = _ann_recall_oracle()

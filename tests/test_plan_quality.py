@@ -158,6 +158,7 @@ def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
     codegen JVM expressions."""
     allowed = {
         "ann_topk_pandas",
+        "ann_recall_check",  # embeds the pandas twin's plan by design
         "multimodal_decode_stats",
         "multimodal_feature_extract",
         "multimodal_frame_sample",

@@ -236,3 +236,18 @@ def test_embedding_firewall_quarantines_and_unblocks_kernels(spark):
             key=str,
         )
         assert got == want, name
+
+
+def test_ann_recall_check_floors_and_exact_twin(spark, sf_dir):
+    """The recall check at sf0.001: the pandas variant (identical
+    quantized arithmetic) must be EXACTLY 1.0 — anything less means
+    the two implementations diverged — and every variant clears its
+    registered regression floor; k rows all present."""
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rows = {r["method"]: r for r in
+            QUERIES["ann_recall_check"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "lsh", "pandas"}
+    assert rows["pandas"]["recall"] == 1.0 and rows["pandas"]["n_common"] == 10
+    assert all(r["recall_ok"] == 1 for r in rows.values())
