@@ -328,3 +328,47 @@ def test_isqrt_sql_matches_math_isqrt(ns):
     ).fetchall()
     for n, s in rows:
         assert s == math.isqrt(n), (n, s)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**17), max_value=10**17),
+            st.integers(min_value=1, max_value=10**12),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_round_div_sql_matches_exact_half_away(pairs):
+    """The bedrock rounding helper: DuckDB's evaluation of
+    round_div_sql(num, den, '//') must equal Python's exact
+    round-half-away-from-zero of Fraction(num, den) for arbitrary
+    signed numerators — every money display, ratio, percentage and
+    anomaly moment in the catalog rides this expression, and a
+    half-even slip or a truncation-toward-zero sign bug here would
+    silently skew every one of them. (The Spark `div` twin of the
+    same text is exercised by the full oracle-parity suite on every
+    registered query; this covers adversarial breadth the corpus
+    never hits.)"""
+    from fractions import Fraction
+
+    import duckdb
+
+    from mypipe_spark.plans.catalog import round_div_sql
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT num, den, "
+        + round_div_sql("CAST(num AS HUGEINT)", "CAST(den AS HUGEINT)", "//")
+        + " FROM (SELECT UNNEST(?::BIGINT[]) AS num,"
+        "              UNNEST(?::BIGINT[]) AS den)",
+        [[p[0] for p in pairs], [p[1] for p in pairs]],
+    ).fetchall()
+    for num, den, got in rows:
+        # independent definition: |round(f)| = floor(|f| + 1/2), sign
+        # restored — floor of a non-negative Fraction is plain int()
+        f = Fraction(num, den)
+        expect = (-1 if f < 0 else 1) * int(abs(f) + Fraction(1, 2))
+        assert int(got) == expect, (num, den, got, expect)
