@@ -1222,3 +1222,85 @@ def test_dau_wau_planted_trailing_windows(spark):
     want[d0 + 7 * day] = (0, 1, 0.0)
     want[d0 + 8 * day] = (1, 1, 1.0)
     assert got == want
+
+
+def test_eager_dedup_plane_dirty_corpus_cross_engine_sweep(spark):
+    """Closes the standing documents-sweep exclusion: the five EAGER /
+    embeddings-dependent dedup queries (component builders collect
+    iteration state at BUILD time, so the main sweep skips them) run
+    over planted dirty corpora through BOTH engines row-for-row.
+    Probes: exact-dup text pair bridging components, NULL text/lang,
+    a NULL-label vector (dropped from the within-cell join by BOTH
+    engines — the equi-join contract, verified not diverging),
+    identical vectors across distinct labels (must NOT pair: cells
+    partition the comparison), and single-member cells."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from mypipe_spark.plans import dedup as DD
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    docs_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "s0", 60),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 60),
+        (3, "the quick brown fox jumps over the lazy dog once more today", "en", "s0", 59),
+        (4, None, None, "s0", None),
+        (5, "", "de", "s1", 0),
+        (6, "completely different content with no overlap whatsoever here", "de", "s0", 60),
+    ]
+    dim = 64
+    base = [0.1] * dim
+    ortho = [0.1] * (dim // 2) + [-0.1] * (dim // 2)
+    emb_rows = [
+        (1, base, 0),
+        (2, list(base), 0),          # identical, same cell -> pair
+        (3, ortho, 0),               # same cell, low cosine -> no pair
+        (4, list(base), 1),          # identical to 1 but OTHER cell -> no pair
+        (5, list(base), None),       # NULL cell: both engines drop it
+        (6, ortho, 2),               # single-member cell
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    embs = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int"
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        docs_rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    con.register("embeddings", pd.DataFrame(
+        emb_rows, columns=["vec_id", "embedding", "label"]))
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 6)
+        return v
+
+    names = ["dedup_components", "dedup_decontaminate",
+             "dedup_leakage_safe_split", "dedup_embedding_cosine",
+             "dedup_semantic"]
+    for i, name in enumerate(names):
+        qd = QUERIES[name]
+        # unique sf token per query: the eager builders memoize by
+        # (app_id, sf_dir) and a shared token would cross-pollinate
+        with _planted_tables([DD], {"documents": docs, "embeddings": embs}):
+            got = sorted(
+                (tuple(norm(v) for v in r)
+                 for r in qd.fn(spark, f"dirty-eager-{i}").collect()),
+                key=str,
+            )
+        want = sorted(
+            (tuple(norm(v) for v in r) for r in con.execute(qd.oracle).fetchall()),
+            key=str,
+        )
+        assert got == want, (name, got[:5], want[:5])
+    # semantics spot-checks on the embedding plane
+    with _planted_tables([DD], {"documents": docs, "embeddings": embs}):
+        pairs = {(r["vec_a"], r["vec_b"]) for r in
+                 QUERIES["dedup_embedding_cosine"].fn(spark, "dirty-eager-x").collect()}
+    assert (1, 2) in pairs                   # identical in-cell pair found
+    assert not any(5 in p for p in pairs)    # NULL-cell vector never pairs
+    assert not any(4 in p for p in pairs)    # cross-cell identicals don't pair
