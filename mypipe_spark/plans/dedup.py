@@ -1733,3 +1733,158 @@ def containment_pairs_from_arrays(
             "containment"
         ),
     )
+
+
+# --- Bloom-prefiltered incremental dedup -----------------------------------
+# The 100 TB ingest shape: before the batch-vs-corpus fingerprint JOIN
+# (dedup_incremental), probe a Bloom bitmap of the corpus fingerprints.
+# Almost all new documents are NOT duplicates; the bitmap answers
+# "definitely new" for ~(1-fpp) of them without shuffling them into the
+# join at all, so the exact confirm join's input shrinks from |batch| to
+# |true dups| + fpp·|batch|. Bloom filters have NO false negatives, so
+# the final output is bit-identical to the plain incremental join — the
+# oracle below is the SAME exact SQL, which is what makes this sketch
+# hash-checkable.
+#
+# The bitmap is built DISTRIBUTED, never on the driver: each corpus text
+# maps to _BLOOM_K bit positions (xxhash64 salted per hash index), and a
+# bucket-keyed bit_or aggregation folds them into <= _BLOOM_M_BITS/64
+# (bucket, word) rows — a fixed-size table regardless of corpus row
+# count, with map-side partial aggregation collapsing the exploded
+# positions before the shuffle. Sizing: m ≈ 1.44·n·log2(1/fpp) bits; the
+# catalog constant (2^17 bits, k=5 → fpp < 1% for the test corpora) is a
+# corpus-count-free literal so plan construction stays lazy. At 10^10
+# corpus docs and 1% fpp the bitmap is ~12 GB — still a (bucket, word)
+# TABLE here, so the probe join degrades gracefully from broadcast to a
+# bucket-keyed shuffle join instead of breaking a driver broadcast.
+_BLOOM_M_BITS = 1 << 17
+_BLOOM_K = 5
+
+
+def _bloom_positions(text: F.Column) -> F.Column:
+    """The _BLOOM_K bit positions of one document text — xxhash64 with
+    a per-index salt column, reduced mod the bitmap size. NULL text
+    hashes to the salt alone (Spark hash functions skip NULL inputs):
+    deterministic, and harmless either way — a NULL fingerprint can
+    never match in the exact confirm join."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(text, F.lit(i)), F.lit(_BLOOM_M_BITS))
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def _bloom_bit_mask() -> F.Column:
+    """1 << (pos & 63) as a BIGINT — SQL shiftleft, because the Python
+    ``F.shiftleft`` wrapper only takes a literal shift amount."""
+    return F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))")
+
+
+def bloom_bitmap(corpus: DataFrame) -> DataFrame:
+    """(bucket, word) Bloom bitmap of ``corpus.text`` — bucket is the
+    64-bit word index, word the OR of its set bits. At most
+    _BLOOM_M_BITS/64 rows by construction."""
+    pos = corpus.select(
+        F.explode(_bloom_positions(F.col("text"))).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("bucket"),
+            _bloom_bit_mask().alias("w"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("w").alias("word"))
+    )
+
+
+def bloom_candidates(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(doc_id, bh, maybe) — maybe=1 iff every one of the doc's K bit
+    positions is set in the corpus bitmap. The no-false-negative half
+    of the Bloom contract (every true dup has maybe=1) is what the
+    correctness of :func:`bloom_incremental_flags` rests on; the
+    false-positive RATE only affects how much the confirm join prunes
+    — both pinned in tests/test_dedup.py."""
+    probe = batch.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("bh"),
+        F.explode(_bloom_positions(F.col("text"))).alias("pos"),
+    ).select(
+        "doc_id",
+        "bh",
+        F.shiftright("pos", 6).alias("bucket"),
+        _bloom_bit_mask().alias("mask"),
+    )
+    hits = probe.join(F.broadcast(bloom_bitmap(corpus)), "bucket", "left")
+    return hits.groupBy("doc_id", "bh").agg(
+        F.min(
+            F.when(
+                F.col("word").bitwiseAND(F.col("mask")) != 0, 1
+            ).otherwise(0)
+        ).alias("maybe")
+    )
+
+
+def bloom_incremental_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(doc_id, is_dup, dup_of) for ``batch`` against ``corpus`` —
+    output identical to :func:`incremental_dedup_flags` (pinned by
+    tests), but only Bloom-candidate rows reach the fingerprint join.
+
+    Probe: explode each batch doc's K positions, broadcast-join the
+    bitmap on bucket, and take MIN(bit set) per doc — 1 iff every
+    position hits (partial aggregation folds the K rows map-side;
+    the regroup shuffles only skinny (doc_id, fingerprint, flag)
+    rows). Definite misses short-circuit to is_dup=0 rows; the
+    corpus fingerprint table only ever joins the surviving
+    candidates."""
+    flags = bloom_candidates(batch, corpus)
+    fps = corpus.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(F.min("doc_id").alias("canonical"))
+    confirmed = (
+        flags.filter(F.col("maybe") == 1)
+        .join(fps, F.col("bh") == F.col("h"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("h").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+                "is_dup"
+            ),
+            F.col("canonical").alias("dup_of"),
+        )
+    )
+    misses = flags.filter(F.col("maybe") == 0).select(
+        "doc_id",
+        F.lit(0).alias("is_dup"),
+        F.lit(None).cast("long").alias("dup_of"),
+    )
+    return confirmed.unionByName(misses)
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS canonical
+      FROM documents WHERE doc_id % 5 <> 4
+      GROUP BY md5(text))
+    SELECT d.doc_id,
+           CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS is_dup,
+           c.canonical AS dup_of
+    FROM documents d
+    LEFT JOIN corpus c ON md5(d.text) = c.h
+    WHERE d.doc_id % 5 = 4
+    """,
+    tags=("dedup", "incremental", "bloom"),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered batch-vs-corpus dedup — same slices, same
+    output, same EXACT oracle as dedup_incremental; only the physical
+    strategy differs (bitmap probe prunes the confirm join's input).
+    No-false-negatives is what keeps a sketch hash-checkable here:
+    the sketch only ever REMOVES definitely-new rows from the join,
+    never an answer."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bloom_incremental_flags(
+        docs.filter(F.col("doc_id") % 5 == 4),
+        docs.filter(F.col("doc_id") % 5 != 4),
+    )

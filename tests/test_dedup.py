@@ -558,3 +558,74 @@ def test_containment_positional_slack_keeps_hot_prefix_pair(spark):
     }
     assert (1, 2) in out, "cap slack must keep the hot-prefix pair"
     assert out[(1, 2)]["n_common"] == 8 and out[(1, 2)]["containment"] == 0.8
+
+
+def test_bloom_incremental_equals_exact_on_planted_corpus(spark):
+    """The Bloom prefilter must be output-invisible: on a corpus with
+    real dups, NULLs, empties, unicode and whitespace edges, the
+    bloom path and the plain fingerprint join return identical rows."""
+    from mypipe_spark.plans.dedup import (
+        bloom_incremental_flags,
+        incremental_dedup_flags,
+    )
+
+    corpus_rows = [
+        (1, "alpha beta gamma"),
+        (2, "shared body text"),
+        (3, None),
+        (4, ""),
+        (5, "café naïve 中文"),
+        (6, "  leading and trailing  "),
+        (7, "shared body text"),  # internal corpus dup: canonical MIN
+    ]
+    batch_rows = [
+        (100, "shared body text"),  # true dup -> canonical 2
+        (101, "alpha beta gamma"),  # true dup -> canonical 1
+        (102, "brand new document"),  # definite miss
+        (103, None),  # NULL never matches, either path
+        (104, ""),  # empty string IS a real fingerprint
+        (105, "café naïve 中文"),
+        (106, "leading and trailing"),  # differs by whitespace: miss
+    ]
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    key = lambda rows: sorted(
+        (r["doc_id"], r["is_dup"], r["dup_of"]) for r in rows
+    )
+    got = key(bloom_incremental_flags(batch, corpus).collect())
+    want = key(incremental_dedup_flags(batch, corpus).collect())
+    assert got == want
+    # and the fixture actually exercises both branches
+    assert sum(1 for _, d, _c in got if d == 1) == 4
+    assert sum(1 for _, d, _c in got if d == 0) == 3
+
+
+def test_bloom_probe_no_false_negatives_and_prunes(spark):
+    """Both halves of the Bloom contract, measured: every batch text
+    present in the corpus has maybe=1 (no false negatives — this is
+    what makes the sketch output-exact), and a fully DISJOINT batch
+    is almost entirely pruned (fpp for 2^17 bits / k=5 at this corpus
+    size is <1%; assert <=10% for slack)."""
+    from mypipe_spark.plans.dedup import bloom_candidates
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(500)], schema
+    )
+    dup_batch = spark.createDataFrame(
+        [(1000 + i, f"corpus document number {i}") for i in range(0, 500, 7)],
+        schema,
+    )
+    maybes = {
+        r["doc_id"]: r["maybe"]
+        for r in bloom_candidates(dup_batch, corpus).collect()
+    }
+    assert all(v == 1 for v in maybes.values())
+    disjoint = spark.createDataFrame(
+        [(2000 + i, f"unseen text {i}") for i in range(500)], schema
+    )
+    flags = bloom_candidates(disjoint, corpus).collect()
+    assert len(flags) == 500
+    fp = sum(r["maybe"] for r in flags)
+    assert fp <= 50, f"false-positive rate too high: {fp}/500"
