@@ -1751,3 +1751,101 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# burst suppression (debounce / gap-thinning)
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 3_600_000_000  # same-(user,type) events within 1h form a burst
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL),
+    s AS (
+      SELECT user_id, event_type, ts, us, event_id,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > {_DEBOUNCE_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY us ASC, event_id ASC NULLS LAST)),
+    b AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(is_start) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY us ASC, event_id ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS burst_seq
+      FROM s)
+    SELECT user_id, event_type, burst_seq,
+           MIN(ts) AS burst_start,
+           CAST(COUNT(*) AS BIGINT) AS burst_n,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed
+    FROM b
+    GROUP BY user_id, event_type, burst_seq
+    """,
+    tags=("events", "window", "dedup", "timeseries"),
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression (telemetry debounce): collapse each maximal
+    chain of same-(user, type) events with inter-arrival <= 1h into
+    one row carrying the burst's start and its suppressed-event count
+    — the retry-storm / double-click / sensor-chatter thinning stage
+    every event pipeline runs before rate metrics.
+
+    A burst BOUNDARY is a gap > threshold from the PREVIOUS RAW event
+    (LAG over exact epoch-microsecond integers); the running sum of
+    boundary flags numbers the bursts, and a per-burst aggregate
+    folds each chain. Timeless events are excluded by the ts IS NOT
+    NULL contract on BOTH sides (a NULL order key would land in
+    engine-specific NULL-ordering frames), and the intra-burst order
+    tiebreak (event_id ASC NULLS LAST) is explicit because the
+    engines default ASC NULL placement differently.
+
+    Scale shape: ONE exchange on (user_id, event_type) serves the two
+    stacked window passes AND the burst aggregate (the group keys
+    refine the partition keys, so EnsureRequirements adds no second
+    shuffle — plan-pinned); everything after the shuffle is a linear
+    per-partition scan. At 100 TB this is the minimal topology for
+    any per-entity sequential pass."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    order = [F.col("us").asc(), F.col("event_id").asc_nulls_last()]
+    w = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    lag_us = F.lag("us").over(w)
+    s = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "us",
+        "event_id",
+        (lag_us.isNull() | (F.col("us") - lag_us > _DEBOUNCE_US))
+        .cast("long")
+        .alias("is_start"),
+    )
+    b = s.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("burst_seq"),
+    )
+    return b.groupBy("user_id", "event_type", "burst_seq").agg(
+        F.min("ts").alias("burst_start"),
+        F.count("*").alias("burst_n"),
+        (F.count("*") - 1).alias("n_suppressed"),
+    )

@@ -668,6 +668,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_gapfill_1h": AN, "events_trailing_1h": AN,
         "events_retention_cohorts": AN, "events_anomaly_3sigma": AN,
         "events_funnel_ordered": CD, "events_dau_wau": AN,
+        "events_debounce": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -1304,3 +1305,50 @@ def test_eager_dedup_plane_dirty_corpus_cross_engine_sweep(spark):
     assert (1, 2) in pairs                   # identical in-cell pair found
     assert not any(5 in p for p in pairs)    # NULL-cell vector never pairs
     assert not any(4 in p for p in pairs)    # cross-cell identicals don't pair
+
+
+def test_debounce_burst_semantics_planted(spark):
+    """Burst algebra on a planted chain: events 30min apart CHAIN into
+    one burst even when the chain's total span exceeds the 1h
+    threshold (boundary = gap from previous RAW event, not from the
+    burst start); a >1h gap opens a new burst; different event_type
+    never merges; equal-timestamp rows join the same burst."""
+    import datetime as dt
+
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+    from mypipe_spark.plans import analytics as AN
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1 click: 4-link chain spanning 90min, every gap 30min
+        (1, t0, 1, "click", None, None),
+        (2, t0 + 30 * m, 1, "click", None, None),
+        (3, t0 + 60 * m, 1, "click", None, None),
+        (4, t0 + 90 * m, 1, "click", None, None),
+        # then a 61-min gap -> burst 2 of two equal-ts rows
+        (5, t0 + 151 * m, 1, "click", None, None),
+        (6, t0 + 151 * m, 1, "click", None, None),
+        # same user, other type: its own burst numbering
+        (7, t0 + 5 * m, 1, "purchase", None, None),
+        # timeless event: excluded by contract
+        (8, None, 1, "click", None, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = {
+            (r["user_id"], r["event_type"], r["burst_seq"]): (
+                r["burst_start"], r["burst_n"], r["n_suppressed"]
+            )
+            for r in QUERIES["events_debounce"].fn(spark, "x").collect()
+        }
+    assert got == {
+        (1, "click", 1): (t0, 4, 3),
+        (1, "click", 2): (t0 + 151 * m, 2, 1),
+        (1, "purchase", 1): (t0 + 5 * m, 1, 0),
+    }

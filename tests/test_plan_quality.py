@@ -369,3 +369,15 @@ def test_batch_lsh_is_equi_join_never_nested_loop(spark, sf_dir):
     assert joins >= 3  # posting join + corpus vector fetch + query fetch
     # rank-≤-k over the window triggers the group-limit pushdown
     assert "WindowGroupLimit" in plan
+
+
+def test_debounce_single_exchange_topology(spark, sf_dir):
+    """The burst aggregate must ride the window passes' shuffle: the
+    (user,type,burst) group keys refine the (user,type) partition
+    keys, so the whole query plans ONE exchange — and the ts contract
+    reaches the scan."""
+    plan = _plan(spark, "events_debounce", sf_dir)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "Sort") == 1
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("IsNotNull(ts)" in p for p in pushed)
