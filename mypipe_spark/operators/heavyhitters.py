@@ -1,0 +1,119 @@
+"""Misra-Gries heavy hitters — a mergeable fixed-size frequency
+summary (Misra & Gries 1982; mergeability per Agarwal et al.,
+"Mergeable Summaries", PODS 2012).
+
+The operator Spark lacks: approximate top-frequency tracking whose
+state is O(k) REGARDLESS of input size or cardinality. The guarantee
+carried through every update and merge below:
+
+    true_count - W/(k+1)  <=  estimate  <=  true_count
+
+where W is the total processed weight — so any item with true count
+strictly above W/(k+1) has a positive estimate and therefore survives
+in the summary. That one-sided deficit bound is what the catalog's
+``events_heavy_hitters`` turns into an oracle-checkable claim: the
+summary CONTENTS are partition-dependent, but heavy-item MEMBERSHIP
+is a theorem, so the query's ``in_summary`` column is deterministically
+TRUE however Spark splits the data.
+
+Scale shape (100 TB): one ``mapInPandas`` pass emits ONE k-row summary
+per partition (per-batch value_counts folded locally — the Python
+boundary sees Arrow batches, never rows); a single tiny reduce (P·k
+rows, a few KB even at thousands of partitions) merges them. The same
+fold is a monoid, so a streaming job can maintain per-microbatch
+partials exactly like the anomaly plane's moment_partials.
+
+No reference analog (the reference has no aggregation operators at
+all — SURVEY.md §2.3); this is part of the engine's scale-out
+additions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def mg_add(summary: dict, item, weight: int, k: int) -> None:
+    """Weighted Misra-Gries update, in place. When a new item would be
+    the (k+1)-th counter, the (k+1)-th largest count c is subtracted
+    from every counter (destroying >= c·(k+1) weight, which is what
+    keeps every item's deficit <= W/(k+1)) and non-positive counters
+    drop — at most k survive. Folding one summary into another with
+    this same update IS the PODS'12 merge, so partials combine in any
+    order/shape without weakening the bound."""
+    if weight <= 0:
+        return
+    if item in summary:
+        summary[item] += weight
+        return
+    summary[item] = weight
+    if len(summary) <= k:
+        return
+    cut = sorted(summary.values(), reverse=True)[k]
+    for key in list(summary):
+        left = summary[key] - cut
+        if left > 0:
+            summary[key] = left
+        else:
+            del summary[key]
+
+
+def mg_fold(pairs: Iterable[tuple[object, int]], k: int) -> dict:
+    """Fold (item, weight) pairs into a fresh k-counter summary."""
+    s: dict = {}
+    for item, w in pairs:
+        mg_add(s, item, w, k)
+    return s
+
+
+def _norm_item(item):
+    """pandas reports missing values as NaN/NaT — normalize to None so
+    a NULL item is ONE dict key (NaN keys break dict identity: equal
+    hashes, unequal values) and round-trips to a SQL NULL."""
+    return None if pd.isna(item) else item
+
+
+def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
+    """(col, cnt) Misra-Gries summary of ``df[col]`` with k counters,
+    computed distributed: per-partition partials via mapInPandas
+    (value_counts per Arrow batch, folded locally), then one
+    constant-group applyInPandas merge over the P·k partial rows.
+    NULL is a first-class item (its own counter), matching GROUP BY
+    semantics on the exact side."""
+    field = df.schema[col]
+    schema = T.StructType(
+        [
+            T.StructField(col, field.dataType, True),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s: dict = {}
+        for pdf in batches:
+            counts = pdf[col].value_counts(dropna=False)
+            for item, c in counts.items():
+                mg_add(s, _norm_item(item), int(c), k)
+        if s:
+            yield pd.DataFrame(
+                {col: list(s.keys()), "cnt": list(s.values())}
+            )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = mg_fold(
+            ((_norm_item(i), int(c)) for i, c in zip(pdf[col], pdf["cnt"])),
+            k,
+        )
+        return pd.DataFrame({col: list(s.keys()), "cnt": list(s.values())})
+
+    parts = df.select(col).mapInPandas(partials, schema)
+    return (
+        parts.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(lambda _key, pdf: merge(pdf), schema)
+    )

@@ -38,6 +38,7 @@ from .catalog import (
     round4_frac_sql,
     round_div_sql,
     round_micro_ratio_sql,
+    scale_out,
 )
 
 _DEC = "decimal(38,6)"
@@ -1848,4 +1849,68 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("burst_start"),
         F.count("*").alias("burst_n"),
         (F.count("*") - 1).alias("n_suppressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries mergeable summary, oracle-checked claim)
+# ---------------------------------------------------------------------------
+
+_MG_K = 4  # counters — fewer than the distinct event types, so
+# partition-local evictions really happen; threshold = n/(k+1)
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY event_type),
+    t AS (SELECT COUNT(*) AS n FROM events)
+    SELECT event_type, exact_cnt, TRUE AS in_summary
+    FROM c, t WHERE {_MG_K + 1} * exact_cnt > n
+    """,
+    tags=("events", "sketch", "heavy-hitters", "check"),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over event_type through a Misra-Gries summary
+    (operators/heavyhitters.py), stated as an oracle-checkable claim:
+    every type with true count > n/(k+1) MUST appear in the merged
+    k-counter summary — the PODS'12 mergeable-summary deficit bound,
+    which holds for every partitioning Spark picks, so ``in_summary``
+    is deterministically TRUE even though the summary's full contents
+    are not deterministic. The exact side (counts, total, threshold)
+    is plain SQL both engines verify value-for-value; a BUGGY sketch
+    (lost counter, broken merge) surfaces as in_summary=false and a
+    hash mismatch. k=4 sits BELOW the corpus's 5 distinct types, so
+    real evictions occur inside partitions and the bound is earned,
+    not vacuous.
+
+    Scale shape: the sketch pass is one mapInPandas emitting k rows
+    per partition + a few-KB constant-group merge; the exact side is
+    one groupBy on a low-cardinality key plus a broadcast one-row
+    total. The membership probe broadcasts the <=k summary rows and
+    joins NULL-safely (a NULL event type is a legal heavy item)."""
+    from ..operators.heavyhitters import mg_summary
+
+    ev = load_tables(spark, sf_dir)["events"]
+    summ = mg_summary(scale_out(ev), "event_type", _MG_K).select(
+        F.col("event_type").alias("mg_item"), F.lit(True).alias("in_mg")
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
+    total = ev.agg(F.count("*").alias("n"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_cnt") * (_MG_K + 1) > F.col("n")
+    )
+    return (
+        heavy.join(
+            F.broadcast(summ),
+            F.col("event_type").eqNullSafe(F.col("mg_item")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "exact_cnt",
+            F.coalesce(F.col("in_mg"), F.lit(False)).alias("in_summary"),
+        )
     )

@@ -668,7 +668,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_gapfill_1h": AN, "events_trailing_1h": AN,
         "events_retention_cohorts": AN, "events_anomaly_3sigma": AN,
         "events_funnel_ordered": CD, "events_dau_wau": AN,
-        "events_debounce": AN,
+        "events_debounce": AN, "events_heavy_hitters": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,

@@ -157,6 +157,7 @@ def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
     Python eval operator; everything else must stay whole-stage
     codegen JVM expressions."""
     allowed = {
+        "events_heavy_hitters",  # Misra-Gries summary is the declared Arrow path
         "ann_topk_pandas",
         "ann_recall_check",  # embeds the pandas twin's plan by design
         "multimodal_decode_stats",
