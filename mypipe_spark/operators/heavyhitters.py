@@ -79,6 +79,38 @@ def _norm_item(item):
     return None if pd.isna(item) else item
 
 
+def _summary_schema(parts: DataFrame, col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(col, parts.schema[col].dataType, True),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+
+def mg_merge_summaries(parts: DataFrame, col: str, k: int) -> DataFrame:
+    """Merge a relation of (col, cnt) partial summaries into one
+    k-counter summary — the reduce stage of :func:`mg_summary`, also
+    usable standalone over a STORE of per-microbatch partials (the
+    streaming fold: append each epoch's summary, merge on read — same
+    shape as the anomaly plane's moment-partial store, and the
+    deficit bound survives because folding IS the merge)."""
+    schema = _summary_schema(parts, col)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = mg_fold(
+            ((_norm_item(i), int(c)) for i, c in zip(pdf[col], pdf["cnt"])),
+            k,
+        )
+        return pd.DataFrame({col: list(s.keys()), "cnt": list(s.values())})
+
+    return (
+        parts.select(col, "cnt")
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(lambda _key, pdf: merge(pdf), schema)
+    )
+
+
 def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
     """(col, cnt) Misra-Gries summary of ``df[col]`` with k counters,
     computed distributed: per-partition partials via mapInPandas
@@ -86,13 +118,7 @@ def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
     constant-group applyInPandas merge over the P·k partial rows.
     NULL is a first-class item (its own counter), matching GROUP BY
     semantics on the exact side."""
-    field = df.schema[col]
-    schema = T.StructType(
-        [
-            T.StructField(col, field.dataType, True),
-            T.StructField("cnt", T.LongType(), False),
-        ]
-    )
+    schema = _summary_schema(df, col)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         s: dict = {}
@@ -105,15 +131,5 @@ def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
                 {col: list(s.keys()), "cnt": list(s.values())}
             )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = mg_fold(
-            ((_norm_item(i), int(c)) for i, c in zip(pdf[col], pdf["cnt"])),
-            k,
-        )
-        return pd.DataFrame({col: list(s.keys()), "cnt": list(s.values())})
-
     parts = df.select(col).mapInPandas(partials, schema)
-    return (
-        parts.groupBy(F.lit(1).alias("_g"))
-        .applyInPandas(lambda _key, pdf: merge(pdf), schema)
-    )
+    return mg_merge_summaries(parts, col, k)

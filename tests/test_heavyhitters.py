@@ -101,3 +101,55 @@ def test_null_item_is_one_counter(spark):
             for r in QUERIES["events_heavy_hitters"].fn(spark, "x").collect()
         }
     assert got == {None: (20, True), "click": (20, True)}
+
+
+def test_mg_stream_fold_keeps_deficit_bound(spark, sf_dir, tmp_path):
+    """Streaming accumulation: events replayed as a file stream, each
+    microbatch reduced to its own MG summary and appended to a
+    partial store; merging the store must satisfy the SAME deficit
+    bound as the batch summary (contents are partition-shape
+    dependent — the bound, not the rows, is the contract) and must
+    recover every heavy event type."""
+    from pyspark.sql import functions as F
+
+    from conftest import drain_stream
+    from mypipe_spark.operators.heavyhitters import (
+        mg_merge_summaries,
+        mg_summary,
+    )
+
+    k = 4
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "parts")
+    ev.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    def fold(batch, epoch):
+        mg_summary(batch, "event_type", k).withColumn(
+            "epoch", F.lit(epoch)
+        ).write.mode("append").parquet(store)
+
+    q = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    drain_stream(q)
+    merged = {
+        r["event_type"]: r["cnt"]
+        for r in mg_merge_summaries(
+            spark.read.parquet(store).drop("epoch"), "event_type", k
+        ).collect()
+    }
+    true = {
+        r["event_type"]: r["c"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    W = sum(true.values())
+    assert len(merged) <= k
+    for item, t in true.items():
+        est = merged.get(item, 0)
+        assert 0 <= t - est <= W / (k + 1), (item, est, t)
+        if t * (k + 1) > W:
+            assert item in merged
