@@ -1761,6 +1761,47 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEBOUNCE_US = 3_600_000_000  # same-(user,type) events within 1h form a burst
 
 
+def burst_flag_stage(events: DataFrame, threshold_us: int = _DEBOUNCE_US) -> DataFrame:
+    """(user_id, event_type, ts, us, event_id, is_start) — each timed
+    event flagged 1 iff it STARTS a burst (gap > threshold from the
+    previous RAW same-key event; LAG over exact epoch-microseconds,
+    explicit NULLS LAST tiebreak). Shared by the registered
+    events_debounce aggregate and :func:`debounce_starters`, the
+    batch twin the streaming thinner is pinned against."""
+    e = events.filter(F.col("ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    order = [F.col("us").asc(), F.col("event_id").asc_nulls_last()]
+    w = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    lag_us = F.lag("us").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "us",
+        "event_id",
+        (lag_us.isNull() | (F.col("us") - lag_us > threshold_us))
+        .cast("long")
+        .alias("is_start"),
+    )
+
+
+def debounce_starters(events: DataFrame, threshold_us: int = _DEBOUNCE_US) -> DataFrame:
+    """The kept (burst-starting) events themselves — what a thinning
+    stage forwards downstream. Batch twin of
+    streaming.thin.debounce_stream (stream==batch pinned on an
+    ordered replay in tests/test_thin.py)."""
+    return (
+        burst_flag_stage(events, threshold_us)
+        .filter(F.col("is_start") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 @register(
     "events_debounce",
     oracle=f"""
@@ -1817,26 +1858,9 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition scan. At 100 TB this is the minimal topology for
     any per-entity sequential pass."""
     t = load_tables(spark, sf_dir)
-    e = t["events"].filter(F.col("ts").isNotNull()).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-    )
+    s = burst_flag_stage(t["events"])
     order = [F.col("us").asc(), F.col("event_id").asc_nulls_last()]
     w = Window.partitionBy("user_id", "event_type").orderBy(*order)
-    lag_us = F.lag("us").over(w)
-    s = e.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "us",
-        "event_id",
-        (lag_us.isNull() | (F.col("us") - lag_us > _DEBOUNCE_US))
-        .cast("long")
-        .alias("is_start"),
-    )
     b = s.select(
         "user_id",
         "event_type",
