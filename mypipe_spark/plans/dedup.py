@@ -1256,7 +1256,7 @@ def incremental_dedup_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     left join, legal in append mode with no watermark (per-row
     stateless), which is exactly the per-microbatch ingest-dedup
     shape (tests/test_windows.py pins stream==batch)."""
-    h = F.md5(F.col("text").cast("binary"))
+    h = _content_fingerprint()
     fps = corpus.groupBy(h.alias("h")).agg(F.min("doc_id").alias("canonical"))
     return (
         batch.select("doc_id", h.alias("bh"))
@@ -1753,10 +1753,18 @@ def containment_pairs_from_arrays(
 # count, with map-side partial aggregation collapsing the exploded
 # positions before the shuffle. Sizing: m ≈ 1.44·n·log2(1/fpp) bits; the
 # catalog constant (2^17 bits, k=5 → fpp < 1% for the test corpora) is a
-# corpus-count-free literal so plan construction stays lazy. At 10^10
-# corpus docs and 1% fpp the bitmap is ~12 GB — still a (bucket, word)
-# TABLE here, so the probe join degrades gracefully from broadcast to a
-# bucket-keyed shuffle join instead of breaking a driver broadcast.
+# corpus-count-free literal so plan construction stays lazy.
+#
+# The probe folds the bitmap rows into ONE broadcast map and tests each
+# batch row with a pure projection — no shuffle of the batch at all, and
+# row multiplicity is trivially preserved (a duplicated input row yields
+# a duplicated output row, exactly like the plain join path). That holds
+# up to bitmaps of a few hundred MB ≈ 10^9 corpus docs at 1% fpp; past
+# that, the variant is sharding the (bucket, word) TABLE (bloom_bitmap
+# keeps it a relation precisely so that stays possible) and equi-joining
+# exploded positions on bucket, at the cost of a per-doc regroup — not
+# implemented here because the single-map probe covers the stated
+# corpus range.
 _BLOOM_M_BITS = 1 << 17
 _BLOOM_K = 5
 
@@ -1798,31 +1806,48 @@ def bloom_bitmap(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _content_fingerprint() -> F.Column:
+    """md5 over the raw UTF-8 text bytes — THE content fingerprint
+    every incremental-dedup path keys on (plain join, Bloom probe,
+    confirm join). One definition, because the Bloom path's
+    output-exactness rests on all three sites computing the SAME
+    bytes: a drift in any one silently breaks the no-false-negative
+    guarantee the oracle parity checks."""
+    return F.md5(F.col("text").cast("binary"))
+
+
+def bloom_bitmap_map(corpus: DataFrame) -> DataFrame:
+    """The bitmap as ONE row carrying a bucket→word map — the
+    broadcastable probe form (an empty corpus yields one row with an
+    empty map, which rejects everything, as it must)."""
+    return bloom_bitmap(corpus).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "word"))
+        ).alias("bloom_map")
+    )
+
+
 def bloom_candidates(batch: DataFrame, corpus: DataFrame) -> DataFrame:
-    """(doc_id, bh, maybe) — maybe=1 iff every one of the doc's K bit
-    positions is set in the corpus bitmap. The no-false-negative half
-    of the Bloom contract (every true dup has maybe=1) is what the
+    """One row PER BATCH ROW (doc_id, bh, maybe) — maybe=1 iff every
+    one of the row's K bit positions is set in the corpus bitmap; a
+    pure projection against the one-row broadcast map, so input row
+    multiplicity survives untouched. The no-false-negative half of
+    the Bloom contract (every true dup has maybe=1) is what the
     correctness of :func:`bloom_incremental_flags` rests on; the
     false-positive RATE only affects how much the confirm join prunes
-    — both pinned in tests/test_dedup.py."""
+    — both pinned in tests/test_dedup.py. try_element_at keeps a
+    missing bucket a plain 0-word under ANSI mode."""
     probe = batch.select(
         "doc_id",
-        F.md5(F.col("text").cast("binary")).alias("bh"),
-        F.explode(_bloom_positions(F.col("text"))).alias("pos"),
-    ).select(
-        "doc_id",
-        "bh",
-        F.shiftright("pos", 6).alias("bucket"),
-        _bloom_bit_mask().alias("mask"),
+        _content_fingerprint().alias("bh"),
+        _bloom_positions(F.col("text")).alias("ps"),
+    ).crossJoin(F.broadcast(bloom_bitmap_map(corpus)))
+    maybe = F.expr(
+        "forall(ps, p -> (coalesce(try_element_at(bloom_map,"
+        " shiftright(p, 6)), CAST(0 AS BIGINT))"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))) != 0)"
     )
-    hits = probe.join(F.broadcast(bloom_bitmap(corpus)), "bucket", "left")
-    return hits.groupBy("doc_id", "bh").agg(
-        F.min(
-            F.when(
-                F.col("word").bitwiseAND(F.col("mask")) != 0, 1
-            ).otherwise(0)
-        ).alias("maybe")
-    )
+    return probe.select("doc_id", "bh", maybe.cast("long").alias("maybe"))
 
 
 def bloom_incremental_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -1830,16 +1855,13 @@ def bloom_incremental_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     output identical to :func:`incremental_dedup_flags` (pinned by
     tests), but only Bloom-candidate rows reach the fingerprint join.
 
-    Probe: explode each batch doc's K positions, broadcast-join the
-    bitmap on bucket, and take MIN(bit set) per doc — 1 iff every
-    position hits (partial aggregation folds the K rows map-side;
-    the regroup shuffles only skinny (doc_id, fingerprint, flag)
-    rows). Definite misses short-circuit to is_dup=0 rows; the
-    corpus fingerprint table only ever joins the surviving
-    candidates."""
+    Probe: a per-row map lookup against the one-row broadcast bitmap
+    (no batch shuffle, multiplicity-preserving). Definite misses
+    short-circuit to is_dup=0 rows; the corpus fingerprint table only
+    ever joins the surviving candidates."""
     flags = bloom_candidates(batch, corpus)
     fps = corpus.groupBy(
-        F.md5(F.col("text").cast("binary")).alias("h")
+        _content_fingerprint().alias("h")
     ).agg(F.min("doc_id").alias("canonical"))
     confirmed = (
         flags.filter(F.col("maybe") == 1)

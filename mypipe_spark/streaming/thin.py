@@ -69,6 +69,14 @@ def _make_thin_fn(threshold_us: int):
         state.update((last_us,))
         kept = batch.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
         if len(kept):
+            # pandas promotes NULL-bearing int columns to float64+NaN;
+            # convert to nullable Int64 so Arrow hands Spark a bigint
+            # with true NULLs (a NULL event_id is a legal kept row,
+            # and a NULL user_id is a legal grouping key)
+            kept = kept.assign(
+                event_id=kept["event_id"].astype("Int64"),
+                user_id=kept["user_id"].astype("Int64"),
+            )
             yield kept
 
     return thin

@@ -629,3 +629,28 @@ def test_bloom_probe_no_false_negatives_and_prunes(spark):
     assert len(flags) == 500
     fp = sum(r["maybe"] for r in flags)
     assert fp <= 50, f"false-positive rate too high: {fp}/500"
+
+
+def test_bloom_incremental_preserves_row_multiplicity(spark):
+    """A duplicated (doc_id, text) input row — legal in the streaming
+    microbatch shape incremental_dedup_flags supports — must yield
+    the same duplicated output rows on BOTH paths (the review caught
+    the first probe design collapsing them in its regroup)."""
+    from mypipe_spark.plans.dedup import (
+        bloom_incremental_flags,
+        incremental_dedup_flags,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, "known text")], schema)
+    batch = spark.createDataFrame(
+        [(10, "known text"), (10, "known text"), (11, "fresh"), (11, "fresh")],
+        schema,
+    )
+    key = lambda rows: sorted(
+        (r["doc_id"], r["is_dup"], r["dup_of"]) for r in rows
+    )
+    got = key(bloom_incremental_flags(batch, corpus).collect())
+    want = key(incremental_dedup_flags(batch, corpus).collect())
+    assert got == want
+    assert len(got) == 4

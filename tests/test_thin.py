@@ -96,3 +96,20 @@ def test_state_suppresses_across_microbatch_boundary(spark, tmp_path):
     # 1 starts; 2 is 30min after state's last_us (suppressed); 3 is
     # 121min after raw-last (2's time) -> keeps; 4 is another key
     assert kept == [1, 3, 4]
+
+
+def test_null_ids_survive_the_arrow_boundary(spark, tmp_path):
+    """A kept row with NULL event_id and a NULL user_id key must come
+    back as true NULLs (pandas float-promotion would otherwise crash
+    or corrupt the bigint output schema)."""
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(None, 1, "click", t0), (9, None, "click", t0)], _EV_SCHEMA
+    ).coalesce(1).write.parquet(src)
+    rows = sorted(
+        ((r["event_id"], r["user_id"]) for r in
+         _run_stream(spark, src, tmp_path, "thin_nulls").collect()),
+        key=str,
+    )
+    assert rows == [(9, None), (None, 1)]
