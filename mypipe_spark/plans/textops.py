@@ -997,3 +997,79 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted (PPS) systematic sampling per language
+# ---------------------------------------------------------------------------
+
+_PPS_STEP = 4096  # one sampling point per this many characters
+
+
+@register(
+    "text_sample_weighted",
+    oracle=f"""
+    WITH w AS (
+      -- n_chars through a registered pandas frame is DOUBLE (float64
+      -- from NULLs), and DuckDB's // only FLOOR-divides integral
+      -- types — cast before any division, as everywhere else
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY lang
+               ORDER BY doc_id ASC NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars,
+           CAST(cum // {_PPS_STEP} - (cum - n_chars) // {_PPS_STEP}
+                AS BIGINT) AS picks
+    FROM w
+    WHERE cum // {_PPS_STEP} > (cum - n_chars) // {_PPS_STEP}
+    """,
+    tags=("text", "sampling", "window"),
+)
+def text_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: lay each
+    language's documents head-to-tail in doc_id order along a
+    character axis and take one sampling point every _PPS_STEP
+    characters — a document is drawn iff its span covers a point, so
+    inclusion probability is proportional to its length (the PPS
+    design data-mixing recipes weight corpora by), and a doc longer
+    than the step can be drawn multiple times (``picks`` carries the
+    multiplicity, the with-replacement convention). Deterministic and
+    exact: the running sum and the floor-divided point counts are
+    pure integer arithmetic, so both engines select the identical
+    set. Zero/NULL-length docs are outside the design by contract
+    (n_chars > 0 on both sides).
+
+    Scale shape: mirrors text_pack_sequences — ONE exchange on lang,
+    then a linear per-partition running sum; never a global
+    single-partition sort. Per-lang totals need not be known up
+    front (the step is fixed), which is what makes this a one-pass
+    streaming-friendly design compared to Poisson/A-ES sampling."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("doc_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("__cum", F.sum("n_chars").over(w))
+    )
+    picks = F.expr(f"__cum div {_PPS_STEP}") - F.expr(
+        f"(__cum - n_chars) div {_PPS_STEP}"
+    )
+    return (
+        runs.withColumn("picks", picks.cast("bigint"))
+        .filter(F.col("picks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "picks",
+        )
+    )

@@ -1352,3 +1352,33 @@ def test_debounce_burst_semantics_planted(spark):
         (1, "click", 2): (t0 + 151 * m, 2, 1),
         (1, "purchase", 1): (t0 + 5 * m, 1, 0),
     }
+
+
+def test_pps_sample_conserves_sampling_points(spark, sf_dir):
+    """Systematic-PPS invariant: per language the drawn multiplicities
+    must account for EXACTLY the sampling points inside the char
+    axis — sum(picks) == floor(total_chars / step) — and every pick
+    multiplicity must fit the doc (picks <= n_chars/step + 1)."""
+    from mypipe_spark.plans import textops as TX
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+    from pyspark.sql import functions as F
+
+    all_queries()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.filter(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("t"))
+        .collect()
+    }
+    out = QUERIES["text_sample_weighted"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["picks"]
+        assert r["picks"] <= r["n_chars"] // TX._PPS_STEP + 1
+    assert got == {
+        lang: t // TX._PPS_STEP
+        for lang, t in totals.items()
+        if t // TX._PPS_STEP > 0
+    }
