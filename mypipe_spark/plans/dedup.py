@@ -617,6 +617,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from_arrays(shingle_arrays(spark, sf_dir))
 
 
+def _sig_stage(arr: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, h0..h15) signatures from a shingle-array table —
+    row-local array expressions, NO shuffle (pinned). Zero-shingle
+    docs are excluded here for every caller: array_min over an empty
+    array is NULL, NULL band keys group together, and downstream
+    verification would divide by zero (see the note in
+    minhash_pairs_from_arrays)."""
+    return (
+        arr.filter(F.col("n_sh") > 0)
+        .withColumn("md5i", _md5_int_array())
+        .select("doc_id", "n_sh", *_minhash_sig_cols())
+    )
+
+
+def _band_stage(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band postings — one posexplode
+    over an array literal of the band keys, one pass over sigs
+    instead of a bands-way union."""
+    band_arr = F.array(*[F.expr(bx) for bx in _band_exprs()])
+    return sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_key")
+    )
+
+
 def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
     """MinHash+LSH pairs from any (doc_id, n_sh, hsh) table — the
     testable core of :func:`dedup_minhash_lsh` (mirrors
@@ -632,17 +656,7 @@ def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
     # na+nb-n_common = 0 — an ANSI DIVIDE_BY_ZERO that killed the
     # query on any corpus with two such docs. The oracle never sees
     # them either (they produce no exploded-shingle rows).
-    sigs = (
-        arr.filter(F.col("n_sh") > 0)
-        .withColumn("md5i", _md5_int_array())
-        .select("doc_id", "n_sh", *_minhash_sig_cols())
-    )
-    # bands as one posexplode over an array literal of band keys — one
-    # pass over sigs instead of a 4-way union
-    band_arr = F.array(*[F.expr(bx) for bx in _band_exprs()])
-    bands = sigs.select(
-        "doc_id", F.posexplode(band_arr).alias("band_id", "band_key")
-    )
+    bands = _band_stage(_sig_stage(arr))
     # Candidate pairs as ONE aggregation per band bucket (same posting-
     # list topology as jaccard_pairs_from): collect each bucket's
     # member list, emit ordered pairs from the sorted array — one copy
@@ -1909,4 +1923,134 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_incremental_flags(
         docs.filter(F.col("doc_id") % 5 == 4),
         docs.filter(F.col("doc_id") % 5 != 4),
+    )
+
+
+# --- Incremental (batch-vs-corpus) NEAR-dup via LSH -------------------------
+
+
+def _lsh_incremental_oracle() -> str:
+    mh = ",\n           ".join(
+        f"MIN(({a} * (shingle >> 32)"
+        f" + {b}) % {_MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    bands = _band_exprs()
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bnd} AS band_key, {j} AS band_id FROM sigs"
+        for j, bnd in enumerate(bands)
+    )
+    return f"""
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    sh AS ({_SQL_HSH_FROM_SH0}),
+    sigs AS (
+      SELECT doc_id, {mh}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_union}),
+    bb AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+    small_corpus_buckets AS (
+      SELECT band_id, band_key FROM bands WHERE doc_id % 5 <> 4
+      GROUP BY 1, 2 HAVING COUNT(*) <= {_STOP_SHINGLE_DF_CAP}),
+    cb AS (
+      SELECT b.* FROM bands b
+      JOIN small_corpus_buckets s
+        ON s.band_id = b.band_id AND s.band_key = b.band_key
+      WHERE b.doc_id % 5 <> 4),
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS doc_id, cb.doc_id AS near_dup_of
+      FROM bb JOIN cb
+        ON bb.band_id = cb.band_id AND bb.band_key = cb.band_key),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id, c.near_dup_of, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_id
+      JOIN sh sb ON sb.doc_id = c.near_dup_of AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT i.doc_id, i.near_dup_of,
+           {round4_frac_sql('i.n_common', 'ca.n_sh + cb2.n_sh - i.n_common', '//')}
+             AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_id
+    JOIN counts cb2 ON cb2.doc_id = i.near_dup_of
+    WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb2.n_sh - i.n_common)
+          >= {_JACCARD_THRESHOLD}
+    """
+
+
+def lsh_incremental_pairs(
+    batch_arr: DataFrame, corpus_arr: DataFrame
+) -> DataFrame:
+    """(doc_id, near_dup_of, jaccard) — each BATCH doc paired with
+    every CORPUS doc it near-duplicates (threshold jaccard over
+    shingle sets, verified exactly on candidates). The near-dup twin
+    of :func:`incremental_dedup_flags`, and the shape a web-scale
+    ingest actually runs: at 100 TB the corpus side is a maintained
+    BAND-POSTINGS artifact (signatures stored once per corpus
+    snapshot — the LSH analog of the fingerprint table), so a new
+    batch only signs itself and equi-joins the posting lists; the
+    corpus text is never rescanned and no batch×corpus product ever
+    exists.
+
+    Hot-bucket discipline: the cap applies to the CORPUS bucket size
+    (a band bucket shared by >cap corpus docs is boilerplate and
+    carries no near-dup signal) — false-negative-only, mirrored
+    exactly by the oracle. Note the full-corpus query
+    (dedup_minhash_lsh) caps the COMBINED bucket; the two caps count
+    different universes, so their recall sets are not comparable
+    around the cap boundary."""
+    bb = _band_stage(_sig_stage(batch_arr))
+    cb = (
+        _band_stage(_sig_stage(corpus_arr))
+        .groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _STOP_SHINGLE_DF_CAP)
+    )
+    cand = (
+        bb.join(cb, ["band_id", "band_key"])
+        .select("doc_id", F.explode("docs").alias("near_dup_of"))
+        .distinct()
+    )
+    sa = batch_arr.alias("sa")
+    sb = corpus_arr.alias("sb")
+    pairs = (
+        cand.alias("c")
+        .join(sa, F.col("c.doc_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("c.near_dup_of") == F.col("sb.doc_id"))
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("c.near_dup_of").alias("near_dup_of"),
+            F.size(F.array_intersect("sa.hsh", "sb.hsh")).alias("n_common"),
+            F.col("sa.n_sh").alias("na"),
+            F.col("sb.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return pairs.filter(jac >= _JACCARD_THRESHOLD).select(
+        "doc_id",
+        "near_dup_of",
+        F.expr(
+            round4_frac_sql("n_common", "na + nb - n_common", "div")
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "dedup_lsh_incremental",
+    oracle=_lsh_incremental_oracle(),
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup (the %5 slices of dedup_incremental,
+    the LSH machinery of dedup_minhash_lsh): sign the arriving batch,
+    probe the corpus band postings, verify candidates exactly. Same
+    md5-seeded deterministic hash family as the full-corpus query, so
+    the whole sketch is oracle-checkable."""
+    arr = shingle_arrays(spark, sf_dir)
+    return lsh_incremental_pairs(
+        arr.filter(F.col("doc_id") % 5 == 4),
+        arr.filter(F.col("doc_id") % 5 != 4),
     )

@@ -654,3 +654,39 @@ def test_bloom_incremental_preserves_row_multiplicity(spark):
     want = key(incremental_dedup_flags(batch, corpus).collect())
     assert got == want
     assert len(got) == 4
+
+
+def test_lsh_incremental_finds_planted_cross_slice_neardups(spark):
+    """Planted ingest: a batch doc that near-duplicates a corpus doc
+    (one word changed out of 20) must surface with its jaccard; an
+    exact dup must surface at 1.0; an unrelated doc must not; and a
+    batch-batch near-dup pair must NOT appear (the operator only
+    pairs batch against corpus)."""
+    from mypipe_spark.plans.dedup import (
+        _with_shingle_arrays,
+        lsh_incremental_pairs,
+    )
+
+    base = "w" + " w".join(str(i) for i in range(20))  # w0 .. w19
+    near = base.replace("w7", "x7")
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # corpus
+            (2, "totally different words entirely " * 3),  # corpus
+            (100, near),                    # batch: near-dup of 1
+            (101, base),                    # batch: exact dup of 1
+            (102, "nothing shared here at all " * 3),      # batch
+            (103, near),                    # batch: near-dup of 1 too
+        ],
+        "doc_id long, text string",
+    )
+    arr = _with_shingle_arrays(docs)
+    out = {
+        (r["doc_id"], r["near_dup_of"]): r["jaccard"]
+        for r in lsh_incremental_pairs(
+            arr.filter("doc_id >= 100"), arr.filter("doc_id < 100")
+        ).collect()
+    }
+    assert set(out) == {(100, 1), (101, 1), (103, 1)}
+    assert out[(101, 1)] == 1.0
+    assert 0.5 <= out[(100, 1)] < 1.0
