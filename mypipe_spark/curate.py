@@ -61,6 +61,7 @@ def run_curation(
     spark: SparkSession,
     config: dict[str, Any],
     docs: DataFrame | None = None,
+    against: DataFrame | None = None,
 ) -> dict[str, int]:
     """Run the full curation pipeline per ``config`` and return the
     audit counts: input docs, per-reason drops, kept after funnel,
@@ -71,7 +72,18 @@ def run_curation(
     stages over a streaming export's output. A corpus without
     ``n_chars`` (the streamed shards drop it) gets the column derived
     from the surviving text, which is exactly the richness signal the
-    duplicate resolution ranks on."""
+    duplicate resolution ranks on.
+
+    ``against`` adds a cross-corpus dedup pre-stage: rows whose text
+    already exists in that (doc_id, text, …) corpus are dropped
+    BEFORE the funnel (audited as ``n_corpus_dup``; ``n_input`` then
+    counts the surviving docs the funnel actually saw) via the
+    Bloom-prefiltered fingerprint join — the continuous-ingest shape
+    where today's batch dedups against everything already curated.
+    At 100 TB ``against`` is the maintained fingerprint/bitmap
+    artifact, not a text rescan."""
+    from .plans.dedup import bloom_incremental_flags
+
     sf_dir = config.get("sf_dir")
     out_dir = config["out_dir"]
     budget = int(config.get("budget", 200))
@@ -79,6 +91,40 @@ def run_curation(
         docs = load_tables(spark, sf_dir)["documents"]
     if "n_chars" not in docs.columns:
         docs = docs.withColumn("n_chars", F.length("text"))
+    n_corpus_dup = None
+    inc = None
+    try:
+        if against is not None:
+            inc = bloom_incremental_flags(
+                docs.select("doc_id", "text"), against
+            )
+            # feeds both the drop count and the keep join: persist once
+            inc.persist()
+            n_corpus_dup = int(
+                inc.agg(
+                    F.coalesce(F.sum("is_dup"), F.lit(0))
+                ).collect()[0][0]
+            )
+            fresh = (
+                inc.filter(F.col("is_dup") == 0).select("doc_id").distinct()
+            )
+            docs = docs.join(fresh, "doc_id")
+        return _run_curation_stages(
+            spark, config, docs, budget, out_dir, n_corpus_dup
+        )
+    finally:
+        if inc is not None:
+            inc.unpersist()
+
+
+def _run_curation_stages(
+    spark: SparkSession,
+    config: dict[str, Any],
+    docs: DataFrame,
+    budget: int,
+    out_dir: str,
+    n_corpus_dup: int | None,
+) -> dict[str, int]:
     final, flags = curate(docs, budget)
 
     # The flags table feeds three consumers (both join sides inside
@@ -114,6 +160,8 @@ def run_curation(
             F.coalesce(F.sum("final_keep"), F.lit(0)).alias("n_kept"),
         ).collect()[0]
         audit = {k: int(v) for k, v in audit_row.asDict().items()}
+        if n_corpus_dup is not None:
+            audit["n_corpus_dup"] = n_corpus_dup
         # Explicit schema: a run where nothing survived writes only
         # _SUCCESS, and schema inference over zero files would raise.
         audit["n_written"] = (

@@ -183,3 +183,36 @@ def test_batch_curation_over_landed_stream_shards(spark, sf_dir, tmp_path):
     # the stream already applied the quality/repetition gates
     assert audit["n_drop_quality"] == 0 and audit["n_drop_repetition"] == 0
     assert 0 < audit["n_written"] <= audit["n_kept"]
+
+
+def test_run_curation_against_corpus_dedup(spark, sf_dir, tmp_path):
+    """The cross-corpus dedup pre-stage: against the corpus ITSELF
+    every non-NULL text is already known (all dropped before the
+    funnel, audited), while against a disjoint corpus nothing drops
+    and the rest of the audit is bit-identical to the baseline run."""
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.curate import run_curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = {"sf_dir": sf_dir, "budget": 120, "shards_per_stratum": 2,
+           "rows_per_file": 50}
+    base = run_curation(spark, {**cfg, "out_dir": str(tmp_path / "o1")})
+
+    audit_self = run_curation(
+        spark, {**cfg, "out_dir": str(tmp_path / "o2")}, against=docs
+    )
+    n_nonnull = docs.filter(F.col("text").isNotNull()).count()
+    assert audit_self["n_corpus_dup"] == n_nonnull
+    assert audit_self["n_input"] == docs.count() - n_nonnull
+    assert audit_self["n_written"] == 0
+
+    other = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("~never-matches")).alias("text"),
+    )
+    audit_disjoint = run_curation(
+        spark, {**cfg, "out_dir": str(tmp_path / "o3")}, against=other
+    )
+    assert audit_disjoint.pop("n_corpus_dup") == 0
+    assert audit_disjoint == base
