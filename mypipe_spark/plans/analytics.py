@@ -1938,3 +1938,51 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_mg"), F.lit(False)).alias("in_summary"),
         )
     )
+
+
+@register(
+    "q_supplier_balance_rank_profile",
+    oracle="""
+    SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+           CAST(rank() OVER w AS BIGINT) AS bal_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+           percent_rank() OVER w AS bal_pct_rank,
+           cume_dist() OVER w AS bal_cume_dist
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WINDOW w AS (PARTITION BY n.n_name ORDER BY s.s_acctbal DESC)
+    """,
+    tags=("window", "rank"),
+)
+def q_supplier_balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier balance profile through the full ranking
+    family — rank, dense_rank, percent_rank, cume_dist — the four
+    rank-based window functions no other catalog query exercises.
+    All four are TIE-INVARIANT (they depend on the order KEY, not
+    the physical row order), so the output is deterministic without
+    a tiebreak column, and both engines define the edges identically
+    (single-row partition: percent_rank 0.0, cume_dist 1.0; the
+    percent_rank quotient divides the same integers, so the doubles
+    are bit-identical). DESC ordering keeps any NULL balance in the
+    engines' SHARED NULL position (both place NULLS LAST on DESC).
+
+    Scale shape: nation broadcast onto the supplier scan, one
+    exchange on the partition key, one sort, four functions in ONE
+    Window node."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc())
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_acctbal",
+            F.rank().over(w).cast("bigint").alias("bal_rank"),
+            F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+            F.percent_rank().over(w).alias("bal_pct_rank"),
+            F.cume_dist().over(w).alias("bal_cume_dist"),
+        )
+    )
