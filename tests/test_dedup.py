@@ -690,3 +690,52 @@ def test_lsh_incremental_finds_planted_cross_slice_neardups(spark):
     assert set(out) == {(100, 1), (101, 1), (103, 1)}
     assert out[(101, 1)] == 1.0
     assert 0.5 <= out[(100, 1)] < 1.0
+
+
+def test_lsh_incremental_stream_fold_equals_batch(spark, tmp_path):
+    """Ingest composition: the batch slice replayed as a file stream,
+    each microbatch near-dup'd against the static corpus postings via
+    foreachBatch — the unioned outputs must equal the one-shot batch
+    result EXACTLY, because candidates derive only from (single doc's
+    bands x corpus buckets): how the batch splits across microbatches
+    cannot change the pair set."""
+    from pyspark.sql import functions as F
+
+    from conftest import drain_stream
+    from mypipe_spark.plans.dedup import (
+        _with_shingle_arrays,
+        lsh_incremental_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = _with_shingle_arrays(docs)
+    batch_arr = arr.filter(F.col("doc_id") % 5 == 4)
+    corpus_arr = arr.filter(F.col("doc_id") % 5 != 4).persist()
+    try:
+        want = sorted(
+            tuple(r)
+            for r in lsh_incremental_pairs(batch_arr, corpus_arr).collect()
+        )
+        assert want  # sf0.1 has cross-slice near-dups; the pin is real
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "pairs")
+        docs.filter(F.col("doc_id") % 5 == 4).repartition(4).write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+
+        def fold(b, epoch):
+            lsh_incremental_pairs(
+                _with_shingle_arrays(b), corpus_arr
+            ).write.mode("append").parquet(store)
+
+        q = stream.writeStream.foreachBatch(fold).option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        ).start()
+        drain_stream(q)
+        got = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+        assert got == want
+    finally:
+        corpus_arr.unpersist()
