@@ -82,7 +82,7 @@ def run_curation(
     where today's batch dedups against everything already curated.
     At 100 TB ``against`` is the maintained fingerprint/bitmap
     artifact, not a text rescan."""
-    from .plans.dedup import bloom_incremental_flags
+    from .plans.dedup import bloom_filter_fresh
 
     sf_dir = config.get("sf_dir")
     out_dir = config["out_dir"]
@@ -92,29 +92,23 @@ def run_curation(
     if "n_chars" not in docs.columns:
         docs = docs.withColumn("n_chars", F.length("text"))
     n_corpus_dup = None
-    inc = None
+    fresh = None
     try:
         if against is not None:
-            inc = bloom_incremental_flags(
-                docs.select("doc_id", "text"), against
-            )
-            # feeds both the drop count and the keep join: persist once
-            inc.persist()
-            n_corpus_dup = int(
-                inc.agg(
-                    F.coalesce(F.sum("is_dup"), F.lit(0))
-                ).collect()[0][0]
-            )
-            fresh = (
-                inc.filter(F.col("is_dup") == 0).select("doc_id").distinct()
-            )
-            docs = docs.join(fresh, "doc_id")
+            # Row-level and keyless (bloom_filter_fresh): NULL or
+            # duplicated doc_ids drop/survive per ROW, so the audit
+            # identity n_total == n_corpus_dup + n_input holds exactly.
+            # Persisted because every funnel consumer rescans docs.
+            n_total = docs.count()
+            fresh = bloom_filter_fresh(docs, against).persist()
+            n_corpus_dup = n_total - fresh.count()
+            docs = fresh
         return _run_curation_stages(
             spark, config, docs, budget, out_dir, n_corpus_dup
         )
     finally:
-        if inc is not None:
-            inc.unpersist()
+        if fresh is not None:
+            fresh.unpersist()
 
 
 def _run_curation_stages(

@@ -1783,61 +1783,89 @@ _BLOOM_M_BITS = 1 << 17
 _BLOOM_K = 5
 
 
-def _bloom_positions(text: F.Column) -> F.Column:
-    """The _BLOOM_K bit positions of one document text — xxhash64 with
-    a per-index salt column, reduced mod the bitmap size. NULL text
-    hashes to the salt alone (Spark hash functions skip NULL inputs):
-    deterministic, and harmless either way — a NULL fingerprint can
-    never match in the exact confirm join."""
+def _bloom_positions(fingerprint: F.Column) -> F.Column:
+    """The _BLOOM_K bit positions of one content FINGERPRINT (the md5
+    hex of :func:`_content_fingerprint`) — xxhash64 with a per-index
+    salt column, reduced mod the bitmap size. Hashing the fingerprint
+    rather than the raw text keeps the bitmap derivable from the
+    maintained fingerprint artifact (the 100 TB story: neither side
+    of the probe ever rescans corpus text) and makes the probe hash
+    32-byte strings instead of whole documents. A NULL fingerprint
+    (NULL text) hashes to the salt alone (Spark hash functions skip
+    NULL inputs): deterministic, and harmless either way — a NULL
+    fingerprint can never match in the exact confirm join."""
     return F.array(
         *[
-            F.pmod(F.xxhash64(text, F.lit(i)), F.lit(_BLOOM_M_BITS))
+            F.pmod(F.xxhash64(fingerprint, F.lit(i)), F.lit(_BLOOM_M_BITS))
             for i in range(_BLOOM_K)
         ]
     )
 
 
-def _bloom_bit_mask() -> F.Column:
-    """1 << (pos & 63) as a BIGINT — SQL shiftleft, because the Python
-    ``F.shiftleft`` wrapper only takes a literal shift amount."""
-    return F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))")
-
-
-def bloom_bitmap(corpus: DataFrame) -> DataFrame:
-    """(bucket, word) Bloom bitmap of ``corpus.text`` — bucket is the
-    64-bit word index, word the OR of its set bits. At most
-    _BLOOM_M_BITS/64 rows by construction."""
-    pos = corpus.select(
-        F.explode(_bloom_positions(F.col("text"))).alias("pos")
-    )
-    return (
-        pos.select(
-            F.shiftright("pos", 6).alias("bucket"),
-            _bloom_bit_mask().alias("w"),
-        )
-        .groupBy("bucket")
-        .agg(F.bit_or("w").alias("word"))
-    )
+# ONE definition of the position→(bucket, mask) decomposition, used by
+# the bitmap builder (Column side) AND the forall probe (SQL string
+# side) — retyping it in either place could silently break the
+# no-false-negative guarantee (same drift class _content_fingerprint
+# closes for the md5).
+_POS_BUCKET_SQL = "shiftright({p}, 6)"
+_POS_MASK_SQL = "shiftleft(CAST(1 AS BIGINT), CAST({p} & 63 AS INT))"
 
 
 def _content_fingerprint() -> F.Column:
     """md5 over the raw UTF-8 text bytes — THE content fingerprint
     every incremental-dedup path keys on (plain join, Bloom probe,
     confirm join). One definition, because the Bloom path's
-    output-exactness rests on all three sites computing the SAME
-    bytes: a drift in any one silently breaks the no-false-negative
-    guarantee the oracle parity checks."""
+    output-exactness rests on all sites computing the SAME bytes: a
+    drift in any one silently breaks the no-false-negative guarantee
+    the oracle parity checks."""
     return F.md5(F.col("text").cast("binary"))
 
 
-def bloom_bitmap_map(corpus: DataFrame) -> DataFrame:
+def corpus_fingerprints(corpus: DataFrame) -> DataFrame:
+    """(h, canonical) — one row per distinct corpus text, canonical =
+    MIN(doc_id). The maintained artifact every incremental path reads
+    (text_fingerprint materializes the same table); both the Bloom
+    bitmap and the confirm join derive from it."""
+    return corpus.groupBy(_content_fingerprint().alias("h")).agg(
+        F.min("doc_id").alias("canonical")
+    )
+
+
+def bloom_bitmap(fps: DataFrame) -> DataFrame:
+    """(bucket, word) Bloom bitmap of a fingerprint relation's ``h``
+    column — bucket is the 64-bit word index, word the OR of its set
+    bits. At most _BLOOM_M_BITS/64 rows by construction."""
+    pos = fps.select(F.explode(_bloom_positions(F.col("h"))).alias("pos"))
+    return (
+        pos.select(
+            F.expr(_POS_BUCKET_SQL.format(p="pos")).alias("bucket"),
+            F.expr(_POS_MASK_SQL.format(p="pos")).alias("w"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("w").alias("word"))
+    )
+
+
+def bloom_bitmap_map(fps: DataFrame) -> DataFrame:
     """The bitmap as ONE row carrying a bucket→word map — the
     broadcastable probe form (an empty corpus yields one row with an
     empty map, which rejects everything, as it must)."""
-    return bloom_bitmap(corpus).agg(
+    return bloom_bitmap(fps).agg(
         F.map_from_entries(
             F.collect_list(F.struct("bucket", "word"))
         ).alias("bloom_map")
+    )
+
+
+def _bloom_maybe(ps_col: str) -> F.Column:
+    """TRUE iff every position in array column ``ps_col`` is set in
+    the joined ``bloom_map`` — the probe predicate, built from the
+    same bucket/mask fragments as the bitmap. try_element_at keeps a
+    missing bucket a plain 0-word under ANSI mode."""
+    return F.expr(
+        f"forall({ps_col}, p -> (coalesce(try_element_at(bloom_map,"
+        f" {_POS_BUCKET_SQL.format(p='p')}), CAST(0 AS BIGINT))"
+        f" & {_POS_MASK_SQL.format(p='p')}) != 0)"
     )
 
 
@@ -1849,19 +1877,40 @@ def bloom_candidates(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     the Bloom contract (every true dup has maybe=1) is what the
     correctness of :func:`bloom_incremental_flags` rests on; the
     false-positive RATE only affects how much the confirm join prunes
-    — both pinned in tests/test_dedup.py. try_element_at keeps a
-    missing bucket a plain 0-word under ANSI mode."""
+    — both pinned in tests/test_dedup.py."""
     probe = batch.select(
         "doc_id",
         _content_fingerprint().alias("bh"),
-        _bloom_positions(F.col("text")).alias("ps"),
-    ).crossJoin(F.broadcast(bloom_bitmap_map(corpus)))
-    maybe = F.expr(
-        "forall(ps, p -> (coalesce(try_element_at(bloom_map,"
-        " shiftright(p, 6)), CAST(0 AS BIGINT))"
-        " & shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))) != 0)"
+    ).select(
+        "doc_id", "bh", _bloom_positions(F.col("bh")).alias("ps")
+    ).crossJoin(F.broadcast(bloom_bitmap_map(corpus_fingerprints(corpus))))
+    return probe.select(
+        "doc_id", "bh", _bloom_maybe("ps").cast("long").alias("maybe")
     )
-    return probe.select("doc_id", "bh", maybe.cast("long").alias("maybe"))
+
+
+def bloom_filter_fresh(df: DataFrame, corpus: DataFrame) -> DataFrame:
+    """The rows of ``df`` whose text is NOT already in ``corpus`` —
+    row-for-row and KEYLESS (NULL or duplicated doc_ids are handled
+    per ROW, where a doc_id-keyed join-back would drop or double
+    them): definite Bloom misses pass straight through, candidates
+    anti-join the fingerprint table. The curation runner's
+    cross-corpus dedup pre-stage."""
+    fps = corpus_fingerprints(corpus)
+    t = (
+        df.withColumn("__bh", _content_fingerprint())
+        .withColumn("__ps", _bloom_positions(F.col("__bh")))
+        .crossJoin(F.broadcast(bloom_bitmap_map(fps)))
+        .withColumn("__maybe", _bloom_maybe("__ps"))
+    )
+    aux = ["__bh", "__ps", "bloom_map", "__maybe"]
+    miss = t.filter(~F.col("__maybe")).drop(*aux)
+    fresh_cand = (
+        t.filter(F.col("__maybe"))
+        .join(fps, F.col("__bh") == F.col("h"), "left_anti")
+        .drop(*aux)
+    )
+    return miss.unionByName(fresh_cand)
 
 
 def bloom_incremental_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -1874,9 +1923,7 @@ def bloom_incremental_flags(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     short-circuit to is_dup=0 rows; the corpus fingerprint table only
     ever joins the surviving candidates."""
     flags = bloom_candidates(batch, corpus)
-    fps = corpus.groupBy(
-        _content_fingerprint().alias("h")
-    ).agg(F.min("doc_id").alias("canonical"))
+    fps = corpus_fingerprints(corpus)
     confirmed = (
         flags.filter(F.col("maybe") == 1)
         .join(fps, F.col("bh") == F.col("h"), "left")

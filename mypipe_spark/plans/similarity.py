@@ -887,31 +887,45 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": ann_topk_lsh,
         "pandas": ann_topk_pandas,
     }
-    rows = []
-    for method, num, den in _ANN_RECALL_FLOORS:
-        o = variants[method](spark, sf_dir).select(
-            F.col("vec_id").alias("other_id")
+    # Union the (method, id) rows of all variants FIRST, then ONE join
+    # against the baseline: Spark does not reuse subtrees across union
+    # branches, so the per-variant form embedded the expensive exact
+    # pass once per branch (3x per action — review finding). Every
+    # variant returns exactly k rows, so each method survives the
+    # groupBy even at zero overlap.
+    tagged = [
+        variants[method](spark, sf_dir).select(
+            F.lit(method).alias("method"),
+            F.col("vec_id").alias("other_id"),
         )
-        rows.append(
-            b.join(o, F.col("vec_id") == F.col("other_id"))
-            .agg(F.count("*").cast("bigint").alias("n_common"))
-            .select(
-                F.lit(method).alias("method"),
-                F.lit(_TOP_K).alias("k"),
-                "n_common",
-                F.expr(round4_frac_sql("n_common", str(_TOP_K), "div")).alias(
-                    "recall"
-                ),
-                F.expr(
-                    f"CAST(CASE WHEN n_common * {den} >= {num} * {_TOP_K}"
-                    " THEN 1 ELSE 0 END AS BIGINT)"
-                ).alias("recall_ok"),
-            )
+        for method, _, _ in _ANN_RECALL_FLOORS
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    per = (
+        u.join(b, F.col("other_id") == F.col("vec_id"), "left")
+        .groupBy("method")
+        .agg(
+            F.sum(F.col("vec_id").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_common")
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
+    floors = " ".join(
+        f"WHEN method = '{m}' THEN CAST(CASE WHEN n_common * {den}"
+        f" >= {num} * {_TOP_K} THEN 1 ELSE 0 END AS BIGINT)"
+        for m, num, den in _ANN_RECALL_FLOORS
+    )
+    return per.select(
+        "method",
+        F.lit(_TOP_K).alias("k"),
+        "n_common",
+        F.expr(round4_frac_sql("n_common", str(_TOP_K), "div")).alias(
+            "recall"
+        ),
+        F.expr(f"CASE {floors} END").alias("recall_ok"),
+    )
 
 
 # the oracle composes the registered oracle strings, which are only

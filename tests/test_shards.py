@@ -216,3 +216,37 @@ def test_run_curation_against_corpus_dedup(spark, sf_dir, tmp_path):
     )
     assert audit_disjoint.pop("n_corpus_dup") == 0
     assert audit_disjoint == base
+
+
+def test_against_corpus_dedup_is_row_level_and_keyless(spark, tmp_path):
+    """Audit-integrity edges from the review: a NULL-doc_id fresh row
+    must SURVIVE to the funnel, a NULL-doc_id dup row must drop and
+    be audited, and a doc_id appearing twice (one text a corpus dup,
+    one fresh) drops exactly the dup ROW — so
+    n_total == n_corpus_dup + n_input holds exactly."""
+    from mypipe_spark.curate import run_curation
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the quiet river bank before dusk %s")
+    corpus = spark.createDataFrame(
+        [(1, "en", "s0", good % "one", 100)],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (None, "en", "s0", good % "two", 100),   # NULL id, fresh
+            (None, "en", "s0", good % "one", 100),   # NULL id, corpus dup
+            (7, "en", "s0", good % "one", 100),      # dup text
+            (7, "en", "s0", good % "three", 100),    # same id, fresh text
+            (8, "en", "s0", good % "four", 100),     # plain fresh
+        ],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    )
+    audit = run_curation(
+        spark,
+        {"out_dir": str(tmp_path / "o"), "budget": 10, "mode": "overwrite"},
+        docs=docs,
+        against=corpus.select("doc_id", "text"),
+    )
+    assert audit["n_corpus_dup"] == 2
+    assert audit["n_input"] == 3
