@@ -1986,3 +1986,269 @@ def q_supplier_balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFra
             F.cume_dist().over(w).alias("bal_cume_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality audit (Deequ-style, one pass per table)
+# ---------------------------------------------------------------------------
+
+def _audit_checks():
+    """The constraint sets for the catalog audit, built once so the
+    Spark plan and the DuckDB oracle derive from the SAME Check lists
+    (operators/audit.py shares each violation expression verbatim
+    across the dialects). Two constraints fail on the synthetic data
+    by design — (l_orderkey, l_linenumber) is NOT unique in the
+    fixture, and orders extend past the 1998 freshness bound — so the
+    audit's pass AND fail paths are both driver-verified."""
+    from ..operators.audit import Check, in_range, in_set, not_null, unique_key
+
+    li = [
+        unique_key("l_orderkey", "l_linenumber"),
+        not_null("l_shipdate"),
+        in_range("l_quantity", 1, 50),
+        in_range("l_discount", 0, 0.1),
+        in_range("l_tax", 0, 0.08),
+        in_set("l_returnflag", ("A", "N", "R")),
+        in_set("l_linestatus", ("F", "O")),
+        Check(
+            "positive(l_extendedprice)",
+            "(l_extendedprice IS NULL OR l_extendedprice <= 0)",
+        ),
+    ]
+    od = [
+        unique_key("o_orderkey"),
+        not_null("o_custkey"),
+        in_set("o_orderstatus", ("F", "O", "P")),
+        Check(
+            "positive(o_totalprice)",
+            "(o_totalprice IS NULL OR o_totalprice <= 0)",
+        ),
+        in_range(
+            "o_orderdate",
+            "TIMESTAMP '1995-01-01 00:00:00'",
+            "TIMESTAMP '1998-12-31 23:59:59'",
+        ),
+    ]
+    return li, od
+
+
+def _audit_oracle() -> str:
+    from ..operators.audit import audit_oracle_sql
+
+    li, od = _audit_checks()
+    # each side is a full WITH...SELECT — parenthesize into derived
+    # tables so the UNION ALL parses (a bare `SELECT ... UNION ALL
+    # WITH ...` is a syntax error)
+    return (
+        f"SELECT * FROM ({audit_oracle_sql('lineitem', li)}) AS li_audit"
+        "\n    UNION ALL\n"
+        f"SELECT * FROM ({audit_oracle_sql('orders', od)}) AS od_audit"
+    )
+
+
+@register(
+    "q_data_quality_audit",
+    oracle=_audit_oracle(),
+    tags=("audit", "quality", "constraints"),
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit over lineitem + orders: thirteen
+    completeness / uniqueness / range / domain rules evaluated as ONE
+    aggregate per table (operators/audit.py — every row rule is a
+    conditional count in the same agg; uniqueness rides the same pass
+    as a distinct-struct count; per-rule rows come from ``stack``
+    over the single aggregate row, never a per-rule UNION re-scan).
+
+    The reference has no audit plane; this is the ingest-trust gate a
+    100 TB pipeline runs before a snapshot is promoted — cost is one
+    scan per table regardless of rule count, all counts map-side
+    combinable."""
+    from ..operators.audit import audit
+
+    t = load_tables(spark, sf_dir)
+    li, od = _audit_checks()
+    return audit(t["lineitem"], "lineitem", li).unionByName(
+        audit(t["orders"], "orders", od)
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame-based navigation window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_order_price_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST((epoch_us(o_orderdate)
+                 - lag(epoch_us(o_orderdate)) OVER w) // 86400000000
+                AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "navigation"),
+)
+def q_order_price_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/frame window functions over each customer's order
+    history: first / last / second order price (full-partition ROWS
+    frame — last_value under the DEFAULT frame would be the running
+    row itself, a classic frame bug both engines share, so the frame
+    is explicit), previous/next price, and whole days since the
+    previous order (integer epoch arithmetic — no calendar-boundary
+    semantics to disagree on). (o_orderdate, o_orderkey) is a total
+    order per partition (o_orderkey unique), so every value is
+    deterministic; prices are COPIED doubles (no arithmetic), hence
+    bit-identical across engines.
+
+    Covers first_value / last_value / nth_value — the navigation
+    family no other catalog query exercises. One exchange on
+    o_custkey, one sort, all functions in one Window node."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # parquet timestamps load as TIMESTAMP_NTZ; unix_micros wants
+    # TIMESTAMP — the cast is the house idiom (events_trailing_1h),
+    # and any session-zone offset it introduces cancels in the diff
+    ep = F.expr("unix_micros(cast(o_orderdate as timestamp))")
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.last("o_totalprice").over(wf).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            # INTEGRAL division below (`div`), not double-divide-and-
+            # cast: a double quotient a hair under an integer can
+            # round UP to it, while DuckDB's `//` floors — the two
+            # would disagree exactly on near-boundary diffs.
+            (ep - F.lag(ep).over(w)).alias("_diff_us"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            "first_price",
+            "last_price",
+            "second_price",
+            "prev_price",
+            "next_price",
+            F.expr("_diff_us div 86400000000")
+            .cast("bigint")
+            .alias("days_since_prev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# click -> purchase conversion lag
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_conversion_lag",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IN ('click', 'purchase')),
+    lagged AS (
+      SELECT event_type, us,
+             MAX(CASE WHEN event_type = 'click' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click_us
+      FROM ev),
+    scored AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'purchase'
+                   AND last_click_us IS NOT NULL
+                  THEN (us - last_click_us) // 1000000 END AS lag_s
+      FROM lagged)
+    SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(COUNT(lag_s) AS BIGINT) AS n_converted,
+           CAST(quantile_cont(lag_s, 0.25) AS DOUBLE) AS lag_p25_s,
+           CAST(quantile_cont(lag_s, 0.50) AS DOUBLE) AS lag_p50_s,
+           CAST(quantile_cont(lag_s, 0.75) AS DOUBLE) AS lag_p75_s,
+           CAST(MAX(lag_s) AS BIGINT) AS lag_max_s
+    FROM scored
+    """,
+    tags=("events", "funnel", "asof", "percentile"),
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion latency: for every purchase, the
+    lag to that user's most recent PRECEDING click (as-of semantics
+    via one running MAX over the per-user timeline — no join), then
+    the exact lag quartiles in whole seconds. "Preceding" means
+    earlier in the total (ts, event_id) order, so ties are
+    deterministic; the timeless-event contract applies uniformly
+    (NULL ts or NULL user_id rows join nothing on EITHER side — the
+    divergence class the dirty-events campaign found in asof/
+    sessionize). Lag seconds are integral (floor-divided micros), so
+    interpolated quartiles land on exact .25 steps in both engines
+    (same argument as q_quantity_quartiles).
+
+    Scale shape: one filtered scan, one user-keyed exchange for the
+    window, then a single global aggregate over purchase rows only.
+    The exact global percentile collects the converted-lag multiset
+    into one buffer — at 100 TB swap to approx_percentile, the same
+    trade q_quantity_quartiles documents."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lagged = ev.select(
+        "event_type",
+        "us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).over(w).alias("last_click_us"),
+    )
+    scored = lagged.select(
+        "event_type",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_us").isNotNull(),
+            F.expr("(us - last_click_us) div 1000000"),
+        ).alias("lag_s"),
+    )
+    return scored.agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("n_purchases"),
+        F.count("lag_s").cast("long").alias("n_converted"),
+        F.expr("CAST(percentile(lag_s, 0.25) AS DOUBLE)").alias("lag_p25_s"),
+        F.expr("CAST(percentile(lag_s, 0.50) AS DOUBLE)").alias("lag_p50_s"),
+        F.expr("CAST(percentile(lag_s, 0.75) AS DOUBLE)").alias("lag_p75_s"),
+        F.max("lag_s").cast("long").alias("lag_max_s"),
+    )

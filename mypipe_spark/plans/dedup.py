@@ -2101,3 +2101,134 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr.filter(F.col("doc_id") % 5 == 4),
         arr.filter(F.col("doc_id") % 5 != 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram spans (exact-substring dedup audit, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+# Span gram width. 4 words — long enough that a repeat is structural
+# (boilerplate, quoted reuse), short enough that the synthetic
+# word-salad corpus still carries real collisions. The public method
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better") uses 50-token substrings over a suffix array; the
+# distributed re-expression is a positional n-gram inverted index —
+# the suffix array's "repeated substring" answer at fixed width k,
+# with runs of overlapping duplicated grams recovering longer spans.
+_SPAN_WORDS = 4
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
+    grams AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(w, i, i + {_SPAN_WORDS - 1}), ' ') AS g
+      FROM pos WHERE i + {_SPAN_WORDS - 1} <= len(w)),
+    dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    duppos AS (
+      SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+    runs AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM duppos),
+    runlen AS (
+      SELECT doc_id, grp, COUNT(*) AS rl FROM runs GROUP BY doc_id, grp),
+    perdoc AS (
+      SELECT doc_id, SUM(rl) AS n_dup, MAX(rl) AS max_run
+      FROM runlen GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(GREATEST(COALESCE(
+             len(string_split(d.text, ' ')) - {_SPAN_WORDS - 1}, 0), 0)
+             AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(CASE WHEN p.max_run IS NULL THEN 0
+                     ELSE p.max_run + {_SPAN_WORDS - 1} END AS BIGINT)
+             AS max_dup_run_tokens
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    """,
+    tags=("dedup", "spans", "substring"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN audit (the distributed form of Lee et al.
+    2022's suffix-array substring dedup): every positional word
+    k-gram (k = _SPAN_WORDS) whose text occurs >= 2 times ANYWHERE in the
+    corpus (other docs or the same doc — self-repetition is exactly
+    what substring dedup removes) is a duplicated position; runs of
+    consecutive duplicated positions recover spans longer than the
+    gram width. Per doc: total grams, duplicated grams, and the
+    longest duplicated span in TOKENS (run + k - 1).
+
+    Docs with NULL or short text surface with zeroes (LEFT JOIN from
+    the documents scan), so the audit is total over the corpus.
+
+    Scale shape: positional explode -> one groupBy on the gram text
+    (map-side combinable count), candidate positions re-shuffle on
+    the same gram key for the semi join, then one doc-keyed window +
+    aggregate over DUPLICATED positions only (a small fraction of the
+    stream by construction). The final LEFT JOIN hangs the sparse
+    per-doc stats back on the document scan. Hot grams (corpus-wide
+    boilerplate) skew the gram join; AQE's skew-join split handles
+    the residual (same posture as the shingle ops, dedup.py header).
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    k = _SPAN_WORDS
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    # posexplode is 0-based; +1 matches the oracle's 1-based
+    # generate_subscripts, and only differences of i ever matter
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                if(size(w) < {k}, array(),
+                  transform(sequence(1, size(w) - {k - 1}),
+                            i -> concat_ws(' ', slice(w, i, {k}))))
+                """
+            )
+        ).alias("i0", "g"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    dupg = grams.groupBy("g").count().filter(F.col("count") >= 2).select("g")
+    duppos = grams.join(dupg, "g").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    runs = duppos.withColumn(
+        "grp", F.col("i") - F.row_number().over(w_doc)
+    )
+    perdoc = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("rl").alias("n_dup"),
+            F.max("rl").alias("max_run"),
+        )
+    )
+    n_grams = F.greatest(
+        F.coalesce(F.size(F.split("text", " ")) - (k - 1), F.lit(0)),
+        F.lit(0),
+    )
+    return (
+        docs.select("doc_id", n_grams.cast("long").alias("n_grams"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.when(F.col("max_run").isNull(), F.lit(0))
+            .otherwise(F.col("max_run") + (k - 1))
+            .cast("long")
+            .alias("max_dup_run_tokens"),
+        )
+    )

@@ -1073,3 +1073,90 @@ def text_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "picks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH words AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    counts AS (
+      SELECT lang, w, COUNT(*) AS c FROM words GROUP BY lang, w),
+    ranked AS (
+      SELECT lang, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, w ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS tot
+      FROM counts)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(1 + SUM(CASE WHEN cum * 2 < tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS words_50pct,
+           CAST(1 + SUM(CASE WHEN cum * 10 < tot * 9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS words_90pct
+    FROM ranked
+    GROUP BY lang
+    """,
+    tags=("text", "vocab", "coverage"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve per language: distinct word count,
+    total occurrences, and how many of the most frequent words cover
+    50% / 90% of all occurrences — the tokenizer-budget question
+    (how large must a vocab be before coverage flattens) asked of a
+    pre-training corpus. "Smallest prefix covering p" is computed as
+    1 + |{ranks whose CUMULATIVE count is still < p*total}|, all in
+    integer arithmetic (cum*2 < tot, cum*10 < tot*9 — no ratio ever
+    crosses the engine boundary); ties in frequency break
+    lexicographically, so the prefix is a total order both engines
+    agree on.
+
+    Scale shape: (lang, word) counts map-side combine on the explode
+    (the only pass over raw text); the window + final aggregate run
+    over the already-aggregated VOCABULARY (tiny by comparison),
+    partitioned by lang — one exchange for the counts, one lang
+    exchange for the window, aggregate reuses the window partitioning.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = (
+        docs.filter(F.col("text").isNotNull())
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        (
+            F.lit(1)
+            + F.sum((F.col("cum") * 2 < F.col("tot")).cast("int"))
+        )
+        .cast("long")
+        .alias("words_50pct"),
+        (
+            F.lit(1)
+            + F.sum((F.col("cum") * 10 < F.col("tot") * 9).cast("int"))
+        )
+        .cast("long")
+        .alias("words_90pct"),
+    )

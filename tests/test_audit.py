@@ -1,0 +1,122 @@
+"""Data-quality audit operator (operators/audit.py): planted
+violations on both engines, NULL-key duplicate semantics, empty-table
+totality, and the one-scan plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mypipe_spark.operators.audit import (
+    Check,
+    audit,
+    audit_oracle_sql,
+    in_range,
+    in_set,
+    not_null,
+    ordered,
+    unique_key,
+)
+
+ROWS = [
+    # (id, sub, status, qty, lo, hi)
+    (1, 1, "A", 10, 1, 2),
+    (1, 1, "B", 5, 2, 2),      # duplicate (id, sub); status outside {A,N}
+    (2, None, "N", 60, 3, 1),  # qty over range; lo > hi ordering breach
+    (2, None, "A", None, None, 5),  # duplicate NULL-bearing key; NULL qty; NULL lo
+    (3, 2, None, 1, 0, 0),     # NULL status
+]
+COLS = ["id", "sub", "status", "qty", "lo", "hi"]
+
+CHECKS = [
+    unique_key("id", "sub"),
+    not_null("status"),
+    in_set("status", ("A", "N")),
+    in_range("qty", 1, 50),
+    ordered("lo", "hi"),
+]
+
+# hand-computed: 5 rows; key tuples {(1,1)x2, (2,NULL)x2, (3,2)} -> 2
+# surplus; one NULL status; NULL + 'B' fail the set (2); qty 60 and
+# NULL fail the range (2); lo>hi once + NULL lo once (2)
+EXPECTED = {
+    "unique_key(id,sub)": 2,
+    "not_null(status)": 1,
+    "in_set(status)": 2,
+    "in_range(qty)": 2,
+    "ordered(lo,hi)": 2,
+}
+
+
+def test_audit_planted_violations_cross_engine(spark):
+    """The SAME Check list drives the Spark plan and the DuckDB
+    oracle; both must report the hand-computed violation counts —
+    including the two (2, NULL) rows counting as ONE duplicate (the
+    struct tuple, not COUNT(DISTINCT a, b) which skips NULL rows)."""
+    df = spark.createDataFrame(
+        ROWS, "id int, sub int, status string, qty int, lo int, hi int"
+    )
+    got = {
+        r["check_name"]: (r["n_violations"], r["n_rows"], r["passed"])
+        for r in audit(df, "t", CHECKS).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == EXPECTED
+    assert all(v[1] == 5 for v in got.values())
+    assert all(v[2] == 0 for v in got.values())  # every rule fails here
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(ROWS, columns=COLS))
+    want = {
+        r[1]: (r[3], r[2], r[4])
+        for r in con.execute(audit_oracle_sql("t", CHECKS)).fetchall()
+    }
+    assert got == want
+
+
+def test_audit_clean_table_passes(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "A", 10, 1, 2), (2, 1, "N", 50, 2, 2)],
+        "id int, sub int, status string, qty int, lo int, hi int",
+    )
+    rows = audit(df, "t", CHECKS).collect()
+    assert all(r["n_violations"] == 0 and r["passed"] == 1 for r in rows)
+
+
+def test_audit_empty_table_is_total(spark):
+    """Zero rows -> zero violations and passed=1 on BOTH engines (the
+    SUM-over-nothing NULL is coalesced on each side)."""
+    df = spark.createDataFrame(
+        [], "id int, sub int, status string, qty int, lo int, hi int"
+    )
+    rows = audit(df, "t", CHECKS).collect()
+    assert len(rows) == len(CHECKS)
+    assert all(
+        r["n_rows"] == 0 and r["n_violations"] == 0 and r["passed"] == 1
+        for r in rows
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame([], columns=COLS))
+    want = con.execute(audit_oracle_sql("t", CHECKS)).fetchall()
+    assert all(r[2] == 0 and r[3] == 0 and r[4] == 1 for r in want)
+
+
+def test_audit_is_one_scan(spark):
+    """Thirteen rules, one pass: the physical plan reads the relation
+    once — rules fold into one aggregate, the per-rule rows come from
+    stack over its single output row, never a per-rule UNION of
+    re-scans."""
+    df = spark.createDataFrame(
+        ROWS, "id int, sub int, status string, qty int, lo int, hi int"
+    )
+    plan = audit(df, "t", CHECKS)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") == 1
+
+
+def test_check_spec_validation():
+    with pytest.raises(ValueError):
+        Check("both", violation_sql="(x IS NULL)", key_cols=("x",))
+    with pytest.raises(ValueError):
+        Check("neither")
+    with pytest.raises(ValueError):
+        audit_oracle_sql("t", [])

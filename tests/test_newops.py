@@ -669,6 +669,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_retention_cohorts": AN, "events_anomaly_3sigma": AN,
         "events_funnel_ordered": CD, "events_dau_wau": AN,
         "events_debounce": AN, "events_heavy_hitters": AN,
+        "events_conversion_lag": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -1381,4 +1382,163 @@ def test_pps_sample_conserves_sampling_points(spark, sf_dir):
         lang: t // TX._PPS_STEP
         for lang, t in totals.items()
         if t // TX._PPS_STEP > 0
+    }
+
+
+def test_duplicate_spans_planted_semantics(spark):
+    """Hand-computed duplicate-span audit: a 5-word sentence shared
+    by two docs surfaces as a 2-gram RUN (span = 5 tokens) in BOTH
+    docs; self-repetition inside one doc counts (substring dedup
+    removes it too); NULL and sub-k texts report zeroes. Cross-engine
+    on the same planted corpus."""
+    import duckdb
+    import pandas as pd
+
+    from mypipe_spark.plans import dedup as dd
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rows = [
+        (1, "alpha beta gamma delta epsilon unique1 one", "en", "s", 43),
+        (2, "prefix2 alpha beta gamma delta epsilon tail2", "en", "s", 45),
+        (3, "x y z w x y z w", "en", "s", 15),
+        (4, "totally distinct words here only once", "en", "s", 37),
+        (5, None, "en", "s", None),
+        (6, "a b c", "en", "s", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    with _planted_tables([dd], {"documents": docs}):
+        got = {
+            r["doc_id"]: (
+                r["n_grams"], r["n_dup_grams"], r["max_dup_run_tokens"]
+            )
+            for r in QUERIES["dedup_duplicate_spans"].fn(spark, "x").collect()
+        }
+    assert got == {
+        1: (4, 2, 5),
+        2: (4, 2, 5),
+        3: (5, 2, 4),
+        4: (3, 0, 0),
+        5: (0, 0, 0),
+        6: (0, 0, 0),
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["dedup_duplicate_spans"].oracle).fetchall()
+    }
+    assert got == want
+
+
+def test_vocab_coverage_planted_semantics(spark):
+    """Hand-computed coverage prefixes: one word carrying 80% of a
+    language needs rank 2 for 90% coverage but rank 1 suffices for
+    50%; frequency ties break lexicographically; NULL text
+    contributes nothing."""
+    from mypipe_spark.plans import textops as tx
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "en", "s", 7),
+            (2, "a a a a b c", "en", "s", 11),
+            (3, "x y", "de", "s", 3),
+            (4, None, "de", "s", None),
+        ],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    with _planted_tables([tx], {"documents": docs}):
+        got = {
+            r["lang"]: (
+                r["vocab_size"], r["total_tokens"],
+                r["words_50pct"], r["words_90pct"],
+            )
+            for r in QUERIES["text_vocab_coverage"].fn(spark, "x").collect()
+        }
+    # en: a=8 b=1 c=1 -> cum 8/9/10 of 10; de: x=1 y=1 -> cum 1/2 of 2
+    assert got == {"en": (3, 10, 1, 2), "de": (2, 2, 1, 2)}
+
+
+def test_conversion_lag_planted_semantics(spark):
+    """Known lags: same-timestamp click/purchase tie resolves by
+    event_id order (click first -> lag 0); a purchase with no prior
+    click is unconverted; timeless clicks and anonymous rows match
+    nothing. Quartiles interpolate [0, 60, 100] -> 30/60/80."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    ev = spark.createDataFrame(
+        [
+            (1, s(0), 1, "click", 1.0, None),
+            (2, s(60), 1, "purchase", 5.0, None),
+            (3, s(100), 1, "purchase", 5.0, None),
+            (4, s(200), 1, "click", 1.0, None),
+            (5, s(200), 1, "purchase", 5.0, None),
+            (6, s(50), 2, "purchase", 5.0, None),
+            (7, None, 3, "click", 1.0, None),
+            (8, s(10), 3, "purchase", 5.0, None),
+            (9, s(5), None, "click", 1.0, None),
+        ],
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        row = QUERIES["events_conversion_lag"].fn(spark, "x").collect()[0]
+    assert (
+        row["n_purchases"], row["n_converted"],
+        row["lag_p25_s"], row["lag_p50_s"], row["lag_p75_s"],
+        row["lag_max_s"],
+    ) == (5, 3, 30.0, 60.0, 80.0, 100)
+
+
+def test_order_navigation_planted_semantics(spark):
+    """Frame pins: last_value/nth_value run over the FULL partition
+    frame (the default frame would return the current row); same-date
+    orders break ties by o_orderkey; singleton partitions get NULL
+    second/prev/next; day gaps are integral."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    d = lambda n: dt.datetime(1995, 1, 1) + dt.timedelta(days=n)
+    od = spark.createDataFrame(
+        [
+            (11, 1, "O", 10.0, d(0), "1-URGENT"),
+            (12, 1, "O", 20.0, d(0), "1-URGENT"),
+            (21, 2, "F", 7.0, d(5), "5-LOW"),
+            (31, 3, "O", 1.0, d(0), "5-LOW"),
+            (32, 3, "O", 2.0, d(3), "5-LOW"),
+        ],
+        "o_orderkey int, o_custkey int, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string",
+    )
+    with _planted_tables([AN], {"orders": od}):
+        got = {
+            r["o_orderkey"]: (
+                r["first_price"], r["last_price"], r["second_price"],
+                r["prev_price"], r["next_price"], r["days_since_prev"],
+            )
+            for r in QUERIES["q_order_price_navigation"].fn(spark, "x").collect()
+        }
+    assert got == {
+        11: (10.0, 20.0, 20.0, None, 20.0, None),
+        12: (10.0, 20.0, 20.0, 10.0, None, 0),
+        21: (7.0, 7.0, None, None, None, None),
+        31: (1.0, 2.0, 2.0, None, 2.0, None),
+        32: (1.0, 2.0, 2.0, 1.0, None, 3),
     }
