@@ -38,6 +38,59 @@ from .plans.curation import (
 from .sinks.shards import write_training_shards
 
 
+class AuditError(RuntimeError):
+    """Raised by ``run_curation`` under ``audit_enforce`` when the
+    corpus fails its declared constraints; carries the per-check
+    violation counts so the caller can log/alert without re-running."""
+
+    def __init__(self, failed: dict[str, int]):
+        super().__init__(f"corpus failed constraint audit: {failed}")
+        self.failed = failed
+
+
+def default_doc_checks() -> list:
+    """The ingest-trust constraints a documents corpus must satisfy
+    before curation spends a full pipeline on it: addressable rows
+    (non-NULL unique doc_id) and the text/n_chars consistency the
+    duplicate-resolution ranking relies on."""
+    from .operators.audit import Check, not_null, unique_key
+
+    return [
+        not_null("doc_id"),
+        unique_key("doc_id"),
+        not_null("text"),
+        Check(
+            "n_chars_matches_text",
+            "(text IS NOT NULL AND (n_chars IS NULL OR"
+            " n_chars <> length(text)))",
+        ),
+    ]
+
+
+def audit_corpus(
+    docs: DataFrame, checks, enforce: bool = False
+) -> dict[str, int] | None:
+    """The runner's pre-stage constraint gate: evaluate ``checks``
+    (``"default"`` -> :func:`default_doc_checks`) in ONE extra
+    scan-aggregate over the corpus (operators/audit.py) and return
+    {check_name: n_violations}. ``enforce=True`` raises
+    :class:`AuditError` on any violation BEFORE the pipeline spends
+    shuffles on an untrustworthy corpus. ``checks=None`` (and no
+    enforcement) skips the gate entirely — zero extra jobs."""
+    if checks is None and not enforce:
+        return None
+    from .operators.audit import audit
+
+    if checks is None or checks == "default":
+        checks = default_doc_checks()
+    rows = audit(docs, "documents", checks).collect()
+    counts = {r["check_name"]: int(r["n_violations"]) for r in rows}
+    failed = {k: v for k, v in counts.items() if v > 0}
+    if enforce and failed:
+        raise AuditError(failed)
+    return counts
+
+
 def curate(docs: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
     """The lazy pipeline: (final curated+scrubbed+selected docs,
     funnel flags). Pure plan construction — nothing runs until the
@@ -81,7 +134,15 @@ def run_curation(
     Bloom-prefiltered fingerprint join — the continuous-ingest shape
     where today's batch dedups against everything already curated.
     At 100 TB ``against`` is the maintained fingerprint/bitmap
-    artifact, not a text rescan."""
+    artifact, not a text rescan.
+
+    ``config["audit_checks"]`` (a Check list, or ``"default"`` for
+    :func:`default_doc_checks`) runs the declarative constraint gate
+    over the INPUT corpus first — one scan-aggregate, reported under
+    ``"constraints"`` in the returned audit; with
+    ``config["audit_enforce"]`` any violation raises
+    :class:`AuditError` before the pipeline spends a single shuffle
+    (the fail-fast an unattended 100 TB ingest wants)."""
     from .plans.dedup import bloom_filter_fresh
 
     sf_dir = config.get("sf_dir")
@@ -91,6 +152,11 @@ def run_curation(
         docs = load_tables(spark, sf_dir)["documents"]
     if "n_chars" not in docs.columns:
         docs = docs.withColumn("n_chars", F.length("text"))
+    constraints = audit_corpus(
+        docs,
+        config.get("audit_checks"),
+        enforce=bool(config.get("audit_enforce", False)),
+    )
     n_corpus_dup = None
     fresh = None
     try:
@@ -103,9 +169,12 @@ def run_curation(
             fresh = bloom_filter_fresh(docs, against).persist()
             n_corpus_dup = n_total - fresh.count()
             docs = fresh
-        return _run_curation_stages(
+        out = _run_curation_stages(
             spark, config, docs, budget, out_dir, n_corpus_dup
         )
+        if constraints is not None:
+            out["constraints"] = constraints
+        return out
     finally:
         if fresh is not None:
             fresh.unpersist()

@@ -250,3 +250,55 @@ def test_against_corpus_dedup_is_row_level_and_keyless(spark, tmp_path):
     )
     assert audit["n_corpus_dup"] == 2
     assert audit["n_input"] == 3
+
+
+def test_run_curation_audit_gate_records_and_enforces(spark, sf_dir, tmp_path):
+    """The constraint gate: a clean corpus records all-zero
+    violation counts; a corpus with NULL/duplicate doc_ids and a
+    lying n_chars is refused under audit_enforce BEFORE any shard is
+    written, with the per-check counts on the exception."""
+    import os
+
+    import pytest
+
+    from mypipe_spark.curate import AuditError, run_curation
+
+    cfg = {"sf_dir": sf_dir, "budget": 50, "audit_checks": "default"}
+    audit = run_curation(spark, {**cfg, "out_dir": str(tmp_path / "clean")})
+    assert set(audit["constraints"]) == {
+        "not_null(doc_id)", "unique_key(doc_id)", "not_null(text)",
+        "n_chars_matches_text",
+    }
+    assert all(v == 0 for v in audit["constraints"].values())
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "the of to and in a solid document body here", "en", "s", 43),
+            (1, "the of to and in a solid document body here", "en", "s", 43),
+            (None, "the of to and in another document body goes", "en", "s", 43),
+            (4, None, "en", "s", 10),
+            (5, "the of to and in text with lying char count", "en", "s", 999),
+        ],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    out = tmp_path / "refused"
+    with pytest.raises(AuditError) as ei:
+        run_curation(
+            spark,
+            {**cfg, "out_dir": str(out), "audit_enforce": True},
+            docs=dirty,
+        )
+    assert ei.value.failed == {
+        "not_null(doc_id)": 1,
+        "unique_key(doc_id)": 1,
+        "not_null(text)": 1,
+        "n_chars_matches_text": 1,
+    }
+    assert not os.path.exists(out)  # refused before any write
+
+    # record-only mode still runs the pipeline and reports the counts
+    audit2 = run_curation(
+        spark, {**cfg, "out_dir": str(tmp_path / "recorded")}, docs=dirty
+    )
+    assert audit2["constraints"] == ei.value.failed
+    assert audit2["n_written"] >= 0
