@@ -2252,3 +2252,82 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(percentile(lag_s, 0.75) AS DOUBLE)").alias("lag_p75_s"),
         F.max("lag_s").cast("long").alias("lag_max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS dst
+      FROM ev),
+    counts AS (
+      SELECT src, dst, COUNT(*) AS n_transitions
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+    tot AS (
+      SELECT src, dst, n_transitions,
+             SUM(n_transitions) OVER (PARTITION BY src) AS n_from_src
+      FROM counts)
+    SELECT src, dst, CAST(n_transitions AS BIGINT) AS n_transitions,
+           {round4_frac_sql('n_transitions', 'n_from_src', '//')} AS share
+    FROM tot
+    """,
+    tags=("events", "window", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    event stream in (ts, event_id) order, count src -> dst event-type
+    bigrams and each destination's share of all transitions OUT of
+    src (the empirical Markov row, exactly rounded integer ratio —
+    round4_frac never lets a raw double cross the engine boundary).
+    The timeless/anonymous/untyped contract applies up front: a row
+    missing ts, user_id, or event_type neither emits nor receives a
+    transition on either engine.
+
+    Scale shape: one user-keyed exchange for the LEAD window, then
+    (src, dst) counts map-side combine into at most |types|^2 rows;
+    the share window runs over that tiny matrix. The per-user
+    sequence never materializes beyond the window sort."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("src"),
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select("src", F.lead("src").over(w).alias("dst"))
+    counts = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    tot = counts.withColumn(
+        "n_from_src", F.sum("n_transitions").over(Window.partitionBy("src"))
+    )
+    return tot.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.expr(round4_frac_sql("n_transitions", "n_from_src", "div")).alias(
+            "share"
+        ),
+    )

@@ -669,7 +669,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_retention_cohorts": AN, "events_anomaly_3sigma": AN,
         "events_funnel_ordered": CD, "events_dau_wau": AN,
         "events_debounce": AN, "events_heavy_hitters": AN,
-        "events_conversion_lag": AN,
+        "events_conversion_lag": AN, "events_markov_transitions": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -1541,4 +1541,46 @@ def test_order_navigation_planted_semantics(spark):
         21: (7.0, 7.0, None, None, None, None),
         31: (1.0, 2.0, 2.0, None, 2.0, None),
         32: (1.0, 2.0, 2.0, 1.0, None, 3),
+    }
+
+
+def test_markov_transitions_planted_semantics(spark):
+    """Hand-computed transition matrix: per-user bigrams in (ts,
+    event_id) order, exact 1/3-style shares rounded at 4 digits, and
+    rows missing ts/user/type neither emit nor receive transitions."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    ev = spark.createDataFrame(
+        [
+            # user 1: click -> click -> purchase
+            (1, s(0), 1, "click", 1.0, None),
+            (2, s(10), 1, "click", 1.0, None),
+            (3, s(20), 1, "purchase", 5.0, None),
+            # user 2: click -> view; same-ts tie broken by event_id
+            (4, s(0), 2, "click", 1.0, None),
+            (5, s(0), 2, "view", 0.0, None),
+            # excluded rows: timeless, anonymous, untyped
+            (6, None, 1, "click", 1.0, None),
+            (7, s(5), None, "click", 1.0, None),
+            (8, s(6), 2, None, 1.0, None),
+        ],
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = {
+            (r["src"], r["dst"]): (r["n_transitions"], r["share"])
+            for r in QUERIES["events_markov_transitions"].fn(spark, "x").collect()
+        }
+    # out of 'click': click->click 1, click->purchase 1, click->view 1
+    assert got == {
+        ("click", "click"): (1, 0.3333),
+        ("click", "purchase"): (1, 0.3333),
+        ("click", "view"): (1, 0.3333),
     }
