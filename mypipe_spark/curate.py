@@ -75,13 +75,14 @@ def audit_corpus(
     scan-aggregate over the corpus (operators/audit.py) and return
     {check_name: n_violations}. ``enforce=True`` raises
     :class:`AuditError` on any violation BEFORE the pipeline spends
-    shuffles on an untrustworthy corpus. ``checks=None`` (and no
-    enforcement) skips the gate entirely — zero extra jobs."""
-    if checks is None and not enforce:
+    shuffles on an untrustworthy corpus. No checks declared (None or
+    an empty list) and no enforcement skips the gate entirely — zero
+    extra jobs; with enforcement, no-checks means the defaults."""
+    if not checks and not enforce:
         return None
     from .operators.audit import audit
 
-    if checks is None or checks == "default":
+    if not checks or checks == "default":
         checks = default_doc_checks()
     rows = audit(docs, "documents", checks).collect()
     counts = {r["check_name"]: int(r["n_violations"]) for r in rows}
@@ -115,7 +116,7 @@ def run_curation(
     config: dict[str, Any],
     docs: DataFrame | None = None,
     against: DataFrame | None = None,
-) -> dict[str, int]:
+) -> dict[str, Any]:
     """Run the full curation pipeline per ``config`` and return the
     audit counts: input docs, per-reason drops, kept after funnel,
     selected by the mix, rows written.

@@ -50,6 +50,13 @@ class Check:
                 f"check {self.name!r}: exactly one of violation_sql / "
                 "key_cols must be set"
             )
+        # the name is interpolated into SQL string literals (stack
+        # labels, oracle SELECTs) — refuse quotes instead of escaping
+        # them so the emitted SQL stays readable in both dialects
+        if "'" in self.name:
+            raise ValueError(
+                f"check name {self.name!r} must not contain single quotes"
+            )
 
 
 def not_null(col: str) -> Check:
@@ -60,8 +67,9 @@ def not_null(col: str) -> Check:
 def in_set(col: str, values: tuple[str, ...]) -> Check:
     """Domain membership; NULL counts as a violation (use a separate
     ``not_null`` if you want the two failure modes reported apart —
-    NOT IN alone would let NULLs vanish into three-valued logic)."""
-    lits = ", ".join(f"'{v}'" for v in values)
+    NOT IN alone would let NULLs vanish into three-valued logic).
+    Values are escaped, so apostrophes in the domain are safe."""
+    lits = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
     return Check(
         f"in_set({col})", f"({col} IS NULL OR {col} NOT IN ({lits}))"
     )

@@ -2023,10 +2023,16 @@ def _audit_checks():
             "positive(o_totalprice)",
             "(o_totalprice IS NULL OR o_totalprice <= 0)",
         ),
+        # bare STRING bounds, not TIMESTAMP literals: Spark coerces a
+        # string against the TIMESTAMP_NTZ parquet column with no
+        # session-zone shift (a TIMESTAMP literal is LTZ and would
+        # move the bound with the zone), and DuckDB casts the varchar
+        # to its naive TIMESTAMP — the one spelling both engines read
+        # zone-independently (probed; review pass 1)
         in_range(
             "o_orderdate",
-            "TIMESTAMP '1995-01-01 00:00:00'",
-            "TIMESTAMP '1998-12-31 23:59:59'",
+            "'1995-01-01 00:00:00'",
+            "'1998-12-31 23:59:59'",
         ),
     ]
     return li, od

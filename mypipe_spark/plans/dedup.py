@@ -2168,15 +2168,18 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with NULL or short text surface with zeroes (LEFT JOIN from
     the documents scan), so the audit is total over the corpus.
 
-    Scale shape: positional explode -> one groupBy on the gram text
-    (map-side combinable count), candidate positions re-shuffle on
-    the same gram key for the semi join, then one doc-keyed window +
-    aggregate over DUPLICATED positions only (a small fraction of the
-    stream by construction). The final LEFT JOIN hangs the sparse
-    per-doc stats back on the document scan. Hot grams (corpus-wide
-    boilerplate) skew the gram join; AQE's skew-join split handles
-    the residual (same posture as the shingle ops, dedup.py header).
-    """
+    Scale shape: ONE positional explode feeding one gram-keyed
+    exchange, where a whole-partition count window marks duplicated
+    positions in place (the groupBy+join-back spelling would execute
+    the scan+explode twice — Spark does not reuse exchanges across
+    plan branches); then one doc-keyed window + aggregate over
+    DUPLICATED positions only (a small fraction of the stream by
+    construction). The final LEFT JOIN hangs the sparse per-doc stats
+    back on a column-pruned documents projection. Hot grams
+    (corpus-wide boilerplate) skew the gram partitions; the count
+    frame is unordered so the window is a streaming aggregate, and
+    AQE handles the residual (same posture as the shingle ops,
+    dedup.py header)."""
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -2198,8 +2201,18 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("i0", "g"),
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
-    dupg = grams.groupBy("g").count().filter(F.col("count") >= 2).select("g")
-    duppos = grams.join(dupg, "g").select("doc_id", "i")
+    # ONE pass over the gram stream: a count window partitioned by g
+    # (no ordering, whole-partition frame) marks duplicated positions
+    # with a single gram-keyed exchange. The groupBy-then-join-back
+    # form read the documents scan + explode TWICE (the two exchange
+    # children differ, so ReusedExchange cannot apply — review pass 1
+    # measured exactly that), doubling the dominant stage.
+    w_gram = Window.partitionBy("g")
+    duppos = (
+        grams.withColumn("df", F.count(F.lit(1)).over(w_gram))
+        .filter(F.col("df") >= 2)
+        .select("doc_id", "i")
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     runs = duppos.withColumn(
         "grp", F.col("i") - F.row_number().over(w_doc)

@@ -120,3 +120,42 @@ def test_check_spec_validation():
         Check("neither")
     with pytest.raises(ValueError):
         audit_oracle_sql("t", [])
+
+
+def test_in_set_escapes_apostrophes(spark):
+    """Domain values are interpolated into SQL string literals on
+    both engines; apostrophes must survive (review pass: o'reilly
+    broke the parser on both sides)."""
+    import duckdb
+    import pandas as pd
+
+    checks = [in_set("src", ("o'reilly", "web"))]
+    df = spark.createDataFrame(
+        [("o'reilly",), ("web",), ("spam",), (None,)], "src string"
+    )
+    got = audit(df, "t", checks).collect()
+    assert got[0]["n_violations"] == 2  # spam + NULL
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"src": ["o'reilly", "web", "spam", None]}))
+    want = con.execute(audit_oracle_sql("t", checks)).fetchall()
+    assert want[0][3] == 2
+
+
+def test_check_name_rejects_quotes():
+    with pytest.raises(ValueError):
+        Check("bad'name", violation_sql="(x IS NULL)")
+
+
+def test_curation_empty_check_list_skips_or_defaults(spark, sf_dir):
+    """audit_checks: [] means 'no checks declared' — gate off when
+    not enforcing (no crash deep inside the operator), the default
+    set when enforcing."""
+    from mypipe_spark.curate import audit_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "some text", "en", "s", 9)],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    assert audit_corpus(docs, []) is None
+    counts = audit_corpus(docs, [], enforce=True)
+    assert counts is not None and all(v == 0 for v in counts.values())

@@ -739,3 +739,22 @@ def test_lsh_incremental_stream_fold_equals_batch(spark, tmp_path):
         assert got == want
     finally:
         corpus_arr.unpersist()
+
+
+def test_duplicate_spans_plan_is_one_gram_pass(spark, sf_dir):
+    """The gram stream (scan + split + positional explode — the
+    dominant cost) is built ONCE: duplicated positions come from a
+    whole-partition count window on the single gram-keyed exchange,
+    not a groupBy joined back to a second explode. Pinned: exactly
+    two parquet scans (gram stream + the column-pruned totals
+    projection) and two hash exchanges (gram key, doc key)."""
+    import re
+
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    df = QUERIES["dedup_duplicate_spans"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "CartesianProduct" not in plan
