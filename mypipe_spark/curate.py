@@ -28,6 +28,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.audit import default_doc_checks  # re-export: runner API
 from .plans.catalog import load_tables
 from .plans.curation import (
     funnel_flags,
@@ -46,25 +47,6 @@ class AuditError(RuntimeError):
     def __init__(self, failed: dict[str, int]):
         super().__init__(f"corpus failed constraint audit: {failed}")
         self.failed = failed
-
-
-def default_doc_checks() -> list:
-    """The ingest-trust constraints a documents corpus must satisfy
-    before curation spends a full pipeline on it: addressable rows
-    (non-NULL unique doc_id) and the text/n_chars consistency the
-    duplicate-resolution ranking relies on."""
-    from .operators.audit import Check, not_null, unique_key
-
-    return [
-        not_null("doc_id"),
-        unique_key("doc_id"),
-        not_null("text"),
-        Check(
-            "n_chars_matches_text",
-            "(text IS NOT NULL AND (n_chars IS NULL OR"
-            " n_chars <> length(text)))",
-        ),
-    ]
 
 
 def audit_corpus(
@@ -283,6 +265,54 @@ def run_streaming_curation(
 
     return (
         scrubbed.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def audit_stream(
+    stream_df: DataFrame,
+    table_name: str,
+    checks,
+    log_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous constraint auditing: every microbatch is audited
+    (operators/audit.py) and its per-check counts land as one small
+    parquet audit-log slice. Returns the started StreamingQuery; read
+    the log with ``spark.read.parquet(log_dir)`` (partition discovery
+    adds the ``epoch`` column).
+
+    ROW-LEVEL rules only, and that restriction is the design: a row
+    rule's conditional count is a monoid — per-microbatch partials
+    SUM to exactly the whole-corpus audit, however the stream is
+    chopped (pinned by test). ``unique_key`` needs a global distinct
+    over everything ever seen, which a stateless per-batch audit
+    cannot decompose; it is refused loudly rather than silently
+    reporting per-batch-only uniqueness. Run key checks as a batch
+    audit over the landed corpus instead — the same division of
+    labor as run_streaming_curation's corpus-wide stages.
+
+    Exactly-once: same epoch-keyed overwrite contract as
+    run_streaming_curation — a replayed microbatch rewrites its own
+    ``epoch=<id>`` directory, so summing the log never double-counts.
+    """
+    from .operators.audit import audit
+
+    keyed = [c.name for c in checks if c.key_cols]
+    if keyed:
+        raise ValueError(
+            "audit_stream takes row-level rules only; key-uniqueness "
+            f"needs a global distinct (run it as a batch audit): {keyed}"
+        )
+
+    def _write(df: DataFrame, epoch: int) -> None:
+        audit(df, table_name, checks).write.mode("overwrite").parquet(
+            f"{log_dir}/epoch={epoch}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

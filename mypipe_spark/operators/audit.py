@@ -102,6 +102,25 @@ def unique_key(*cols: str) -> Check:
     return Check(f"unique_key({','.join(cols)})", key_cols=tuple(cols))
 
 
+def default_doc_checks() -> list[Check]:
+    """The ingest-trust constraints a documents corpus must satisfy
+    before curation spends a full pipeline on it: addressable rows
+    (non-NULL unique doc_id) and the text/n_chars consistency the
+    duplicate-resolution ranking relies on. Lives here (not in
+    curate.py) so catalog oracles can import it without touching the
+    runner's module graph."""
+    return [
+        not_null("doc_id"),
+        unique_key("doc_id"),
+        not_null("text"),
+        Check(
+            "n_chars_matches_text",
+            "(text IS NOT NULL AND (n_chars IS NULL OR"
+            " n_chars <> length(text)))",
+        ),
+    ]
+
+
 def _violation_aggs(checks: list[Check]) -> list:
     aggs = []
     for c in checks:

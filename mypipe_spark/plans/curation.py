@@ -549,3 +549,32 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus constraint audit (the runner's ingest-trust gate, as a query)
+# ---------------------------------------------------------------------------
+
+def _corpus_audit_oracle() -> str:
+    from ..operators.audit import audit_oracle_sql, default_doc_checks
+
+    return audit_oracle_sql("documents", default_doc_checks())
+
+
+@register(
+    "curation_corpus_audit",
+    oracle=_corpus_audit_oracle(),
+    tags=("curation", "audit", "constraints"),
+)
+def curation_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact constraint gate run_curation runs before trusting a
+    corpus (curate.default_doc_checks: addressable non-NULL unique
+    doc_id, non-NULL text, truthful n_chars), surfaced as a catalog
+    query so the driver hash-verifies the gate itself — including
+    over the dirty sweep corpora, where several checks genuinely
+    fail. One scan, one aggregate, four conditional counts + one
+    distinct-struct count (operators/audit.py)."""
+    from ..operators.audit import audit, default_doc_checks
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return audit(docs, "documents", default_doc_checks())

@@ -7,6 +7,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mypipe_spark.operators.audit import (
     Check,
@@ -159,3 +160,65 @@ def test_curation_empty_check_list_skips_or_defaults(spark, sf_dir):
     assert audit_corpus(docs, []) is None
     counts = audit_corpus(docs, [], enforce=True)
     assert counts is not None and all(v == 0 for v in counts.values())
+
+
+def test_audit_stream_partials_sum_to_batch(spark, tmp_path):
+    """The streaming audit contract: row-rule counts are a monoid, so
+    per-microbatch partials sum to EXACTLY the one-shot batch audit
+    regardless of how the stream is chopped (maxFilesPerTrigger=1
+    forces several microbatches); key checks are refused loudly."""
+    from mypipe_spark.curate import audit_stream, default_doc_checks
+    from tests.conftest import drain_stream
+
+    rows = [
+        (1, "good text", "en", "s", 9),
+        (2, None, "en", "s", 4),          # not_null(text)
+        (None, "orphan row", "en", "s", 10),  # not_null(doc_id)
+        (4, "lying count", "en", "s", 99),    # n_chars_matches_text
+        (5, "fine", "en", "s", 4),
+    ]
+    schema = "doc_id int, text string, lang string, source string, n_chars int"
+    src = tmp_path / "src"
+    docs = spark.createDataFrame(rows, schema)
+    # several files -> several microbatches
+    docs.repartition(3).write.parquet(str(src))
+
+    row_checks = [c for c in default_doc_checks() if not c.key_cols]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = audit_stream(
+        stream, "documents", row_checks,
+        str(tmp_path / "log"), str(tmp_path / "ckpt"),
+    )
+    drain_stream(q)
+
+    log = spark.read.parquet(str(tmp_path / "log"))
+    assert log.select("epoch").distinct().count() >= 2
+    got = {
+        r["check_name"]: (r["viol"], r["rows"])
+        for r in log.groupBy("check_name")
+        .agg(
+            F.sum("n_violations").alias("viol"),
+            F.sum("n_rows").alias("rows"),
+        )
+        .collect()
+    }
+    from mypipe_spark.operators.audit import audit
+
+    want = {
+        r["check_name"]: (r["n_violations"], r["n_rows"])
+        for r in audit(docs, "documents", row_checks).collect()
+    }
+    assert got == want
+    assert want["not_null(text)"][0] == 1
+    assert want["not_null(doc_id)"][0] == 1
+    assert want["n_chars_matches_text"][0] == 1
+
+    with pytest.raises(ValueError):
+        audit_stream(
+            stream, "documents", default_doc_checks(),
+            str(tmp_path / "log2"), str(tmp_path / "ckpt2"),
+        )
