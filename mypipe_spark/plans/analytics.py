@@ -2337,3 +2337,214 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-mix drift between stream halves
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_type_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL),
+    b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+    counts AS (
+      SELECT event_type,
+             SUM(CASE WHEN us < (SELECT mid FROM b) THEN 1 ELSE 0 END)
+               AS n_first,
+             SUM(CASE WHEN us >= (SELECT mid FROM b) THEN 1 ELSE 0 END)
+               AS n_second
+      FROM ev GROUP BY event_type),
+    tot AS (
+      SELECT event_type, n_first, n_second,
+             SUM(n_first) OVER () AS na, SUM(n_second) OVER () AS nb
+      FROM counts)
+    SELECT event_type,
+           CAST(n_first AS BIGINT) AS n_first,
+           CAST(n_second AS BIGINT) AS n_second,
+           CASE WHEN na = 0 THEN NULL
+                ELSE {round4_frac_sql('n_first', 'na', '//')} END
+             AS share_first,
+           CASE WHEN nb = 0 THEN NULL
+                ELSE {round4_frac_sql('n_second', 'nb', '//')} END
+             AS share_second,
+           CAST(CASE WHEN ABS(n_first * nb - n_second * na) * 100 > na * nb
+                     THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM tot
+    """,
+    tags=("events", "drift", "monitoring"),
+)
+def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the first and second half of the
+    stream (split at the midpoint of the observed time range): per
+    event type, the count and share in each half plus a drift flag
+    for |share_first - share_second| > 1%. The inequality is decided
+    by exact integer cross-multiplication (|n_first*nb - n_second*na|
+    * 100 > na*nb) — no division, no epsilon, engines cannot disagree
+    at the boundary. Timeless rows are excluded up front; an untyped
+    event drifts as its own NULL category rather than vanishing.
+
+    The monitoring twin of events_anomaly_3sigma: that one scores
+    points against a global baseline, this one compares two
+    distributions — the check a training pipeline runs between
+    ingest snapshots before mixing them.
+
+    Scale shape: one scan for the (min, max) bounds (2-value
+    broadcast), one scan into map-side-combinable per-type halves
+    counts, and the share/drift window runs over the <=|types| row
+    matrix in a single trivial partition."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    bounds = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("us") < F.col("mid")).cast("int"))
+            .cast("long")
+            .alias("n_first"),
+            F.sum((F.col("us") >= F.col("mid")).cast("int"))
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    w_all = Window.partitionBy()  # <=|types| aggregated rows
+    tot = counts.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.sum("n_first").over(w_all).alias("na"),
+        F.sum("n_second").over(w_all).alias("nb"),
+    )
+    return tot.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.when(
+            F.col("na") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.expr(round4_frac_sql("n_first", "na", "div"))
+        ).alias("share_first"),
+        F.when(
+            F.col("nb") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.expr(round4_frac_sql("n_second", "nb", "div"))
+        ).alias("share_second"),
+        F.when(
+            F.abs(F.col("n_first") * F.col("nb") - F.col("n_second") * F.col("na"))
+            * 100
+            > F.col("na") * F.col("nb"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: error blast radius
+# ---------------------------------------------------------------------------
+
+_ERR_WINDOW_US = 3_600_000_000  # 1 h impact window per error
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_error_impact",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    act AS (
+      SELECT user_id, MIN(us) AS a_start, MAX(us) AS a_end
+      FROM ev GROUP BY user_id, us // {_DAY_US}),
+    err AS (
+      SELECT event_id AS error_id, user_id AS err_user, us AS w_start,
+             us + {_ERR_WINDOW_US} AS w_end
+      FROM ev WHERE event_type = 'error')
+    SELECT error_id,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_affected_users
+    FROM err LEFT JOIN act
+      ON a_start <= w_end AND w_start <= a_end AND user_id <> err_user
+    GROUP BY error_id
+    """,
+    tags=("events", "interval", "join"),
+)
+def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error blast radius via a true INTERVAL-OVERLAP JOIN: each
+    error's 1-hour impact window against every user's per-day
+    activity span [first event, last event], counting the DISTINCT
+    other users whose activity overlaps the window (errors with no
+    overlap report 0). Spark has no interval join — the naive
+    inequality-only spelling plans a nested-loop cartesian — so this
+    runs through operators/intervals.bucketed_interval_join: both
+    interval sets explode into 1-hour buckets, pair on the bucket
+    equi-key, and the overlap-start anchor keeps each true pair
+    exactly once with no distinct shuffle (plan-pinned: a real
+    equi-join, no CartesianProduct/BNLJ). The DuckDB oracle states
+    the same semantics as the plain theta join, so the gate verifies
+    the bucketing is lossless and duplicate-free.
+
+    Timeless/anonymous rows participate on NEITHER side (the asof/
+    sessionize dirty-corpus contract). Self-impact is excluded by
+    user identity, not by bucketing.
+
+    Scale shape: bounded fanout (a <=24 h span covers <=25 buckets,
+    a window 2), one shuffle per side on the bucket key, then a
+    (error, user) distinct-count keyed by error_id. The final LEFT
+    join hangs zero-counts back on the error scan."""
+    from ..operators.intervals import bucketed_interval_join
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    act = ev.groupBy(
+        "user_id", F.expr(f"us div {_DAY_US}").alias("day")
+    ).agg(F.min("us").alias("a_start"), F.max("us").alias("a_end"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("us").alias("w_start"),
+        (F.col("us") + _ERR_WINDOW_US).alias("w_end"),
+    )
+    pairs = bucketed_interval_join(
+        act.select("user_id", "a_start", "a_end"),
+        err,
+        "a_start",
+        "a_end",
+        "w_start",
+        "w_end",
+        _ERR_WINDOW_US,
+    ).filter(F.col("user_id") != F.col("err_user"))
+    impact = pairs.groupBy("error_id").agg(
+        F.count_distinct("user_id").cast("long").alias("n_affected_users")
+    )
+    return (
+        err.select("error_id")
+        .join(impact, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_affected_users", F.lit(0))
+            .cast("long")
+            .alias("n_affected_users"),
+        )
+    )

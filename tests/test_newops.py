@@ -670,6 +670,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_funnel_ordered": CD, "events_dau_wau": AN,
         "events_debounce": AN, "events_heavy_hitters": AN,
         "events_conversion_lag": AN, "events_markov_transitions": AN,
+        "events_type_drift": AN, "events_error_impact": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
@@ -1583,4 +1584,45 @@ def test_markov_transitions_planted_semantics(spark):
         ("click", "click"): (1, 0.3333),
         ("click", "purchase"): (1, 0.3333),
         ("click", "view"): (1, 0.3333),
+    }
+
+
+def test_type_drift_planted_semantics(spark):
+    """Hand-computed drift: the midpoint split lands between the two
+    planted bursts, shares invert 0.75 -> 0.2, the untyped event
+    drifts as its own NULL category, and the 1% flag is decided by
+    exact cross-multiplication."""
+    import datetime as dt
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    rows = (
+        [(i, s(10 * i), 1, "A", 1.0, None) for i in range(3)]      # 0,10,20
+        + [(3, s(30), 1, "B", 1.0, None)]
+        + [(4, s(60), 1, "A", 1.0, None)]
+        + [(5 + i, s(70 + 10 * i), 1, "B", 1.0, None) for i in range(3)]
+        + [(8, s(75), 1, None, 1.0, None), (9, None, 1, "A", 1.0, None)]
+    )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = {
+            r["event_type"]: (
+                r["n_first"], r["n_second"],
+                r["share_first"], r["share_second"], r["drifted"],
+            )
+            for r in QUERIES["events_type_drift"].fn(spark, "x").collect()
+        }
+    # mid = (0 + 90s)/2 = 45s; first: A3 B1 (na=4), second: A1 B3 NULL1 (nb=5)
+    assert got == {
+        "A": (3, 1, 0.75, 0.2, 1),
+        "B": (1, 3, 0.25, 0.6, 1),
+        None: (0, 1, 0.0, 0.2, 1),
     }
