@@ -1,0 +1,86 @@
+"""Stream-stream event-time joins.
+
+The one Structured Streaming operator the pipe/window/upsert planes
+did not yet exercise: a TRUE stream-stream inner join, where BOTH
+sides arrive continuously and Spark buffers each in join state until
+the watermark plus the join's time bound prove no future match can
+exist (state is then evicted — bounded memory on an unbounded
+stream). Reference parity note: the reference (mypipe) has no join
+plane at all; this exists for the analytics brief, as the streaming
+twin of the catalog's q_range_clicks_after_purchase
+(plans/tpch.py:616-653), whose equi+range semantics it reproduces
+exactly — pinned stream==batch by test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Same attribution window as q_range_clicks_after_purchase: a
+# purchase opens [ts, ts + 2h) and clicks landing inside pair up.
+ATTRIBUTION_WINDOW = "INTERVAL 2 HOURS"
+
+
+def attribution_join_stream(
+    events: DataFrame, watermark: str = "4 hours"
+) -> DataFrame:
+    """Pair every purchase with the same user's clicks inside the
+    2-hour attribution window, both sides STREAMING (a self-join of
+    the live event stream split by type). Returns
+    (purchase_id, click_id, user_id) — the exact output schema and
+    semantics of the batch catalog query.
+
+    State story: the range bound ``c_ts in [p_ts, p_ts + 2h)`` plus a
+    watermark on each side's event time lets Spark compute, per
+    microbatch, which buffered rows can still match anything — a
+    click older than (watermark - 2h) below the purchase-side clock
+    is unreachable and is dropped from state. ``watermark`` is the
+    lateness budget: rows later than this relative to the observed
+    max event time may be dropped rather than joined (choose it from
+    the source's delivery SLO; tests use a generous one so replay
+    order cannot drop rows).
+
+    Timeless and anonymous rows are filtered up front on BOTH sides —
+    the same uniform contract as the batch twin, where a NULL ts or
+    user can never satisfy the equi+range condition."""
+    typed = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).withColumn(
+        # watermarks demand TIMESTAMP (not the parquet reader's NTZ);
+        # both sides shift by the same session-zone offset, so the
+        # equi+range condition is unaffected
+        "ts",
+        F.col("ts").cast("timestamp"),
+    )
+    purchases = (
+        typed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        typed.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND c_ts >= p_ts
+            AND c_ts < p_ts + {ATTRIBUTION_WINDOW}
+            """
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "click_id", F.col("c_user").alias("user_id")
+    )

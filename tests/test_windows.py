@@ -682,3 +682,153 @@ def test_document_gates_streaming_equal_batch_and_funnel(spark, tmp_path, sf_dir
         f = funnel[row[0]]
         assert row[4] == 1 - f["drop_quality"]      # quality_keep
         assert row[5] == 1 - f["drop_repetition"]   # repetition_keep
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """TRUE stream-stream inner join (both sides live, state buffered
+    and watermark-evicted): the streaming attribution join over a
+    multi-microbatch replay of the events table must equal the batch
+    catalog query q_range_clicks_after_purchase row-for-row — same
+    equi+range semantics, same NULL contract. The generous watermark
+    makes the parity independent of file replay order."""
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+    from mypipe_spark.streaming.joins import attribution_join_stream
+    from tests.conftest import drain_stream
+
+    all_queries()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tmp_path / "events_src"
+    events.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    joined = attribution_join_stream(stream, watermark="365 days")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attribution_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    drain_stream(q)
+
+    got = sorted(
+        (r["purchase_id"], r["click_id"], r["user_id"])
+        for r in spark.sql("SELECT * FROM attribution_pairs").collect()
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"], r["user_id"])
+        for r in QUERIES["q_range_clicks_after_purchase"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) > 0
+    # no duplicate pairs from the multi-batch replay
+    assert len(got) == len(set(got))
+
+
+def test_stream_stream_join_evicts_state_past_watermark(spark, tmp_path):
+    """The bounded-state contract: once both sides' clocks advance,
+    rows whose join window is provably closed are REMOVED from join
+    state (numRowsRemoved in the operator metrics) — the property
+    that makes an unbounded stream joinable in bounded memory. What
+    is deliberately NOT asserted: that a late click is refused —
+    Spark's stream-stream join processes late inputs best-effort
+    against whatever state still exists (measured here: the late
+    click still pairs in the same batch whose commit then evicts),
+    so only state eviction is a guarantee. The global watermark is
+    the MIN over every watermark column, hence clock advancers on
+    BOTH sides. File order is forced via distinct mtimes (the
+    stamp_increasing_mtimes contract)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mypipe_spark.streaming.joins import attribution_join_stream
+    from tests.conftest import drain_stream
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+
+    def batch(rows, name):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / name))
+
+    src = tmp_path
+    batch(
+        [
+            (100, t0, 1, "purchase"),
+            (101, t0 + dt.timedelta(minutes=30), 1, "click"),
+            # clock advancers (users with no counterpart, so neither
+            # ever pairs)
+            (999, t0 + dt.timedelta(days=10), 9, "purchase"),
+            (998, t0 + dt.timedelta(days=10), 8, "click"),
+        ],
+        "part-000.parquet",
+    )
+    batch(
+        [(102, t0 + dt.timedelta(minutes=45), 1, "click")],
+        "part-001.parquet",
+    )
+    now = time.time()
+    os.utime(str(src / "part-000.parquet"), (now - 10, now - 10))
+    os.utime(str(src / "part-001.parquet"), (now, now))
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    joined = attribution_join_stream(stream, watermark="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("late_click_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM late_click_pairs").collect()
+    )
+    # the in-window pair is guaranteed; the late click may or may not
+    # pair (best-effort), and nothing else ever can
+    assert (100, 101) in got
+    assert set(got) <= {(100, 101), (100, 102)}
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"]
+        for p in progresses
+        if p["stateOperators"]
+    )
+    final_total = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p["stateOperators"]
+    ][-1]
+    # the t0-era rows (purchase 100, clicks 101/102) are provably
+    # unmatchable once the watermark passes t0+2h -> evicted; only
+    # the day-10 advancer rows may remain buffered
+    assert removed >= 3
+    assert final_total <= 3
