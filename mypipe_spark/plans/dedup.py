@@ -2115,25 +2115,64 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed re-expression is a positional n-gram inverted index —
 # the suffix array's "repeated substring" answer at fixed width k,
 # with runs of overlapping duplicated grams recovering longer spans.
+# Gram keys are the house 60-bit md5-prefix ids (see module header):
+# 8-byte shuffle keys instead of ~25-byte gram strings, identical on
+# both engines, same collision posture as every shingle op.
 _SPAN_WORDS = 4
 
 
-@register(
-    "dedup_duplicate_spans",
-    oracle=f"""
-    WITH toks AS (
+def _positional_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, gh): every 1-based position's word k-gram as its
+    60-bit content hash — the ONE gram-stream builder shared by the
+    full-corpus and incremental span audits (and by their oracles via
+    :func:`_span_grams_cte`), so 'same gram' can never mean two
+    different things."""
+    k = _SPAN_WORDS
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    # posexplode is 0-based; +1 matches the oracle's 1-based
+    # generate_subscripts, and only differences of i ever matter
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                if(size(w) < {k}, array(),
+                  transform(sequence(1, size(w) - {k - 1}),
+                            i -> cast(conv(substring(md5(cast(
+                                   concat_ws(' ', slice(w, i, {k}))
+                                 as binary)), 1, 15), 16, 10) as bigint)))
+                """
+            )
+        ).alias("i0", "gh"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
+
+
+def _span_grams_cte(src: str, prefix: str) -> str:
+    """DuckDB twin of :func:`_positional_grams` over table ``src`` —
+    CTEs ``{prefix}toks/{prefix}pos/{prefix}grams``, the last one
+    (doc_id, i, gh)."""
+    k = _SPAN_WORDS
+    return f"""
+    {prefix}toks AS (
       SELECT doc_id, string_split(text, ' ') AS w
-      FROM documents WHERE text IS NOT NULL),
-    pos AS (
-      SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM toks),
-    grams AS (
+      FROM {src} WHERE text IS NOT NULL),
+    {prefix}pos AS (
+      SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM {prefix}toks),
+    {prefix}grams AS (
       SELECT doc_id, i,
-             array_to_string(list_slice(w, i, i + {_SPAN_WORDS - 1}), ' ') AS g
-      FROM pos WHERE i + {_SPAN_WORDS - 1} <= len(w)),
-    dupg AS (
-      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
-    duppos AS (
-      SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+             CAST('0x' || substr(md5(
+               array_to_string(list_slice(w, i, i + {k - 1}), ' ')
+             ), 1, 15) AS BIGINT) AS gh
+      FROM {prefix}pos WHERE i + {k - 1} <= len(w))"""
+
+
+# per-doc totals + run recovery over a duplicated-position CTE named
+# ``duppos`` (doc_id, i), shared verbatim by both span oracles
+def _span_perdoc_sql(base: str) -> str:
+    k = _SPAN_WORDS
+    return f"""
     runs AS (
       SELECT doc_id, i,
              i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
@@ -2145,86 +2184,28 @@ _SPAN_WORDS = 4
       FROM runlen GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(GREATEST(COALESCE(
-             len(string_split(d.text, ' ')) - {_SPAN_WORDS - 1}, 0), 0)
+             len(string_split(d.text, ' ')) - {k - 1}, 0), 0)
              AS BIGINT) AS n_grams,
            CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
            CAST(CASE WHEN p.max_run IS NULL THEN 0
-                     ELSE p.max_run + {_SPAN_WORDS - 1} END AS BIGINT)
+                     ELSE p.max_run + {k - 1} END AS BIGINT)
              AS max_dup_run_tokens
-    FROM documents d LEFT JOIN perdoc p USING (doc_id)
-    """,
-    tags=("dedup", "spans", "substring"),
-)
-def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate-SPAN audit (the distributed form of Lee et al.
-    2022's suffix-array substring dedup): every positional word
-    k-gram (k = _SPAN_WORDS) whose text occurs >= 2 times ANYWHERE in the
-    corpus (other docs or the same doc — self-repetition is exactly
-    what substring dedup removes) is a duplicated position; runs of
-    consecutive duplicated positions recover spans longer than the
-    gram width. Per doc: total grams, duplicated grams, and the
-    longest duplicated span in TOKENS (run + k - 1).
+    FROM {base} d LEFT JOIN perdoc p USING (doc_id)"""
 
-    Docs with NULL or short text surface with zeroes (LEFT JOIN from
-    the documents scan), so the audit is total over the corpus.
 
-    Scale shape: ONE positional explode feeding one gram-keyed
-    exchange, where a whole-partition count window marks duplicated
-    positions in place (the groupBy+join-back spelling would execute
-    the scan+explode twice — Spark does not reuse exchanges across
-    plan branches); then one doc-keyed window + aggregate over
-    DUPLICATED positions only (a small fraction of the stream by
-    construction). The final LEFT JOIN hangs the sparse per-doc stats
-    back on a column-pruned documents projection. Hot grams
-    (corpus-wide boilerplate) skew the gram partitions; the count
-    frame is unordered so the window is a streaming aggregate, and
-    AQE handles the residual (same posture as the shingle ops,
-    dedup.py header)."""
+def _span_report(docs: DataFrame, duppos: DataFrame) -> DataFrame:
+    """Runs + per-doc totals over duplicated positions — the Spark
+    twin of :func:`_span_perdoc_sql`, shared by both span queries."""
     from pyspark.sql import Window
 
-    docs = load_tables(spark, sf_dir)["documents"]
     k = _SPAN_WORDS
-    toks = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    # posexplode is 0-based; +1 matches the oracle's 1-based
-    # generate_subscripts, and only differences of i ever matter
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"""
-                if(size(w) < {k}, array(),
-                  transform(sequence(1, size(w) - {k - 1}),
-                            i -> concat_ws(' ', slice(w, i, {k}))))
-                """
-            )
-        ).alias("i0", "g"),
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
-    # ONE pass over the gram stream: a count window partitioned by g
-    # (no ordering, whole-partition frame) marks duplicated positions
-    # with a single gram-keyed exchange. The groupBy-then-join-back
-    # form read the documents scan + explode TWICE (the two exchange
-    # children differ, so ReusedExchange cannot apply — review pass 1
-    # measured exactly that), doubling the dominant stage.
-    w_gram = Window.partitionBy("g")
-    duppos = (
-        grams.withColumn("df", F.count(F.lit(1)).over(w_gram))
-        .filter(F.col("df") >= 2)
-        .select("doc_id", "i")
-    )
     w_doc = Window.partitionBy("doc_id").orderBy("i")
-    runs = duppos.withColumn(
-        "grp", F.col("i") - F.row_number().over(w_doc)
-    )
     perdoc = (
-        runs.groupBy("doc_id", "grp")
+        duppos.withColumn("grp", F.col("i") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "grp")
         .agg(F.count(F.lit(1)).alias("rl"))
         .groupBy("doc_id")
-        .agg(
-            F.sum("rl").alias("n_dup"),
-            F.max("rl").alias("max_run"),
-        )
+        .agg(F.sum("rl").alias("n_dup"), F.max("rl").alias("max_run"))
     )
     n_grams = F.greatest(
         F.coalesce(F.size(F.split("text", " ")) - (k - 1), F.lit(0)),
@@ -2245,3 +2226,101 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_dup_run_tokens"),
         )
     )
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH {_span_grams_cte('documents', '')},
+    dupg AS (
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+    duppos AS (
+      SELECT doc_id, i FROM grams JOIN dupg USING (gh)),
+    {_span_perdoc_sql('documents')}
+    """,
+    tags=("dedup", "spans", "substring"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN audit (the distributed form of Lee et al.
+    2022's suffix-array substring dedup): every positional word
+    k-gram (k = _SPAN_WORDS) whose content occurs >= 2 times ANYWHERE
+    in the corpus (other docs or the same doc — self-repetition is
+    exactly what substring dedup removes) is a duplicated position;
+    runs of consecutive duplicated positions recover spans longer
+    than the gram width. Per doc: total grams, duplicated grams, and
+    the longest duplicated span in TOKENS (run + k - 1).
+
+    Docs with NULL or short text surface with zeroes (LEFT JOIN from
+    the documents scan), so the audit is total over the corpus.
+
+    Scale shape: ONE positional explode feeding one gram-keyed
+    exchange, where a whole-partition count window marks duplicated
+    positions in place (the groupBy+join-back spelling would execute
+    the scan+explode twice — Spark does not reuse exchanges across
+    plan branches); then one doc-keyed window + aggregate over
+    DUPLICATED positions only (a small fraction of the stream by
+    construction). The final LEFT JOIN hangs the sparse per-doc stats
+    back on a column-pruned documents projection. Hot grams
+    (corpus-wide boilerplate) skew the gram partitions; the count
+    frame is unordered so the window is a streaming aggregate, and
+    AQE handles the residual (same posture as the shingle ops,
+    dedup.py header)."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    grams = _positional_grams(docs)
+    # ONE pass over the gram stream: a count window partitioned by gh
+    # (no ordering, whole-partition frame) marks duplicated positions
+    # with a single gram-keyed exchange (review pass 1 measured the
+    # join-back form re-running the explode).
+    w_gram = Window.partitionBy("gh")
+    duppos = (
+        grams.withColumn("df", F.count(F.lit(1)).over(w_gram))
+        .filter(F.col("df") >= 2)
+        .select("doc_id", "i")
+    )
+    return _span_report(docs, duppos)
+
+
+@register(
+    "dedup_spans_incremental",
+    oracle=f"""
+    WITH {_span_grams_cte("(SELECT * FROM documents WHERE doc_id % 5 != 4)", 'c')},
+    corpus_gh AS (SELECT DISTINCT gh FROM cgrams),
+    {_span_grams_cte("(SELECT * FROM documents WHERE doc_id % 5 = 4)", 'b')},
+    duppos AS (
+      SELECT doc_id, i FROM bgrams
+      WHERE gh IN (SELECT gh FROM corpus_gh)),
+    {_span_perdoc_sql("(SELECT * FROM documents WHERE doc_id % 5 = 4)")}
+    """,
+    tags=("dedup", "spans", "substring", "incremental"),
+)
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus duplicate SPANS (the continuous-ingest form of
+    dedup_duplicate_spans, completing the incremental family beside
+    the exact/Bloom/LSH variants): for each arriving doc (the %5
+    slice, house convention), which of its positional k-grams already
+    exist ANYWHERE in the standing corpus, and the longest
+    already-seen span. The write-path use is span-level
+    decontamination: an arriving doc whose max_dup_run_tokens is high
+    is boilerplate or a near-copy even when no whole-doc fingerprint
+    matches.
+
+    Scale shape: the corpus collapses ONCE to its distinct 60-bit
+    gram fingerprints — at 100 TB that set is the maintained
+    artifact, updated by unioning each admitted batch's grams, never
+    a corpus rescan — and the (small) batch's positions left-semi
+    join it on the 8-byte key. Runs/report reuse the exact same
+    production expressions as the full audit (_span_report), so the
+    two can never disagree on span semantics. NULL doc_ids belong to
+    neither side (NULL %5 satisfies neither filter, both engines)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    corpus_gh = _positional_grams(corpus).select("gh").distinct()
+    duppos = (
+        _positional_grams(batch)
+        .join(corpus_gh, "gh", "left_semi")
+        .select("doc_id", "i")
+    )
+    return _span_report(batch, duppos)

@@ -1626,3 +1626,33 @@ def test_type_drift_planted_semantics(spark):
         "B": (1, 3, 0.25, 0.6, 1),
         None: (0, 1, 0.0, 0.2, 1),
     }
+
+
+def test_spans_incremental_planted_semantics(spark):
+    """Batch-vs-corpus spans: a batch doc embedding a corpus sentence
+    reports the already-seen run (5 tokens from 2 consecutive grams);
+    a novel batch doc reports zeroes; corpus docs don't appear in the
+    output at all."""
+    from mypipe_spark.plans import dedup as dd
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 35),   # corpus
+        (2, "x y", "en", "s", 3),                                    # corpus
+        (3, None, "en", "s", None),                                  # corpus
+        (4, "pre alpha beta gamma delta epsilon post", "en", "s", 39),  # batch
+        (5, "filler doc words one", "en", "s", 20),                  # corpus
+        (9, "nine unique words entirely fresh here", "en", "s", 37), # batch
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string, n_chars int"
+    )
+    with _planted_tables([dd], {"documents": docs}):
+        got = {
+            r["doc_id"]: (
+                r["n_grams"], r["n_dup_grams"], r["max_dup_run_tokens"]
+            )
+            for r in QUERIES["dedup_spans_incremental"].fn(spark, "x").collect()
+        }
+    assert got == {4: (4, 2, 5), 9: (3, 0, 0)}
