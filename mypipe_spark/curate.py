@@ -299,6 +299,11 @@ def audit_stream(
     """
     from .operators.audit import audit
 
+    if not checks:
+        # fail HERE, not asynchronously inside the first microbatch's
+        # foreachBatch (which would start the query, create the
+        # checkpoint, then die as an opaque StreamingQueryException)
+        raise ValueError("audit_stream needs at least one check")
     keyed = [c.name for c in checks if c.key_cols]
     if keyed:
         raise ValueError(

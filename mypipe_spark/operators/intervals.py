@@ -45,9 +45,17 @@ def bucketed_interval_join(
 
     ``bucket_us`` trades fanout for key selectivity: pick it near the
     TYPICAL interval duration so each row explodes into a handful of
-    buckets while a bucket pairs only temporal neighbors. Intervals
-    with NULL endpoints or end < start produce no rows (an empty
-    bucket sequence), mirroring what the overlap predicate would do.
+    buckets while a bucket pairs only temporal neighbors.
+
+    Precondition: rows are meant to be WELL-FORMED intervals
+    (start <= end, both non-NULL). Degenerate rows are treated as
+    EMPTY — they produce no pairs. Note this is NOT what the raw
+    closed-interval predicate would say about an inverted interval
+    (``l_start=60, l_end=40`` vs ``[0, 1000]`` satisfies
+    ``l_start <= r_end AND r_start <= l_end``!): an oracle stated as
+    the naive theta join only matches this operator when the inputs
+    respect the precondition — derive interval endpoints as
+    MIN/MAX-shaped bounds (ordered by construction) or filter first.
     """
     if bucket_us <= 0:
         raise ValueError("bucket_us must be positive")

@@ -2370,7 +2370,9 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN nb = 0 THEN NULL
                 ELSE {round4_frac_sql('n_second', 'nb', '//')} END
              AS share_second,
-           CAST(CASE WHEN ABS(n_first * nb - n_second * na) * 100 > na * nb
+           CAST(CASE WHEN ABS(CAST(n_first AS HUGEINT) * nb
+                              - CAST(n_second AS HUGEINT) * na) * 100
+                          > CAST(na AS HUGEINT) * nb
                      THEN 1 ELSE 0 END AS INT) AS drifted
     FROM tot
     """,
@@ -2440,10 +2442,16 @@ def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(
             F.expr(round4_frac_sql("n_second", "nb", "div"))
         ).alias("share_second"),
+        # cross-products in the WIDE integer domain (HUGEINT / capped
+        # DECIMAL(38,0)): count*count overflows BIGINT near 2^32 rows
+        # per half — exactly the 100 TB posture — where ANSI Spark
+        # would throw and non-ANSI would silently wrap (review pass 2)
         F.when(
-            F.abs(F.col("n_first") * F.col("nb") - F.col("n_second") * F.col("na"))
-            * 100
-            > F.col("na") * F.col("nb"),
+            F.expr(
+                "abs(cast(n_first as decimal(38,0)) * nb"
+                " - cast(n_second as decimal(38,0)) * na) * 100"
+                " > cast(na as decimal(38,0)) * nb"
+            ),
             1,
         )
         .otherwise(0)
@@ -2466,7 +2474,8 @@ _DAY_US = 86_400_000_000
     WITH ev AS (
       SELECT event_id, user_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us
-      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL),
     act AS (
       SELECT user_id, MIN(us) AS a_start, MAX(us) AS a_end
       FROM ev GROUP BY user_id, us // {_DAY_US}),
@@ -2497,9 +2506,13 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same semantics as the plain theta join, so the gate verifies
     the bucketing is lossless and duplicate-free.
 
-    Timeless/anonymous rows participate on NEITHER side (the asof/
-    sessionize dirty-corpus contract). Self-impact is excluded by
-    user identity, not by bucketing.
+    Timeless/anonymous/ANONYMOUS-ID rows participate on NEITHER side
+    (the asof/sessionize dirty-corpus contract; event_id joins the
+    impact counts back, so a NULL id would diverge the engines — the
+    Spark equi-join-back never matches NULL while the oracle's GROUP
+    BY groups it; review pass 2 measured exactly that). Output is per
+    DISTINCT error id, so a duplicated id reports once on both sides.
+    Self-impact is excluded by user identity, not by bucketing.
 
     Scale shape: bounded fanout (a <=24 h span covers <=25 buckets,
     a window 2), one shuffle per side on the bucket key, then a
@@ -2509,7 +2522,11 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         load_tables(spark, sf_dir)["events"]
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
         .select(
             "event_id",
             "user_id",
@@ -2540,6 +2557,7 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         err.select("error_id")
+        .distinct()
         .join(impact, "error_id", "left")
         .select(
             "error_id",

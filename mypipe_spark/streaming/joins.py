@@ -22,6 +22,46 @@ from pyspark.sql import functions as F
 ATTRIBUTION_WINDOW = "INTERVAL 2 HOURS"
 
 
+def _purchase_click_sides(
+    events: DataFrame, watermark: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared side-construction contract for BOTH join modes —
+    uniform timeless/anonymous filter, the TIMESTAMP cast watermarks
+    demand (both sides shift by the same session-zone offset, so the
+    equi+range condition is unaffected), per-side renames, one
+    watermark each. One spelling so the inner and outer twins can
+    never drift on the lateness or NULL contract."""
+    typed = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        typed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        typed.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases, clicks
+
+
+_WINDOW_COND = f"""
+    c_user = p_user
+    AND c_ts >= p_ts
+    AND c_ts < p_ts + {ATTRIBUTION_WINDOW}
+"""
+
+
 def attribution_join_stream(
     events: DataFrame, watermark: str = "4 hours"
 ) -> DataFrame:
@@ -44,43 +84,32 @@ def attribution_join_stream(
     Timeless and anonymous rows are filtered up front on BOTH sides —
     the same uniform contract as the batch twin, where a NULL ts or
     user can never satisfy the equi+range condition."""
-    typed = events.filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    ).withColumn(
-        # watermarks demand TIMESTAMP (not the parquet reader's NTZ);
-        # both sides shift by the same session-zone offset, so the
-        # equi+range condition is unaffected
-        "ts",
-        F.col("ts").cast("timestamp"),
-    )
-    purchases = (
-        typed.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
-    )
-    clicks = (
-        typed.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", watermark)
-    )
-    return clicks.join(
-        purchases,
-        F.expr(
-            f"""
-            c_user = p_user
-            AND c_ts >= p_ts
-            AND c_ts < p_ts + {ATTRIBUTION_WINDOW}
-            """
-        ),
-        "inner",
-    ).select(
+    purchases, clicks = _purchase_click_sides(events, watermark)
+    return clicks.join(purchases, F.expr(_WINDOW_COND), "inner").select(
         "purchase_id", "click_id", F.col("c_user").alias("user_id")
+    )
+
+
+def attribution_join_stream_outer(
+    events: DataFrame, watermark: str = "4 hours"
+) -> DataFrame:
+    """The LEFT-OUTER twin of :func:`attribution_join_stream`, driven
+    from the purchase side: every purchase eventually emits — with
+    its in-window clicks when they exist, or exactly one
+    NULL-click row once the watermark proves the 2-hour window closed
+    with no click (the streaming spelling of "conversion rate with
+    unattributed purchases"). Outer results are inherently DELAYED:
+    the engine cannot declare "no click" until event time passes the
+    window end plus the lateness budget, so an unmatched purchase
+    surfaces only after later data advances the watermark — the
+    deterministic emission the test pins.
+
+    Same uniform timeless/anonymous filter and TIMESTAMP cast as the
+    inner form (shared _purchase_click_sides — the two modes cannot
+    drift). Output: (purchase_id, click_id NULL-able, user_id)."""
+    purchases, clicks = _purchase_click_sides(events, watermark)
+    return purchases.join(
+        clicks, F.expr(_WINDOW_COND), "left_outer"
+    ).select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
     )

@@ -40,6 +40,10 @@ def test_overlap_pairs_exact_and_deduped(spark):
 
 
 def test_degenerate_intervals_produce_no_pairs(spark):
+    """NULL-ended and inverted intervals are EMPTY by contract —
+    note the inverted (60, 40) row would satisfy the raw predicate
+    against [0, 1000]; the operator's docstring owns that departure
+    (well-formed inputs are the caller's precondition)."""
     rows = _join(
         spark,
         [(1, None, 50), (2, 50, None), (3, 60, 40)],  # NULLs, end<start

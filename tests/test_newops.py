@@ -1656,3 +1656,57 @@ def test_spans_incremental_planted_semantics(spark):
             for r in QUERIES["dedup_spans_incremental"].fn(spark, "x").collect()
         }
     assert got == {4: (4, 2, 5), 9: (3, 0, 0)}
+
+
+def test_error_impact_planted_semantics(spark):
+    """The review-pass divergence as a regression: an error with a
+    NULL event_id is excluded on BOTH engines (a NULL key would
+    never match the Spark join-back while the oracle GROUPs it), a
+    DUPLICATED error id reports exactly one row, overlap counts
+    exclude the error's own user, and a lonely error reports 0."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from mypipe_spark.plans import analytics as AN
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 2, 10, 0)
+    m = lambda n: t0 + dt.timedelta(minutes=n)
+    rows = [
+        # user 1 active 10:00-10:30 (same day)
+        (1, m(0), 1, "click", 1.0, None),
+        (2, m(30), 1, "view", 1.0, None),
+        # user 2's errors: NULL id (excluded), id 50 twice (one row)
+        (None, m(5), 2, "error", 1.0, None),
+        (50, m(5), 2, "error", 1.0, None),
+        (50, m(6), 2, "error", 1.0, None),
+        # user 3's error the day before, nobody else around
+        (60, t0 - dt.timedelta(hours=11), 3, "error", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id int, ts timestamp_ntz, user_id int, event_type string,"
+        " value double, props string",
+    )
+    with _planted_tables([AN], {"events": ev}):
+        got = sorted(
+            (r["error_id"], r["n_affected_users"])
+            for r in QUERIES["events_error_impact"].fn(spark, "x").collect()
+        )
+    assert got == [(50, 1), (60, 0)]
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute(QUERIES["events_error_impact"].oracle).fetchall()
+    )
+    assert got == want

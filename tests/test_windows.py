@@ -832,3 +832,87 @@ def test_stream_stream_join_evicts_state_past_watermark(spark, tmp_path):
     # the day-10 advancer rows may remain buffered
     assert removed >= 3
     assert final_total <= 3
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: a purchase with an in-window
+    click pairs normally; a clickless purchase emits its NULL-click
+    row only AFTER the watermark proves the window closed (outer
+    results are delayed by construction — nothing can be declared
+    unmatched while a matching click could still arrive). Matched +
+    unmatched together cover every purchase exactly once here."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mypipe_spark.streaming.joins import attribution_join_stream_outer
+    from tests.conftest import drain_stream
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+
+    def batch(rows, name):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / name))
+
+    batch(
+        [
+            (100, t0, 1, "purchase"),                               # gets a click
+            (101, t0 + dt.timedelta(minutes=30), 1, "click"),
+            (200, t0, 2, "purchase"),                               # never clicked
+        ],
+        "part-000.parquet",
+    )
+    # clock advancers on both sides push the watermark past every
+    # window end, forcing the outer emission for purchase 200
+    batch(
+        [
+            (999, t0 + dt.timedelta(days=10), 9, "purchase"),
+            (998, t0 + dt.timedelta(days=10), 8, "click"),
+        ],
+        "part-001.parquet",
+    )
+    now = time.time()
+    os.utime(str(tmp_path / "part-000.parquet"), (now - 10, now - 10))
+    os.utime(str(tmp_path / "part-001.parquet"), (now, now))
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    q = (
+        attribution_join_stream_outer(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("outer_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    drain_stream(q)
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM outer_pairs").collect()
+    )
+    # 100 matched; 200 emitted unmatched. Advancer 999 does NOT emit:
+    # the watermark (max event time - 1h) still sits inside its own
+    # 2h window at stream end, so "no click" cannot be declared yet —
+    # the delayed-emission contract cutting both ways.
+    assert got == [(100, 101), (200, None)]
