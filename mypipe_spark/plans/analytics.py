@@ -2566,3 +2566,88 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_affected_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketch artifacts: daily rollup -> union -> estimate
+# ---------------------------------------------------------------------------
+
+# Tolerance of the rollup's oracle-checkable claim. Default
+# hll_sketch_agg precision (lgConfigK=12) has ~1.6% rsd; 5% is ~3
+# standard errors — same posture as hll_within_tol above. Shared with
+# the falsifiability pin (tests/test_oracle_parity.py) so the pin
+# exercises this constant, not a copy.
+HLL_ROLLUP_TOL = 0.05
+
+
+def hll_rollup_within_tol(exact: F.Column, est: F.Column) -> F.Column:
+    """|est − exact| ≤ HLL_ROLLUP_TOL·exact, the rollup claim as ONE
+    shared expression."""
+    return F.abs(est - exact) <= F.lit(HLL_ROLLUP_TOL) * exact
+
+
+@register(
+    "events_hll_rollup_check",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // {86_400_000_000} AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+    SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_lossless,
+           TRUE AS within_tol
+    FROM ev
+    """,
+    tags=("agg", "sketch", "check", "mergeable"),
+)
+def events_hll_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch ARTIFACT story, oracle-checked: build one
+    DataSketches HLL per day (hll_sketch_agg — the binary a 100 TB
+    pipeline stores per partition/day), union-merge the dailies
+    (hll_union_agg), and claim (a) merging loses NOTHING — the merged
+    estimate equals the estimate of one global sketch over the same
+    rows exactly, because HLL register insertion is order-independent
+    and union takes register-wise max, and (b) the estimate sits
+    within HLL_ROLLUP_TOL of the exact distinct count. DuckDB cannot
+    build the sketch, but it verifies n_days, the exact count, and
+    that both claim columns are TRUE — the same _check-twin shape as
+    q_approx_distinct_parts_check.
+
+    Scale shape: daily sketches are a map-side-combinable aggregate
+    (each executor folds its rows into fixed-size registers); the
+    union is a second tiny aggregate over |days| sketch blobs. The
+    exact count (for the claim only) is the one expensive distinct —
+    in production you store the sketches and never pay it."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk))"
+        ).alias("est_merged"),
+    )
+    global_ = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+            "est_global"
+        ),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    return merged.crossJoin(global_).select(
+        "n_days",
+        "exact_users",
+        (F.col("est_merged") == F.col("est_global")).alias("merge_lossless"),
+        hll_rollup_within_tol(
+            F.col("exact_users"), F.col("est_merged")
+        ).alias("within_tol"),
+    )

@@ -419,3 +419,40 @@ def test_sketch_check_twins_can_go_red(spark):
         ).collect()
     ]
     assert got == [False, True]
+
+
+def test_hll_rollup_claims_are_falsifiable_and_hold(spark, sf_dir):
+    """events_hll_rollup_check's two claim columns, pinned: (1) the
+    tolerance expression is the PRODUCTION one and flips outside
+    HLL_ROLLUP_TOL; (2) on the fixture, union-of-daily-sketches
+    estimates EQUAL the one global sketch's estimate (register-wise
+    max is order/partition independent) and sit within tolerance of
+    the exact count."""
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.plans.analytics import (
+        HLL_ROLLUP_TOL,
+        hll_rollup_within_tol,
+    )
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    df = spark.createDataFrame(
+        [
+            (1000, float(int(1000 * (1 + HLL_ROLLUP_TOL)) + 2)),
+            (1000, float(int(1000 * (1 + HLL_ROLLUP_TOL)) - 2)),
+        ],
+        "exact long, est double",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            hll_rollup_within_tol(F.col("exact"), F.col("est"))
+        ).collect()
+    ]
+    assert got == [False, True]
+
+    row = QUERIES["events_hll_rollup_check"].fn(spark, sf_dir).collect()[0]
+    assert row["merge_lossless"] is True
+    assert row["within_tol"] is True
+    assert row["n_days"] > 1 and row["exact_users"] > 0
