@@ -2651,3 +2651,77 @@ def events_hll_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_users"), F.col("est_merged")
         ).alias("within_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted join, driver-verified
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_salted_type_stats",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s,
+             COUNT(value) AS nn
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.value IS NOT NULL
+                          AND CAST(e.value AS DECIMAL(18,6))
+                              * CAST(d.nn AS DECIMAL(12,0)) > d.s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+    FROM events e JOIN dim d
+      ON e.event_type IS NOT DISTINCT FROM d.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("events", "join", "skew"),
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting technique (operators/scale.salted_join),
+    driver-verified end-to-end: the event stream (a handful of hot
+    event_type keys — the classic skewed fact) joins its per-type
+    aggregate dim through a salted equi-join (dim replicated per
+    salt, fact salted uniformly), then counts events strictly above
+    their type's mean. The oracle is the PLAIN join — the gate proves
+    salting is semantics-preserving (which salt a row draws can never
+    change the result: every salt of a key meets every replica).
+
+    Above-mean is decided without division: value·n > sum in the
+    exact DECIMAL domain (18,6 × 12,0 stays inside precision 38 on
+    both engines — a wider operand would force Spark to reduce scale
+    and round). The NULL-type stratum survives via a NULL-SAFE join
+    on both engines (the funnel equi-join-on-NULL lesson); NULL
+    values are never above the mean and never in it.
+
+    At 100 TB: the dim is tiny here (AQE will broadcast it — fine),
+    but the same spelling holds when the dim is a few million rows ×
+    salt and one key carries half the fact: the salt splits that
+    key's shuffle partition n_salt ways (perf pin with broadcast
+    disabled: tests/test_scale.py)."""
+    from ..operators.scale import salted_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    dim = ev.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.count("value").alias("nn"),
+    )
+    # salted_join takes plain equi-keys, so NULL-safety comes from a
+    # coalesced SHADOW key both sides derive identically (a NUL-byte
+    # sentinel no real event_type starts with); the true columns ride
+    # along untouched for the output.
+    fact = ev.withColumn("jt", F.coalesce("event_type", F.lit("\x00NULL")))
+    dim2 = dim.withColumn("jt", F.coalesce("d_type", F.lit("\x00NULL")))
+    joined = salted_join(fact, dim2, "jt", n_salt=8)
+    above = (
+        F.col("value").isNotNull()
+        & (
+            F.col("value").cast("decimal(18,6)")
+            * F.col("nn").cast("decimal(12,0)")
+            > F.col("s")
+        )
+    ).cast("int")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(above).cast("long").alias("n_above_avg"),
+    )
