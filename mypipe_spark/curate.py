@@ -74,23 +74,44 @@ def audit_corpus(
     return counts
 
 
-def curate(docs: DataFrame, budget: int) -> tuple[DataFrame, DataFrame]:
+def curate(
+    docs: DataFrame, budget: int, near_dup: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """The lazy pipeline: (final curated+scrubbed+selected docs,
-    funnel flags). Pure plan construction — nothing runs until the
-    caller writes/collects.
+    funnel flags, near-dup losers or None). Pure plan construction —
+    nothing runs until the caller writes/collects.
 
     The mix ranks over ``kept`` (pre-scrub), not the scrubbed side:
     scrubbing never changes doc_id/lang, so the selection is
     identical, and the mix branch becomes a 2-column
     (doc_id, lang) projection the parquet scan can column-prune
-    instead of a second full scrub of the corpus."""
+    instead of a second full scrub of the corpus.
+
+    ``near_dup=True`` adds MinHash+LSH near-duplicate removal AFTER
+    the funnel (whose duplicate stage is exact-content only) and
+    BEFORE the mix: verified pairs (the same production machinery as
+    dedup_minhash_lsh) drop their larger doc_id — the pairwise
+    keep-smallest rule, deterministic and one pass; full transitive
+    canonicalization is the batch dedup_components/keep_best job, not
+    an inline ingest stage. Losers are returned so the runner can
+    audit the count."""
     flags = funnel_flags(docs)
     kept_ids = flags.filter(F.col("final_keep") == 1).select("doc_id")
     kept = docs.join(kept_ids, "doc_id")
+    losers = None
+    if near_dup:
+        from .plans.dedup import _with_shingle_arrays, minhash_pairs_from_arrays
+
+        losers = (
+            minhash_pairs_from_arrays(_with_shingle_arrays(kept))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        kept = kept.join(losers, "doc_id", "left_anti")
     selected = mix_select(kept.select("doc_id", "lang"), budget=budget).select(
         "doc_id"
     )
-    return scrub_documents(kept).join(selected, "doc_id"), flags
+    return scrub_documents(kept).join(selected, "doc_id"), flags, losers
 
 
 def run_curation(
@@ -171,7 +192,9 @@ def _run_curation_stages(
     out_dir: str,
     n_corpus_dup: int | None,
 ) -> dict[str, int]:
-    final, flags = curate(docs, budget)
+    final, flags, losers = curate(
+        docs, budget, near_dup=bool(config.get("near_dup", False))
+    )
 
     # The flags table feeds three consumers (both join sides inside
     # the write job, plus the audit aggregate below) and Spark does
@@ -208,6 +231,10 @@ def _run_curation_stages(
         audit = {k: int(v) for k, v in audit_row.asDict().items()}
         if n_corpus_dup is not None:
             audit["n_corpus_dup"] = n_corpus_dup
+        if losers is not None:
+            # losers derive from the kept set, so this IS the number
+            # of funnel survivors the near-dup stage removed
+            audit["n_near_dup"] = losers.count()
         # Explicit schema: a run where nothing survived writes only
         # _SUCCESS, and schema inference over zero files would raise.
         audit["n_written"] = (

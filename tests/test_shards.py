@@ -302,3 +302,42 @@ def test_run_curation_audit_gate_records_and_enforces(spark, sf_dir, tmp_path):
     )
     assert audit2["constraints"] == ei.value.failed
     assert audit2["n_written"] >= 0
+
+
+def test_run_curation_near_dup_stage(spark, tmp_path):
+    """near_dup=True removes MinHash-verified near-duplicates the
+    exact-content funnel stage cannot see: two long docs differing in
+    one word collapse to the smaller doc_id, audited as n_near_dup;
+    the same corpus without the flag keeps both."""
+    from mypipe_spark.curate import run_curation
+
+    base = (
+        "the a of to and in quick brown fox jumps over the lazy dog and "
+        "then runs far away across the of to in wide open field tonight "
+    ) * 2
+    rows = [
+        (1, base + "ending one", "en", "s0"),
+        (2, base + "ending two", "en", "s0"),       # near-dup of 1
+        (3, "the a of to and in a completely different and much "
+            "shorter but still acceptable quality document body here "
+            "with plenty of the to and of in words", "en", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string"
+    )
+    cfg = {"budget": 50, "shards_per_stratum": 1, "mode": "overwrite"}
+    plain = run_curation(
+        spark, {**cfg, "out_dir": str(tmp_path / "plain")}, docs=docs
+    )
+    assert "n_near_dup" not in plain
+    assert plain["n_kept"] == 3
+
+    nd = run_curation(
+        spark,
+        {**cfg, "out_dir": str(tmp_path / "nd"), "near_dup": True},
+        docs=docs,
+    )
+    assert nd["n_near_dup"] == 1
+    out = spark.read.parquet(str(tmp_path / "nd"))
+    kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 2 not in kept_ids and 1 in kept_ids and 3 in kept_ids
