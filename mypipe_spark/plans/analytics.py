@@ -2725,3 +2725,79 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(above).cast("long").alias("n_above_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# year-over-year revenue growth
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_nation_yoy_growth",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(38,6))), 2) * 100
+                  AS HUGEINT) AS cents
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)),
+    seq AS (
+      SELECT n_name, o_year, cents,
+             LAG(cents) OVER (PARTITION BY n_name ORDER BY o_year)
+               AS prev_cents
+      FROM rev)
+    SELECT n_name, o_year,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           {round4_frac_sql(
+               "CAST(cents - prev_cents AS HUGEINT)", "prev_cents", "//"
+           )} AS yoy_growth
+    FROM seq
+    """,
+    tags=("window", "growth", "money"),
+)
+def q_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation: exact-
+    decimal revenue (the house money domain) per (nation, year), LAG
+    over the per-nation year sequence, and the growth fraction as an
+    exactly-rounded integer ratio over CENTS in the HUGEINT/
+    DECIMAL(38,0) domain (the signed round_div form — growth is
+    negative in shrinking years, and diff*10000 would leave BIGINT
+    range around 10^5 the fixture scale). First year per nation
+    reports NULL growth on both engines (LAG over nothing).
+
+    Scale shape: dims broadcast onto the fact scan, one (nation,
+    year) aggregate (map-side combinable), and the LAG window runs
+    over the tiny aggregated matrix — |nations| x |years| rows."""
+    t = load_tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.round(F.sum(vol.cast("decimal(38,6)")), 2) * 100)
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    seq = rev.withColumn("prev_cents", F.lag("cents").over(w))
+    growth = F.expr(
+        round4_frac_sql("CAST(cents - prev_cents AS DECIMAL(38,0))",
+                        "prev_cents", "div")
+    )
+    return seq.select(
+        "n_name",
+        "o_year",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        growth.alias("yoy_growth"),
+    )
