@@ -195,6 +195,13 @@ def _run_curation_stages(
     final, flags, losers = curate(
         docs, budget, near_dup=bool(config.get("near_dup", False))
     )
+    # losers embeds the full shingle+MinHash pipeline (the dominant
+    # cost) and is consumed by BOTH branches of `final` plus the audit
+    # count — Spark does not reuse exchanges across actions/branches
+    # (the same rationale as flags.persist below), so materialize the
+    # small id set once. Unpersisted in the finally below.
+    if losers is not None:
+        losers = losers.persist()
 
     # The flags table feeds three consumers (both join sides inside
     # the write job, plus the audit aggregate below) and Spark does
@@ -243,6 +250,8 @@ def _run_curation_stages(
         return audit
     finally:
         flags.unpersist()
+        if losers is not None:
+            losers.unpersist()
 
 
 def run_streaming_curation(

@@ -1020,12 +1020,21 @@ def q_approx_distinct_parts_check(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _within_rel_tol(exact: F.Column, est: F.Column, tol: float) -> F.Column:
+    """|est − exact| ≤ tol·exact — the ONE relative-tolerance
+    expression behind every sketch _check twin (hll_within_tol,
+    hll_rollup_within_tol), so the twins and their falsifiability
+    pins all exercise the same production arithmetic and cannot
+    drift on e.g. a NULL guard added to one copy."""
+    return F.abs(est - exact) <= F.lit(tol) * exact
+
+
 def hll_within_tol(exact: F.Column, approx: F.Column) -> F.Column:
     """The HLL accuracy claim itself — |approx − exact| ≤
     3·APPROX_RSD·exact — as ONE expression shared by the _check twin
     and its falsifiability pin (tests/test_oracle_parity.py), so the
     pin exercises the production arithmetic, not a local copy."""
-    return F.abs(approx - exact) <= F.lit(3 * APPROX_RSD) * exact
+    return _within_rel_tol(exact, approx, 3 * APPROX_RSD)
 
 
 def _rank_bound_checks(fracs: list[float], eps: float) -> list[F.Column]:
@@ -2572,18 +2581,27 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mergeable HLL sketch artifacts: daily rollup -> union -> estimate
 # ---------------------------------------------------------------------------
 
-# Tolerance of the rollup's oracle-checkable claim. Default
+# Tolerances of the rollup's oracle-checkable claims. Default
 # hll_sketch_agg precision (lgConfigK=12) has ~1.6% rsd; 5% is ~3
 # standard errors — same posture as hll_within_tol above. Shared with
 # the falsifiability pin (tests/test_oracle_parity.py) so the pin
-# exercises this constant, not a copy.
+# exercises these constants, not copies.
 HLL_ROLLUP_TOL = 0.05
+# Merged-vs-global consistency: the union sees the same coupons, but
+# DataSketches estimates through REPRESENTATION-dependent estimators
+# (a union materializes HLL_8 while the direct aggregate stays HLL_4),
+# so past the sparse regime the two estimates are near-equal, not
+# bit-equal — measured 0.73% apart at 1 500 true uniques (sf0.1),
+# exactly equal below the sparse threshold. 2% bounds that with
+# headroom while still falsifying a union that actually lost coupons.
+HLL_MERGE_TOL = 0.02
 
 
 def hll_rollup_within_tol(exact: F.Column, est: F.Column) -> F.Column:
     """|est − exact| ≤ HLL_ROLLUP_TOL·exact, the rollup claim as ONE
-    shared expression."""
-    return F.abs(est - exact) <= F.lit(HLL_ROLLUP_TOL) * exact
+    shared expression (delegates to _within_rel_tol, like
+    hll_within_tol)."""
+    return _within_rel_tol(exact, est, HLL_ROLLUP_TOL)
 
 
 @register(
@@ -2594,7 +2612,7 @@ def hll_rollup_within_tol(exact: F.Column, est: F.Column) -> F.Column:
       FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
     SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS merge_lossless,
+           TRUE AS merge_consistent,
            TRUE AS within_tol
     FROM ev
     """,
@@ -2604,11 +2622,15 @@ def events_hll_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch ARTIFACT story, oracle-checked: build one
     DataSketches HLL per day (hll_sketch_agg — the binary a 100 TB
     pipeline stores per partition/day), union-merge the dailies
-    (hll_union_agg), and claim (a) merging loses NOTHING — the merged
-    estimate equals the estimate of one global sketch over the same
-    rows exactly, because HLL register insertion is order-independent
-    and union takes register-wise max, and (b) the estimate sits
-    within HLL_ROLLUP_TOL of the exact distinct count. DuckDB cannot
+    (hll_union_agg), and claim (a) the merged estimate agrees with
+    one global sketch over the same rows within HLL_MERGE_TOL —
+    register insertion is order-independent and union takes
+    register-wise max, but the library estimates through
+    representation-dependent estimators (HLL_8 union vs HLL_4
+    direct), so past the sparse regime the estimates are near-equal,
+    not bit-equal (the exact-equality first draft failed preflight at
+    sf0.1: 1488 vs 1499 on 1500 true) — and (b) the merged estimate
+    sits within HLL_ROLLUP_TOL of the exact count. DuckDB cannot
     build the sketch, but it verifies n_days, the exact count, and
     that both claim columns are TRUE — the same _check-twin shape as
     q_approx_distinct_parts_check.
@@ -2643,12 +2665,23 @@ def events_hll_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("user_id").cast("long").alias("exact_users"),
     )
+    # COALESCE guards the degenerate stream: zero valid rows leave
+    # both estimates NULL (sketch aggs over nothing), where the
+    # claims hold vacuously — the oracle's constant TRUE must match
+    # (NULL == NULL is NULL, not TRUE; review pass 3)
+    empty = F.col("exact_users") == 0
     return merged.crossJoin(global_).select(
         "n_days",
         "exact_users",
-        (F.col("est_merged") == F.col("est_global")).alias("merge_lossless"),
-        hll_rollup_within_tol(
-            F.col("exact_users"), F.col("est_merged")
+        F.coalesce(
+            _within_rel_tol(
+                F.col("est_global"), F.col("est_merged"), HLL_MERGE_TOL
+            ),
+            empty,
+        ).alias("merge_consistent"),
+        F.coalesce(
+            hll_rollup_within_tol(F.col("exact_users"), F.col("est_merged")),
+            empty,
         ).alias("within_tol"),
     )
 
@@ -2669,7 +2702,7 @@ def events_hll_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CASE WHEN e.value IS NOT NULL
                           AND CAST(e.value AS DECIMAL(18,6))
-                              * CAST(d.nn AS DECIMAL(12,0)) > d.s
+                              * CAST(d.nn AS DECIMAL(18,0)) > d.s
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
     FROM events e JOIN dim d
       ON e.event_type IS NOT DISTINCT FROM d.event_type
@@ -2688,9 +2721,10 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     change the result: every salt of a key meets every replica).
 
     Above-mean is decided without division: value·n > sum in the
-    exact DECIMAL domain (18,6 × 12,0 stays inside precision 38 on
-    both engines — a wider operand would force Spark to reduce scale
-    and round). The NULL-type stratum survives via a NULL-SAFE join
+    exact DECIMAL domain (18,6 × 18,0 = precision 37, inside 38 on
+    both engines with no Spark scale reduction; a 12-digit count
+    operand would overflow-to-NULL past 10^12 rows per type — exactly
+    the 100 TB posture — and the identical oracle cast would hide it). The NULL-type stratum survives via a NULL-SAFE join
     on both engines (the funnel equi-join-on-NULL lesson); NULL
     values are never above the mean and never in it.
 
@@ -2717,7 +2751,7 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
         & (
             F.col("value").cast("decimal(18,6)")
-            * F.col("nn").cast("decimal(12,0)")
+            * F.col("nn").cast("decimal(18,0)")
             > F.col("s")
         )
     ).cast("int")
@@ -2748,13 +2782,16 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq AS (
       SELECT n_name, o_year, cents,
              LAG(cents) OVER (PARTITION BY n_name ORDER BY o_year)
-               AS prev_cents
+               AS prev_cents,
+             LAG(o_year) OVER (PARTITION BY n_name ORDER BY o_year)
+               AS prev_year
       FROM rev)
     SELECT n_name, o_year,
            CAST(cents AS DOUBLE) / 100 AS revenue,
-           {round4_frac_sql(
-               "CAST(cents - prev_cents AS HUGEINT)", "prev_cents", "//"
-           )} AS yoy_growth
+           CASE WHEN prev_year = o_year - 1 THEN
+             {round4_frac_sql(
+                 "CAST(cents - prev_cents AS HUGEINT)", "prev_cents", "//"
+             )} END AS yoy_growth
     FROM seq
     """,
     tags=("window", "growth", "money"),
@@ -2766,8 +2803,11 @@ def q_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-rounded integer ratio over CENTS in the HUGEINT/
     DECIMAL(38,0) domain (the signed round_div form — growth is
     negative in shrinking years, and diff*10000 would leave BIGINT
-    range around 10^5 the fixture scale). First year per nation
-    reports NULL growth on both engines (LAG over nothing).
+    range around 10^5 the fixture scale). Growth is NULL both for a
+    nation's first year (LAG over nothing) AND after a gap year —
+    LAG pairs with the last PRESENT year, which would silently label
+    a multi-year ratio "year-over-year" (review pass 3), so the
+    previous year is carried and must be exactly o_year - 1.
 
     Scale shape: dims broadcast onto the fact scan, one (nation,
     year) aggregate (map-side combinable), and the LAG window runs
@@ -2790,7 +2830,9 @@ def q_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("n_name").orderBy("o_year")
-    seq = rev.withColumn("prev_cents", F.lag("cents").over(w))
+    seq = rev.withColumn("prev_cents", F.lag("cents").over(w)).withColumn(
+        "prev_year", F.lag("o_year").over(w)
+    )
     growth = F.expr(
         round4_frac_sql("CAST(cents - prev_cents AS DECIMAL(38,0))",
                         "prev_cents", "div")
@@ -2799,5 +2841,7 @@ def q_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "o_year",
         (F.col("cents").cast("double") / 100).alias("revenue"),
-        growth.alias("yoy_growth"),
+        F.when(F.col("prev_year") == F.col("o_year") - 1, growth).alias(
+            "yoy_growth"
+        ),
     )

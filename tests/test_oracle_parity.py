@@ -453,6 +453,6 @@ def test_hll_rollup_claims_are_falsifiable_and_hold(spark, sf_dir):
     assert got == [False, True]
 
     row = QUERIES["events_hll_rollup_check"].fn(spark, sf_dir).collect()[0]
-    assert row["merge_lossless"] is True
+    assert row["merge_consistent"] is True
     assert row["within_tol"] is True
     assert row["n_days"] > 1 and row["exact_users"] > 0
