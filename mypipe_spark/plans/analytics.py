@@ -2845,3 +2845,70 @@ def q_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-type ingest freshness
+# ---------------------------------------------------------------------------
+
+_STALE_AFTER_S = 86_400  # a type a full day behind the stream head is stale
+
+
+@register(
+    "events_freshness_report",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             MAX(ts) AS last_ts, MAX(us) AS last_us
+      FROM ev GROUP BY event_type),
+    tot AS (
+      SELECT *, MAX(last_us) OVER () AS head_us FROM agg)
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(last_ts AS TIMESTAMP) AS last_ts,
+           CAST((head_us - last_us) // 1000000 AS BIGINT) AS lag_s,
+           CAST(CASE WHEN (head_us - last_us) // 1000000 > {_STALE_AFTER_S}
+                     THEN 1 ELSE 0 END AS INT) AS stale
+    FROM tot
+    """,
+    tags=("events", "monitoring", "freshness"),
+)
+def events_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness monitoring: per event type, how far its most
+    recent event lags the stream head (whole seconds, floor-divided
+    micros) and a staleness flag at one day — the "is a producer
+    wedged" report an operator reads before trusting a snapshot.
+    Timeless rows are invisible; an untyped producer reports as its
+    own NULL row rather than vanishing.
+
+    Scale shape: one scan into a map-side-combinable per-type MAX/
+    COUNT, then the head-of-stream window over the <=|types| row
+    aggregate in one trivial partition."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.max("us").alias("last_us"),
+    )
+    tot = agg.withColumn(
+        "head_us", F.max("last_us").over(Window.partitionBy())
+    )
+    lag_s = F.expr("(head_us - last_us) div 1000000")
+    return tot.select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        lag_s.cast("long").alias("lag_s"),
+        (lag_s > _STALE_AFTER_S).cast("int").alias("stale"),
+    )

@@ -933,3 +933,63 @@ def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .catalog import QUERIES as _QUERIES  # noqa: E402
 
 _QUERIES["ann_recall_check"].oracle = _ann_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# embedding norm profile
+# ---------------------------------------------------------------------------
+
+# |nrm2 - UNIT| beyond this is "off-unit": the fixture's normalized
+# vectors sit within ~2e4 of exact unit norm in the quantized domain,
+# so 1e4 splits the population and both branches get driver coverage.
+_UNIT_NRM2 = _QSCALE * _QSCALE
+_NORM_DRIFT = 10_000
+
+
+@register(
+    "embedding_norm_profile",
+    oracle=f"""
+    WITH q AS ({_SQL_QUANT}),
+    n AS ({_SQL_NORM})
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(nrm2) AS BIGINT) AS min_nrm2,
+           CAST(MAX(nrm2) AS BIGINT) AS max_nrm2,
+           CAST({round_div_sql('SUM(nrm2)', 'COUNT(*)', '//')} AS BIGINT)
+             AS avg_nrm2,
+           CAST(SUM(CASE WHEN ABS(nrm2 - {_UNIT_NRM2}) > {_NORM_DRIFT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_off_unit
+    FROM n
+    WHERE qv IS NOT NULL
+    GROUP BY label
+    """,
+    tags=("embedding", "audit", "norm"),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus norm audit per label: the quantized squared
+    norm's min/max/rounded mean and how many vectors sit more than
+    _NORM_DRIFT off exact unit norm — the sanity report a pipeline
+    runs before trusting cosine kernels that ASSUME normalization
+    (the brute-force/IVF/LSH family divides by these norms). Shares
+    the similarity plane's quantized integer domain (_SQL_QUANT /
+    _spark_quantized), so every statistic is exact integer arithmetic
+    on both engines.
+
+    Scale shape: one scan, row-local transform + fold, one label
+    exchange for the aggregate — map-side combinable throughout."""
+    n = _spark_quantized(spark, sf_dir).filter(F.col("qv").isNotNull())
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("nrm2").cast("long").alias("min_nrm2"),
+        F.max("nrm2").cast("long").alias("max_nrm2"),
+        F.expr(round_div_sql("SUM(nrm2)", "COUNT(*)", "div"))
+        .cast("long")
+        .alias("avg_nrm2"),
+        F.sum(
+            (
+                F.abs(F.col("nrm2") - _UNIT_NRM2) > _NORM_DRIFT
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_off_unit"),
+    )

@@ -672,6 +672,7 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_conversion_lag": AN, "events_markov_transitions": AN,
         "events_type_drift": AN, "events_error_impact": AN,
         "events_hll_rollup_check": AN, "events_salted_type_stats": AN,
+        "events_freshness_report": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
