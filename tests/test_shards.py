@@ -341,3 +341,62 @@ def test_run_curation_near_dup_stage(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "nd"))
     kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 2 not in kept_ids and 1 in kept_ids and 3 in kept_ids
+
+
+def test_streaming_audit_and_curation_compose_on_one_stream(
+    spark, sf_dir, tmp_path
+):
+    """Composition pin: the SAME live document stream feeds BOTH the
+    constraint audit log (audit_stream) and the curation export
+    (run_streaming_curation) as two independent sinks, and the books
+    reconcile — the audit log's summed n_rows equals the corpus size
+    (every row was audited, however the microbatches chopped), its
+    violation counts equal the one-shot batch audit, and the landed
+    shard count equals the batch gate's keep count. The operational
+    shape: trust-monitoring rides beside the export, never inside
+    it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from conftest import drain_stream
+    from mypipe_spark.curate import audit_stream, run_streaming_curation
+    from mypipe_spark.operators.audit import audit, default_doc_checks
+    from mypipe_spark.plans.curation import gate_documents
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+
+    def stream():
+        return spark.readStream.schema(batch_docs.schema).parquet(str(src_dir))
+
+    row_checks = [c for c in default_doc_checks() if not c.key_cols]
+    q1 = audit_stream(
+        stream(), "documents", row_checks,
+        str(tmp_path / "auditlog"), str(tmp_path / "ckpt_audit"),
+    )
+    q2 = run_streaming_curation(
+        spark, stream(), str(tmp_path / "shards"),
+        str(tmp_path / "ckpt_cur"), shards_per_stratum=2,
+    )
+    drain_stream(q1)
+    drain_stream(q2)
+
+    log = spark.read.parquet(str(tmp_path / "auditlog"))
+    audited_rows = log.groupBy("check_name").agg(
+        F.sum("n_rows").alias("rows"), F.sum("n_violations").alias("viol")
+    )
+    got = {r["check_name"]: (r["rows"], r["viol"]) for r in audited_rows.collect()}
+    n_total = batch_docs.count()
+    want = {
+        r["check_name"]: (n_total, r["n_violations"])
+        for r in audit(batch_docs, "documents", row_checks).collect()
+    }
+    assert got == want
+    n_landed = spark.read.parquet(str(tmp_path / "shards")).count()
+    n_keep = (
+        gate_documents(batch_docs).filter(F.col("gate_keep") == 1).count()
+    )
+    assert n_landed == n_keep > 0
