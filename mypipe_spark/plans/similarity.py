@@ -993,3 +993,80 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_off_unit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label outliers: members farthest from their own centroid
+# ---------------------------------------------------------------------------
+
+_OUTLIERS_PER_LABEL = 3
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    WITH q AS ({_SQL_QUANT}),
+    cexp AS (
+      SELECT label, i, SUM(qv[i]) AS s, COUNT(*) AS c
+      FROM q, (SELECT UNNEST(range(1, 65)) AS i)
+      GROUP BY label, i),
+    cent AS (
+      SELECT label, list(CAST({_round_mean_sql("s", "c")} AS BIGINT)
+                         ORDER BY i) AS cv
+      FROM cexp GROUP BY label),
+    d AS (
+      SELECT q.vec_id, q.label, {_sq_dist_sql("qv", "cv")} AS dist2
+      FROM q JOIN cent USING (label)),
+    r AS (
+      SELECT vec_id, label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rk
+      FROM d)
+    SELECT label, CAST(rk AS INT) AS rk, vec_id, CAST(dist2 AS BIGINT) AS dist2
+    FROM r WHERE rk <= {_OUTLIERS_PER_LABEL}
+    """,
+    tags=("embedding", "outliers", "curation"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label outlier report: the _OUTLIERS_PER_LABEL members
+    FARTHEST from their own label centroid by exact integer squared
+    distance in the quantized domain — the mislabeled/contaminated-
+    cluster detector a curation pass runs over an embedding corpus
+    (SemDeDup keeps the closest; this surfaces the opposite tail).
+    Same centroid formula as embedding_centroids/the IVF probe, so
+    index and audit can never disagree; ties break by vec_id.
+
+    Scale shape: ONE (label, dim) map-side-combinable aggregate
+    builds the centroid table (|labels| x 64 — broadcast onto the
+    corpus scan), squared distances are row-local zip_with folds, and
+    the top-k window runs per label over already-scored rows."""
+    n = _spark_quantized(spark, sf_dir)
+    cent = (
+        n.select("label", F.posexplode("qv").alias("i0", "x"))
+        .groupBy("label", F.col("i0").alias("i"))
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(i, "
+                f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT) AS v"
+                f"))), e -> e.v)"
+            ).alias("cv")
+        )
+    )
+    d = n.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)),"
+            " CAST(0 AS BIGINT), (acc, y) -> acc + y)"
+        ).alias("dist2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _OUTLIERS_PER_LABEL)
+        .select("label", F.col("rk").cast("int").alias("rk"), "vec_id", "dist2")
+    )
