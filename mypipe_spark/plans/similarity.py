@@ -45,6 +45,18 @@ def _round_mean_sql(s: str, c: str, intdiv: str = "//") -> str:
     return round_div_sql(s, c, intdiv)
 
 
+def _assemble_by_pos(pos: str, val: str) -> str:
+    """``transform(array_sort(collect_list(struct(pos, val AS v))),
+    p -> p.v)`` — the ONE positional list-reassembly expression behind
+    every Spark-side centroid-vector construction (IVF, k-means,
+    embedding_outliers), so the "same centroid formula" guarantee
+    cannot drift across hand-copied spellings (review pass 4)."""
+    return (
+        f"transform(array_sort(collect_list(struct({pos}, {val} AS v))),"
+        " p -> p.v)"
+    )
+
+
 def _spark_quantized(
     spark: SparkSession, sf_dir: str, rebalance: bool = True
 ) -> DataFrame:
@@ -215,8 +227,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cexp.groupBy("label")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(i, "
-                f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT) AS v))), p -> p.v)"
+                _assemble_by_pos(
+                    "i", f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT)"
+                )
             ).alias("cv")
         )
         .withColumn(
@@ -727,7 +740,7 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("v")
                 )
                 .groupBy("cluster")
-                .agg(F.expr("transform(array_sort(collect_list(struct(i, v))), p -> p.v)").alias("cqv"))
+                .agg(F.expr(_assemble_by_pos("i", "v")).alias("cqv"))
                 .collect()
             )
             cents = sorted((int(r["cluster"]), [int(x) for x in r["cqv"]]) for r in new_cents)
@@ -955,8 +968,8 @@ _NORM_DRIFT = 10_000
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(MIN(nrm2) AS BIGINT) AS min_nrm2,
            CAST(MAX(nrm2) AS BIGINT) AS max_nrm2,
-           CAST({round_div_sql('SUM(nrm2)', 'COUNT(*)', '//')} AS BIGINT)
-             AS avg_nrm2,
+           CAST({round_div_sql('CAST(SUM(nrm2) AS HUGEINT)', 'COUNT(*)', '//')}
+             AS BIGINT) AS avg_nrm2,
            CAST(SUM(CASE WHEN ABS(nrm2 - {_UNIT_NRM2}) > {_NORM_DRIFT}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_off_unit
     FROM n
@@ -982,7 +995,15 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.min("nrm2").cast("long").alias("min_nrm2"),
         F.max("nrm2").cast("long").alias("max_nrm2"),
-        F.expr(round_div_sql("SUM(nrm2)", "COUNT(*)", "div"))
+        # WIDE domain: round_div doubles the numerator, and with
+        # nrm2 ~ 1e8 per unit vector 2*SUM leaves BIGINT near 4.6e10
+        # rows per label — ANSI Spark would throw where DuckDB's SUM
+        # auto-promotes to HUGEINT (review pass 4)
+        F.expr(
+            round_div_sql(
+                "CAST(SUM(nrm2) AS DECIMAL(38,0))", "COUNT(*)", "div"
+            )
+        )
         .cast("long")
         .alias("avg_nrm2"),
         F.sum(
@@ -1005,7 +1026,8 @@ _OUTLIERS_PER_LABEL = 3
 @register(
     "embedding_outliers",
     oracle=f"""
-    WITH q AS ({_SQL_QUANT}),
+    WITH q0 AS ({_SQL_QUANT}),
+    q AS (SELECT * FROM q0 WHERE qv IS NOT NULL),
     cexp AS (
       SELECT label, i, SUM(qv[i]) AS s, COUNT(*) AS c
       FROM q, (SELECT UNNEST(range(1, 65)) AS i)
@@ -1016,7 +1038,8 @@ _OUTLIERS_PER_LABEL = 3
       FROM cexp GROUP BY label),
     d AS (
       SELECT q.vec_id, q.label, {_sq_dist_sql("qv", "cv")} AS dist2
-      FROM q JOIN cent USING (label)),
+      FROM q JOIN cent USING (label)
+      WHERE qv IS NOT NULL),
     r AS (
       SELECT vec_id, label, dist2,
              ROW_NUMBER() OVER (PARTITION BY label
@@ -1039,8 +1062,14 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE (label, dim) map-side-combinable aggregate
     builds the centroid table (|labels| x 64 — broadcast onto the
     corpus scan), squared distances are row-local zip_with folds, and
-    the top-k window runs per label over already-scored rows."""
-    n = _spark_quantized(spark, sf_dir)
+    the top-k window runs per label over already-scored rows.
+
+    NULL-embedding rows are excluded on BOTH engines up front (the
+    dirty-vector case embedding_validate quarantines): the oracle's
+    UNNEST cross-join would otherwise COUNT such rows into the
+    centroid divisor while Spark's posexplode drops them — a measured
+    centroid divergence class (review pass 4)."""
+    n = _spark_quantized(spark, sf_dir).filter(F.col("qv").isNotNull())
     cent = (
         n.select("label", F.posexplode("qv").alias("i0", "x"))
         .groupBy("label", F.col("i0").alias("i"))
@@ -1048,9 +1077,9 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.expr(
-                f"transform(array_sort(collect_list(struct(i, "
-                f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT) AS v"
-                f"))), e -> e.v)"
+                _assemble_by_pos(
+                    "i", f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT)"
+                )
             ).alias("cv")
         )
     )

@@ -381,8 +381,12 @@ def test_streaming_audit_and_curation_compose_on_one_stream(
         spark, stream(), str(tmp_path / "shards"),
         str(tmp_path / "ckpt_cur"), shards_per_stratum=2,
     )
-    drain_stream(q1)
-    drain_stream(q2)
+    # a raising q1 drain must still stop q2 — two live queries, one
+    # shared session fixture (drain_stream's own leak contract)
+    try:
+        drain_stream(q1)
+    finally:
+        drain_stream(q2)
 
     log = spark.read.parquet(str(tmp_path / "auditlog"))
     audited_rows = log.groupBy("check_name").agg(

@@ -251,3 +251,57 @@ def test_ann_recall_check_floors_and_exact_twin(spark, sf_dir):
     assert set(rows) == {"ivf", "lsh", "pandas"}
     assert rows["pandas"]["recall"] == 1.0 and rows["pandas"]["n_common"] == 10
     assert all(r["recall_ok"] == 1 for r in rows.values())
+
+
+def test_outliers_null_vector_excluded_cross_engine(spark):
+    """Review-pass regression: a NULL embedding must be excluded from
+    BOTH the centroid divisor and the ranking on BOTH engines — the
+    oracle's UNNEST cross-join originally counted the row into
+    COUNT(*) while Spark's posexplode dropped it, shifting every
+    centroid and the outlier order."""
+    import duckdb
+    import pandas as pd
+
+    from mypipe_spark.plans import similarity as SI
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    dim = 64
+    base = [0.0] * dim
+
+    def vec(i, v):
+        out = list(base)
+        out[i] = v
+        return out
+
+    rows = [
+        (1, vec(0, 1.0), 0),
+        (2, vec(0, 0.9), 0),
+        (3, vec(1, 1.0), 0),   # the off-axis outlier
+        (4, None, 0),          # dirty row: must not shift the centroid
+        (5, vec(2, 1.0), 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import tests.test_newops as TN
+
+    with TN._planted_tables([SI], {"embeddings": emb}):
+        got = [
+            (r["label"], r["rk"], r["vec_id"], r["dist2"])
+            for r in QUERIES["embedding_outliers"].fn(spark, "x").collect()
+        ]
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(QUERIES["embedding_outliers"].oracle).fetchall()
+    ]
+    assert sorted(got) == sorted(want)
+    # vec 4 never appears; label 0's farthest member is the off-axis 3
+    assert all(v != 4 for (_, _, v, _) in got)
+    lab0 = [r for r in sorted(got) if r[0] == 0]
+    assert lab0[0][2] == 3
