@@ -2912,3 +2912,214 @@ def events_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.cast("long").alias("lag_s"),
         (lag_s > _STALE_AFTER_S).cast("int").alias("stale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def streak_table(events: DataFrame) -> DataFrame:
+    """(user_id, island, len, start) — one row per maximal run of
+    CONSECUTIVE active days per user, via the gaps-and-islands
+    identity: over each user's distinct active days in ascending
+    order, ``day_number - row_number`` is constant exactly along a
+    gap-free run. Day numbers are exact integer epoch-day quotients
+    (micros div 86.4e9 — the corpus is post-epoch, so truncating and
+    flooring division agree), never double date arithmetic.
+
+    Exposed separately from the registered query so tests can pin the
+    island algebra on constructed corpora (single-day users, runs
+    split by exactly one missing day, month boundaries)."""
+    daily = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .withColumn(
+            "dayn",
+            F.expr(f"unix_micros(cast(day as timestamp)) div {_US_PER_DAY}"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    isl = daily.withColumn("island", F.col("dayn") - F.row_number().over(w))
+    return isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start")
+    )
+
+
+@register(
+    "events_streaks",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    isl AS (
+      SELECT user_id, day,
+             epoch_us(day) // {_US_PER_DAY}
+               - ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(day)) AS island
+      FROM daily),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start
+      FROM isl GROUP BY user_id, island),
+    best AS (
+      SELECT user_id, MAX(len) AS best_streak,
+             CAST(SUM(len) AS BIGINT) AS n_active_days
+      FROM streaks GROUP BY user_id)
+    SELECT b.user_id, b.n_active_days,
+           CAST(b.best_streak AS BIGINT) AS best_streak,
+           MIN(s.start) AS streak_start
+    FROM best b JOIN streaks s
+      ON s.user_id = b.user_id AND s.len = b.best_streak
+    GROUP BY b.user_id, b.n_active_days, b.best_streak
+    """,
+    tags=("events", "window", "gaps-islands"),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus total
+    active days and the streak's first day) — the classic
+    gaps-and-islands engagement metric. The streak START is reported
+    for the EARLIEST maximal run when several tie at the best length,
+    so the selected row set is deterministic on both engines.
+    Timeless and anonymous events are invisible under the standing
+    contract (they have no day / no user to streak over).
+
+    Scale shape: the raw stream collapses to distinct user-days in
+    one map-side-combinable exchange; the row-number window and both
+    follow-up aggregates run over user-day rows (bounded by
+    users x horizon, independent of event volume), and the best/streak
+    self-join joins two sub-user-cardinality relations AQE can
+    broadcast. No window ever sorts the raw fact table."""
+    streaks = streak_table(load_tables(spark, sf_dir)["events"])
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").alias("best_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+    s = streaks.select(
+        F.col("user_id").alias("s_user"), "len", "start"
+    )
+    return (
+        best.join(
+            s,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("len") == F.col("best_streak")),
+        )
+        .groupBy("user_id", "n_active_days", "best_streak")
+        .agg(F.min("start").alias("streak_start"))
+        .select(
+            "user_id",
+            "n_active_days",
+            F.col("best_streak").cast("long").alias("best_streak"),
+            "streak_start",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3 * _US_PER_DAY  # clicks within 3 days before a purchase
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS pus,
+             CAST({micro_quant_sql("value")} AS HUGEINT) AS vm
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL),
+    c AS (
+      SELECT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+      FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    j AS (
+      SELECT p.p_id, p.vm, c.day,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n_win
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.cus < p.pus AND c.cus >= p.pus - {_ATTR_WINDOW_US}),
+    cred AS (
+      SELECT p_id, day,
+             {round_div_sql("vm", "n_win", "//")} AS credit_micro
+      FROM j)
+    SELECT day,
+           COUNT(DISTINCT p_id) AS n_purchases,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(credit_micro) AS DOUBLE) / 1000000 AS credit
+    FROM cred GROUP BY day
+    """,
+    tags=("events", "attribution", "range-join"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: each purchase's
+    value is divided equally across that user's clicks in the
+    {window}-day window STRICTLY before the purchase, and the credit
+    is reported per click-day — the batch complement of
+    q_asof_last_click (last-touch). Per-click credit is the exactly
+    rounded integer division of the purchase's micro-unit value by
+    its in-window click count, so the day sums are exact-integer and
+    engine-identical; the one double appears at display. Purchases
+    with no in-window click earn no credit rows (an unattributed
+    purchase has no touch to credit); purchases need identity,
+    timestamp, user and value to participate, clicks need timestamp
+    and user. Same-microsecond clicks are NOT credited (strictly
+    before), so the credited set is deterministic under ties.
+
+    Scale shape: both sides are pushed-down scans of one event type;
+    the band join is an equi-join on user_id with the time band as a
+    residual (per-user click/purchase histories are bounded); the
+    per-purchase count is a window over p_id (one exchange on
+    purchase identity); the final day rollup is map-side combinable.
+    At 100 TB the band join takes the as-of operator's time-bucketing
+    treatment (operators/asof.py) rather than a wider shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("pus"),
+        F.expr(micro_quant_sql("value")).alias("vm"),
+    )
+    c = ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("cus"),
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cus") < F.col("pus"))
+        & (F.col("cus") >= F.col("pus") - _ATTR_WINDOW_US),
+    )
+    cred = j.withColumn(
+        "n_win", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    ).withColumn(
+        "credit_micro", F.expr(round_div_sql("vm", "n_win", "div"))
+    )
+    return cred.groupBy("day").agg(
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        (F.sum("credit_micro").cast("double") / F.lit(1000000.0)).alias(
+            "credit"
+        ),
+    )

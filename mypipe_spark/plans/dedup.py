@@ -2324,3 +2324,77 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "i")
     )
     return _span_report(batch, duppos)
+
+
+# ---------------------------------------------------------------------------
+# per-document n-gram novelty (first-occurrence share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    shh AS ({_SQL_HSH_FROM_SH0}),
+    firsts AS (
+      SELECT doc_id, shingle,
+             MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM shh),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_novel
+      FROM firsts GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN p.n_shingles > 0 THEN
+             {round4_frac_sql("CAST(p.n_novel AS BIGINT)",
+                              "p.n_shingles", "//")} END AS novelty
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("text", "dedup", "novelty"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    shingle hashes whose FIRST corpus occurrence (minimum doc_id) is
+    this document — the contribution-vs-repetition score a curation
+    pass reads to find boilerplate-heavy late arrivals (novelty ~0:
+    everything in the doc was already seen under an earlier id) and
+    fresh material (novelty ~1). Works in the 60-bit hashed-shingle
+    domain shared with the whole dedup plane (counts INCLUDE the
+    ~n²/2⁶¹ collisions identically on both engines, and numerator and
+    denominator live in the same domain, so the ratio is internally
+    consistent). Docs with no shingles (under three words) report
+    zero counts and a NULL novelty. "First" is id-order, not
+    time-order — the corpus's stable ingest key.
+
+    Scale shape: the memoized shingle pass feeds one explode; the
+    first-occurrence resolver is an unbounded MIN window over the
+    shingle key (one exchange — no join back, the frame is
+    partition-global so no sort is needed); the per-doc rollup is a
+    second map-side-combinable exchange; the final LEFT join aligns
+    two doc-cardinality relations under AQE. No step is quadratic:
+    posting lists never materialize, only their running minimum."""
+    from pyspark.sql import Window
+
+    arr = shingle_arrays(spark, sf_dir)
+    ex = arr.select("doc_id", F.explode("hsh").alias("shingle"))
+    firsts = ex.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("doc_id") == F.col("first_doc")).cast("int")).alias(
+            "n_novel"
+        ),
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.expr(round4_frac_sql("n_novel", "n_shingles", "div")),
+        ).alias("novelty"),
+    )

@@ -1099,3 +1099,102 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _OUTLIERS_PER_LABEL)
         .select("label", F.col("rk").cast("int").alias("rk"), "vec_id", "dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 storage-quantization audit
+# ---------------------------------------------------------------------------
+
+# symmetric signed-int8 code range: round(x * 127 / scale) on [-127, 127]
+_INT8_LEVELS = 127
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH q0 AS ({_SQL_QUANT}),
+    q AS (SELECT * FROM q0 WHERE qv IS NOT NULL),
+    ex AS (
+      SELECT vec_id, i, qv[i] AS x
+      FROM q, (SELECT UNNEST(range(1, 65)) AS i)),
+    s AS (SELECT i, MAX(ABS(x)) AS scale_q FROM ex GROUP BY i),
+    c AS (
+      SELECT ex.i, scale_q, x,
+             CASE WHEN scale_q = 0 THEN 0 ELSE
+               {round_div_sql(f"x * {_INT8_LEVELS}", "scale_q", "//")}
+             END AS code
+      FROM ex JOIN s USING (i)),
+    e AS (
+      SELECT i, scale_q,
+             ABS(x - {round_div_sql("code * scale_q",
+                                    str(_INT8_LEVELS), "//")}) AS err
+      FROM c)
+    SELECT CAST(i AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(scale_q AS BIGINT) AS scale_q,
+           CAST(MAX(err) AS BIGINT) AS max_err_q,
+           CAST({round_div_sql("CAST(SUM(err) AS HUGEINT)",
+                               "COUNT(*)", "//")} AS BIGINT) AS avg_err_q,
+           CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact
+    FROM e GROUP BY i, scale_q
+    """,
+    tags=("embedding", "quantization", "storage"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 storage-quantization audit: for the
+    symmetric affine code ``round(x·127 / max|x|)`` (the standard
+    int8 vector-index compression — 4x smaller than float32 on the
+    wire and in an ANN index), report each dimension's scale, its
+    worst and rounded-mean reconstruction error, and how many values
+    survive the round trip exactly. The whole audit runs in the
+    similarity plane's quantized BIGINT domain (_SQL_QUANT), so
+    encode, decode and error are exact integer arithmetic via the
+    round_div helpers — both engines see identical codes, identical
+    errors (units of 1e-4). An all-zero dimension (scale 0) encodes
+    to code 0 with zero error rather than dividing by zero. The
+    theoretical error bound scale/(2·127) + rounding is pinned in
+    tests/test_vector.py — a broken encoder cannot pass.
+
+    Scale shape: the anomaly-report topology — one posexplode into a
+    64-group map-side-combinable MAX, the tiny per-dim scale table
+    broadcast back onto the exploded stream, then the same 64-group
+    rollup. Nothing driver-side, nothing quadratic; fanout is
+    dim x corpus rows on both passes."""
+    n = _spark_quantized(spark, sf_dir).filter(F.col("qv").isNotNull())
+    ex = n.select(F.posexplode("qv").alias("i0", "x")).select(
+        (F.col("i0") + 1).alias("i"), "x"
+    )
+    s = ex.groupBy("i").agg(F.max(F.abs(F.col("x"))).alias("scale_q"))
+    c = ex.join(F.broadcast(s), "i").withColumn(
+        "code",
+        F.when(F.col("scale_q") == 0, F.lit(0)).otherwise(
+            F.expr(round_div_sql(f"x * {_INT8_LEVELS}", "scale_q", "div"))
+        ),
+    )
+    e = c.withColumn(
+        "err",
+        F.abs(
+            F.col("x")
+            - F.expr(
+                round_div_sql("code * scale_q", str(_INT8_LEVELS), "div")
+            )
+        ),
+    )
+    return e.groupBy("i", "scale_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max("err").cast("long").alias("max_err_q"),
+        F.expr(
+            round_div_sql("CAST(SUM(err) AS DECIMAL(38,0))", "COUNT(*)", "div")
+        )
+        .cast("long")
+        .alias("avg_err_q"),
+        F.sum((F.col("err") == 0).cast("int")).cast("long").alias("n_exact"),
+    ).select(
+        F.col("i").cast("int").alias("dim"),
+        "n_vecs",
+        F.col("scale_q").cast("long").alias("scale_q"),
+        "max_err_q",
+        "avg_err_q",
+        "n_exact",
+    )

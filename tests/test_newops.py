@@ -1712,3 +1712,100 @@ def test_error_impact_planted_semantics(spark):
         for r in con.execute(QUERIES["events_error_impact"].oracle).fetchall()
     )
     assert got == want
+
+
+def test_streak_islands_on_constructed_corpus(spark):
+    """streak_table's gaps-and-islands algebra on a corpus with every
+    edge: a single-day user, a run split by exactly one missing day,
+    a run crossing a month boundary, duplicate same-day events
+    (collapse to one active day), and a timeless/anonymous row
+    (invisible)."""
+    from mypipe_spark.plans.analytics import streak_table
+
+    rows = [
+        # user 1: Jan 30 .. Feb 2 (crosses month boundary), then Feb 4
+        (1, "2024-01-30 10:00:00"),
+        (1, "2024-01-31 09:00:00"),
+        (1, "2024-01-31 23:59:59"),  # duplicate day
+        (1, "2024-02-01 00:00:01"),
+        (1, "2024-02-02 12:00:00"),
+        (1, "2024-02-04 12:00:00"),  # one-day gap -> new island
+        # user 2: single active day
+        (2, "2024-03-15 08:00:00"),
+        # anonymous + timeless rows: invisible
+        (None, "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    ev = ev.union(
+        spark.createDataFrame([(3,)], "user_id long").select(
+            "user_id", F.lit(None).cast("timestamp_ntz").alias("ts")
+        )
+    )
+    got = {
+        (r["user_id"], r["island"]): (r["len"], str(r["start"]))
+        for r in streak_table(ev).collect()
+    }
+    by_user = {}
+    for (u, _), (ln, st) in got.items():
+        by_user.setdefault(u, []).append((ln, st))
+    assert set(by_user) == {1, 2}
+    assert sorted(by_user[1]) == [
+        (1, "2024-02-04 00:00:00"),
+        (4, "2024-01-30 00:00:00"),
+    ]
+    assert by_user[2] == [(1, "2024-03-15 00:00:00")]
+
+
+def test_attribution_credit_conserves_value(spark, sf_dir):
+    """Linear attribution's exact integer splitting: per attributed
+    purchase, the sum of its per-click credits differs from its
+    micro-unit value by at most n/2 micro-units (each credit is an
+    exactly-rounded n-way share, off by <=0.5 each), and the credited
+    click count per purchase matches an independently computed
+    strict-before window count."""
+    from mypipe_spark.plans.catalog import (
+        load_tables,
+        micro_quant_sql,
+        round_div_sql,
+    )
+    from mypipe_spark.plans.analytics import _ATTR_WINDOW_US
+
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("pus"),
+        F.expr(micro_quant_sql("value")).alias("vm"),
+    )
+    c = ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("cus"),
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cus") < F.col("pus"))
+        & (F.col("cus") >= F.col("pus") - _ATTR_WINDOW_US),
+    )
+    per_p = (
+        j.groupBy("p_id", "vm")
+        .agg(F.count(F.lit(1)).alias("n_win"))
+        .withColumn(
+            "credit_sum",
+            F.expr(round_div_sql("vm", "n_win", "div")) * F.col("n_win"),
+        )
+        .collect()
+    )
+    assert per_p, "fixture should attribute at least one purchase"
+    for r in per_p:
+        drift = abs(int(r["credit_sum"]) - int(r["vm"]))
+        assert drift * 2 <= r["n_win"], (r["p_id"], drift, r["n_win"])

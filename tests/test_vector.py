@@ -305,3 +305,24 @@ def test_outliers_null_vector_excluded_cross_engine(spark):
     assert all(v != 4 for (_, _, v, _) in got)
     lab0 = [r for r in sorted(got) if r[0] == 0]
     assert lab0[0][2] == 3
+
+
+def test_int8_quantization_error_within_theoretical_bound(spark, sf_dir):
+    """embedding_quantize_int8's audit must honor the symmetric-int8
+    error bound: |x - deq(enc(x))| <= scale/(2*127) + 1 in quantized
+    units (a half step of the code lattice plus the final integer
+    rounding). A broken encoder (wrong scale, truncating division,
+    sign bug) lands outside the bound. Also: every dimension reports
+    the full corpus, and a positive scale (the fixture has no
+    all-zero dimension)."""
+    from mypipe_spark.plans.catalog import all_queries
+
+    rows = all_queries()["embedding_quantize_int8"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    n_total = rows[0]["n_vecs"]
+    for r in rows:
+        assert r["n_vecs"] == n_total
+        assert r["scale_q"] > 0
+        assert r["max_err_q"] <= r["scale_q"] / 254 + 1, dict(r.asDict())
+        assert 0 <= r["avg_err_q"] <= r["max_err_q"]
+        assert 0 <= r["n_exact"] <= r["n_vecs"]
