@@ -3123,3 +3123,106 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# top user journeys (ordered event-type trigrams)
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL),
+    seq AS (
+      SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3,
+             LEAD(event_id, 2) OVER w AS id3
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    paths AS (
+      SELECT t1, t2, t3, COUNT(*) AS cnt
+      FROM seq WHERE id3 IS NOT NULL
+      GROUP BY t1, t2, t3),
+    r AS (
+      SELECT t1, t2, t3, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC,
+                                t1 ASC NULLS LAST, t2 ASC NULLS LAST,
+                                t3 ASC NULLS LAST) AS rk
+      FROM paths)
+    SELECT CAST(rk AS INT) AS rk, t1, t2, t3, CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rk <= {_TOP_PATHS}
+    """,
+    tags=("events", "sequence", "paths"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {top} most frequent length-3 event-type journeys across
+    all users — the path-analysis extension of the order-2
+    events_markov_transitions (a funnel you did not have to specify
+    up front). Steps are CONSECUTIVE events of one user in (time,
+    event_id) order; the trigram window never crosses users. A
+    journey's third step is detected by the LEAD of the non-null
+    event_id — not of the type — so a genuine NULL event TYPE is a
+    visible journey step while running off a user's history is not.
+    Identity is required (NULL event_ids have no deterministic
+    position under timestamp ties); the rank tie-break is total
+    (count, then the three steps, NULLS LAST on both engines), so
+    the reported top-{top} set is engine-identical.
+
+    Scale shape: one exchange on user_id for the sequence window
+    (per-user histories are bounded), then a map-side-combinable
+    trigram count whose cardinality is |types|³, and the final
+    top-{top} is a TakeOrdered over that tiny relation — the full
+    journey stream is never globally sorted."""
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        F.lead("event_id", 2).over(w).alias("id3"),
+    )
+    paths = (
+        seq.filter(F.col("id3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(
+            F.desc("cnt"),
+            F.asc_nulls_last("t1"),
+            F.asc_nulls_last("t2"),
+            F.asc_nulls_last("t3"),
+        )
+    )
+    return (
+        paths.withColumn("rk", rk)
+        .filter(F.col("rk") <= _TOP_PATHS)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "t1",
+            "t2",
+            "t3",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )

@@ -578,3 +578,85 @@ def curation_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return audit(docs, "documents", default_doc_checks())
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning
+# ---------------------------------------------------------------------------
+
+# Target output-object size for the compaction plan. Scaled to the
+# fixture corpus (text bytes per (source, lang) run ~tens of KB at
+# sf0.01) so both the multi-file and single-file branches get
+# exercised; a production lake uses 128 MB-1 GB. The PLAN shape —
+# ceil-division file counts, balanced docs-per-file, oversize
+# detection — is size-independent.
+_COMPACT_TARGET_BYTES = 8_192
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS est_bytes,
+           CAST(GREATEST(
+             (COALESCE(SUM(n_chars), 0) + {_COMPACT_TARGET_BYTES - 1})
+               // {_COMPACT_TARGET_BYTES}, 1) AS BIGINT) AS n_files,
+           CAST({round_div_sql(
+               "COUNT(*)",
+               f"GREATEST((COALESCE(SUM(n_chars), 0) + "
+               f"{_COMPACT_TARGET_BYTES - 1}) // {_COMPACT_TARGET_BYTES}, 1)",
+               "//")} AS BIGINT) AS docs_per_file,
+           CAST(SUM(CASE WHEN n_chars > {_COMPACT_TARGET_BYTES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("layout", "compaction", "ops"),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan per (source, lang) layout partition:
+    document count, estimated text bytes, the ceil-divided number of
+    target-size output files, the balanced docs-per-file quota a
+    writer would use, and how many single documents exceed the target
+    (unsplittable — they force an oversized object each). This is the
+    planning half of the 100 TB lake's small-files problem: a
+    partition-clustered corpus written naively produces one object
+    per task per partition, and readers pay per-object overhead; the
+    plan is what a compaction job's ``repartition(n_files)`` per
+    partition consumes. All integer arithmetic (ceil division via
+    (s + T-1) div T, exactly-rounded quota), so both engines emit the
+    identical plan. NULL source/lang are their own partition (they
+    land in real directories); NULL n_chars contributes zero bytes
+    but still counts as a document.
+
+    Scale shape: one scan, one map-side-combinable aggregate over the
+    layout key — the plan is proportional to |partitions|, never to
+    corpus size."""
+    t = _COMPACT_TARGET_BYTES
+    docs = load_tables(spark, sf_dir)["documents"]
+    est = F.coalesce(F.sum("n_chars"), F.lit(0))
+    n_files = F.greatest(
+        F.expr(
+            f"(COALESCE(SUM(n_chars), 0) + {t - 1}) div {t}"
+        ),
+        F.lit(1).cast("long"),
+    )
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        est.cast("long").alias("est_bytes"),
+        n_files.cast("long").alias("n_files"),
+        F.expr(
+            round_div_sql(
+                "COUNT(*)",
+                f"GREATEST((COALESCE(SUM(n_chars), 0) + {t - 1}) div {t},"
+                " CAST(1 AS BIGINT))",
+                "div",
+            )
+        )
+        .cast("long")
+        .alias("docs_per_file"),
+        F.sum((F.col("n_chars") > t).cast("int"))
+        .cast("long")
+        .alias("n_oversize"),
+    )
