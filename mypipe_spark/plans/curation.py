@@ -660,3 +660,142 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_oversize"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z-order layout quality
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8          # per-dimension bucket resolution (256 buckets)
+_Z_BUCKETS = 1 << _Z_BITS
+_Z_BLOCK_SHIFT = 8   # a "file" is a contiguous run of 256 z-codes
+
+
+def _morton16(xb: str, yb: str, dialect: str) -> str:
+    """16-bit Morton (z-order) interleave of two {_Z_BITS}-bit bucket
+    ids, as SQL text for either engine — the bit-twiddling is plain
+    shifts/masks, but Spark spells them shiftleft()/shiftright()
+    while DuckDB uses << / >> operators. Every term is parenthesized;
+    the sum form needs no OR because the per-bit terms occupy
+    disjoint bit positions."""
+    terms = []
+    for b in range(_Z_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({xb}, {b}) & 1, {2 * b})")
+            terms.append(f"shiftleft(shiftright({yb}, {b}) & 1, {2 * b + 1})")
+        else:
+            terms.append(f"((({xb} >> {b}) & 1) << {2 * b})")
+            terms.append(f"((({yb} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_SPANS = """
+      SELECT blk,
+             MAX(xb) - MIN(xb) + 1 AS sx,
+             MAX(yb) - MIN(yb) + 1 AS sy,
+             COUNT(*) AS c
+      FROM {src} GROUP BY blk
+"""
+
+
+@register(
+    "layout_zorder_quality",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_orderkey AS x, l_partkey AS y FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    bounds AS (
+      SELECT MIN(x) AS minx, MAX(x) AS maxx,
+             MIN(y) AS miny, MAX(y) AS maxy FROM src),
+    t AS (
+      SELECT ((x - minx) * {_Z_BUCKETS}) // (maxx - minx + 1) AS xb,
+             ((y - miny) * {_Z_BUCKETS}) // (maxy - miny + 1) AS yb
+      FROM src, bounds),
+    zt AS (SELECT xb, yb,
+                  {_morton16('xb', 'yb', 'duck')} >> {_Z_BLOCK_SHIFT} AS blk
+           FROM t),
+    lt AS (SELECT xb, yb, xb AS blk FROM t),
+    zb AS ({_Z_SPANS.format(src='zt')}),
+    lb AS ({_Z_SPANS.format(src='lt')})
+    SELECT 'zorder' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           {round4_frac_sql('CAST(SUM(sx) AS BIGINT)', 'COUNT(*)', '//')}
+             AS avg_span_x,
+           {round4_frac_sql('CAST(SUM(sy) AS BIGINT)', 'COUNT(*)', '//')}
+             AS avg_span_y
+    FROM zb
+    UNION ALL
+    SELECT 'linear',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c) AS BIGINT),
+           {round4_frac_sql('CAST(SUM(sx) AS BIGINT)', 'COUNT(*)', '//')},
+           {round4_frac_sql('CAST(SUM(sy) AS BIGINT)', 'COUNT(*)', '//')}
+    FROM lb
+    """,
+    tags=("layout", "zorder", "pruning"),
+)
+def layout_zorder_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout clustering quality: bucket the two lineitem join
+    keys to {buckets} range buckets each, group rows into equal
+    z-range "files" under a 16-bit Morton (z-order) interleave versus
+    a plain sort-by-one-key layout, and report each layout's average
+    per-file bucket SPAN on both dimensions. A file's span on a
+    column is exactly what min/max zone maps expose to scan pruning:
+    span 256 means a predicate on that column prunes nothing, span
+    ~16 means ~94% of files skip. The report quantifies the z-order
+    trade — the linear layout is perfect on its sort key and useless
+    on the other; z-order is ~sqrt-good on BOTH — which is the
+    decision input for a 100 TB OPTIMIZE/CLUSTER BY job over a
+    two-column workload. Buckets derive from broadcast corpus bounds
+    via exact integer division, the interleave is pure shifts/masks,
+    and the span averages go through the exact rounding helper, so
+    both engines emit the identical report. NULL keys are outside
+    every zone map (filtered, documented).
+
+    Scale shape: one scan + one 1-row bounds broadcast, then two
+    map-side-combinable aggregates over at most {buckets} and 2^
+    {2*bits - shift} groups; nothing is ever globally sorted — the
+    z-code IS the cluster assignment."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select(F.col("l_orderkey").alias("x"), F.col("l_partkey").alias("y"))
+    )
+    bounds = li.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    t = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((x - minx) * {_Z_BUCKETS}) div (maxx - minx + 1)").alias("xb"),
+        F.expr(f"((y - miny) * {_Z_BUCKETS}) div (maxy - miny + 1)").alias("yb"),
+    )
+    zt = t.select(
+        "xb",
+        "yb",
+        F.expr(
+            f"shiftright({_morton16('xb', 'yb', 'spark')}, {_Z_BLOCK_SHIFT})"
+        ).alias("blk"),
+    )
+    lt = t.select("xb", "yb", F.col("xb").alias("blk"))
+
+    def spans(src: DataFrame, layout: str) -> DataFrame:
+        per_blk = src.groupBy("blk").agg(
+            (F.max("xb") - F.min("xb") + 1).alias("sx"),
+            (F.max("yb") - F.min("yb") + 1).alias("sy"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        return per_blk.agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.expr(
+                round4_frac_sql("CAST(SUM(sx) AS BIGINT)", "COUNT(*)", "div")
+            ).alias("avg_span_x"),
+            F.expr(
+                round4_frac_sql("CAST(SUM(sy) AS BIGINT)", "COUNT(*)", "div")
+            ).alias("avg_span_y"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    return spans(zt, "zorder").unionByName(spans(lt, "linear"))

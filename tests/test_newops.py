@@ -1809,3 +1809,68 @@ def test_attribution_credit_conserves_value(spark, sf_dir):
     for r in per_p:
         drift = abs(int(r["credit_sum"]) - int(r["vm"]))
         assert drift * 2 <= r["n_win"], (r["p_id"], drift, r["n_win"])
+
+
+def test_morton16_interleave_engines_agree_and_are_correct(spark):
+    """_morton16's two dialect spellings must compute the SAME
+    interleave, and that interleave must equal a reference Python
+    bit-weave, across the full corner set (0, 255, alternating bit
+    patterns)."""
+    import duckdb
+
+    from mypipe_spark.plans.curation import _morton16
+
+    cases = [(0, 0), (255, 255), (0, 255), (255, 0), (0b10101010, 0b01010101),
+             (1, 2), (16, 16), (200, 3)]
+
+    def ref(x, y):
+        out = 0
+        for b in range(8):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(cases, "xb long, yb long")
+    got_spark = [
+        r[0]
+        for r in df.select(
+            F.expr(_morton16("xb", "yb", "spark"))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_morton16(str(x), str(y), 'duck')}"
+        ).fetchone()[0]
+        for x, y in cases
+    ]
+    want = [ref(x, y) for x, y in cases]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_zorder_report_shows_the_clustering_tradeoff(spark, sf_dir):
+    """The z-order layout must be symmetric across dimensions and
+    strictly better than linear on the non-sort dimension; linear
+    must be perfect (span 1) on its own sort key. These are the
+    structural properties a z-order implementation cannot fake — a
+    broken interleave (swapped shifts, missing bits) destroys the
+    symmetry or the pruning width."""
+    from mypipe_spark.plans.catalog import all_queries
+
+    rows = {
+        r["layout"]: r
+        for r in all_queries()["layout_zorder_quality"].fn(spark, sf_dir).collect()
+    }
+    z, lin = rows["zorder"], rows["linear"]
+    assert z["n_rows"] == lin["n_rows"] > 0
+    assert lin["avg_span_x"] == 1.0
+    # near-symmetric: exactly equal on a dense uniform grid; sparse
+    # fixture buckets leave sub-1 gaps per dimension
+    assert abs(z["avg_span_x"] - z["avg_span_y"]) < 2.0, (
+        "z-order is dimension-symmetric",
+        z["avg_span_x"],
+        z["avg_span_y"],
+    )
+    assert z["avg_span_y"] < lin["avg_span_y"] / 4, "z-order must prune y"
+    assert z["avg_span_x"] <= 32, "a 256-block z-layout clusters to ~16-wide cells"
