@@ -3025,6 +3025,53 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTR_WINDOW_US = 3 * _US_PER_DAY  # clicks within 3 days before a purchase
 
 
+def attribution_credits(events: DataFrame) -> DataFrame:
+    """(p_id, vm, day, n_win, credit_micro) — one row per (purchase,
+    in-window click) with the purchase's micro-unit value, the
+    click's day, the purchase's in-window click count, and the
+    exactly rounded per-click credit. The composable core of
+    events_attribution_linear, exposed (like streak_table) so tests
+    can pin the band-join semantics and credit conservation on
+    constructed corpora — the registered query only rolls these rows
+    up by day."""
+    p = events.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("pus"),
+        F.expr(micro_quant_sql("value")).alias("vm"),
+    )
+    c = events.filter(
+        (F.col("event_type") == "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("cus"),
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cus") < F.col("pus"))
+        & (F.col("cus") >= F.col("pus") - _ATTR_WINDOW_US),
+    )
+    return (
+        j.withColumn(
+            "n_win", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+        )
+        .withColumn(
+            "credit_micro", F.expr(round_div_sql("vm", "n_win", "div"))
+        )
+        .select("p_id", "vm", "day", "n_win", "credit_micro")
+    )
+
+
 @register(
     "events_attribution_linear",
     oracle=f"""
@@ -3064,7 +3111,7 @@ _ATTR_WINDOW_US = 3 * _US_PER_DAY  # clicks within 3 days before a purchase
 def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (equal-split) multi-touch attribution: each purchase's
     value is divided equally across that user's clicks in the
-    {window}-day window STRICTLY before the purchase, and the credit
+    3-day (_ATTR_WINDOW_US) window STRICTLY before the purchase, and the credit
     is reported per click-day — the batch complement of
     q_asof_last_click (last-touch). Per-click credit is the exactly
     rounded integer division of the purchase's micro-unit value by
@@ -3083,39 +3130,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase identity); the final day rollup is map-side combinable.
     At 100 TB the band join takes the as-of operator's time-bucketing
     treatment (operators/asof.py) rather than a wider shuffle."""
-    ev = load_tables(spark, sf_dir)["events"]
-    p = ev.filter(
-        (F.col("event_type") == "purchase")
-        & F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("value").isNotNull()
-        & F.col("event_id").isNotNull()
-    ).select(
-        F.col("event_id").alias("p_id"),
-        F.col("user_id").alias("p_user"),
-        F.expr("unix_micros(cast(ts as timestamp))").alias("pus"),
-        F.expr(micro_quant_sql("value")).alias("vm"),
-    )
-    c = ev.filter(
-        (F.col("event_type") == "click")
-        & F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-    ).select(
-        F.col("user_id").alias("c_user"),
-        F.date_trunc("day", "ts").alias("day"),
-        F.expr("unix_micros(cast(ts as timestamp))").alias("cus"),
-    )
-    j = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("cus") < F.col("pus"))
-        & (F.col("cus") >= F.col("pus") - _ATTR_WINDOW_US),
-    )
-    cred = j.withColumn(
-        "n_win", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
-    ).withColumn(
-        "credit_micro", F.expr(round_div_sql("vm", "n_win", "div"))
-    )
+    cred = attribution_credits(load_tables(spark, sf_dir)["events"])
     return cred.groupBy("day").agg(
         F.countDistinct("p_id").alias("n_purchases"),
         F.count(F.lit(1)).cast("long").alias("n_clicks"),
@@ -3163,7 +3178,7 @@ _TOP_PATHS = 20
     tags=("events", "sequence", "paths"),
 )
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The {top} most frequent length-3 event-type journeys across
+    """The _TOP_PATHS (20) most frequent length-3 event-type journeys across
     all users — the path-analysis extension of the order-2
     events_markov_transitions (a funnel you did not have to specify
     up front). Steps are CONSECUTIVE events of one user in (time,
@@ -3174,12 +3189,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identity is required (NULL event_ids have no deterministic
     position under timestamp ties); the rank tie-break is total
     (count, then the three steps, NULLS LAST on both engines), so
-    the reported top-{top} set is engine-identical.
+    the reported top-k set is engine-identical.
 
     Scale shape: one exchange on user_id for the sequence window
     (per-user histories are bounded), then a map-side-combinable
     trigram count whose cardinality is |types|³, and the final
-    top-{top} is a TakeOrdered over that tiny relation — the full
+    top-k is a TakeOrdered over that tiny relation — the full
     journey stream is never globally sorted."""
     e = (
         load_tables(spark, sf_dir)["events"]

@@ -656,7 +656,10 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("docs_per_file"),
-        F.sum((F.col("n_chars") > t).cast("int"))
+        # when/otherwise, not sum-of-cast: an all-NULL-n_chars
+        # partition must report 0 oversize docs like the oracle's
+        # CASE form, not NULL (the count_of_sql lesson)
+        F.sum(F.when(F.col("n_chars") > t, 1).otherwise(0))
         .cast("long")
         .alias("n_oversize"),
     )
@@ -672,7 +675,7 @@ _Z_BLOCK_SHIFT = 8   # a "file" is a contiguous run of 256 z-codes
 
 
 def _morton16(xb: str, yb: str, dialect: str) -> str:
-    """16-bit Morton (z-order) interleave of two {_Z_BITS}-bit bucket
+    """16-bit Morton (z-order) interleave of two _Z_BITS-bit bucket
     ids, as SQL text for either engine — the bit-twiddling is plain
     shifts/masks, but Spark spells them shiftleft()/shiftright()
     while DuckDB uses << / >> operators. Every term is parenthesized;
@@ -737,26 +740,28 @@ _Z_SPANS = """
 )
 def layout_zorder_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-layout clustering quality: bucket the two lineitem join
-    keys to {buckets} range buckets each, group rows into equal
-    z-range "files" under a 16-bit Morton (z-order) interleave versus
-    a plain sort-by-one-key layout, and report each layout's average
-    per-file bucket SPAN on both dimensions. A file's span on a
-    column is exactly what min/max zone maps expose to scan pruning:
-    span 256 means a predicate on that column prunes nothing, span
-    ~16 means ~94% of files skip. The report quantifies the z-order
-    trade — the linear layout is perfect on its sort key and useless
-    on the other; z-order is ~sqrt-good on BOTH — which is the
-    decision input for a 100 TB OPTIMIZE/CLUSTER BY job over a
+    keys to 256 range buckets each (_Z_BITS = 8), group rows into
+    equal z-range "files" under a 16-bit Morton (z-order) interleave
+    versus a plain sort-by-one-key layout, and report each layout's
+    average per-file bucket SPAN on both dimensions. A file's span on
+    a column is exactly what min/max zone maps expose to scan
+    pruning: span 256 means a predicate on that column prunes
+    nothing, span ~16 means ~94% of files skip. The report quantifies
+    the z-order trade — the linear layout is perfect on its sort key
+    and useless on the other; z-order is ~sqrt-good on BOTH — which
+    is the decision input for a 100 TB OPTIMIZE/CLUSTER BY job over a
     two-column workload. Buckets derive from broadcast corpus bounds
     via exact integer division, the interleave is pure shifts/masks,
     and the span averages go through the exact rounding helper, so
     both engines emit the identical report. NULL keys are outside
     every zone map (filtered, documented).
 
-    Scale shape: one scan + one 1-row bounds broadcast, then two
-    map-side-combinable aggregates over at most {buckets} and 2^
-    {2*bits - shift} groups; nothing is ever globally sorted — the
-    z-code IS the cluster assignment."""
+    Scale shape: ONE fact scan for the span stage plus the 1-row
+    bounds aggregate's scan (broadcast back); each row fans out to
+    its two (layout, block) assignments in-operator, so one
+    map-side-combinable aggregate over at most 512 groups covers both
+    layouts; nothing is ever globally sorted — the z-code IS the
+    cluster assignment."""
     li = (
         load_tables(spark, sf_dir)["lineitem"]
         .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
@@ -772,30 +777,36 @@ def layout_zorder_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"((x - minx) * {_Z_BUCKETS}) div (maxx - minx + 1)").alias("xb"),
         F.expr(f"((y - miny) * {_Z_BUCKETS}) div (maxy - miny + 1)").alias("yb"),
     )
-    zt = t.select(
+    # both layout assignments emitted from ONE pass over the bucketed
+    # rows (explode of a 2-struct array), so the fact table is scanned
+    # once for the span stage instead of once per layout branch
+    both = t.select(
         "xb",
         "yb",
-        F.expr(
-            f"shiftright({_morton16('xb', 'yb', 'spark')}, {_Z_BLOCK_SHIFT})"
-        ).alias("blk"),
+        F.explode(
+            F.expr(
+                f"""
+                array(
+                  named_struct('layout', 'zorder', 'blk',
+                    shiftright({_morton16('xb', 'yb', 'spark')},
+                               {_Z_BLOCK_SHIFT})),
+                  named_struct('layout', 'linear', 'blk', xb))
+                """
+            )
+        ).alias("e"),
+    ).select("xb", "yb", F.col("e.layout").alias("layout"), F.col("e.blk").alias("blk"))
+    per_blk = both.groupBy("layout", "blk").agg(
+        (F.max("xb") - F.min("xb") + 1).alias("sx"),
+        (F.max("yb") - F.min("yb") + 1).alias("sy"),
+        F.count(F.lit(1)).alias("c"),
     )
-    lt = t.select("xb", "yb", F.col("xb").alias("blk"))
-
-    def spans(src: DataFrame, layout: str) -> DataFrame:
-        per_blk = src.groupBy("blk").agg(
-            (F.max("xb") - F.min("xb") + 1).alias("sx"),
-            (F.max("yb") - F.min("yb") + 1).alias("sy"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        return per_blk.agg(
-            F.count(F.lit(1)).cast("long").alias("n_blocks"),
-            F.sum("c").cast("long").alias("n_rows"),
-            F.expr(
-                round4_frac_sql("CAST(SUM(sx) AS BIGINT)", "COUNT(*)", "div")
-            ).alias("avg_span_x"),
-            F.expr(
-                round4_frac_sql("CAST(SUM(sy) AS BIGINT)", "COUNT(*)", "div")
-            ).alias("avg_span_y"),
-        ).select(F.lit(layout).alias("layout"), "*")
-
-    return spans(zt, "zorder").unionByName(spans(lt, "linear"))
+    return per_blk.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.expr(
+            round4_frac_sql("CAST(SUM(sx) AS BIGINT)", "COUNT(*)", "div")
+        ).alias("avg_span_x"),
+        F.expr(
+            round4_frac_sql("CAST(SUM(sy) AS BIGINT)", "COUNT(*)", "div")
+        ).alias("avg_span_y"),
+    )

@@ -882,7 +882,7 @@ def _cosine_oracle() -> str:
     tags=("dedup", "embedding", "ann"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine ≥ {threshold} pairs, blocked by the
+    """Embedding near-dup: cosine ≥ _COSINE_THRESHOLD pairs, blocked by the
     ``label`` column (the coarse-quantizer/IVF cell — pairs are only
     formed within a cell, never across the corpus).
 

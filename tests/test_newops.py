@@ -1758,57 +1758,145 @@ def test_streak_islands_on_constructed_corpus(spark):
     assert by_user[2] == [(1, "2024-03-15 00:00:00")]
 
 
-def test_attribution_credit_conserves_value(spark, sf_dir):
-    """Linear attribution's exact integer splitting: per attributed
-    purchase, the sum of its per-click credits differs from its
-    micro-unit value by at most n/2 micro-units (each credit is an
-    exactly-rounded n-way share, off by <=0.5 each), and the credited
-    click count per purchase matches an independently computed
-    strict-before window count."""
+def test_attribution_band_semantics_on_constructed_corpus(spark):
+    """attribution_credits (the registered query's core) on a corpus
+    where the right answer is derivable by hand: the window's closed
+    lower bound (click at exactly pus - WINDOW credited), the strict
+    upper bound (same-microsecond click NOT credited), a click
+    credited by TWO purchases, an out-of-window click, an
+    unattributed purchase (no credit rows at all), and cross-user
+    isolation."""
+    from mypipe_spark.plans.analytics import (
+        _ATTR_WINDOW_US,
+        attribution_credits,
+    )
+
+    base = 1_700_000_000_000_000  # any post-epoch micros
+    rows = [
+        # (event_id, user_id, type, us, value)
+        # user 1: clicks at base, base+10; purchase 201 at base+WINDOW
+        # credits BOTH (base is exactly pus-WINDOW -> closed bound)
+        (101, 1, "click", base, None),
+        (102, 1, "click", base + 10, None),
+        (201, 1, "purchase", base + _ATTR_WINDOW_US, 9.0),
+        # purchase 202 five micros later: its closed lower bound is
+        # base+5, so click 101 (at base) falls OUT and only 102 credits
+        (202, 1, "purchase", base + _ATTR_WINDOW_US + 5, 7.0),
+        # same-microsecond click as purchase 203: NOT credited
+        (103, 1, "click", base + 2 * _ATTR_WINDOW_US + 50, None),
+        (203, 1, "purchase", base + 2 * _ATTR_WINDOW_US + 50, 5.0),
+        # user 2: click outside the window -> purchase unattributed
+        (104, 2, "click", base, None),
+        (204, 2, "purchase", base + _ATTR_WINDOW_US + 1, 3.0),
+    ]
+    ev = spark.createDataFrame(
+        [
+            (eid, uid, typ, us / 1_000_000.0, val)
+            for eid, uid, typ, us, val in rows
+        ],
+        "event_id long, user_id long, event_type string, sec double, value double",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_seconds("sec").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    got = sorted(
+        (r["p_id"], r["n_win"], int(r["credit_micro"]))
+        for r in attribution_credits(ev).collect()
+    )
+    # 201 (9.0) splits over clicks 101+102; 202 (7.0) credits only
+    # click 102; 103 shares 203's microsecond (excluded, and clicks
+    # 101/102 precede 203's window, so 203 is unattributed); 204's
+    # only click is out of window
+    assert got == [
+        (201, 2, 4_500_000),
+        (201, 2, 4_500_000),
+        (202, 1, 7_000_000),
+    ]
+
+
+def test_attribution_query_matches_independent_group_count(spark, sf_dir):
+    """The REGISTERED events_attribution_linear day report must be
+    reproducible from attribution_credits' rows, and the per-purchase
+    window count n_win must equal an independently computed
+    strict-before groupBy count (a different mechanism than the
+    production window-over-p_id), so a window/partition bug cannot
+    hide. Also pins exact credit conservation: per purchase, the
+    credit sum differs from the value by at most n/2 micro-units."""
     from mypipe_spark.plans.catalog import (
+        all_queries,
         load_tables,
         micro_quant_sql,
-        round_div_sql,
     )
-    from mypipe_spark.plans.analytics import _ATTR_WINDOW_US
+    from mypipe_spark.plans.analytics import (
+        _ATTR_WINDOW_US,
+        attribution_credits,
+    )
 
     ev = load_tables(spark, sf_dir)["events"]
+    cred = attribution_credits(ev)
+    # independent n_win: aggregate the band join by purchase id
+    # (groupBy count, no window), built from re-filtered sides
     p = ev.filter(
         (F.col("event_type") == "purchase")
         & F.col("ts").isNotNull() & F.col("user_id").isNotNull()
         & F.col("value").isNotNull() & F.col("event_id").isNotNull()
     ).select(
         F.col("event_id").alias("p_id"),
-        F.col("user_id").alias("p_user"),
+        F.col("user_id").alias("u"),
         F.expr("unix_micros(cast(ts as timestamp))").alias("pus"),
-        F.expr(micro_quant_sql("value")).alias("vm"),
     )
     c = ev.filter(
         (F.col("event_type") == "click")
         & F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     ).select(
-        F.col("user_id").alias("c_user"),
+        F.col("user_id").alias("u"),
         F.expr("unix_micros(cast(ts as timestamp))").alias("cus"),
     )
-    j = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("cus") < F.col("pus"))
-        & (F.col("cus") >= F.col("pus") - _ATTR_WINDOW_US),
-    )
-    per_p = (
-        j.groupBy("p_id", "vm")
-        .agg(F.count(F.lit(1)).alias("n_win"))
-        .withColumn(
-            "credit_sum",
-            F.expr(round_div_sql("vm", "n_win", "div")) * F.col("n_win"),
+    indep = {
+        r["p_id"]: r["n"]
+        for r in p.join(
+            c,
+            (p["u"] == c["u"])
+            & (F.col("cus") < F.col("pus"))
+            & (F.col("cus") >= F.col("pus") - _ATTR_WINDOW_US),
         )
+        .groupBy("p_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_p = (
+        cred.groupBy("p_id", "vm", "n_win")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("credit_micro").alias("s"))
         .collect()
     )
     assert per_p, "fixture should attribute at least one purchase"
     for r in per_p:
-        drift = abs(int(r["credit_sum"]) - int(r["vm"]))
+        assert r["n_win"] == r["n_rows"] == indep[r["p_id"]]
+        drift = abs(int(r["s"]) - int(r["vm"]))
         assert drift * 2 <= r["n_win"], (r["p_id"], drift, r["n_win"])
+    # the registered day report is exactly the rollup of cred's rows
+    want = {
+        (str(r["day"]), r["n_purchases"], r["n_clicks"], round(r["credit"], 6))
+        for r in cred.groupBy("day")
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            (F.sum("credit_micro").cast("double") / F.lit(1000000.0)).alias(
+                "credit"
+            ),
+        )
+        .collect()
+    }
+    got = {
+        (str(r["day"]), r["n_purchases"], r["n_clicks"], round(r["credit"], 6))
+        for r in all_queries()["events_attribution_linear"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
 
 
 def test_morton16_interleave_engines_agree_and_are_correct(spark):
