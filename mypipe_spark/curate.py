@@ -359,6 +359,94 @@ def audit_stream(
     )
 
 
+def compact_write(
+    docs: DataFrame,
+    out_dir: str,
+    target_bytes: int | None = None,
+    mode: str = "overwrite",
+) -> dict[str, Any]:
+    """Execute the small-file compaction plan: write ``docs`` as
+    parquet partitioned by (source, lang) with AT MOST the plan's
+    ``n_files`` objects per directory — the acting half of the
+    layout_compaction_plan query, built on the SAME
+    :func:`compaction_plan_for` core so the written layout can never
+    drift from the reported plan.
+
+    Mechanism: each row gets a deterministic file slot
+    ``pmod(xxhash64(doc_id), n_files)`` from its partition's plan row
+    (broadcast — the plan is |partitions| rows), the frame is
+    repartitioned on (source, lang, slot) with an EXPLICIT partition
+    count of the plan's total file budget, and the writer's
+    partitionBy splits per directory. The explicit count is
+    load-bearing twice: AQE coalesces a column-only repartition of
+    small data into one task (measured — every slot merges and
+    nothing splits), and it is what bounds each directory to at most
+    n_files objects (a task-level hash collision between two slots
+    can only LOWER a directory's count, never fragment it).
+    Deliberately explicit rather than ``maxRecordsPerFile``:
+    records-per-file caps fan small partitions into MORE files, the
+    opposite of compaction, and AQE rebalance does not see directory
+    boundaries. The one driver-side scalar (the plan's total file
+    count) is |partitions|-row metadata, same EAGER class as the ANN
+    query vectors; compact_write is itself an action.
+
+    Returns {"n_rows", "n_dirs", "max_files_per_dir"} as the write
+    audit. NULL source/lang rows land in the hive default-partition
+    directories (__HIVE_DEFAULT_PARTITION__), mirroring the plan's
+    NULL-is-its-own-partition contract."""
+    from .plans.curation import compaction_plan_for
+
+    plan = compaction_plan_for(
+        docs, **({} if target_bytes is None else {"target_bytes": target_bytes})
+    ).select(
+        F.col("source").alias("_p_src"),
+        F.col("lang").alias("_p_lang"),
+        "n_files",
+    )
+    # null-safe equality: a NULL-source/lang partition HAS a plan row
+    # and must find it (the funnel equi-join lesson) — a plain
+    # name-join would silently drop NULL partitions to the slot-0
+    # fallback
+    slotted = (
+        docs.join(
+            F.broadcast(plan),
+            F.col("source").eqNullSafe(F.col("_p_src"))
+            & F.col("lang").eqNullSafe(F.col("_p_lang")),
+            "left",
+        )
+        .withColumn(
+            "_slot",
+            F.pmod(F.xxhash64("doc_id"), F.coalesce("n_files", F.lit(1))),
+        )
+        .drop("n_files", "_p_src", "_p_lang")
+    )
+    total_files = int(
+        plan.agg(F.sum("n_files")).collect()[0][0] or 1
+    )
+    (
+        slotted.repartition(total_files, "source", "lang", "_slot")
+        .drop("_slot")
+        .write.mode(mode)
+        .partitionBy("source", "lang")
+        .parquet(out_dir)
+    )
+    spark = docs.sparkSession
+    written = spark.read.parquet(out_dir)
+    n_rows = written.count()
+    import os
+
+    per_dir: dict[str, int] = {}
+    for root, _dirs, files in os.walk(out_dir):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_dir[root] = n
+    return {
+        "n_rows": n_rows,
+        "n_dirs": len(per_dir),
+        "max_files_per_dir": max(per_dir.values(), default=0),
+    }
+
+
 def main() -> int:
     import json
     import sys

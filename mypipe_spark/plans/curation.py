@@ -633,8 +633,18 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, one map-side-combinable aggregate over the
     layout key — the plan is proportional to |partitions|, never to
     corpus size."""
-    t = _COMPACT_TARGET_BYTES
-    docs = load_tables(spark, sf_dir)["documents"]
+    return compaction_plan_for(load_tables(spark, sf_dir)["documents"])
+
+
+def compaction_plan_for(
+    docs: DataFrame, target_bytes: int = _COMPACT_TARGET_BYTES
+) -> DataFrame:
+    """Composable core of layout_compaction_plan over any
+    (source, lang, n_chars, …) DataFrame — shared by the registered
+    query and :func:`mypipe_spark.curate.compact_write`, which
+    executes the plan, so the written layout can never drift from
+    the reported one."""
+    t = target_bytes
     est = F.coalesce(F.sum("n_chars"), F.lit(0))
     n_files = F.greatest(
         F.expr(

@@ -1105,6 +1105,69 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"))
 
 
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_JACCARD_CTES},
+    {_SQL_JPAIRS_CTE},
+    {_cc_closure_sql("jpairs", "doc_a", "doc_b", "doc_id", "component",
+                     as_cte="comp")},
+    sizes AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+    hist AS (
+      SELECT CAST(sz AS BIGINT) AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY sz),
+    singles AS (
+      SELECT (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM comp) AS n)
+    SELECT * FROM hist
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(n AS BIGINT), CAST(n AS BIGINT)
+    FROM singles WHERE n > 0
+    """,
+    tags=("dedup", "components", "report"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the summary a curation run
+    reads before deciding a dedup policy: for each cluster size, how
+    many near-dup clusters exist and how many documents they hold,
+    with the corpus's untouched singletons reported as size-1 rows
+    (so the histogram's n_docs column sums to the corpus size and
+    "how much would keep-one-per-cluster delete" is one subtraction).
+    Sits directly on dedup_components' labels; every Jaccard
+    component has >= 2 members, so the singleton row can never
+    collide with a computed size-1 bucket.
+
+    Scale shape: the component labels (|docs-in-pairs| rows) take two
+    map-side-combinable aggregates (by component, then by size — the
+    second over <= |clusters| rows); the singleton row joins two
+    1-row counts. The expensive part IS dedup_components; the
+    histogram adds no new scan of the corpus."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    ).select(F.col("sz").cast("long").alias("cluster_size"), "n_clusters", "n_docs")
+    total = load_tables(spark, sf_dir)["documents"].agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    in_comp = comp.agg(F.count(F.lit(1)).alias("n_comp"))
+    singles = (
+        total.crossJoin(in_comp)
+        .select((F.col("n_total") - F.col("n_comp")).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").cast("long").alias("n_clusters"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
 # ---------------------------------------------------------------------------
 # normalization + exact dedup (the canonicalizing variant)
 # ---------------------------------------------------------------------------

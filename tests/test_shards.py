@@ -404,3 +404,44 @@ def test_streaming_audit_and_curation_compose_on_one_stream(
         gate_documents(batch_docs).filter(F.col("gate_keep") == 1).count()
     )
     assert n_landed == n_keep > 0
+
+
+def test_compact_write_obeys_the_plan(spark, sf_dir, tmp_path):
+    """compact_write must land at most the plan's n_files parquet
+    objects in every (source, lang) directory and round-trip every
+    row. Run at a target small enough that several partitions plan
+    multiple files (the fixture's directories fit one file at the
+    default target, which would leave the multi-file slotting path
+    untested), and assert the multi-file case actually materializes."""
+    from mypipe_spark.curate import compact_write
+    from mypipe_spark.plans.catalog import load_tables
+    from mypipe_spark.plans.curation import compaction_plan_for
+
+    target = 512  # force multi-file partitions on the small fixture
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = str(tmp_path / "compacted")
+    audit = compact_write(docs, out, target_bytes=target)
+    assert audit["n_rows"] == docs.count()
+    plan = {
+        (r["source"], r["lang"]): r["n_files"]
+        for r in compaction_plan_for(docs, target_bytes=target).collect()
+    }
+    assert audit["n_dirs"] == len(plan)
+    assert max(plan.values()) > 1, "target must force the multi-file path"
+    import os
+
+    multi = 0
+    for root, _dirs, files in os.walk(out):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if not n:
+            continue
+        # .../source=<s>/lang=<l>
+        parts = dict(
+            kv.split("=", 1) for kv in root.split(os.sep) if "=" in kv
+        )
+        key = (parts["source"], parts["lang"])
+        assert key in plan, root
+        assert 1 <= n <= plan[key], (root, n, plan[key])
+        multi += n > 1
+    assert multi > 0, "at least one directory must actually split"
+    assert audit["max_files_per_dir"] > 1
