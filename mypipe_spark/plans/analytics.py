@@ -3241,3 +3241,112 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_TILES = 4
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             {micro_quant_sql("value")} AS vm
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND value IS NOT NULL),
+    u AS (
+      SELECT user_id, MAX(us) AS last_us, COUNT(*) AS freq,
+             SUM(vm) AS mon
+      FROM p GROUP BY user_id),
+    h AS (SELECT MAX(last_us) AS head_us FROM u),
+    u2 AS (
+      SELECT user_id, (head_us - last_us) // {_US_PER_DAY} AS recency_days,
+             freq, mon
+      FROM u, h),
+    q AS (
+      SELECT recency_days, freq, mon,
+             NTILE({_RFM_TILES}) OVER (ORDER BY recency_days, user_id) AS r_q,
+             NTILE({_RFM_TILES}) OVER (ORDER BY freq, user_id) AS f_q,
+             NTILE({_RFM_TILES}) OVER (ORDER BY mon, user_id) AS m_q
+      FROM u2)
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST({round_div_sql("CAST(SUM(recency_days) AS HUGEINT)",
+                               "COUNT(*)", "//")} AS BIGINT)
+             AS avg_recency_days,
+           CAST(SUM(mon) AS DOUBLE) / 1000000 AS total_monetary
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+    tags=("events", "segmentation", "ntile"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchasing user, recency (whole
+    days behind the newest purchase), frequency (purchase count) and
+    monetary (exact micro-unit value sum) quartiles — each an
+    ascending NTILE(4) with the user id as tiebreak, so quartile 1 is
+    the most-recent / least-frequent / lowest-spend end of each axis
+    and every assignment is engine-deterministic — rolled up to the
+    classic three-digit segment code (r*100 + f*10 + m). Purchases
+    need timestamp, user and value; other event types are invisible.
+
+    Scale honesty: each quartile axis runs through
+    operators.scale.exact_ntile's two-pass range-partitioned ranking,
+    NOT a single-partition ntile window — the per-user relation is
+    corpus-sized at 100 TB and a global-sort window there is the one
+    shape that cannot scale (the deciles lesson). Construction is
+    therefore EAGER (three small job pairs at build; same contract as
+    q_customer_balance_deciles). The oracle states the identical
+    buckets through window NTILE — bit-equality between the two forms
+    is exactly what the hash comparison checks."""
+    from ..operators.scale import exact_ntile
+
+    p = load_tables(spark, sf_dir)["events"].filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr(micro_quant_sql("value")).alias("vm"),
+    )
+    u = p.groupBy("user_id").agg(
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("vm").alias("mon"),
+    )
+    head = u.agg(F.max("last_us").alias("head_us"))
+    u2 = u.crossJoin(F.broadcast(head)).select(
+        "user_id",
+        F.expr(f"(head_us - last_us) div {_US_PER_DAY}").alias("recency_days"),
+        "freq",
+        "mon",
+    )
+    q = exact_ntile(u2, _RFM_TILES, ["recency_days", "user_id"], out_col="r_q")
+    q = exact_ntile(q, _RFM_TILES, ["freq", "user_id"], out_col="f_q")
+    q = exact_ntile(q, _RFM_TILES, ["mon", "user_id"], out_col="m_q")
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr(
+            round_div_sql(
+                "CAST(SUM(recency_days) AS DECIMAL(38,0))", "COUNT(*)", "div"
+            )
+        )
+        .cast("long")
+        .alias("avg_recency_days"),
+        (F.sum("mon").cast("double") / F.lit(1000000.0)).alias(
+            "total_monetary"
+        ),
+    ).select(
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("segment"),
+        "n_users",
+        "avg_recency_days",
+        "total_monetary",
+    )
