@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .operators.audit import default_doc_checks  # re-export: runner API
 from .plans.catalog import load_tables
 from .plans.curation import (
+    compaction_plan_for,
     funnel_flags,
     gate_documents,
     mix_select,
@@ -359,10 +360,17 @@ def audit_stream(
     )
 
 
+# Production default for compact_write: the plan query's 8 KB
+# constant is fixture-scale REPORTING; an acting writer defaulting to
+# it would shred a real corpus into one object per 8 KB (~130M files
+# per TB). 128 MB is the parquet-friendly lake default.
+_COMPACT_WRITE_TARGET_BYTES = 128 * 1024 * 1024
+
+
 def compact_write(
     docs: DataFrame,
     out_dir: str,
-    target_bytes: int | None = None,
+    target_bytes: int = _COMPACT_WRITE_TARGET_BYTES,
     mode: str = "overwrite",
 ) -> dict[str, Any]:
     """Execute the small-file compaction plan: write ``docs`` as
@@ -370,38 +378,57 @@ def compact_write(
     ``n_files`` objects per directory — the acting half of the
     layout_compaction_plan query, built on the SAME
     :func:`compaction_plan_for` core so the written layout can never
-    drift from the reported plan.
+    drift from the reported plan. Unlike the reporting query, the
+    WRITER defaults to a production 128 MB target (tests pass a small
+    target explicitly to exercise the multi-file path).
 
     Mechanism: each row gets a deterministic file slot
     ``pmod(xxhash64(doc_id), n_files)`` from its partition's plan row
-    (broadcast — the plan is |partitions| rows), the frame is
+    (the plan is collected ONCE — |partitions| rows of metadata, the
+    ANN-query-vector EAGER class — both to derive the total file
+    budget and to rebuild the broadcast side, so the corpus is never
+    re-aggregated just to size the shuffle), the frame is
     repartitioned on (source, lang, slot) with an EXPLICIT partition
-    count of the plan's total file budget, and the writer's
-    partitionBy splits per directory. The explicit count is
-    load-bearing twice: AQE coalesces a column-only repartition of
-    small data into one task (measured — every slot merges and
-    nothing splits), and it is what bounds each directory to at most
-    n_files objects (a task-level hash collision between two slots
-    can only LOWER a directory's count, never fragment it).
-    Deliberately explicit rather than ``maxRecordsPerFile``:
-    records-per-file caps fan small partitions into MORE files, the
-    opposite of compaction, and AQE rebalance does not see directory
-    boundaries. The one driver-side scalar (the plan's total file
-    count) is |partitions|-row metadata, same EAGER class as the ANN
-    query vectors; compact_write is itself an action.
+    count of that budget, and the writer's partitionBy splits per
+    directory. The explicit count is load-bearing twice: AQE
+    coalesces a column-only repartition of small data into one task
+    (measured — every slot merges and nothing splits), and it is what
+    bounds each directory to at most n_files objects (a task-level
+    hash collision between two slots can only LOWER a directory's
+    count, never fragment it). Deliberately explicit rather than
+    ``maxRecordsPerFile``: records-per-file caps fan small partitions
+    into MORE files, the opposite of compaction, and AQE rebalance
+    does not see directory boundaries.
 
     Returns {"n_rows", "n_dirs", "max_files_per_dir"} as the write
-    audit. NULL source/lang rows land in the hive default-partition
-    directories (__HIVE_DEFAULT_PARTITION__), mirroring the plan's
-    NULL-is-its-own-partition contract."""
-    from .plans.curation import compaction_plan_for
-
-    plan = compaction_plan_for(
-        docs, **({} if target_bytes is None else {"target_bytes": target_bytes})
-    ).select(
-        F.col("source").alias("_p_src"),
-        F.col("lang").alias("_p_lang"),
-        "n_files",
+    audit, computed SPARK-SIDE from the written files' names
+    (``input_file_name``), so it is correct on any Hadoop filesystem
+    (s3a/hdfs/file), not just a local path. ``mode`` accepts the
+    writer modes EXCEPT ``append``: the audit describes the whole
+    directory, so appending would blend pre-existing objects into
+    this write's numbers and could report a spurious plan violation
+    (or mask a real one). NULL source/lang rows land in the hive
+    default-partition directories (__HIVE_DEFAULT_PARTITION__),
+    mirroring the plan's NULL-is-its-own-partition contract."""
+    if mode == "append":
+        raise ValueError(
+            "compact_write audits the whole output directory; append would "
+            "mix prior writes into the audit — write to a fresh directory "
+            "instead"
+        )
+    spark = docs.sparkSession
+    plan_rows = (
+        compaction_plan_for(docs, target_bytes)
+        .select(
+            F.col("source").alias("_p_src"),
+            F.col("lang").alias("_p_lang"),
+            "n_files",
+        )
+        .collect()
+    )
+    total_files = int(sum(r["n_files"] for r in plan_rows)) or 1
+    plan = spark.createDataFrame(
+        plan_rows, "_p_src string, _p_lang string, n_files long"
     )
     # null-safe equality: a NULL-source/lang partition HAS a plan row
     # and must find it (the funnel equi-join lesson) — a plain
@@ -420,9 +447,6 @@ def compact_write(
         )
         .drop("n_files", "_p_src", "_p_lang")
     )
-    total_files = int(
-        plan.agg(F.sum("n_files")).collect()[0][0] or 1
-    )
     (
         slotted.repartition(total_files, "source", "lang", "_slot")
         .drop("_slot")
@@ -430,20 +454,24 @@ def compact_write(
         .partitionBy("source", "lang")
         .parquet(out_dir)
     )
-    spark = docs.sparkSession
-    written = spark.read.parquet(out_dir)
-    n_rows = written.count()
-    import os
-
-    per_dir: dict[str, int] = {}
-    for root, _dirs, files in os.walk(out_dir):
-        n = sum(1 for f in files if f.endswith(".parquet"))
-        if n:
-            per_dir[root] = n
+    # input_file_name() is non-deterministic, so Spark 4 rejects it
+    # INSIDE an aggregate — project it to a column first, aggregate
+    # the column
+    files = spark.read.parquet(out_dir).select(
+        F.input_file_name().alias("f"), "source", "lang"
+    )
+    per_dir = (
+        files.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("f").alias("n"),
+        )
+        .collect()
+    )
     return {
-        "n_rows": n_rows,
+        "n_rows": sum(r["rows"] for r in per_dir),
         "n_dirs": len(per_dir),
-        "max_files_per_dir": max(per_dir.values(), default=0),
+        "max_files_per_dir": max((r["n"] for r in per_dir), default=0),
     }
 
 

@@ -445,3 +445,17 @@ def test_compact_write_obeys_the_plan(spark, sf_dir, tmp_path):
         multi += n > 1
     assert multi > 0, "at least one directory must actually split"
     assert audit["max_files_per_dir"] > 1
+
+
+def test_compact_write_rejects_append_mode(spark, sf_dir, tmp_path):
+    """append is rejected up front: the audit describes the whole
+    output directory, so appending would blend prior writes into this
+    write's numbers (spurious plan violations, or masked real ones)."""
+    import pytest
+
+    from mypipe_spark.curate import compact_write
+    from mypipe_spark.plans.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    with pytest.raises(ValueError, match="append"):
+        compact_write(docs, str(tmp_path / "x"), mode="append")
