@@ -542,10 +542,15 @@ def _band_exprs(prefix: str = "") -> list[str]:
     return out
 
 
-def _minhash_oracle() -> str:
-    # Signatures from the top 28 bits of the shared 60-bit shingle
-    # hash; intersection over the hashed form; denominators from the
-    # string shingles — all exactly mirroring the Spark path.
+def _sql_lsh_cand_ctes(sh_rel: str) -> str:
+    """The LSH candidate-generation CTE chain (sigs, bands,
+    small_buckets, cand) over a hashed-shingle relation named
+    ``sh_rel`` — ONE definition shared by the dedup_minhash_lsh
+    oracle and the tuning report's oracle, so the candidate semantics
+    (hash family, banding, hot-bucket cap) cannot drift between the
+    query and the report that grades it. Signatures come from the top
+    28 bits of the shared 60-bit shingle hash, exactly mirroring the
+    Spark path."""
     mh = ",\n           ".join(
         f"MIN(({a} * (shingle >> 32)"
         f" + {b}) % {_MINHASH_PRIME}) AS h{i}"
@@ -556,12 +561,9 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {bnd} AS band_key, {j} AS band_id FROM sigs"
         for j, bnd in enumerate(bands)
     )
-    return f"""
-    WITH sh0 AS ({_SQL_SHINGLES}),
-    sh AS ({_SQL_HSH_FROM_SH0}),
-    sigs AS (
+    return f"""sigs AS (
       SELECT doc_id, {mh}
-      FROM sh GROUP BY doc_id),
+      FROM {sh_rel} GROUP BY doc_id),
     bands AS (
       {band_union}),
     small_buckets AS (
@@ -574,7 +576,14 @@ def _minhash_oracle() -> str:
         ON s.band_id = a.band_id AND s.band_key = a.band_key
       JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id),
+       AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    sh AS ({_SQL_HSH_FROM_SH0}),
+    {_sql_lsh_cand_ctes("sh")},
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -641,35 +650,23 @@ def _band_stage(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
-    """MinHash+LSH pairs from any (doc_id, n_sh, hsh) table — the
-    testable core of :func:`dedup_minhash_lsh` (mirrors
-    :func:`jaccard_pairs_from_arrays`)."""
-    # 16 minhashes + shingle count per doc, all row-local array
-    # expressions — the signature stage involves NO shuffle at all
-    # (the old form exploded shingles and re-aggregated by doc_id).
-    # ``md5i`` is a named intermediate so the one-digest-per-shingle
-    # array is computed once and shared by all 16 minhash transforms.
-    # Zero-shingle docs (shorter than the n-gram window) are excluded
-    # BEFORE signing: array_min over an empty array is NULL, NULL band
-    # keys group together, and the pair verification divides by
-    # na+nb-n_common = 0 — an ANSI DIVIDE_BY_ZERO that killed the
-    # query on any corpus with two such docs. The oracle never sees
-    # them either (they produce no exploded-shingle rows).
+def lsh_candidates_from_arrays(arr: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs from a shingle-array table —
+    the banding stage BEFORE exact verification, extracted so the
+    tuning report can grade the candidate set itself. Candidate pairs
+    come as ONE aggregation per band bucket (same posting-list
+    topology as jaccard_pairs_from): collect each bucket's member
+    list, emit ordered pairs from the sorted array — one copy of the
+    bucket rows shuffles instead of the self-join's two, and bucket
+    size bounds per-group memory by construction. Same cap discipline
+    as the jaccard inverted index: a bucket of k boilerplate
+    near-copies emits C(k,2) pairs, so an uncapped hot bucket is
+    quadratic — every band term is bounded to C(cap, 2)
+    (false-negative-only; the oracle applies the identical bound)."""
     bands = _band_stage(_sig_stage(arr))
-    # Candidate pairs as ONE aggregation per band bucket (same posting-
-    # list topology as jaccard_pairs_from): collect each bucket's
-    # member list, emit ordered pairs from the sorted array — one copy
-    # of the bucket rows shuffles instead of the self-join's two, and
-    # bucket size bounds per-group memory by construction.
-    cand = (
+    return (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        # same cap discipline as the jaccard inverted index: a bucket
-        # of k boilerplate near-copies emits C(k,2) pairs, so an uncapped
-        # hot bucket is quadratic — bound every band term to C(cap, 2)
-        # (false-negative-only, exactly like the stop-shingle cap; the
-        # oracle applies the identical bound)
         .filter(
             (F.size("docs") >= 2) & (F.size("docs") <= _STOP_SHINGLE_DF_CAP)
         )
@@ -687,6 +684,24 @@ def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
         .select("p.*")
         .distinct()
     )
+
+
+def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
+    """MinHash+LSH pairs from any (doc_id, n_sh, hsh) table — the
+    testable core of :func:`dedup_minhash_lsh` (mirrors
+    :func:`jaccard_pairs_from_arrays`)."""
+    # 16 minhashes + shingle count per doc, all row-local array
+    # expressions — the signature stage involves NO shuffle at all
+    # (the old form exploded shingles and re-aggregated by doc_id).
+    # ``md5i`` is a named intermediate so the one-digest-per-shingle
+    # array is computed once and shared by all 16 minhash transforms.
+    # Zero-shingle docs (shorter than the n-gram window) are excluded
+    # BEFORE signing: array_min over an empty array is NULL, NULL band
+    # keys group together, and the pair verification divides by
+    # na+nb-n_common = 0 — an ANSI DIVIDE_BY_ZERO that killed the
+    # query on any corpus with two such docs. The oracle never sees
+    # them either (they produce no exploded-shingle rows).
+    cand = lsh_candidates_from_arrays(arr)
     # Verify candidates only: pull both shingle arrays in by doc_id and
     # count the overlap with array_intersect (arrays are distinct by
     # construction, so |intersect| is the exact shingle intersection).
@@ -715,6 +730,92 @@ def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
         F.expr(
             round4_frac_sql("n_common", "na + nb - n_common", "div")
         ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning report (candidate precision/recall vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+# the S-curve midpoint of (bands, rows) banding: a pair at this
+# Jaccard has ~50% collision probability; computed once in Python and
+# embedded as the SAME literal in both plans
+_LSH_S_THRESHOLD = (1.0 / _LSH_BANDS) ** (1.0 / _LSH_ROWS)
+
+
+@register(
+    "dedup_lsh_tuning_report",
+    oracle=f"""
+    WITH {_SQL_JACCARD_CTES},
+    {_SQL_JPAIRS_CTE},
+    {_sql_lsh_cand_ctes("shh")},
+    t AS (SELECT COUNT(*) AS n_true FROM jpairs),
+    c AS (SELECT COUNT(*) AS n_candidates FROM cand),
+    h AS (SELECT COUNT(*) AS n_hits
+          FROM cand JOIN jpairs USING (doc_a, doc_b))
+    SELECT CAST({_LSH_BANDS} AS INT) AS bands,
+           CAST({_LSH_ROWS} AS INT) AS rows_per_band,
+           CAST({_LSH_S_THRESHOLD!r} AS DOUBLE) AS s_curve_threshold,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_candidates > 0 THEN
+             {round4_frac_sql("n_hits", "n_candidates", "//")} END
+             AS precision4,
+           CASE WHEN n_true > 0 THEN
+             {round4_frac_sql("n_hits", "n_true", "//")} END AS recall4
+    FROM t, c, h
+    """,
+    tags=("dedup", "lsh", "tuning", "report"),
+)
+def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row LSH banding scorecard: the configured (bands, rows)
+    scheme's S-curve midpoint, the exact-Jaccard ground-truth pair
+    count, the LSH candidate count, and the candidates' precision and
+    recall against that ground truth — the report that decides
+    whether a 100 TB dedup run can trust its banding before paying
+    for the full corpus pass, and the first number to re-check after
+    tuning bands/rows or the shingle width. Both sides derive the
+    candidate set through the ONE shared CTE/stage definition the
+    real query uses (a report computed from a parallel implementation
+    could silently grade the wrong pipeline). Precision grades bucket
+    sharpness (how much verification work is wasted); recall grades
+    how much truth the banding surfaces at the query's 0.5 threshold
+    — BELOW the 4x4 S-midpoint of ~0.707, so recall < 1 here is the
+    configured trade, not a bug (the recall-floor pytest pins the
+    planted-near-dup behavior separately).
+
+    Scale shape: the two pair pipelines this grades are the scalable
+    ones (inverted-index and band-bucket topologies, shared shingle
+    pass); the report adds one hash semi-join of candidate pairs
+    against true pairs plus three one-row aggregates joined by
+    broadcast — nothing new touches the corpus."""
+    arr = shingle_arrays(spark, sf_dir)
+    true_pairs = jaccard_pairs_from_arrays(arr).select("doc_a", "doc_b")
+    cand = lsh_candidates_from_arrays(arr)
+    hits = cand.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            F.lit(_LSH_BANDS).cast("int").alias("bands"),
+            F.lit(_LSH_ROWS).cast("int").alias("rows_per_band"),
+            F.lit(_LSH_S_THRESHOLD).cast("double").alias("s_curve_threshold"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr(round4_frac_sql("n_hits", "n_candidates", "div")),
+            ).alias("precision4"),
+            F.when(
+                F.col("n_true") > 0,
+                F.expr(round4_frac_sql("n_hits", "n_true", "div")),
+            ).alias("recall4"),
+        )
     )
 
 

@@ -588,12 +588,16 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
     mods = {"text": textops, "dedu": dedup, "pii_": curation,
             "cura": curation, "mult": multimodal}
     # documents-plane queries living in modules whose 4-char prefix
-    # would otherwise pull in non-documents queries
-    extra = {"cdc_snapshot_diff": cdc}
+    # would otherwise pull in non-documents queries (or, for
+    # text_ngram_novelty, route to the WRONG module — it lives in
+    # dedup beside the shingle machinery, not textops)
+    extra = {"cdc_snapshot_diff": cdc, "text_ngram_novelty": dedup}
     skip = {
         # EAGER component builders / embeddings-table dependent
         "dedup_semantic", "dedup_leakage_safe_split", "dedup_decontaminate",
         "dedup_components", "dedup_embedding_cosine",
+        # sits on dedup_components (same EAGER builder)
+        "dedup_cluster_sizes",
     }
 
     def norm(v):
@@ -603,7 +607,10 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
 
     checked = 0
     for name, qd in sorted(QUERIES.items()):
-        mod = mods.get(name[:4]) or extra.get(name)
+        # exact-name routing first: an entry in ``extra`` overrides
+        # the 4-char prefix heuristic (text_ngram_novelty matches the
+        # "text" prefix but lives in dedup)
+        mod = extra.get(name) or mods.get(name[:4])
         if mod is None or qd.oracle is None or name in skip:
             continue
         with _planted_tables([mod], {"documents": docs}):
