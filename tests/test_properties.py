@@ -372,3 +372,81 @@ def test_round_div_sql_matches_exact_half_away(pairs):
         f = Fraction(num, den)
         expect = (-1 if f < 0 else 1) * int(abs(f) + Fraction(1, 2))
         assert int(got) == expect, (num, den, got, expect)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_morton16_is_a_bijection_and_preserves_block_locality(pairs):
+    """The z-order interleave over the full 8-bit x 8-bit domain:
+    DuckDB's evaluation of the shared expression must (a) be
+    INJECTIVE (distinct bucket pairs -> distinct codes: a collision
+    would silently merge zone-map files), (b) invert exactly through
+    an independent Python de-interleave, and (c) stay within the
+    16-bit range. (The Spark spelling is pinned bit-equal to the same
+    reference in test_newops; this covers domain breadth.)"""
+    import duckdb
+
+    from mypipe_spark.plans.curation import _morton16
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT xb, yb, " + _morton16("xb", "yb", "duck")
+        + " FROM (SELECT UNNEST(?::BIGINT[]) AS xb,"
+        "               UNNEST(?::BIGINT[]) AS yb)",
+        [[p[0] for p in pairs], [p[1] for p in pairs]],
+    ).fetchall()
+    codes = set()
+    for xb, yb, z in rows:
+        assert 0 <= z < (1 << 16), (xb, yb, z)
+        dx = dy = 0
+        for b in range(8):
+            dx |= ((z >> (2 * b)) & 1) << b
+            dy |= ((z >> (2 * b + 1)) & 1) << b
+        assert (dx, dy) == (xb, yb), (xb, yb, z)
+        codes.add(z)
+    assert len(codes) == len(rows)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=40_000),
+            min_size=1,
+            max_size=25,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_streak_island_algebra_invariants(user_days):
+    """Gaps-and-islands invariants over arbitrary per-user day-number
+    sets, via the same dayn - row_number identity streak_table uses
+    (pure-Python twin — the Spark evaluation is pinned on a
+    constructed corpus in test_newops): islands partition each user's
+    days, each island is a maximal gap-free run, and island lengths
+    sum to the user's distinct-day count."""
+    for days in user_days:
+        ordered = sorted(set(days))
+        islands: dict[int, list[int]] = {}
+        for rn, d in enumerate(ordered, start=1):
+            islands.setdefault(d - rn, []).append(d)
+        assert sum(len(v) for v in islands.values()) == len(ordered)
+        for run in islands.values():
+            # gap-free inside
+            assert all(b - a == 1 for a, b in zip(run, run[1:]))
+            # maximal: the day before the run's start and after its
+            # end are absent from the user's set
+            s = set(ordered)
+            assert run[0] - 1 not in s and run[-1] + 1 not in s
