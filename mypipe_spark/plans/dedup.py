@@ -542,6 +542,20 @@ def _band_exprs(prefix: str = "") -> list[str]:
     return out
 
 
+def _sql_sigs_cte(sh_rel: str) -> str:
+    """The 16-minhash signature CTE over a hashed-shingle relation —
+    the SQL twin of _sig_stage, factored so the estimator-accuracy
+    oracle and the LSH chain sign through the identical family."""
+    mh = ",\n           ".join(
+        f"MIN(({a} * (shingle >> 32)"
+        f" + {b}) % {_MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    return f"""sigs AS (
+      SELECT doc_id, {mh}
+      FROM {sh_rel} GROUP BY doc_id)"""
+
+
 def _sql_lsh_cand_ctes(sh_rel: str) -> str:
     """The LSH candidate-generation CTE chain (sigs, bands,
     small_buckets, cand) over a hashed-shingle relation named
@@ -551,19 +565,12 @@ def _sql_lsh_cand_ctes(sh_rel: str) -> str:
     query and the report that grades it. Signatures come from the top
     28 bits of the shared 60-bit shingle hash, exactly mirroring the
     Spark path."""
-    mh = ",\n           ".join(
-        f"MIN(({a} * (shingle >> 32)"
-        f" + {b}) % {_MINHASH_PRIME}) AS h{i}"
-        for i, (a, b) in enumerate(_MINHASH_AB)
-    )
     bands = _band_exprs()
     band_union = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {bnd} AS band_key, {j} AS band_id FROM sigs"
         for j, bnd in enumerate(bands)
     )
-    return f"""sigs AS (
-      SELECT doc_id, {mh}
-      FROM {sh_rel} GROUP BY doc_id),
+    return f"""{_sql_sigs_cte(sh_rel)},
     bands AS (
       {band_union}),
     small_buckets AS (
@@ -815,6 +822,133 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_true") > 0,
                 F.expr(round4_frac_sql("n_hits", "n_true", "div")),
             ).alias("recall4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy (per-pair, oracle-exact)
+# ---------------------------------------------------------------------------
+
+
+def _sig_agree_sql(a: str, b: str) -> str:
+    """Signature agreement count between two aliased signature rows —
+    the (#matching minhashes) numerator of the MinHash Jaccard
+    estimator, as one SQL expression valid in both dialects."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {a}.h{i} = {b}.h{i} THEN 1 ELSE 0 END)"
+            for i in range(_MINHASH_K)
+        )
+        + ")"
+    )
+
+
+@register(
+    "dedup_minhash_estimate_check",
+    oracle=f"""
+    WITH {_SQL_JACCARD_CTES},
+    {_SQL_JPAIRS_CTE},
+    {_sql_sigs_cte("shh")},
+    e AS (
+      SELECT j.doc_a, j.doc_b,
+             i.n_common AS nc,
+             ca.n_sh + cb.n_sh - i.n_common AS d,
+             {_sig_agree_sql("sa", "sb")} AS agree
+      FROM jpairs j
+      JOIN inter i ON i.doc_a = j.doc_a AND i.doc_b = j.doc_b
+      JOIN counts ca ON ca.doc_id = j.doc_a
+      JOIN counts cb ON cb.doc_id = j.doc_b
+      JOIN sigs sa ON sa.doc_id = j.doc_a
+      JOIN sigs sb ON sb.doc_id = j.doc_b)
+    SELECT doc_a, doc_b,
+           {round4_frac_sql("nc", "d", "//")} AS jaccard,
+           {round4_frac_sql("agree", str(_MINHASH_K), "//")} AS estimate,
+           {round4_frac_sql(f"ABS(agree * d - {_MINHASH_K} * nc)",
+                            f"{_MINHASH_K} * d", "//")} AS abs_err
+    FROM e
+    """,
+    tags=("dedup", "minhash", "sketch-accuracy"),
+)
+def dedup_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair accuracy of the MinHash Jaccard ESTIMATOR (signature
+    agreement / K) against the exact Jaccard, over every ground-truth
+    near-dup pair — the estimator-level twin of the banding-level
+    dedup_lsh_tuning_report, completing the sketch-accuracy story
+    (HLL, percentile and SimHash each have one; the minhash ESTIMATE
+    itself did not). Everything is exact integer arithmetic: the
+    estimate is agree/K in round4 form and the error is the
+    cross-multiplied rational |agree*d - K*nc| / (K*d), so both
+    engines emit identical rows and the catalog's hash gate actually
+    verifies the estimator, not a reimplementation. The statistical
+    pin (estimator error shrinks with K, per-pair bound at K=16) is a
+    property of the family, not of one corpus — the planted-near-dup
+    recall pytest covers the distributional claim; THIS row proves
+    the deployed signatures are the ones being graded.
+
+    Scale shape: ground-truth pairs are few by construction; four
+    doc-keyed joins pull counts and signatures onto them (AQE
+    broadcasts the small sides); the signature stage is the
+    shuffle-free shared _sig_stage. Nothing rescans the corpus."""
+    arr = shingle_arrays(spark, sf_dir)
+    sigs = _sig_stage(arr)
+    a = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("hsh").alias("ha"),
+    )
+    b = arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("hsh").alias("hb"),
+    )
+    true_pairs = jaccard_pairs_from_arrays(arr).select("doc_a", "doc_b")
+    base = (
+        true_pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ha", "hb")).alias("nc"),
+            (F.col("na") + F.col("nb")
+             - F.size(F.array_intersect("ha", "hb"))).alias("d"),
+        )
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(_MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(_MINHASH_K)],
+    )
+    agree = F.expr(
+        "("
+        + " + ".join(
+            f"(CASE WHEN a_h{i} = b_h{i} THEN 1 ELSE 0 END)"
+            for i in range(_MINHASH_K)
+        )
+        + ")"
+    )
+    return (
+        base.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("agree", agree)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(round4_frac_sql("nc", "d", "div")).alias("jaccard"),
+            F.expr(
+                round4_frac_sql("agree", str(_MINHASH_K), "div")
+            ).alias("estimate"),
+            F.expr(
+                round4_frac_sql(
+                    f"ABS(agree * d - {_MINHASH_K} * nc)",
+                    f"{_MINHASH_K} * d",
+                    "div",
+                )
+            ).alias("abs_err"),
         )
     )
 
