@@ -296,7 +296,28 @@ def jaccard_pairs_from(
 def jaccard_pairs_from_arrays(
     arr: DataFrame, df_cap: int = _STOP_SHINGLE_DF_CAP
 ) -> DataFrame:
-    """Same, starting from a precomputed (doc_id, n_sh, hsh) table —
+    """(doc_a, doc_b, jaccard) display form of
+    :func:`jaccard_pairs_raw` — the exact-integer round4 rounding
+    applied to the qualifying pairs (see the rounding note there)."""
+    return jaccard_pairs_raw(arr, df_cap).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            round4_frac_sql("n_common", "na + nb - n_common", "div")
+        ).alias("jaccard"),
+    )
+
+
+def jaccard_pairs_raw(
+    arr: DataFrame, df_cap: int = _STOP_SHINGLE_DF_CAP
+) -> DataFrame:
+    """Qualifying pairs WITH their exact intersection counts
+    (doc_a, doc_b, n_common, na, nb) — the verified relation before
+    display rounding, exposed so consumers needing the counts (the
+    estimator-accuracy check) reuse the one pipeline instead of
+    re-joining shingle arrays and re-running array_intersect.
+
+    Starts from a precomputed (doc_id, n_sh, hsh) table —
     the entry point used with the shared ``shingle_arrays`` relation
     so the shingling pass is computed once per session.
 
@@ -462,13 +483,7 @@ def jaccard_pairs_from_arrays(
     # DISPLAY rounding in exact integer arithmetic — ROUND(double, 4)
     # diverges between engines when p/q's shortest repr lands on a .5
     # boundary (e.g. 87/160 = 0.54375).
-    return verified.filter(jac >= t).select(
-        "doc_a",
-        "doc_b",
-        F.expr(
-            round4_frac_sql("n_common", "na + nb - n_common", "div")
-        ).alias("jaccard"),
-    )
+    return verified.filter(jac >= t)
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,9 +759,12 @@ def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
 # LSH tuning report (candidate precision/recall vs exact ground truth)
 # ---------------------------------------------------------------------------
 
-# the S-curve midpoint of (bands, rows) banding: a pair at this
-# Jaccard has ~50% collision probability; computed once in Python and
-# embedded as the SAME literal in both plans
+# the standard (1/b)^(1/r) banding threshold — the STEEPEST-SLOPE
+# point of the S-curve (MMDS ch.3), NOT the 50% collision point: at
+# this Jaccard a pair collides with 1-(1-1/b)^b ~ 68% for 4x4 (the
+# exact 50% point is (1-2^(-1/b))^(1/r) ~ 0.632). Reported under the
+# standard name; computed once in Python and embedded as the SAME
+# literal in both plans
 _LSH_S_THRESHOLD = (1.0 / _LSH_BANDS) ** (1.0 / _LSH_ROWS)
 
 
@@ -777,7 +795,10 @@ _LSH_S_THRESHOLD = (1.0 / _LSH_BANDS) ** (1.0 / _LSH_ROWS)
 )
 def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row LSH banding scorecard: the configured (bands, rows)
-    scheme's S-curve midpoint, the exact-Jaccard ground-truth pair
+    scheme's standard (1/b)^(1/r) threshold (the S-curve's
+    steepest-slope point — see the constant's note: pairs THERE
+    collide ~68%, the 50% point sits lower), the exact-Jaccard
+    ground-truth pair
     count, the LSH candidate count, and the candidates' precision and
     recall against that ground truth — the report that decides
     whether a 100 TB dedup run can trust its banding before paying
@@ -788,7 +809,7 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     could silently grade the wrong pipeline). Precision grades bucket
     sharpness (how much verification work is wasted); recall grades
     how much truth the banding surfaces at the query's 0.5 threshold
-    — BELOW the 4x4 S-midpoint of ~0.707, so recall < 1 here is the
+    — BELOW the 4x4 banding threshold of ~0.707, so recall < 1 here is the
     configured trade, not a bug (the recall-floor pytest pins the
     planted-near-dup behavior separately).
 
@@ -831,14 +852,20 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sig_agree_sql(a: str, b: str) -> str:
-    """Signature agreement count between two aliased signature rows —
-    the (#matching minhashes) numerator of the MinHash Jaccard
-    estimator, as one SQL expression valid in both dialects."""
+def _sig_agree_sql(fmt_a=None, fmt_b=None) -> str:
+    """Signature agreement count — the (#matching minhashes)
+    numerator of the MinHash Jaccard estimator, as one SQL expression
+    valid in both dialects. ``fmt_a``/``fmt_b`` map a hash index to
+    its column spelling per side (default ``sa.h{i}`` / ``sb.h{i}``
+    for the oracle's aliased joins); the Spark plan passes its
+    flattened ``a_h{i}`` / ``b_h{i}`` names — ONE definition of the
+    estimator numerator for both engines."""
+    fa = fmt_a or (lambda i: f"sa.h{i}")
+    fb = fmt_b or (lambda i: f"sb.h{i}")
     return (
         "("
         + " + ".join(
-            f"(CASE WHEN {a}.h{i} = {b}.h{i} THEN 1 ELSE 0 END)"
+            f"(CASE WHEN {fa(i)} = {fb(i)} THEN 1 ELSE 0 END)"
             for i in range(_MINHASH_K)
         )
         + ")"
@@ -855,7 +882,7 @@ def _sig_agree_sql(a: str, b: str) -> str:
       SELECT j.doc_a, j.doc_b,
              i.n_common AS nc,
              ca.n_sh + cb.n_sh - i.n_common AS d,
-             {_sig_agree_sql("sa", "sb")} AS agree
+             {_sig_agree_sql()} AS agree
       FROM jpairs j
       JOIN inter i ON i.doc_a = j.doc_a AND i.doc_b = j.doc_b
       JOIN counts ca ON ca.doc_id = j.doc_a
@@ -887,33 +914,25 @@ def dedup_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall pytest covers the distributional claim; THIS row proves
     the deployed signatures are the ones being graded.
 
-    Scale shape: ground-truth pairs are few by construction; four
-    doc-keyed joins pull counts and signatures onto them (AQE
-    broadcasts the small sides); the signature stage is the
-    shuffle-free shared _sig_stage. Nothing rescans the corpus."""
+    Scale shape: ground-truth pairs come WITH their intersection
+    counts from jaccard_pairs_raw (no re-join of the shingle arrays,
+    no second array_intersect pass); two doc-keyed joins pull the
+    signatures onto them (AQE broadcasts the small sides); the
+    signature stage is the shuffle-free shared _sig_stage. Nothing
+    rescans the corpus. All operands are widened to BIGINT before the
+    round4 cross-multiplication: F.size/CASE-sum produce INT, and
+    `num * 10000` at a shingle-union of ~13k+ would overflow INT32
+    under ANSI where the oracle's COUNT-derived BIGINTs sail on
+    (review pass 3)."""
     arr = shingle_arrays(spark, sf_dir)
     sigs = _sig_stage(arr)
-    a = arr.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n_sh").alias("na"),
-        F.col("hsh").alias("ha"),
-    )
-    b = arr.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_sh").alias("nb"),
-        F.col("hsh").alias("hb"),
-    )
-    true_pairs = jaccard_pairs_from_arrays(arr).select("doc_a", "doc_b")
-    base = (
-        true_pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("ha", "hb")).alias("nc"),
-            (F.col("na") + F.col("nb")
-             - F.size(F.array_intersect("ha", "hb"))).alias("d"),
-        )
+    base = jaccard_pairs_raw(arr).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("nc"),
+        (F.col("na").cast("long") + F.col("nb") - F.col("n_common")).alias(
+            "d"
+        ),
     )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -924,12 +943,9 @@ def dedup_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(_MINHASH_K)],
     )
     agree = F.expr(
-        "("
-        + " + ".join(
-            f"(CASE WHEN a_h{i} = b_h{i} THEN 1 ELSE 0 END)"
-            for i in range(_MINHASH_K)
-        )
-        + ")"
+        "CAST("
+        + _sig_agree_sql(lambda i: f"a_h{i}", lambda i: f"b_h{i}")
+        + " AS BIGINT)"
     )
     return (
         base.join(sa, "doc_a")

@@ -391,8 +391,12 @@ def test_morton16_is_a_bijection_and_preserves_block_locality(pairs):
     DuckDB's evaluation of the shared expression must (a) be
     INJECTIVE (distinct bucket pairs -> distinct codes: a collision
     would silently merge zone-map files), (b) invert exactly through
-    an independent Python de-interleave, and (c) stay within the
-    16-bit range. (The Spark spelling is pinned bit-equal to the same
+    an independent Python de-interleave, (c) stay within the 16-bit
+    range, and (d) preserve block locality: any (x, y) both below
+    2^b must code below 4^b — the prefix-nesting property that makes
+    a z-code range a bounded x/y rectangle, which an arbitrary
+    bijective bit-mix (the regression bijectivity alone cannot catch)
+    destroys. (The Spark spelling is pinned bit-equal to the same
     reference in test_newops; this covers domain breadth.)"""
     import duckdb
 
@@ -413,6 +417,10 @@ def test_morton16_is_a_bijection_and_preserves_block_locality(pairs):
             dx |= ((z >> (2 * b)) & 1) << b
             dy |= ((z >> (2 * b + 1)) & 1) << b
         assert (dx, dy) == (xb, yb), (xb, yb, z)
+        # block locality: interleaving nests prefixes, so coordinates
+        # inside the 2^b x 2^b corner stay inside the first 4^b codes
+        bits = max(xb, yb).bit_length()
+        assert z < 4 ** max(bits, 1), (xb, yb, z)
         codes.add(z)
     assert len(codes) == len(rows)
 
@@ -423,30 +431,75 @@ def test_morton16_is_a_bijection_and_preserves_block_locality(pairs):
             st.integers(min_value=0, max_value=40_000),
             min_size=1,
             max_size=25,
-            unique=True,
         ),
         min_size=1,
-        max_size=20,
+        max_size=10,
     )
 )
-@settings(max_examples=25, deadline=None)
-def test_streak_island_algebra_invariants(user_days):
-    """Gaps-and-islands invariants over arbitrary per-user day-number
-    sets, via the same dayn - row_number identity streak_table uses
-    (pure-Python twin — the Spark evaluation is pinned on a
-    constructed corpus in test_newops): islands partition each user's
-    days, each island is a maximal gap-free run, and island lengths
-    sum to the user's distinct-day count."""
-    for days in user_days:
+@settings(max_examples=20, deadline=None)
+def test_streaks_oracle_matches_independent_reference(user_days):
+    """The REGISTERED events_streaks oracle, evaluated by DuckDB over
+    planted events built from arbitrary per-user day sets (duplicate
+    days included), must agree with an independent pure-Python
+    reference that never uses the day-minus-row-number identity: per
+    user, the longest consecutive run, the distinct-day total, and
+    the EARLIEST best-run start. This is the fault-detecting twin of
+    test_newops' constructed-corpus Spark pin — a bug in the islands
+    algebra, the tie-break, or the epoch-day arithmetic lands here.
+    (Day numbers up to 40k keep timestamps inside 2079 — epoch_us
+    stays exact.)"""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from mypipe_spark.plans.catalog import QUERIES, all_queries
+
+    all_queries()
+    rows = []
+    for uid, days in enumerate(user_days, start=1):
+        for j, d in enumerate(days):
+            rows.append(
+                (
+                    uid * 1000 + j,
+                    datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(days=d, hours=j % 24),
+                    uid,
+                    "click",
+                    None,
+                    None,
+                )
+            )
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["events_streaks"].oracle).fetchall()
+    }
+    for uid, days in enumerate(user_days, start=1):
         ordered = sorted(set(days))
-        islands: dict[int, list[int]] = {}
-        for rn, d in enumerate(ordered, start=1):
-            islands.setdefault(d - rn, []).append(d)
-        assert sum(len(v) for v in islands.values()) == len(ordered)
-        for run in islands.values():
-            # gap-free inside
-            assert all(b - a == 1 for a, b in zip(run, run[1:]))
-            # maximal: the day before the run's start and after its
-            # end are absent from the user's set
-            s = set(ordered)
-            assert run[0] - 1 not in s and run[-1] + 1 not in s
+        # independent reference: scan for maximal runs directly
+        runs = []
+        start = prev = ordered[0]
+        for d in ordered[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            runs.append((prev - start + 1, start))
+            start = prev = d
+        runs.append((prev - start + 1, start))
+        best = max(ln for ln, _ in runs)
+        first_best = min(s for ln, s in runs if ln == best)
+        n_active, best_got, start_got = got[uid]
+        assert n_active == len(ordered), (uid, days)
+        assert best_got == best, (uid, days)
+        want_start = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            days=first_best
+        )
+        assert start_got == want_start, (uid, days, start_got)
