@@ -3350,3 +3350,109 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_recency_days",
         "total_monetary",
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort lifetime value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+               AS cohort_w
+      FROM ev GROUP BY user_id
+    ), buys AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS buy_w,
+             CAST({micro_quant_sql("value")} AS HUGEINT) AS vm
+      FROM ev
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), cells AS (
+      SELECT f.cohort_w AS cohort_week,
+             CAST(date_diff('day', f.cohort_w, b.buy_w) // 7 AS INT)
+               AS week_offset,
+             COUNT(*) AS n_purchases,
+             COUNT(DISTINCT b.user_id) AS n_buyers,
+             SUM(b.vm) AS rev_micro
+      FROM buys b JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ), run AS (
+      SELECT cohort_week, week_offset,
+             CAST(n_purchases AS BIGINT) AS n_purchases,
+             CAST(n_buyers AS BIGINT) AS n_buyers,
+             CAST(rev_micro AS HUGEINT) AS rev_micro,
+             SUM(CAST(rev_micro AS HUGEINT)) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset)
+               AS cum_micro
+      FROM cells)
+    SELECT cohort_week, week_offset, n_purchases, n_buyers,
+           CAST(rev_micro AS DOUBLE) / 1000000 AS revenue,
+           CAST(cum_micro AS DOUBLE) / 1000000 AS cum_revenue
+    FROM run
+    """,
+    tags=("events", "cohort", "ltv"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort lifetime value — the money companion of
+    events_retention_cohorts, sharing its cohort definition verbatim
+    (first-event week, week offsets as floor day-diff / 7): per
+    (cohort, offset) cell, purchase count, distinct buyers, the
+    cell's exact micro-unit revenue, and the running cumulative
+    revenue along the cohort's life (the LTV curve an acquisition
+    decision reads). Revenue sums are exact integers end to end; the
+    two doubles appear at display. Only timed, identified purchases
+    with a value earn cells; a cohort with no purchasing week has no
+    row (LTV is a purchase-side report — the activity denominator
+    lives in the retention twin).
+
+    Shape: first-touch groupBy(user) and the purchase projection both
+    shuffle on user_id (one exchange reused through the join); the
+    cell aggregate and the cumulative window run over cohort-sized
+    data (weeks², not events)."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    buys = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("buy_w"),
+        F.expr(micro_quant_sql("value")).alias("vm"),
+    )
+    cells = (
+        buys.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_w").alias("cohort_week"),
+            # integer div, same spelling as the retention twin — a
+            # double /7 then cast would work on exact small ints but
+            # the integral form is exact by construction
+            F.expr("cast(datediff(buy_w, cohort_w) div 7 as int)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum("vm").alias("rev_micro"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return cells.withColumn(
+        "cum_micro", F.sum("rev_micro").over(w)
+    ).select(
+        "cohort_week",
+        "week_offset",
+        "n_purchases",
+        "n_buyers",
+        (F.col("rev_micro").cast("double") / 1000000).alias("revenue"),
+        (F.col("cum_micro").cast("double") / 1000000).alias("cum_revenue"),
+    )
