@@ -1310,25 +1310,59 @@ def q_cube_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort retention: weekly activity matrix
 # ---------------------------------------------------------------------------
 
+# ONE cohort definition for the whole cohort family
+# (events_retention_cohorts and events_cohort_ltv): timed+identified
+# events, first-event week as the cohort, integral day-diff div 7 as
+# the offset. Extracted so a spelling fix in one twin cannot silently
+# de-align the other (the _sig_agree_sql lesson). The CAST is
+# load-bearing: DuckDB's date_trunc('week') yields DATE where Spark's
+# yields TIMESTAMP; uncast, the cohort column types diverge.
+_SQL_COHORT_EV = """
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+"""
+
+_SQL_COHORT_FIRSTS = """firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+               AS cohort_w
+      FROM ev GROUP BY user_id)"""
+
+
+def _sql_week_offset(cohort: str, later: str) -> str:
+    return f"CAST(date_diff('day', {cohort}, {later}) // 7 AS INT)"
+
+
+def cohort_ev(events: DataFrame) -> DataFrame:
+    """Timed, identified events — the cohort family's shared input
+    contract (the Spark twin of _SQL_COHORT_EV)."""
+    return events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+
+
+def cohort_firsts(ev: DataFrame) -> DataFrame:
+    """(user_id, cohort_w) — each user's first-event week (the Spark
+    twin of _SQL_COHORT_FIRSTS)."""
+    return ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+
+
+def _week_offset_col(cohort: str, later: str):
+    return F.expr(f"cast(datediff({later}, {cohort}) div 7 as int)")
+
+
 @register(
     "events_retention_cohorts",
     oracle=f"""
-    WITH ev AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-      WHERE ts IS NOT NULL AND user_id IS NOT NULL
-    ), firsts AS (
-      -- CAST: DuckDB's date_trunc('week') yields DATE where Spark's
-      -- yields TIMESTAMP; uncast, the cohort column types diverge
-      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
-               AS cohort_w
-      FROM ev GROUP BY user_id
-    ), weeks AS (
+    WITH ev AS ({_SQL_COHORT_EV}),
+    {_SQL_COHORT_FIRSTS},
+    weeks AS (
       SELECT DISTINCT user_id,
              CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_w FROM ev
     ), per AS (
       SELECT f.cohort_w AS cohort_week,
-             CAST(date_diff('day', f.cohort_w, w.act_w) // 7 AS INT)
-               AS week_offset,
+             {_sql_week_offset("f.cohort_w", "w.act_w")} AS week_offset,
              COUNT(*) AS n_active
       FROM weeks w JOIN firsts f USING (user_id)
       GROUP BY 1, 2
@@ -1362,19 +1396,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lessons; see the dirty-corpus sweep). Retention is rounded through
     the exact integer helper so the .5-boundary reprs cannot diverge.
     """
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_w")
-    )
+    ev = cohort_ev(load_tables(spark, sf_dir)["events"])
+    firsts = cohort_firsts(ev)
     weeks = ev.select("user_id", F.date_trunc("week", "ts").alias("act_w")).distinct()
     per = (
         weeks.join(firsts, "user_id")
         .select(
             F.col("cohort_w").alias("cohort_week"),
-            F.expr("cast(datediff(act_w, cohort_w) div 7 as int)").alias(
-                "week_offset"
-            ),
+            _week_offset_col("cohort_w", "act_w").alias("week_offset"),
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active"))
@@ -3360,22 +3389,16 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_cohort_ltv",
     oracle=f"""
-    WITH ev AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-    ), firsts AS (
-      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
-               AS cohort_w
-      FROM ev GROUP BY user_id
-    ), buys AS (
+    WITH ev AS ({_SQL_COHORT_EV}),
+    {_SQL_COHORT_FIRSTS},
+    buys AS (
       SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS buy_w,
              CAST({micro_quant_sql("value")} AS HUGEINT) AS vm
       FROM ev
       WHERE event_type = 'purchase' AND value IS NOT NULL
     ), cells AS (
       SELECT f.cohort_w AS cohort_week,
-             CAST(date_diff('day', f.cohort_w, b.buy_w) // 7 AS INT)
-               AS week_offset,
+             {_sql_week_offset("f.cohort_w", "b.buy_w")} AS week_offset,
              COUNT(*) AS n_purchases,
              COUNT(DISTINCT b.user_id) AS n_buyers,
              SUM(b.vm) AS rev_micro
@@ -3414,13 +3437,8 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id (one exchange reused through the join); the
     cell aggregate and the cumulative window run over cohort-sized
     data (weeks², not events)."""
-    ev = (
-        load_tables(spark, sf_dir)["events"]
-        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-    )
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_w")
-    )
+    ev = cohort_ev(load_tables(spark, sf_dir)["events"])
+    firsts = cohort_firsts(ev)
     buys = ev.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     ).select(
@@ -3432,12 +3450,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         buys.join(firsts, "user_id")
         .groupBy(
             F.col("cohort_w").alias("cohort_week"),
-            # integer div, same spelling as the retention twin — a
-            # double /7 then cast would work on exact small ints but
-            # the integral form is exact by construction
-            F.expr("cast(datediff(buy_w, cohort_w) div 7 as int)").alias(
-                "week_offset"
-            ),
+            _week_offset_col("cohort_w", "buy_w").alias("week_offset"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_purchases"),

@@ -303,7 +303,7 @@ def jaccard_pairs_from_arrays(
         "doc_a",
         "doc_b",
         F.expr(
-            round4_frac_sql("n_common", "na + nb - n_common", "div")
+            round4_frac_sql("CAST(n_common AS BIGINT)", "CAST(na AS BIGINT) + nb - n_common", "div")
         ).alias("jaccard"),
     )
 
@@ -750,7 +750,7 @@ def minhash_pairs_from_arrays(arr: DataFrame) -> DataFrame:
         "doc_a",
         "doc_b",
         F.expr(
-            round4_frac_sql("n_common", "na + nb - n_common", "div")
+            round4_frac_sql("CAST(n_common AS BIGINT)", "CAST(na AS BIGINT) + nb - n_common", "div")
         ).alias("jaccard"),
     )
 
@@ -2394,7 +2394,7 @@ def lsh_incremental_pairs(
         "doc_id",
         "near_dup_of",
         F.expr(
-            round4_frac_sql("n_common", "na + nb - n_common", "div")
+            round4_frac_sql("CAST(n_common AS BIGINT)", "CAST(na AS BIGINT) + nb - n_common", "div")
         ).alias("jaccard"),
     )
 
