@@ -492,6 +492,44 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_from_arrays(shingle_arrays(spark, sf_dir))
 
 
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def jaccard_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, persisted qualifying-pair relation
+    (doc_a, doc_b, n_common, na, nb) over the fixture corpus — the
+    materialized near-dup PAIR table every pair CONSUMER reads
+    (component clustering, the cluster-size histogram via components,
+    the LSH tuning report's ground truth, the estimator check, the
+    leakage-safe split), so the AllPairs verification join runs once
+    per session instead of once per consumer; at 100 TB this is the
+    pair table a dedup run writes once and every downstream job
+    reads. The REGISTERED dedup_ngram_jaccard stays on the uncached
+    path so its pinned plan (two shingle exchanges, no cartesian)
+    keeps describing the real pipeline, and the cache only ever holds
+    qualifying pairs — output-sized, not candidate-sized. Same
+    eviction discipline as the shingle cache (entries of dead
+    sessions dropped on access); persist is lazy, so building the
+    plan stays free until a consumer acts."""
+    from pyspark import StorageLevel
+
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _PAIR_CACHE if k[0] != app_id]:
+        df = _PAIR_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    key = (app_id, sf_dir)
+    pairs = _PAIR_CACHE.get(key)
+    if pairs is None:
+        pairs = jaccard_pairs_raw(shingle_arrays(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _PAIR_CACHE[key] = pairs
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (oracle-checkable via md5-seeded universal hashing)
 # ---------------------------------------------------------------------------
@@ -819,7 +857,7 @@ def dedup_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     against true pairs plus three one-row aggregates joined by
     broadcast — nothing new touches the corpus."""
     arr = shingle_arrays(spark, sf_dir)
-    true_pairs = jaccard_pairs_from_arrays(arr).select("doc_a", "doc_b")
+    true_pairs = jaccard_pairs_shared(spark, sf_dir).select("doc_a", "doc_b")
     cand = lsh_candidates_from_arrays(arr)
     hits = cand.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
     n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
@@ -926,7 +964,7 @@ def dedup_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (review pass 3)."""
     arr = shingle_arrays(spark, sf_dir)
     sigs = _sig_stage(arr)
-    base = jaccard_pairs_raw(arr).select(
+    base = jaccard_pairs_shared(spark, sf_dir).select(
         "doc_a",
         "doc_b",
         F.col("n_common").cast("long").alias("nc"),
@@ -1353,7 +1391,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     in its cluster (the canonical survivor). Spark runs iterative
     min-label propagation; the oracle states the same fixpoint as a
     recursive transitive closure — identical labels."""
-    return connected_components(_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"))
+    return connected_components(
+        jaccard_pairs_shared(spark, sf_dir).select("doc_a", "doc_b")
+    )
 
 
 @register(
@@ -1791,7 +1831,7 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs_full = load_tables(spark, sf_dir)["documents"]
-    jac = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    jac = jaccard_pairs_shared(spark, sf_dir).select("doc_a", "doc_b")
     exact = (
         docs_full.groupBy("text")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

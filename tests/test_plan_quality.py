@@ -277,7 +277,19 @@ def test_jaccard_prefix_plan_shape(spark, sf_dir):
     exchange keyed on the shingle hash (the posting-list aggregation —
     the classic self-join needs two), no CartesianProduct anywhere,
     and the candidate-verification joins are equi-joins (Broadcast or
-    Shuffled hash/sort-merge), never a nested-loop over the corpus."""
+    Shuffled hash/sort-merge), never a nested-loop over the corpus.
+
+    The pin describes the UNCACHED pipeline: once any pair CONSUMER
+    populates jaccard_pairs_shared's persisted relation, Spark's
+    cache manager substitutes the subtree into THIS query's plan too
+    (by-subtree matching — the same mechanism the shingle cache
+    relies on), collapsing the exchanges the pin counts. Evict the
+    pair cache first so the assertion is order-independent and keeps
+    guarding the real pipeline shape."""
+    from mypipe_spark.plans import dedup as D
+
+    for k in list(D._PAIR_CACHE):
+        D._PAIR_CACHE.pop(k).unpersist()
     plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # round-6: TWO shingle-keyed exchanges — the posting-structs
