@@ -180,14 +180,30 @@ from contextlib import contextmanager
 def _planted_tables(modules, tables):
     """Swap load_tables in the catalog AND each plan module that
     imported the name, so a registered builder runs over constructed
-    DataFrames instead of the driver parquet."""
+    DataFrames instead of the driver parquet. The dedup plane's
+    session caches (shingle arrays, shared pair table) are evicted on
+    entry AND exit: they key on (app_id, sf_dir), and every planted
+    context uses the same fake sf_dir — without eviction, a second
+    planted corpus would silently read the first one's cached
+    shingles/pairs."""
     import mypipe_spark.plans.catalog as C
+    import mypipe_spark.plans.dedup as D
+
+    def _evict_dedup_caches():
+        for cache in (D._SHINGLE_CACHE, D._PAIR_CACHE):
+            for k in list(cache):
+                df = cache.pop(k)
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
     real = C.load_tables
 
     def fake(spark, sf_dir):
         return tables
 
+    _evict_dedup_caches()
     C.load_tables = fake
     for m in modules:
         m.load_tables = fake
@@ -197,6 +213,7 @@ def _planted_tables(modules, tables):
         C.load_tables = real
         for m in modules:
             m.load_tables = real
+        _evict_dedup_caches()
 
 
 def test_pii_scrub_positive_cross_engine_parity(spark):
