@@ -394,3 +394,26 @@ def test_debounce_single_exchange_topology(spark, sf_dir):
     assert _n_nodes(plan, "Sort") == 1
     pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
     assert any("IsNotNull(ts)" in p for p in pushed)
+
+
+def test_pair_cache_memoizes_and_evicts_like_the_shingle_cache(spark, sf_dir):
+    """jaccard_pairs_shared follows the shingle cache's discipline:
+    same (session, sf_dir) returns the SAME persisted relation
+    (memoized — the point is one AllPairs build per session), entries
+    under a dead app id are evicted AND unpersisted on next access,
+    and the live entry survives the sweep."""
+    from mypipe_spark.plans import dedup
+
+    live = dedup.jaccard_pairs_shared(spark, sf_dir)
+    assert dedup.jaccard_pairs_shared(spark, sf_dir) is live
+    app_id = spark.sparkContext.applicationId
+    assert all(k[0] == app_id for k in dedup._PAIR_CACHE)
+    planted = spark.range(1).persist()
+    dedup._PAIR_CACHE[("dead-app-id", sf_dir)] = planted
+    again = dedup.jaccard_pairs_shared(spark, sf_dir)
+    assert ("dead-app-id", sf_dir) not in dedup._PAIR_CACHE
+    assert again is live
+    assert planted.storageLevel.useMemory is False
+    assert live.storageLevel.useMemory is True
+    # and the relation carries the raw columns its consumers read
+    assert {"doc_a", "doc_b", "n_common", "na", "nb"} <= set(live.columns)
