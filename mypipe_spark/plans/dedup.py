@@ -1131,20 +1131,75 @@ _QSCALE = 10_000
 # one source of truth, so tuning the kernel (quantization scale,
 # zero-norm guard, threshold comparison) cannot silently decouple the
 # semantic-dedup twin from the pair semantics it builds on.
+# Cell-occupancy bound (the 100 TB guard): a `label` cell holding more
+# than _CELL_CAP vectors is sub-split by the sign pattern of its first
+# few quantized dimensions relative to the CELL's per-dimension mean —
+# an in-engine coarse quantizer refining the IVF cell, so within-cell
+# pair work stays O(cap²) per sub-cell no matter how large the corpus
+# grows. bits = ceil(log2(cnt / cap)) clamped to _CELL_MAX_BITS; the
+# mean comparison is integer-exact (qv[i] * cnt > sum_i — no division),
+# so both engines derive the identical sub-cell for every vector.
+# Pairs straddling a sub-cell boundary are dropped — the standard IVF /
+# SemDeDup-cell recall tradeoff, now applied one level finer (measured
+# at sf0.1: 52 of the 86 unrefined-kernel pairs survive the 1-bit
+# split; disclosed in SCALING.md).
+_CELL_CAP = 128
+_CELL_MAX_BITS = 6
+
+
+def _cell_bits_sql(cnt: str) -> str:
+    """CASE chain mapping a cell's occupancy to its refinement bit
+    count — smallest b in [0, _CELL_MAX_BITS] with cnt <= cap * 2^b.
+    Pure integer comparisons, shared verbatim by both engines."""
+    clauses = " ".join(
+        f"WHEN {cnt} <= {_CELL_CAP * (1 << b)} THEN {b}"
+        for b in range(_CELL_MAX_BITS)
+    )
+    return f"(CASE {clauses} ELSE {_CELL_MAX_BITS} END)"
+
+
+def _cell_subkey_sql(elem_fmt: str, cnt: str, bits: str) -> str:
+    """Sub-cell key: bit i set iff dimension i sits strictly above the
+    cell's mean for that dimension (qv[i] * cnt > s_i — exact integer
+    cross-multiplication, no division). ``elem_fmt`` abstracts the
+    1-based element accessor (Spark ``try_element_at(qv, {i})`` vs
+    DuckDB ``qv[{i}]``) — both yield NULL past the array end, and a
+    NULL comparison falls to the ELSE 0 arm on both engines, so
+    short vectors degrade identically (no split) everywhere."""
+    terms = " + ".join(
+        f"(CASE WHEN {bits} >= {i + 1}"
+        f" AND {elem_fmt.format(i=i + 1)} * {cnt} > s{i}"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_CELL_MAX_BITS)
+    )
+    return f"({terms})"
+
+
+_CELL_STAT_COLS = ", ".join(
+    f"SUM(qv[{i + 1}]) AS s{i}" for i in range(_CELL_MAX_BITS)
+)
+
 _COSINE_PAIR_CTES = f"""q AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
       FROM embeddings),
+    cellstats AS (
+      SELECT label, COUNT(*) AS cnt, {_CELL_STAT_COLS}
+      FROM q GROUP BY label),
+    cellbits AS (
+      SELECT *, {_cell_bits_sql("cnt")} AS bits FROM cellstats),
     n AS (
-      SELECT vec_id, label, qv,
-             (SELECT SUM(x * x) FROM (SELECT UNNEST(qv) AS x)) AS nrm2
-      FROM q),
+      SELECT q.vec_id, q.label, q.qv,
+             (SELECT SUM(x * x) FROM (SELECT UNNEST(q.qv) AS x)) AS nrm2,
+             {_cell_subkey_sql("qv[{i}]", "cnt", "bits")} AS subkey
+      FROM q JOIN cellbits USING (label)),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              (SELECT SUM(a.qv[i] * b.qv[i])
               FROM (SELECT UNNEST(range(1, len(a.qv) + 1)) AS i)) AS dot,
              a.nrm2 AS na, b.nrm2 AS nb
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)"""
+      FROM n a JOIN n b
+        ON a.label = b.label AND a.subkey = b.subkey AND a.vec_id < b.vec_id)"""
 
 # zero-norm guard mirrors the Spark plan: an all-zero embedding scores
 # 0.0 there (below any positive threshold), while an unguarded 0/0
@@ -1173,24 +1228,46 @@ def _cosine_oracle() -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: cosine ≥ _COSINE_THRESHOLD pairs, blocked by the
     ``label`` column (the coarse-quantizer/IVF cell — pairs are only
-    formed within a cell, never across the corpus).
+    formed within a cell, never across the corpus), with cells above
+    ``_CELL_CAP`` occupants sub-split in-engine by per-dimension mean
+    signs (``_cell_subkey_sql``) so no join bucket ever exceeds
+    ~cap vectors — the pair join is O(cap²·n_subcells), linear in the
+    corpus, at ANY scale. Sub-splitting drops cross-sub-cell pairs
+    (the IVF recall tradeoff SemDeDup already accepts at the cell
+    level; survival measured and disclosed in SCALING.md).
 
     Quantized-integer cosine (module docstring): dot and norms are
     exact BIGINT sums → order-independent → bit-identical across
-    engines; one final double division+sqrt, rounded.
+    engines; one final double division+sqrt, rounded. The sub-cell
+    derivation is integer-exact too (count cross-multiplication, no
+    division), so the DuckDB oracle lands in the identical cells.
 
-    100 TB note: within-cell self-join shuffles on label; cells are
-    bounded (corpus/n_cells), and finer quantization (more cells)
-    keeps bucket sizes constant as the corpus grows."""
+    100 TB note: cellstats is one map-side-combinable aggregate with
+    n_labels rows — broadcast back to the scan; the self-join shuffles
+    on (label, subkey), strictly finer than the old label-only key, so
+    refinement also dilutes cell skew."""
     t = load_tables(spark, sf_dir)
     q = scale_out(t["embeddings"]).select(
         "vec_id",
         "label",
         F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
     )
-    n = q.withColumn(
-        "nrm2",
-        F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"),
+    cellstats = q.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.try_element_at("qv", F.lit(i + 1))).alias(f"s{i}")
+            for i in range(_CELL_MAX_BITS)
+        ],
+    )
+    cellbits = cellstats.withColumn("bits", F.expr(_cell_bits_sql("cnt")))
+    n = q.join(F.broadcast(cellbits), "label").select(
+        "vec_id",
+        "label",
+        "qv",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").alias("nrm2"),
+        F.expr(
+            _cell_subkey_sql("try_element_at(qv, {i})", "cnt", "bits")
+        ).alias("subkey"),
     )
     a = n.alias("a")
     b = n.alias("b")
@@ -1205,6 +1282,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(nprod > 0, dot / F.sqrt(nprod)).otherwise(F.lit(0.0))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.subkey") == F.col("b.subkey"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cosine_raw", cos)
         .filter(F.col("cosine_raw") >= _COSINE_THRESHOLD)
