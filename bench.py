@@ -7,19 +7,41 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 ``value`` is the total wall-clock over the headline set after a warmup
 pass of the smallest query (JVM/codegen warm); per-query numbers are
-the fastest of ``--repeat`` runs (default 1).
+the fastest of ``--repeat`` runs (default 5).
+
+Adjudicability fields (round 7 — the official number drifted ±8% two
+rounds running on a host whose documented same-code spread is ±2×, so
+every reading now carries the evidence needed to separate regression
+from noise WITHOUT re-running):
+
+- ``loadavg_start`` / ``loadavg_end``: 1-min load average around the
+  run. ``load_flagged`` is true when the run STARTED on a busy host
+  (1-min load > 1.0) — treat the reading as non-adjudicable ambient
+  noise, not a code delta.
+- ``timings``: per-query ALL repeat wall-clocks in run order, so the
+  within-run spread (max/min per query) is visible next to the
+  fastest-of-N summary.
+- ``value_median``: sum of per-query medians — the noise-robust total
+  beside the fastest-of-N ``value`` (which stays the like-for-like
+  number of record, comparable to BENCH_r01..r06).
+- ``stream_mutations_per_s``: mutations/sec through the full
+  checkpointed streaming pipe (processing-time basis, startup
+  excluded) — the tracked analog of the reference's one published
+  performance number (<10 ms/mutation, BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 
 def main() -> int:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
     from mypipe_spark.plans.catalog import all_queries
     from mypipe_spark.session import get_spark
 
@@ -30,6 +52,7 @@ def main() -> int:
     # this host shows ±30% run-to-run jitter — steady-state throughput
     # is the quantity being benchmarked, so take the best of 5.
     repeat = int(os.environ.get("BENCH_REPEAT", "5"))
+    load_start = os.getloadavg()[0]
     spark = get_spark("mypipe-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -40,28 +63,54 @@ def main() -> int:
     warm.fn(spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
+    timings: dict[str, list[float]] = {}
     for name, qd in sorted(qs.items()):
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(repeat):
             t0 = time.perf_counter()
             df = qd.fn(spark, sf_dir)
             df.count()  # full materialization without driver collect
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = runs
+        per_query[name] = min(runs)
 
     total = round(sum(per_query.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    total_median = round(
+        sum(statistics.median(r) for r in timings.values()), 3
     )
+
+    # streaming throughput row (skippable with BENCH_STREAM_TX=0)
+    stream_tx = int(os.environ.get("BENCH_STREAM_TX", "1000"))
+    stream_mut_per_s = None
+    stream_stats = None
+    if stream_tx > 0:
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import stream_bench
+
+        stream_stats = stream_bench.measure(spark, n_tx=stream_tx)
+        stream_mut_per_s = stream_stats["value"]
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value_median": total_median,
+        "timings": timings,
+        "repeat": repeat,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "load_flagged": load_start > 1.0,
+        "stream_mutations_per_s": stream_mut_per_s,
+    }
+    if stream_stats is not None:
+        out["stream_detail"] = {
+            k: stream_stats[k]
+            for k in ("input_events", "processing_sec", "n_batches", "mean_batch_ms")
+        }
+    print(json.dumps(out))
     return 0
 
 

@@ -7,6 +7,11 @@ a checkpointed pipe).
 Replays a generated changelog through the full pipe (decode → filter →
 topic routing → memory sink) and prints one JSON line with rows/sec
 and per-batch stats from StreamingQueryProgress.
+
+``measure(spark, n_tx)`` is the reusable core — bench.py imports it to
+put a ``stream_mutations_per_s`` row in the official per-round BENCH
+JSON, so the reference's one real performance number has a tracked
+analog round over round.
 """
 
 from __future__ import annotations
@@ -20,17 +25,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
+def measure(spark, n_tx: int = 2000) -> dict:
+    """Run the full checkpointed pipe over a freshly generated
+    ``n_tx``-transaction changelog and return the throughput stats
+    dict (processing-time rows/sec as ``value`` — startup/stop
+    excluded; wall-clock figure reported beside it)."""
     from mypipe_spark.changelog import write_changelog
     from mypipe_spark.operators.decode import mutations_only
     from mypipe_spark.operators.filters import include_events, with_topic
-    from mypipe_spark.session import get_spark
     from mypipe_spark.sources.stream import changelog_stream
     from mypipe_spark.streaming.pipe import Pipe
-
-    n_tx = int(os.environ.get("STREAM_BENCH_TX", "2000"))
-    spark = get_spark("stream-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     d = tempfile.mkdtemp(prefix="stream_bench_")
     write_changelog(spark, d + "/cl", num_transactions=n_tx, num_files=8)
@@ -65,24 +69,29 @@ def main() -> int:
     # environments. Both numbers are reported; ``value`` is the
     # processing-time figure, ``wall_rows_per_sec`` the end-to-end one.
     proc_sec = sum(p["batchDuration"] for p in batches) / 1000.0
-    print(
-        json.dumps(
-            {
-                "metric": "stream_pipe_throughput",
-                "unit": "rows/sec",
-                "value": round(total_events / proc_sec, 1) if proc_sec else None,
-                "wall_rows_per_sec": round(total_events / wall, 1),
-                "input_events": total_events,
-                "emitted_mutations": out_rows,
-                "wall_sec": round(wall, 3),
-                "processing_sec": round(proc_sec, 3),
-                "n_batches": len(batches),
-                "mean_batch_ms": round(
-                    sum(p["batchDuration"] for p in batches) / max(len(batches), 1), 1
-                ),
-            }
-        )
-    )
+    return {
+        "metric": "stream_pipe_throughput",
+        "unit": "rows/sec",
+        "value": round(total_events / proc_sec, 1) if proc_sec else None,
+        "wall_rows_per_sec": round(total_events / wall, 1),
+        "input_events": total_events,
+        "emitted_mutations": out_rows,
+        "wall_sec": round(wall, 3),
+        "processing_sec": round(proc_sec, 3),
+        "n_batches": len(batches),
+        "mean_batch_ms": round(
+            sum(p["batchDuration"] for p in batches) / max(len(batches), 1), 1
+        ),
+    }
+
+
+def main() -> int:
+    from mypipe_spark.session import get_spark
+
+    n_tx = int(os.environ.get("STREAM_BENCH_TX", "2000"))
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure(spark, n_tx)))
     return 0
 
 
