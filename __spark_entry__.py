@@ -25,7 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mypipe_spark.plans.catalog import all_queries
 
-    return {name: qd.fn for name, qd in all_queries().items()}
+    # driver=False filters the four engine-specific sketch originals
+    # (HLL estimate / GK percentiles / xxhash simhash) whose output the
+    # harness structurally cannot oracle — each is still a registered
+    # library+bench+pytest surface, and its oracle-bearing `_check`
+    # tolerance twin (sketch vs exact ground truth, hash-verified)
+    # carries the external correctness contract here.
+    return {
+        name: qd.fn for name, qd in all_queries().items() if qd.driver
+    }
 
 
 def oracle_sql() -> dict[str, str]:

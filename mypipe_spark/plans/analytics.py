@@ -534,8 +534,9 @@ def q_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "q_approx_distinct_parts",
-    oracle=None,  # HLL sketch — engine-specific estimate, rows-only check
+    oracle=None,  # HLL sketch — engine-specific estimate, no SQL oracle
     tags=("agg", "approx"),
+    driver=False,  # external contract carried by q_approx_distinct_parts_check
 )
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB substitute
@@ -868,6 +869,7 @@ def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_customer_balance_deciles_approx",
     tags=("agg", "percentile", "sketch"),
+    driver=False,  # external contract: q_customer_balance_deciles_check
 )
 def q_customer_balance_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance deciles via approx_percentile cutpoints — the

@@ -313,6 +313,16 @@ class QueryDef:
     oracle: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Expose to the external correctness harness (__spark_entry__
+    # queries()). False ONLY for sketch queries whose output is
+    # engine-specific by construction (HLL / GK-percentile / xxhash
+    # fingerprints): the harness cannot oracle them, so every sampled
+    # row would structurally read as an error forever. Each such query
+    # stays a first-class library/bench/pytest surface, and its
+    # oracle-green `_check` tolerance twin carries the external
+    # contract (the twin recomputes the sketch AND its exact ground
+    # truth and is hash-verified).
+    driver: bool = True
 
 
 QUERIES: dict[str, QueryDef] = {}
@@ -323,11 +333,14 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    driver: bool = True,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``name`` with its DuckDB oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        QUERIES[name] = QueryDef(
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench, driver=driver
+        )
         return fn
 
     return deco

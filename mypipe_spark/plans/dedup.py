@@ -1020,6 +1020,7 @@ _SIMHASH_HAMMING = 6
     "dedup_simhash",
     oracle=None,  # xxhash64-based sketch: not portable to DuckDB; pytest
     tags=("dedup", "simhash"),
+    driver=False,  # external contract carried by dedup_simhash_check
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per doc + near-dup pairs at Hamming ≤ 6.

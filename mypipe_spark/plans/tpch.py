@@ -529,6 +529,7 @@ def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_quantity_quartiles_approx",
     tags=("agg", "percentile", "sketch"),
+    driver=False,  # external contract: q_quantity_quartiles_check
 )
 def q_quantity_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile quartiles — the 100 TB-safe form of
