@@ -401,20 +401,39 @@ def compact_write(
     does not see directory boundaries.
 
     Returns {"n_rows", "n_dirs", "max_files_per_dir"} as the write
-    audit, computed SPARK-SIDE from the written files' names
-    (``input_file_name``), so it is correct on any Hadoop filesystem
-    (s3a/hdfs/file), not just a local path. ``mode`` accepts the
-    writer modes EXCEPT ``append``: the audit describes the whole
-    directory, so appending would blend pre-existing objects into
-    this write's numbers and could report a spurious plan violation
-    (or mask a real one). NULL source/lang rows land in the hive
-    default-partition directories (__HIVE_DEFAULT_PARTITION__),
-    mirroring the plan's NULL-is-its-own-partition contract."""
-    if mode == "append":
+    audit, computed METADATA-ONLY: file counts from a recursive
+    Hadoop-FileSystem listing and row counts from the parquet FOOTERS
+    (``ParquetFileReader.getRecordCount`` — a bounded tail read per
+    file), so audit cost scales with the number of written files (the
+    quantity compaction itself bounds), never with data volume — no
+    second full scan of the output at 100 TB. Both go through the
+    Hadoop FS/InputFile APIs resolved from the session's
+    configuration, so the audit stays correct on any Hadoop
+    filesystem (s3a/hdfs/file), not just a local path.
+
+    ``mode`` is restricted to {"overwrite", "error", "errorifexists"}:
+    the audit describes the whole output directory, so ``append``
+    would blend pre-existing objects into this write's numbers
+    (spurious plan violations, or masked real ones), and ``ignore``
+    has the same hazard from the other side — an existing directory
+    silently skips the write and the audit would report the OLD
+    directory's files as this call's result. NULL source/lang rows
+    land in the hive default-partition directories
+    (__HIVE_DEFAULT_PARTITION__), mirroring the plan's
+    NULL-is-its-own-partition contract."""
+    if mode not in ("overwrite", "error", "errorifexists"):
+        reason = (
+            "append would mix prior writes into the audit"
+            if mode == "append"
+            else "ignore can silently skip the write and audit a "
+            "pre-existing directory as this call's result"
+            if mode == "ignore"
+            else "unknown save mode"
+        )
         raise ValueError(
-            "compact_write audits the whole output directory; append would "
-            "mix prior writes into the audit — write to a fresh directory "
-            "instead"
+            f"compact_write audits the whole output directory; mode "
+            f"{mode!r} is not allowed ({reason}) — use 'overwrite' or "
+            "'error'/'errorifexists' on a fresh directory instead"
         )
     spark = docs.sparkSession
     plan_rows = (
@@ -454,24 +473,35 @@ def compact_write(
         .partitionBy("source", "lang")
         .parquet(out_dir)
     )
-    # input_file_name() is non-deterministic, so Spark 4 rejects it
-    # INSIDE an aggregate — project it to a column first, aggregate
-    # the column
-    files = spark.read.parquet(out_dir).select(
-        F.input_file_name().alias("f"), "source", "lang"
-    )
-    per_dir = (
-        files.groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.count_distinct("f").alias("n"),
+    # Metadata-only audit: recursive FS listing for the file/dir
+    # shape, parquet footers for the row counts. The loop is
+    # driver-side over WRITTEN FILES — a population this function
+    # just bounded to the plan's total_files, so it cannot grow with
+    # data volume the way the previous whole-output re-read did.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    out_path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = out_path.getFileSystem(hconf)
+    per_dir: dict[str, int] = {}
+    n_rows = 0
+    it = fs.listFiles(out_path, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if not p.getName().endswith(".parquet"):
+            continue  # _SUCCESS markers, checksums
+        d = p.getParent().toString()
+        per_dir[d] = per_dir.get(d, 0) + 1
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
         )
-        .collect()
-    )
+        try:
+            n_rows += reader.getRecordCount()
+        finally:
+            reader.close()
     return {
-        "n_rows": sum(r["rows"] for r in per_dir),
+        "n_rows": n_rows,
         "n_dirs": len(per_dir),
-        "max_files_per_dir": max((r["n"] for r in per_dir), default=0),
+        "max_files_per_dir": max(per_dir.values(), default=0),
     }
 
 

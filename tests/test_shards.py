@@ -447,10 +447,11 @@ def test_compact_write_obeys_the_plan(spark, sf_dir, tmp_path):
     assert audit["max_files_per_dir"] > 1
 
 
-def test_compact_write_rejects_append_mode(spark, sf_dir, tmp_path):
-    """append is rejected up front: the audit describes the whole
-    output directory, so appending would blend prior writes into this
-    write's numbers (spurious plan violations, or masked real ones)."""
+def test_compact_write_rejects_append_and_ignore_modes(spark, sf_dir, tmp_path):
+    """append and ignore are rejected up front: the audit describes
+    the whole output directory, so appending would blend prior writes
+    into this write's numbers, and ignore could silently skip the
+    write and audit a PRE-EXISTING directory as this call's result."""
     import pytest
 
     from mypipe_spark.curate import compact_write
@@ -459,3 +460,5 @@ def test_compact_write_rejects_append_mode(spark, sf_dir, tmp_path):
     docs = load_tables(spark, sf_dir)["documents"]
     with pytest.raises(ValueError, match="append"):
         compact_write(docs, str(tmp_path / "x"), mode="append")
+    with pytest.raises(ValueError, match="ignore"):
+        compact_write(docs, str(tmp_path / "x"), mode="ignore")
