@@ -3133,7 +3133,7 @@ def attribution_credits(events: DataFrame) -> DataFrame:
       FROM j)
     SELECT day,
            COUNT(DISTINCT p_id) AS n_purchases,
-           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
            CAST(SUM(credit_micro) AS DOUBLE) / 1000000 AS credit
     FROM cred GROUP BY day
     """,
@@ -3147,7 +3147,12 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_asof_last_click (last-touch). Per-click credit is the exactly
     rounded integer division of the purchase's micro-unit value by
     its in-window click count, so the day sums are exact-integer and
-    engine-identical; the one double appears at display. Purchases
+    engine-identical; the one double appears at display. ``n_credits``
+    counts CREDIT ROWS (purchase × in-window click pairs) — a click
+    inside two purchases' windows on the same day contributes twice,
+    once per credit it carries; it is deliberately not a distinct
+    click count (the round-6 advisory's misreadable ``n_clicks`` name
+    is retired). Purchases
     with no in-window click earn no credit rows (an unattributed
     purchase has no touch to credit); purchases need identity,
     timestamp, user and value to participate, clicks need timestamp
@@ -3164,7 +3169,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     cred = attribution_credits(load_tables(spark, sf_dir)["events"])
     return cred.groupBy("day").agg(
         F.countDistinct("p_id").alias("n_purchases"),
-        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
         (F.sum("credit_micro").cast("double") / F.lit(1000000.0)).alias(
             "credit"
         ),

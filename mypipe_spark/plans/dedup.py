@@ -32,6 +32,10 @@ shingle/band), the standard web-scale dedup topology.
 
 from __future__ import annotations
 
+import os
+import threading
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,21 +122,47 @@ def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
 
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# One REENTRANT lock for both session caches (shingles + pairs): two
+# concurrent first callers would otherwise both build and persist the
+# same relation, leaking one persisted DataFrame for the session's
+# lifetime. Reentrant because the pair build calls shingle_arrays
+# inside its own critical section. Holding the lock across build() is
+# cheap — persist() only MARKS the relation (no job runs until a
+# consumer acts), so the critical section is plan construction only.
+_CACHE_LOCK = threading.RLock()
 
-def _evict_dead_sessions(app_id: str) -> None:
-    """Drop cache entries owned by other (stopped) sessions. Keyed on
-    applicationId, not id(spark): CPython can hand a new session a
-    GC'd session's address, which would serve a persisted DataFrame
-    bound to a dead SparkContext. Only one SparkSession exists per
-    process, so any entry under a different app id is dead — unpersist
-    it (best-effort; its context may already be gone) so the cached
-    relation doesn't leak across sessions."""
-    for key in [k for k in _SHINGLE_CACHE if k[0] != app_id]:
-        df = _SHINGLE_CACHE.pop(key)
-        try:
-            df.unpersist()
-        except Exception:  # owning SparkContext already stopped
-            pass
+
+def _session_cached(
+    cache: dict[tuple[str, str], DataFrame],
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Shared get-or-build for the session-persisted relations.
+
+    Keyed on (applicationId, normpath(sf_dir)): applicationId, not
+    id(spark), because CPython can hand a new session a GC'd
+    session's address, which would serve a persisted DataFrame bound
+    to a dead SparkContext; normpath so 'path' and 'path/' don't
+    double-cache (and double-persist) the same corpus. Entries owned
+    by other (stopped) sessions are evicted on access — only one
+    SparkSession exists per process, so any entry under a different
+    app id is dead; unpersist is best-effort (its context may already
+    be gone) so the cached relation doesn't leak across sessions."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.normpath(sf_dir))
+    with _CACHE_LOCK:
+        for k in [k for k in cache if k[0] != app_id]:
+            df = cache.pop(k)
+            try:
+                df.unpersist()
+            except Exception:  # owning SparkContext already stopped
+                pass
+        df = cache.get(key)
+        if df is None:
+            df = build()
+            cache[key] = df
+        return df
 
 
 def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,18 +180,16 @@ def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted DataFrame (MEMORY_AND_DISK — spills instead of evicting
     under pressure); Spark's cache manager substitutes it by plan
     subtree, so all four queries hit the same cached relation."""
-    app_id = spark.sparkContext.applicationId
-    _evict_dead_sessions(app_id)
-    key = (app_id, sf_dir)
-    arr = _SHINGLE_CACHE.get(key)
-    if arr is None:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
-        arr = _with_shingle_arrays(load_tables(spark, sf_dir)["documents"]).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        _SHINGLE_CACHE[key] = arr
-    return arr
+    return _session_cached(
+        _SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        lambda: _with_shingle_arrays(
+            load_tables(spark, sf_dir)["documents"]
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+    )
 
 
 # DuckDB twin of the exploded shingle form (1-based list indexing).
@@ -509,25 +537,19 @@ def jaccard_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps describing the real pipeline, and the cache only ever holds
     qualifying pairs — output-sized, not candidate-sized. Same
     eviction discipline as the shingle cache (entries of dead
-    sessions dropped on access); persist is lazy, so building the
-    plan stays free until a consumer acts."""
+    sessions dropped on access, via the same lock-guarded
+    _session_cached); persist is lazy, so building the plan stays
+    free until a consumer acts."""
     from pyspark import StorageLevel
 
-    app_id = spark.sparkContext.applicationId
-    for key in [k for k in _PAIR_CACHE if k[0] != app_id]:
-        df = _PAIR_CACHE.pop(key)
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    key = (app_id, sf_dir)
-    pairs = _PAIR_CACHE.get(key)
-    if pairs is None:
-        pairs = jaccard_pairs_raw(shingle_arrays(spark, sf_dir)).persist(
+    return _session_cached(
+        _PAIR_CACHE,
+        spark,
+        sf_dir,
+        lambda: jaccard_pairs_raw(shingle_arrays(spark, sf_dir)).persist(
             StorageLevel.MEMORY_AND_DISK
-        )
-        _PAIR_CACHE[key] = pairs
-    return pairs
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1903,11 +1903,11 @@ def test_attribution_query_matches_independent_group_count(spark, sf_dir):
         assert drift * 2 <= r["n_win"], (r["p_id"], drift, r["n_win"])
     # the registered day report is exactly the rollup of cred's rows
     want = {
-        (str(r["day"]), r["n_purchases"], r["n_clicks"], round(r["credit"], 6))
+        (str(r["day"]), r["n_purchases"], r["n_credits"], round(r["credit"], 6))
         for r in cred.groupBy("day")
         .agg(
             F.countDistinct("p_id").alias("n_purchases"),
-            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
             (F.sum("credit_micro").cast("double") / F.lit(1000000.0)).alias(
                 "credit"
             ),
@@ -1915,7 +1915,7 @@ def test_attribution_query_matches_independent_group_count(spark, sf_dir):
         .collect()
     }
     got = {
-        (str(r["day"]), r["n_purchases"], r["n_clicks"], round(r["credit"], 6))
+        (str(r["day"]), r["n_purchases"], r["n_credits"], round(r["credit"], 6))
         for r in all_queries()["events_attribution_linear"]
         .fn(spark, sf_dir)
         .collect()

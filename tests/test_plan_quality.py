@@ -417,3 +417,39 @@ def test_pair_cache_memoizes_and_evicts_like_the_shingle_cache(spark, sf_dir):
     assert live.storageLevel.useMemory is True
     # and the relation carries the raw columns its consumers read
     assert {"doc_a", "doc_b", "n_common", "na", "nb"} <= set(live.columns)
+
+
+def test_session_caches_normalize_paths_and_serialize_builders(spark, sf_dir):
+    """The round-6 advisory pair: (a) 'path' and 'path/' must not
+    double-cache (and double-persist) the same corpus — keys are
+    normpath'd; (b) two concurrent FIRST callers must resolve to ONE
+    cached relation (the lock serializes get/build/put; an unguarded
+    race would leak a persisted duplicate for the session's life)."""
+    import threading
+
+    from mypipe_spark.plans import dedup
+
+    base = dedup.jaccard_pairs_shared(spark, sf_dir)
+    assert dedup.jaccard_pairs_shared(spark, sf_dir + "/") is base
+    assert dedup.shingle_arrays(spark, sf_dir + "///") is dedup.shingle_arrays(
+        spark, sf_dir
+    )
+    # concurrency: clear the entry, then race two first-builders
+    app_id = spark.sparkContext.applicationId
+    import os as _os
+
+    key = (app_id, _os.path.normpath(sf_dir))
+    with dedup._CACHE_LOCK:
+        dedup._PAIR_CACHE.pop(key).unpersist()
+    results: list = []
+    barrier = threading.Barrier(2)
+
+    def racer():
+        barrier.wait()
+        results.append(dedup.jaccard_pairs_shared(spark, sf_dir))
+
+    ts = [threading.Thread(target=racer) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(results) == 2 and results[0] is results[1]
+    assert len([k for k in dedup._PAIR_CACHE if k[0] == app_id]) == 1
