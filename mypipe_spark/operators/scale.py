@@ -182,3 +182,108 @@ def exact_ntile_fn(
         return exact_ntile(df, k, order_cols, partitions, out_col)
 
     return apply
+
+
+def exact_ntile_multi(
+    df: DataFrame,
+    k: int,
+    axes: list[tuple[str, list[str]]],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(k) over SEVERAL independent global orderings of the
+    same relation, for ONE driver job at build — the multi-axis form
+    :func:`exact_ntile` callers (RFM segmentation: recency, frequency,
+    monetary) would otherwise pay two eager jobs PER AXIS for.
+
+    ``axes`` is ``[(out_col, order_cols), ...]`` where
+    ``order_cols[0]`` is the axis's numeric ranking key and the rest
+    the unique tiebreak (same strict-total-order requirement as
+    exact_ntile).
+
+    Mechanism — same two-pass distributed ranking idea, restructured
+    so everything data-dependent is IN-PLAN:
+
+    1. ONE aggregate collects approximate quantile boundaries for ALL
+       axes (percentile_approx is a mergeable sketch — this is the
+       sampling pass of a classic distributed sort). The boundaries
+       only need to BALANCE the buckets, never to be exact: they are
+       frozen into the plan as literals, so every subtree that
+       derives a row's coarse bucket derives the identical one — no
+       localCheckpoint, and no reliance on exchange reuse, is needed
+       for the two passes to agree (the exact_ntile determinism
+       hazard this operator retires).
+    2. Per axis, the coarse bucket is ``Σ[key > boundary]`` (monotone
+       in the key, so buckets are contiguous key ranges); per-bucket
+       counts roll up map-side, prefix-sum through a window over the
+       ~P count rows (index metadata, not data), and broadcast back.
+       global rank = bucket offset + per-bucket row_number; the
+       NTILE bucket follows from pure integer arithmetic
+       (``ceil(a/b) = (a+b-1) div b`` — engine-exact, no doubles).
+
+    Scale shape: one boundary-sketch pass over the relation at build,
+    then per axis one map-side-combinable count aggregate, one
+    broadcast join, and one window sort partitioned by the ~P coarse
+    buckets — never a single-partition window over the data. NULL
+    ranking keys land in the lowest bucket and rank first, matching
+    Spark's ascending NULLS FIRST window order (callers comparing
+    against engines that default NULLS LAST must pre-filter, the
+    house convention)."""
+    from pyspark.sql import Window
+
+    P = partitions or df.sparkSession.sparkContext.defaultParallelism
+    fracs = [i / P for i in range(1, P)]
+    bounds_row = df.agg(
+        *[
+            F.percentile_approx(
+                order_cols[0], F.array(*[F.lit(f) for f in fracs]), F.lit(10_000)
+            ).alias(f"_b{i}")
+            for i, (_out, order_cols) in enumerate(axes)
+        ]
+    ).collect()[0]
+
+    out = df
+    for i, (out_col, order_cols) in enumerate(axes):
+        key = order_cols[0]
+        bounds = sorted({b for b in (bounds_row[f"_b{i}"] or []) if b is not None})
+        if bounds:
+            arr = F.array(*[F.lit(b) for b in bounds])
+            bucket = F.size(F.filter(arr, lambda b: F.col(key) > b))
+        else:  # P == 1 or empty input: one coarse bucket
+            bucket = F.lit(0)
+        bk, off, tot, rk = f"_bk{i}", f"_off{i}", f"_n{i}", f"_rk{i}"
+        out = out.withColumn(bk, bucket)
+        counts = out.groupBy(bk).agg(F.count(F.lit(1)).alias("_cnt"))
+        wp = Window.partitionBy(F.lit(0)).orderBy(bk)
+        offs = counts.select(
+            bk,
+            F.coalesce(
+                F.sum("_cnt").over(
+                    wp.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias(off),
+            F.sum("_cnt").over(Window.partitionBy(F.lit(0))).alias(tot),
+        )
+        rank = F.col(off) + F.row_number().over(
+            Window.partitionBy(bk).orderBy(*order_cols)
+        )
+        # NTILE arithmetic on exact ranks: with n rows the first
+        # n mod k buckets take (n div k)+1 rows, the rest n div k —
+        # all-integer ceil division (ceil(a/b) = (a+b-1) div b) keeps
+        # the buckets bit-identical to the window function.
+        ntile = F.expr(
+            f"CAST(CASE WHEN {rk} <= ({tot} % {k}) * ({tot} div {k} + 1)"
+            f" THEN ({rk} + {tot} div {k}) div ({tot} div {k} + 1)"
+            f" ELSE {tot} % {k}"
+            f"  + ({rk} - ({tot} % {k}) * ({tot} div {k} + 1)"
+            f"     + greatest({tot} div {k}, 1) - 1)"
+            f"    div greatest({tot} div {k}, 1)"
+            f" END AS INT)"
+        )
+        out = (
+            out.join(F.broadcast(offs), bk)
+            .withColumn(rk, rank)
+            .withColumn(out_col, ntile)
+            .drop(bk, off, tot, rk)
+        )
+    return out

@@ -3330,16 +3330,20 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic three-digit segment code (r*100 + f*10 + m). Purchases
     need timestamp, user and value; other event types are invisible.
 
-    Scale honesty: each quartile axis runs through
-    operators.scale.exact_ntile's two-pass range-partitioned ranking,
+    Scale honesty: the three quartile axes run through ONE
+    operators.scale.exact_ntile_multi pass — a single boundary-sketch
+    aggregate at build (one driver job, pinned by
+    tests/test_scale.py) freezes per-axis coarse-bucket boundaries
+    into the plan, then each axis is an in-plan
+    offset-plus-row_number ranking partitioned by its coarse buckets,
     NOT a single-partition ntile window — the per-user relation is
     corpus-sized at 100 TB and a global-sort window there is the one
-    shape that cannot scale (the deciles lesson). Construction is
-    therefore EAGER (three small job pairs at build; same contract as
-    q_customer_balance_deciles). The oracle states the identical
+    shape that cannot scale (the deciles lesson). The round-6 form
+    paid exact_ntile's two eager jobs per axis (six at build); the
+    multi-axis operator retires that. The oracle states the identical
     buckets through window NTILE — bit-equality between the two forms
     is exactly what the hash comparison checks."""
-    from ..operators.scale import exact_ntile
+    from ..operators.scale import exact_ntile_multi
 
     p = load_tables(spark, sf_dir)["events"].filter(
         (F.col("event_type") == "purchase")
@@ -3363,9 +3367,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "mon",
     )
-    q = exact_ntile(u2, _RFM_TILES, ["recency_days", "user_id"], out_col="r_q")
-    q = exact_ntile(q, _RFM_TILES, ["freq", "user_id"], out_col="f_q")
-    q = exact_ntile(q, _RFM_TILES, ["mon", "user_id"], out_col="m_q")
+    q = exact_ntile_multi(
+        u2,
+        _RFM_TILES,
+        [
+            ("r_q", ["recency_days", "user_id"]),
+            ("f_q", ["freq", "user_id"]),
+            ("m_q", ["mon", "user_id"]),
+        ],
+    )
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.expr(

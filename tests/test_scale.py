@@ -436,3 +436,57 @@ def test_stream_smoke_amplifier_preserves_tx_structure(spark, tmp_path):
         for f in sorted(glob.glob(amp_dir + "/part-*.parquet"))
     ]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+
+
+def test_exact_ntile_multi_matches_window_ntile_and_builds_in_one_job(spark):
+    """exact_ntile_multi's contract, both halves:
+
+    1. CORRECTNESS — every axis's buckets are bit-identical to the
+       single-partition window NTILE over that axis's ordering,
+       including the skewed-key case (many ties straddling a coarse
+       boundary) and n not divisible by k.
+    2. BUILD COST — constructing the plan runs ONE collect action (the
+       shared boundary sketch; AQE may stage it as up to 3 tiny jobs),
+       and the job count is INVARIANT in the number of axes — not the
+       two eager jobs per axis the chained exact_ntile form paid (the
+       round-6 events_rfm_segments verdict item)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators.scale import exact_ntile_multi
+
+    sc = spark.sparkContext
+    # skewed v (ties), distinct w, n=503 (not divisible by 4)
+    df = spark.createDataFrame(
+        [(i, i % 7, (i * 31) % 503) for i in range(503)],
+        "id int, v int, w int",
+    ).repartition(8)
+
+    sc.setJobGroup("ntile_multi_build_one", "single-axis build")
+    exact_ntile_multi(df, 4, [("v_q", ["v", "id"])])
+    one = len(sc.statusTracker().getJobIdsForGroup("ntile_multi_build_one"))
+
+    sc.setJobGroup("ntile_multi_build", "one boundary collect only")
+    out = exact_ntile_multi(
+        df, 4, [("v_q", ["v", "id"]), ("w_q", ["w", "id"])]
+    )
+    both = len(sc.statusTracker().getJobIdsForGroup("ntile_multi_build"))
+    assert both == one <= 3, (one, both)
+    sc.setJobGroup("ntile_multi_check", "")
+    got = {r["id"]: (r["v_q"], r["w_q"]) for r in out.collect()}
+    want = {
+        r["id"]: (r["v_q"], r["w_q"])
+        for r in df.select(
+            "id",
+            F.ntile(4).over(Window.orderBy("v", "id")).alias("v_q"),
+            F.ntile(4).over(Window.orderBy("w", "id")).alias("w_q"),
+        ).collect()
+    }
+    assert got == want
+    # tiny input: n < k leaves empty high buckets, exactly like NTILE
+    tiny = spark.createDataFrame([(1, 10), (2, 5)], "id int, v int")
+    got_t = {
+        r["id"]: r["q"]
+        for r in exact_ntile_multi(tiny, 4, [("q", ["v", "id"])]).collect()
+    }
+    assert got_t == {2: 1, 1: 2}
