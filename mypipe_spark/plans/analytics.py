@@ -3486,3 +3486,140 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_micro").cast("double") / 1000000).alias("revenue"),
         (F.col("cum_micro").cast("double") / 1000000).alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# power-user concentration (Pareto/Lorenz deciles over per-user activity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_power_users_share",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id),
+    d AS (
+      SELECT user_id, n_ev,
+             NTILE(10) OVER (ORDER BY n_ev, user_id) AS decile
+      FROM u),
+    tot AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS total_ev FROM u)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           {round4_frac_sql("CAST(SUM(n_ev) AS HUGEINT)", "total_ev", "//")}
+             AS event_share
+    FROM d, tot
+    GROUP BY decile, total_ev
+    """,
+    tags=("events", "segmentation", "ntile", "pareto"),
+)
+def events_power_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) report: users bucketed into
+    activity deciles (ascending event count, user id tiebreak —
+    decile 10 is the heaviest users), with each decile's share of all
+    events — the "what fraction of the corpus do power users
+    generate" readout a training-data pipeline checks before
+    per-user capping. The share is the house exact-integer rounded
+    ratio (numerator widened before the ×10000 — the INT32 overflow
+    lesson).
+
+    Scale: the per-user rollup is one map-side-combinable aggregate;
+    the global deciles run through operators.scale.exact_ntile_multi
+    (in-plan offset ranking partitioned by frozen boundary buckets —
+    never a single-partition NTILE window over the user relation,
+    which is corpus-sized at 100 TB); the total is a broadcast
+    one-row cross join."""
+    from ..operators.scale import exact_ntile_multi
+
+    u = (
+        scale_out(load_tables(spark, sf_dir)["events"])
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    )
+    d = exact_ntile_multi(u, 10, [("decile", ["n_ev", "user_id"])])
+    tot = u.agg(F.sum("n_ev").cast("long").alias("total_ev"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total_ev")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "n_events",
+            F.expr(
+                round4_frac_sql(
+                    "CAST(n_events AS DECIMAL(38,0))", "total_ev", "div"
+                )
+            ).alias("event_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sustained-rate burst detection (bot filtering)
+# ---------------------------------------------------------------------------
+
+_BURST_WINDOW_US = 3_600_000_000  # 1 hour
+_BURST_THRESHOLD = 3  # peak events within one window to flag
+
+
+@register(
+    "events_burst_rate",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    w AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {_BURST_WINDOW_US - 1} PRECEDING
+                 AND CURRENT ROW) AS in_window
+      FROM e),
+    p AS (
+      SELECT user_id, CAST(MAX(in_window) AS BIGINT) AS peak_1h,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM w GROUP BY user_id)
+    SELECT user_id, peak_1h, n_events
+    FROM p WHERE peak_1h >= {_BURST_THRESHOLD}
+    """,
+    tags=("events", "rate", "bot-detection"),
+)
+def events_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-rate detector — the bot/scraper filter of an events
+    ingest pipeline: each user's PEAK event count inside any sliding
+    1-hour window (trailing RANGE frame on the microsecond timestamp,
+    so simultaneous events are window peers in both engines — no
+    row-frame tie ambiguity), reporting users whose peak reaches
+    {_BURST_THRESHOLD}. A curation pipeline drops or down-weights
+    flagged users' traffic before training.
+
+    Scale: one exchange on user_id shared by the RANGE window and the
+    per-user rollup (the group key equals the partition key, the
+    debounce lesson); per-user histories are bounded, so frames never
+    blow up a task."""
+    e = (
+        scale_out(load_tables(spark, sf_dir)["events"])
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(
+        -(_BURST_WINDOW_US - 1), 0
+    )
+    return (
+        e.withColumn("in_window", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("in_window").cast("long").alias("peak_1h"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .filter(F.col("peak_1h") >= _BURST_THRESHOLD)
+    )

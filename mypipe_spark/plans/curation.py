@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import isqrt_sql, load_tables, register, round4_frac_sql, round_div_sql
+from .catalog import isqrt_sql, load_tables, register, round4_frac_sql, round_div_sql, scale_out
 from .dedup import NORM_TEXT_DUCK, norm_text_col
 from .textops import (
     N_STOP_DUCK,
@@ -819,4 +819,78 @@ def layout_zorder_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             round4_frac_sql("CAST(SUM(sy) AS BIGINT)", "COUNT(*)", "div")
         ).alias("avg_span_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source duplication report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_dedup_report",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS ch
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY ch) AS n_same,
+             ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id)
+               AS rn
+      FROM h)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_involved,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removable,
+           (CAST((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000)
+               // COUNT(*) AS DOUBLE) / 10000) AS removable_rate
+    FROM c GROUP BY source
+    """,
+    tags=("curation", "dedup", "audit"),
+)
+def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication pressure — the report a curation run
+    reads before choosing which sources need the full dedup pass:
+    per source, how many docs are INVOLVED in an exact-duplicate
+    group (share content hash with any other doc, across source
+    boundaries) and how many are REMOVABLE (every occurrence past the
+    group's smallest doc_id — dedup_exact's keep-smallest survivor
+    convention, so n_removable sums to exactly the rows dedup would
+    drop), plus the removable rate. Distinguishing involved from
+    removable matters: a source can be 100% dup-involved but 0%
+    removable when it holds every group's canonical copy.
+
+    Scale: one exchange on the content hash for the group window (no
+    ORDER on the count, doc_id order for the survivor rank), one on
+    source for the rollup — both 16-byte keys; the rate is the house
+    floor-to-4-digits integer ratio. NULL sources report as their own
+    row (same convention as the compaction plan)."""
+    h = (
+        scale_out(load_tables(spark, sf_dir)["documents"])
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("ch"))
+    )
+    wc = Window.partitionBy("ch")
+    wr = Window.partitionBy("ch").orderBy("doc_id")
+    c = h.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(wc).alias("n_same"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_same") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_involved"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removable"),
+        F.expr(
+            "CAST((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000)"
+            " div COUNT(*) AS DOUBLE) / 10000"
+        ).alias("removable_rate"),
     )

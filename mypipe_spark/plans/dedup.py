@@ -1202,7 +1202,11 @@ _CELL_STAT_COLS = ", ".join(
     f"SUM(qv[{i + 1}]) AS s{i}" for i in range(_CELL_MAX_BITS)
 )
 
-_COSINE_PAIR_CTES = f"""q AS (
+# Cell derivation (quantize → per-cell stats → adaptive bits →
+# sub-cell keys), shared by the pair kernel below AND the
+# embedding_cell_audit oracle — one source of truth for what "a cell"
+# means.
+_COSINE_CELL_CTES = f"""q AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)) AS qv
       FROM embeddings),
@@ -1215,7 +1219,9 @@ _COSINE_PAIR_CTES = f"""q AS (
       SELECT q.vec_id, q.label, q.qv,
              (SELECT SUM(x * x) FROM (SELECT UNNEST(q.qv) AS x)) AS nrm2,
              {_cell_subkey_sql("qv[{i}]", "cnt", "bits")} AS subkey
-      FROM q JOIN cellbits USING (label)),
+      FROM q JOIN cellbits USING (label))"""
+
+_COSINE_PAIR_CTES = f"""{_COSINE_CELL_CTES},
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              (SELECT SUM(a.qv[i] * b.qv[i])
@@ -1241,6 +1247,87 @@ def _cosine_oracle() -> str:
     FROM pairs
     WHERE {_COSINE_PAIR_PREDICATE}
     """
+
+
+def _quantized_subcells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _COSINE_CELL_CTES: quantized vectors with
+    their norm, cell occupancy/bits, and the sub-cell key — shared by
+    the pair kernel (dedup_embedding_cosine → dedup_semantic) and the
+    embedding_cell_audit so the two can never disagree on cell
+    derivation."""
+    t = load_tables(spark, sf_dir)
+    q = scale_out(t["embeddings"]).select(
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
+    )
+    cellstats = q.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.try_element_at("qv", F.lit(i + 1))).alias(f"s{i}")
+            for i in range(_CELL_MAX_BITS)
+        ],
+    )
+    cellbits = cellstats.withColumn("bits", F.expr(_cell_bits_sql("cnt")))
+    return q.join(F.broadcast(cellbits), "label").select(
+        "vec_id",
+        "label",
+        "qv",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").alias("nrm2"),
+        F.expr(
+            _cell_subkey_sql("try_element_at(qv, {i})", "cnt", "bits")
+        ).alias("subkey"),
+        "cnt",
+        "bits",
+    )
+
+
+@register(
+    "embedding_cell_audit",
+    oracle=f"""
+    WITH {_COSINE_CELL_CTES},
+    sub AS (
+      SELECT label, subkey, COUNT(*) AS occ
+      FROM n GROUP BY label, subkey)
+    SELECT label,
+           CAST(SUM(occ) AS BIGINT) AS cnt,
+           CAST(MIN(b.bits) AS INT) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_subcells,
+           CAST(MAX(occ) AS BIGINT) AS max_subcell,
+           CAST(SUM(occ) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+             AS avg_subcell
+    FROM sub JOIN cellbits b USING (label)
+    GROUP BY label
+    """,
+    tags=("embedding", "audit", "dedup"),
+)
+def embedding_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy audit of the embedding-dedup cell structure — the
+    operational readout of the round-7 cell-occupancy bound: per
+    ``label`` cell, its population, the adaptive refinement bit count
+    (0 = under _CELL_CAP, untouched), how many sub-cells the mean-sign
+    quantizer actually produced, and the largest/average sub-cell —
+    the number that bounds the pair join's worst task. A pipeline
+    operator watches ``max_subcell`` against _CELL_CAP·slack before
+    scheduling the quadratic within-cell pass; skew here is the first
+    symptom that the corpus outgrew the quantizer.
+
+    One shuffle on (label, subkey) for the sub-cell counts, rolled up
+    per label; integer-exact throughout (``avg_subcell`` is the floor
+    integer division — both engines compute it on BIGINTs)."""
+    n = _quantized_subcells(spark, sf_dir)
+    sub = n.groupBy("label", "subkey", "bits").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return sub.groupBy("label").agg(
+        F.sum("occ").cast("long").alias("cnt"),
+        F.min("bits").cast("int").alias("bits"),
+        F.count(F.lit(1)).cast("long").alias("n_subcells"),
+        F.max("occ").cast("long").alias("max_subcell"),
+        F.expr("CAST(sum(occ) AS BIGINT) div count(*)")
+        .cast("long")
+        .alias("avg_subcell"),
+    )
 
 
 @register(
@@ -1269,29 +1356,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_labels rows — broadcast back to the scan; the self-join shuffles
     on (label, subkey), strictly finer than the old label-only key, so
     refinement also dilutes cell skew."""
-    t = load_tables(spark, sf_dir)
-    q = scale_out(t["embeddings"]).select(
-        "vec_id",
-        "label",
-        F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
-    )
-    cellstats = q.groupBy("label").agg(
-        F.count("*").alias("cnt"),
-        *[
-            F.sum(F.try_element_at("qv", F.lit(i + 1))).alias(f"s{i}")
-            for i in range(_CELL_MAX_BITS)
-        ],
-    )
-    cellbits = cellstats.withColumn("bits", F.expr(_cell_bits_sql("cnt")))
-    n = q.join(F.broadcast(cellbits), "label").select(
-        "vec_id",
-        "label",
-        "qv",
-        F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").alias("nrm2"),
-        F.expr(
-            _cell_subkey_sql("try_element_at(qv, {i})", "cnt", "bits")
-        ).alias("subkey"),
-    )
+    n = _quantized_subcells(spark, sf_dir).drop("cnt", "bits")
     a = n.alias("a")
     b = n.alias("b")
     dot = F.expr(
@@ -2852,4 +2917,191 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shingles") > 0,
             F.expr(round4_frac_sql("n_novel", "n_shingles", "div")),
         ).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al., SIGMOD 2003 — public method)
+# ---------------------------------------------------------------------------
+
+# Winnow window over the _SPAN_WORDS-gram hash stream: each window of
+# _WINNOW_W consecutive gram hashes contributes its MINIMUM, and the
+# per-doc fingerprint is the distinct set of selected minima —
+# guaranteed-overlap local fingerprints (any shared substring of
+# ~_WINNOW_W + _SPAN_WORDS - 1 words forces at least one shared
+# fingerprint), at expected density 2/(w+1) of the gram stream. The
+# gram domain is the house 60-bit md5-prefix id, identical on both
+# engines (shared with the duplicate-spans plane).
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 2
+
+
+def _winnow_grams_expr() -> str:
+    """Row-local positional gram-hash array over a tokenized column
+    ``w``. Kept as its OWN projection so the md5 stream is computed
+    once per document — inlining it into the window-minima transform
+    would re-evaluate the whole array per window (measured: O(m²) md5
+    calls per doc, a 20× wall blowup at the K=32 smoke)."""
+    k = _SPAN_WORDS
+    return (
+        f"if(size(w) < {k}, array(),"
+        f" transform(sequence(1, size(w) - {k - 1}),"
+        f"   i -> cast(conv(substring(md5(cast("
+        f"          concat_ws(' ', slice(w, i, {k})) as binary)),"
+        f"        1, 15), 16, 10) as bigint)))"
+    )
+
+
+def _winnow_sel_expr() -> str:
+    """Distinct window-minima over a materialized gram-array column
+    ``g`` (see :func:`_winnow_grams_expr`). Pure codegen (transform /
+    slice / array_min) — no explode, no shuffle, no UDF."""
+    w = _WINNOW_W
+    return (
+        f"array_distinct(if(size(g) = 0, array(),"
+        f" transform(sequence(1, greatest(size(g) - {w - 1}, 1)),"
+        f"   j -> array_min(slice(g, j, {w})))))"
+    )
+
+
+def _winnow_sel_cte(src: str = "documents") -> str:
+    """DuckDB twin of :func:`_winnow_sel_expr` — CTE ``wsel``
+    (doc_id, n_grams, sel)."""
+    k, w = _SPAN_WORDS, _WINNOW_W
+    grams = (
+        f"CASE WHEN len(w) < {k} THEN CAST([] AS BIGINT[]) ELSE"
+        f" list_transform(range(1, len(w) - {k - 1} + 1),"
+        f"   i -> CAST('0x' || substr(md5("
+        f"          array_to_string(list_slice(w, i, i + {k - 1}), ' ')"
+        f"        ), 1, 15) AS BIGINT)) END"
+    )
+    return f"""
+    wtoks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM {src} WHERE text IS NOT NULL),
+    wgrams AS (SELECT doc_id, {grams} AS g FROM wtoks),
+    wsel AS (
+      SELECT doc_id, len(g) AS n_grams,
+             list_distinct(CASE WHEN len(g) = 0 THEN CAST([] AS BIGINT[]) ELSE
+               list_transform(range(1, greatest(len(g) - {w - 1}, 1) + 1),
+                 j -> list_min(list_slice(g, j, j + {w - 1}))) END) AS sel
+      FROM wgrams)"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH {_winnow_sel_cte()}
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_selected,
+           list_min(sel) AS fp_min,
+           CAST(CASE WHEN len(sel) = 0 THEN 0
+                ELSE list_reduce(sel, (a, b) -> xor(a, b)) END
+             AS BIGINT) AS fp_xor
+    FROM wsel
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary (Schleimer et al.
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    public method): gram count, number of selected window-minima
+    fingerprints, and two order-insensitive digests of the selected
+    set (min and XOR-fold) so the whole fingerprint table is
+    hash-comparable without emitting array columns. The rolling-hash
+    fingerprint plane the brief's text-analysis inventory names;
+    text_fingerprint's content/bag hashes detect whole-doc
+    equivalence, winnowing detects PARTIAL overlap (any shared run of
+    ~{_WINNOW_W + _SPAN_WORDS - 1} words must share a fingerprint).
+
+    Scale: one projection pass, fully row-local whole-stage codegen
+    (no explode, no shuffle, no UDF) — the fingerprint table a
+    plagiarism/overlap pipeline materializes once per corpus
+    snapshot."""
+    toks = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    k = _SPAN_WORDS
+    return (
+        scale_out(toks)
+        .withColumn("g", F.expr(_winnow_grams_expr()))
+        .withColumn("sel", F.expr(_winnow_sel_expr()))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(greatest(size(w) - {k - 1}, 0) AS BIGINT)").alias(
+                "n_grams"
+            ),
+            F.size("sel").cast("long").alias("n_selected"),
+            F.array_min("sel").alias("fp_min"),
+            F.expr(
+                "aggregate(sel, CAST(0 AS BIGINT), (a, x) -> a ^ x)"
+            ).alias("fp_xor"),
+        )
+    )
+
+
+@register(
+    "dedup_winnow_candidates",
+    oracle=f"""
+    WITH {_winnow_sel_cte()},
+    post AS (SELECT doc_id, UNNEST(sel) AS gh FROM wsel),
+    hot AS (
+      SELECT gh FROM post GROUP BY gh
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {_STOP_SHINGLE_DF_CAP}),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM post a JOIN hot USING (gh) JOIN post b USING (gh)
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM shared GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from shared winnowing
+    fingerprints: documents sharing ≥ {_WINNOW_MIN_SHARED} selected
+    minima, with the shared count — the cheap recall-bounded candidate
+    generator in front of an exact verifier (winnowing's guarantee
+    makes a miss impossible for overlaps spanning a full window). Same
+    inverted-index topology as every shingle op: explode ONLY the
+    selected minima (~2/(w+1) the gram stream), bucket by fingerprint
+    with the house hot-bucket cap, emit in-bucket pairs, count per
+    pair. One shuffle on the fingerprint id, one on the pair — both
+    8-byte keys."""
+    toks = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    post = (
+        scale_out(toks)
+        .withColumn("g", F.expr(_winnow_grams_expr()))
+        .select("doc_id", F.explode(F.expr(_winnow_sel_expr())).alias("gh"))
+    )
+    grouped = (
+        post.groupBy("gh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= _STOP_SHINGLE_DF_CAP)
+        )
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ids, (a, i) ->
+                  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+                    struct(a AS doc_a, b AS doc_b))))
+                """
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )

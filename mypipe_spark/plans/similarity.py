@@ -150,6 +150,67 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Range-search threshold: calibrated so the fixture returns a
+# non-trivial set at both driver scale factors (sf0.01 ~5 rows,
+# sf0.1 ~50) — the predicate applies to the RAW cosine (exact-integer
+# dot/norms, one IEEE division — bit-identical across engines), the
+# displayed value is rounded, same convention as the top-k family.
+_RANGE_THRESHOLD = 0.25
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS ({_SQL_QUANT}),
+    n AS ({_SQL_NORM}),
+    qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT n.vec_id, n.label,
+             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
+               (SELECT SUM(n.qv[i] * qry.qqv[i])
+                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
+               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
+              ELSE 0.0 END) AS cos_raw
+      FROM n, qry
+      WHERE n.vec_id <> {_QUERY_VEC_ID})
+    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    FROM scored
+    WHERE cos_raw >= {_RANGE_THRESHOLD}
+    """,
+    tags=("ann", "similarity", "range"),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity RANGE query: every corpus vector within cosine ≥
+    _RANGE_THRESHOLD of the query vector — the radius-based sibling of
+    ann_topk_bruteforce (same broadcast-query one-pass scoring, but
+    the predicate is a threshold, not a rank), the shape retrieval
+    uses for "all near-duplicates of X" rather than "the 10 nearest".
+
+    Scale: identical to the brute-force pass — broadcast single-row
+    query, map-side scoring, and the threshold filter prunes
+    output-side, so no sort and no global ordering at all (strictly
+    cheaper than top-k: TakeOrderedAndProject disappears from the
+    plan). For batched range queries the LSH/IVF variants bound the
+    candidate set the same way they do for top-k."""
+    n = _spark_quantized(spark, sf_dir)
+    qry = F.broadcast(
+        _spark_quantized(spark, sf_dir, rebalance=False)
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("qv").alias("qqv"), F.col("nrm2").alias("qn"))
+    )
+    return (
+        n.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(qry)
+        .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
+        .filter(F.col("cos_raw") >= _RANGE_THRESHOLD)
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos_raw", 4).cast("double").alias("cosine"),
+        )
+    )
+
+
 def _ivf_oracle() -> str:
     """IVF: label = coarse cell; centroid = per-dim ROUND(AVG) of the
     quantized vectors (exact integer sums → identical centroids);

@@ -1986,3 +1986,136 @@ def test_zorder_report_shows_the_clustering_tradeoff(spark, sf_dir):
     )
     assert z["avg_span_y"] < lin["avg_span_y"] / 4, "z-order must prune y"
     assert z["avg_span_x"] <= 32, "a 256-block z-layout clusters to ~16-wide cells"
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """Winnowing's retrieval guarantee (Schleimer et al. 2003): a
+    shared run of w + k - 1 words forces ≥1 shared selected
+    fingerprint per window it spans — a 12-word run (≥ 2w + k - 1)
+    spans two disjoint windows of distinct grams, guaranteeing the
+    ≥ _WINNOW_MIN_SHARED(=2) fingerprints the candidate generator
+    requires, so the pair CANNOT be missed. A control doc with no
+    shared 4-gram must share nothing."""
+    from mypipe_spark.plans import dedup as D
+    from mypipe_spark.plans.catalog import QUERIES
+
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu"
+    )  # 12 words
+    rows = [
+        (1, f"intro one two three {shared} tail xx yy", "en", "s", 1),
+        (2, f"{shared} completely different ending words here zz", "en", "s", 1),
+        (3, "unrelated words nothing common aaa bbb ccc ddd eee", "en", "s", 1),
+        (4, None, "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with _planted_tables([D], {"documents": docs}):
+        fps = {
+            r["doc_id"]: r
+            for r in QUERIES["text_winnow_fingerprints"].fn(spark, "winnow-a").collect()
+        }
+        cands = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in QUERIES["dedup_winnow_candidates"].fn(spark, "winnow-b").collect()
+        }
+    # doc 4 (NULL text) emits no fingerprint row at all
+    assert set(fps) == {1, 2, 3}
+    for d in (1, 2, 3):
+        assert 1 <= fps[d]["n_selected"] <= fps[d]["n_grams"]
+    # the guarantee: 1 and 2 share the 12-word run -> must be candidates
+    assert (1, 2) in cands and cands[(1, 2)] >= 2
+    # control: doc 3 shares no 4-gram with anyone
+    assert not any(3 in p for p in cands)
+
+
+def test_burst_rate_planted_chain(spark):
+    """events_burst_rate counts a trailing 1h RANGE frame: five
+    events inside one hour peak at 5; the same count spread over five
+    hours peaks at 1 and is not flagged; simultaneous events are
+    frame peers (both count in each other's window)."""
+    from mypipe_spark.plans import analytics as A
+    from mypipe_spark.plans.catalog import QUERIES
+    from datetime import datetime
+
+    def ev(i, uid, minute):
+        return (i, datetime(2026, 1, 1, minute // 60, minute % 60, 0), uid, "click", 1.0, None)
+
+    rows = (
+        [ev(i, 1, 10 + i * 5) for i in range(5)]          # burst: 5 in 20 min
+        + [ev(10 + i, 2, i * 300) for i in range(5)]       # spread: 1 per 5h
+        + [(20, datetime(2026, 1, 1, 0, 0, 0), 3, "x", 1.0, None),
+           (21, datetime(2026, 1, 1, 0, 0, 0), 3, "y", 1.0, None),
+           (22, datetime(2026, 1, 1, 0, 0, 0), 3, "z", 1.0, None)]  # 3 simultaneous
+    )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with _planted_tables([A], {"events": events}):
+        got = {
+            r["user_id"]: (r["peak_1h"], r["n_events"])
+            for r in QUERIES["events_burst_rate"].fn(spark, "burst-x").collect()
+        }
+    assert got == {1: (5, 5), 3: (3, 3)}  # user 2 spread out -> not flagged
+
+
+def test_power_users_share_is_a_partition_of_the_corpus(spark, sf_dir):
+    """The decile report partitions users and events exactly: 10
+    deciles, user counts sum to the distinct-user count, event counts
+    sum to the total, shares are monotone-compatible with the
+    ascending decile order at the ends (decile 10 holds the heaviest
+    users) and sum to ~1 within rounding."""
+    from mypipe_spark.plans.catalog import QUERIES, load_tables
+
+    rows = QUERIES["events_power_users_share"].fn(spark, sf_dir).collect()
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id").isNotNull())
+    assert sorted(r["decile"] for r in rows) == list(range(1, 11))
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    by_d = {r["decile"]: r for r in rows}
+    assert by_d[10]["n_events"] / by_d[10]["n_users"] >= by_d[1]["n_events"] / by_d[1]["n_users"]
+    assert abs(sum(r["event_share"] for r in rows) - 1.0) < 0.002
+
+
+def test_embedding_cell_audit_consistent_with_pair_kernel(spark, sf_dir):
+    """The audit and the pair kernel must describe the SAME cells:
+    per-label populations equal the embeddings table's, sub-cell
+    counts respect 2^bits, max_subcell bounds every sub-cell, and
+    bits is exactly the adaptive formula from the occupancy."""
+    from mypipe_spark.plans.catalog import QUERIES, load_tables
+    from mypipe_spark.plans.dedup import _CELL_CAP, _CELL_MAX_BITS
+
+    rows = QUERIES["embedding_cell_audit"].fn(spark, sf_dir).collect()
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    want_cnt = {
+        r["label"]: r["c"]
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["label"] is not None
+    }
+    assert {r["label"]: r["cnt"] for r in rows} == want_cnt
+    for r in rows:
+        want_bits = next(
+            (b for b in range(_CELL_MAX_BITS) if r["cnt"] <= _CELL_CAP * (1 << b)),
+            _CELL_MAX_BITS,
+        )
+        assert r["bits"] == want_bits, r
+        assert 1 <= r["n_subcells"] <= (1 << r["bits"])
+        assert r["max_subcell"] <= r["cnt"]
+        assert r["avg_subcell"] == r["cnt"] // r["n_subcells"]
+
+
+def test_curation_dedup_report_counts_match_dedup_exact(spark, sf_dir):
+    """n_removable summed over sources equals exactly the duplicate
+    surplus dedup_exact reports (occurrences minus groups), and
+    involved >= removable per source."""
+    from mypipe_spark.plans.catalog import QUERIES, load_tables
+
+    rows = QUERIES["curation_dedup_report"].fn(spark, sf_dir).collect()
+    groups = QUERIES["dedup_exact"].fn(spark, sf_dir).collect()
+    surplus = sum(r["n_copies"] - 1 for r in groups) if groups else 0
+    assert sum(r["n_removable"] for r in rows) == surplus
+    for r in rows:
+        assert 0 <= r["n_removable"] <= r["n_dup_involved"] <= r["n_docs"]

@@ -453,3 +453,18 @@ def test_session_caches_normalize_paths_and_serialize_builders(spark, sf_dir):
     [t.join() for t in ts]
     assert len(results) == 2 and results[0] is results[1]
     assert len([k for k in dedup._PAIR_CACHE if k[0] == app_id]) == 1
+
+
+def test_winnow_gram_stream_computed_once(spark, sf_dir):
+    """The winnowing plane's cost pin: the positional md5 gram stream
+    must be a MATERIALIZED projection that the window-minima lambda
+    references as a column — if CollapseProject ever re-inlines it,
+    every window recomputes the whole md5 array (O(m²) digests per
+    doc; measured 28× vs 5× at the K=32 smoke). One md5 in the
+    optimized plan per winnow query, and the minima slice over the
+    gram COLUMN, is exactly that guarantee."""
+    for name in ("text_winnow_fingerprints", "dedup_winnow_candidates"):
+        df = _QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("md5") == 1, (name, plan.count("md5"))
+        assert re.search(r"array_min\(slice\(g#\d+", plan), name
