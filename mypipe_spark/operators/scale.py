@@ -253,6 +253,9 @@ def exact_ntile_multi(
         bk, off, tot, rk = f"_bk{i}", f"_off{i}", f"_n{i}", f"_rk{i}"
         out = out.withColumn(bk, bucket)
         counts = out.groupBy(bk).agg(F.count(F.lit(1)).alias("_cnt"))
+        # one partition+order spec for both frames so the prefix sum
+        # and the total fuse into a SINGLE Window node over the ~P
+        # count rows (a second spec would add a whole extra Window)
         wp = Window.partitionBy(F.lit(0)).orderBy(bk)
         offs = counts.select(
             bk,
@@ -262,7 +265,13 @@ def exact_ntile_multi(
                 ),
                 F.lit(0),
             ).alias(off),
-            F.sum("_cnt").over(Window.partitionBy(F.lit(0))).alias(tot),
+            F.sum("_cnt")
+            .over(
+                wp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias(tot),
         )
         rank = F.col(off) + F.row_number().over(
             Window.partitionBy(bk).orderBy(*order_cols)

@@ -832,30 +832,29 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance deciles with EXACT NTILE semantics (unique
     c_custkey tiebreak makes bucket boundaries deterministic) —
-    computed by operators.scale.exact_ntile's two-pass distributed
-    ranking instead of ``ntile().over(Window.orderBy(...))``: range
-    partitioning replaces the single-partition global sort, each
-    partition windows only its own key range in parallel, and the
-    global rank comes from prefix-sum offsets (P driver-side scalars —
-    index metadata). Bit-identical buckets to the window function (the
-    oracle hash-checks that), but the plan now survives a 100x
-    scale-up; the approx_percentile twin remains the cheapest form
-    when sketch cutpoints suffice.
+    computed by operators.scale.exact_ntile_multi instead of
+    ``ntile().over(Window.orderBy(...))``: frozen-boundary coarse
+    buckets replace the single-partition global sort, each bucket
+    windows only its own key range in parallel, and the global rank
+    comes from in-plan prefix-sum offsets broadcast back (a ~P-row
+    relation — index metadata). Bit-identical buckets to the window
+    function (the oracle hash-checks that), but the plan survives a
+    100x scale-up; the approx_percentile twin remains the cheapest
+    form when sketch cutpoints suffice.
 
-    EAGER NOTE (the one catalog builder that executes work when
-    BUILT): exact_ntile materializes the range partitioning and
-    collects P per-partition counts at call time, so this function
-    runs two small Spark jobs before its DataFrame is ever acted on.
-    Composition-safe alternative: operators.scale.exact_ntile_fn."""
+    BUILD NOTE: one small boundary-sketch collect runs when this
+    function is CALLED (the round-6 form paid exact_ntile's
+    localCheckpoint + count collect — two jobs and an eager
+    materialization; the migration retires the catalog's last
+    checkpoint-eager builder)."""
     t = load_tables(spark, sf_dir)
-    from ..operators.scale import exact_ntile
+    from ..operators.scale import exact_ntile_multi
 
     return (
-        exact_ntile(
+        exact_ntile_multi(
             t["customer"].select("c_custkey", "c_acctbal"),
             10,
-            ["c_acctbal", "c_custkey"],
-            out_col="decile",
+            [("decile", ["c_acctbal", "c_custkey"])],
         )
         .groupBy("decile")
         .agg(

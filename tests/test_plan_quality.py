@@ -262,14 +262,18 @@ def test_deciles_approx_plan_has_no_window_or_sort(spark, sf_dir):
     assert _n_nodes(plan, "Sort") == 0
     assert "CartesianProduct" not in plan
 
-    # round-5: the exact form's global NTILE is now the two-pass
-    # distributed ranking (operators.scale.exact_ntile) — its one
-    # Window must be PARTITIONED (by the range-partition id), never
-    # the single-partition global window the plain ntile() plans
+    # round-7: the exact form migrated to exact_ntile_multi — the
+    # DATA window (row_number) must be PARTITIONED by the frozen
+    # coarse-bucket key, never the single-partition global window the
+    # plain ntile() plans; the second Window is the in-plan offsets
+    # prefix-sum over the ~P-row bucket-count relation (index
+    # metadata). And the plan must stay fully LAZY: no localCheckpoint
+    # materialization (which would surface as an ExistingRDD scan).
     exact = _plan(spark, "q_customer_balance_deciles", sf_dir)
-    assert _n_nodes(exact, "Window") == 1
-    m = re.search(r"windowspecdefinition\(([^,]+),", exact)
-    assert m is not None and "_pid" in m.group(1), exact[:500]
+    assert _n_nodes(exact, "Window") == 2
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", exact)
+    assert any("_bk0" in s for s in specs), exact[:800]
+    assert "ExistingRDD" not in exact
 
 
 def test_jaccard_prefix_plan_shape(spark, sf_dir):
