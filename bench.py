@@ -15,9 +15,11 @@ every reading now carries the evidence needed to separate regression
 from noise WITHOUT re-running):
 
 - ``loadavg_start`` / ``loadavg_end``: 1-min load average around the
-  run. ``load_flagged`` is true when the run STARTED on a busy host
-  (1-min load > 1.0) — treat the reading as non-adjudicable ambient
-  noise, not a code delta.
+  run. ``load_flagged`` is true when the run STARTED on a busy host —
+  busy meaning load above a quarter of the core count (an absolute
+  threshold would flag a near-idle 32-core box at 3% utilization) —
+  treat a flagged reading as non-adjudicable ambient noise, not a
+  code delta.
 - ``timings``: per-query ALL repeat wall-clocks in run order, so the
   within-run spread (max/min per query) is visible next to the
   fastest-of-N summary.
@@ -88,7 +90,10 @@ def main() -> int:
         import stream_bench
 
         stream_stats = stream_bench.measure(spark, n_tx=stream_tx)
-        stream_mut_per_s = stream_stats["value"]
+        # mutation-row basis, NOT input events: BEGIN/COMMIT control
+        # rows are ~40% of the changelog and would overstate the
+        # per-mutation figure ~1.67x under this field's name
+        stream_mut_per_s = stream_stats["mutations_per_sec"]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
@@ -102,13 +107,19 @@ def main() -> int:
         "repeat": repeat,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
-        "load_flagged": load_start > 1.0,
+        "load_flagged": load_start > max(1.0, (os.cpu_count() or 4) / 4),
         "stream_mutations_per_s": stream_mut_per_s,
     }
     if stream_stats is not None:
         out["stream_detail"] = {
             k: stream_stats[k]
-            for k in ("input_events", "processing_sec", "n_batches", "mean_batch_ms")
+            for k in (
+                "input_events",
+                "input_mutations",
+                "processing_sec",
+                "n_batches",
+                "mean_batch_ms",
+            )
         }
     print(json.dumps(out))
     return 0

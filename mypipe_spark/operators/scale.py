@@ -252,7 +252,15 @@ def exact_ntile_multi(
             bucket = F.lit(0)
         bk, off, tot, rk = f"_bk{i}", f"_off{i}", f"_n{i}", f"_rk{i}"
         out = out.withColumn(bk, bucket)
-        counts = out.groupBy(bk).agg(F.count(F.lit(1)).alias("_cnt"))
+        # counts from the ORIGINAL relation, not the progressively
+        # joined `out`: the bucket depends only on base columns and
+        # frozen literals, and building axis i's counts on `out`
+        # would nest every earlier axis's join/offset subtree inside
+        # it (re-deriving the whole chain per axis absent exchange
+        # reuse) for identical numbers
+        counts = df.withColumn(bk, bucket).groupBy(bk).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
         # one partition+order spec for both frames so the prefix sum
         # and the total fuse into a SINGLE Window node over the ~P
         # count rows (a second spec would add a whole extra Window)

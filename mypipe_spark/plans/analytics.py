@@ -3595,8 +3595,8 @@ def events_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hour window (trailing RANGE frame on the microsecond timestamp,
     so simultaneous events are window peers in both engines — no
     row-frame tie ambiguity), reporting users whose peak reaches
-    {_BURST_THRESHOLD}. A curation pipeline drops or down-weights
-    flagged users' traffic before training.
+    ``_BURST_THRESHOLD`` (3). A curation pipeline drops or
+    down-weights flagged users' traffic before training.
 
     Scale: one exchange on user_id shared by the RANGE window and the
     per-user rollup (the group key equals the partition key, the

@@ -832,7 +832,7 @@ def layout_zorder_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT doc_id, source, md5(text) AS ch
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents),
     c AS (
       SELECT doc_id, source,
              COUNT(*) OVER (PARTITION BY ch) AS n_same,
@@ -859,7 +859,12 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries) and how many are REMOVABLE (every occurrence past the
     group's smallest doc_id — dedup_exact's keep-smallest survivor
     convention, so n_removable sums to exactly the rows dedup would
-    drop), plus the removable rate. Distinguishing involved from
+    drop), plus the removable rate. NULL-text docs follow
+    dedup_exact's grouping exactly (md5(NULL) is NULL and window
+    PARTITION BY groups NULLs together on both engines), so the
+    cross-plane sum contract holds on dirty corpora too — a
+    text-IS-NOT-NULL filter here would silently break it the moment a
+    corpus holds two NULL-text docs. Distinguishing involved from
     removable matters: a source can be 100% dup-involved but 0%
     removable when it holds every group's canonical copy.
 
@@ -868,10 +873,8 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     source for the rollup — both 16-byte keys; the rate is the house
     floor-to-4-digits integer ratio. NULL sources report as their own
     row (same convention as the compaction plan)."""
-    h = (
-        scale_out(load_tables(spark, sf_dir)["documents"])
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("ch"))
+    h = scale_out(load_tables(spark, sf_dir)["documents"]).select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("ch")
     )
     wc = Window.partitionBy("ch")
     wr = Window.partitionBy("ch").orderBy("doc_id")

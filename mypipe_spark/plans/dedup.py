@@ -120,15 +120,30 @@ def _with_shingle_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
+# Sorted-bucket pair emission over a ``ids`` (sorted doc_id array)
+# column: all a<b pairs as (doc_a, doc_b) structs. One expression for
+# every in-bucket pair generator that uses the plain doc-pair shape
+# (simhash-check exact pairs, winnow candidates) — a slice off-by-one
+# fix must land everywhere at once.
+_IDS_PAIRS_EXPR = """
+    flatten(transform(ids, (a, i) ->
+      transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+        struct(a AS doc_a, b AS doc_b))))
+    """
+
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-# One REENTRANT lock for both session caches (shingles + pairs): two
-# concurrent first callers would otherwise both build and persist the
-# same relation, leaking one persisted DataFrame for the session's
-# lifetime. Reentrant because the pair build calls shingle_arrays
-# inside its own critical section. Holding the lock across build() is
-# cheap — persist() only MARKS the relation (no job runs until a
-# consumer acts), so the critical section is plan construction only.
+# One REENTRANT lock for the module's session caches (shingles,
+# pairs, leakage-safe split): two concurrent first callers would
+# otherwise both build the same relation — for the persisted caches
+# that leaks one persisted DataFrame for the session's lifetime; for
+# the split cache both threads would run the whole EAGER components
+# computation. Reentrant because the pair and split builds call the
+# other cached builders inside their own critical sections. For the
+# lazy caches the critical section is plan construction only
+# (persist() just MARKS the relation); the split build runs its
+# checkpoint jobs under the lock by design — serializing the eager
+# work IS the point.
 _CACHE_LOCK = threading.RLock()
 
 
@@ -1848,17 +1863,7 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("text")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _STOP_SHINGLE_DF_CAP))
-        .select(
-            F.explode(
-                F.expr(
-                    """
-                    flatten(transform(ids, (a, i) ->
-                      transform(slice(ids, i + 2, size(ids) - i - 1), b ->
-                        struct(a AS doc_a, b AS doc_b))))
-                    """
-                )
-            ).alias("p")
-        )
+        .select(F.explode(F.expr(_IDS_PAIRS_EXPR)).alias("p"))
         .select("p.*")
     )
     sim_zero = dedup_simhash(spark, sf_dir).filter(F.col("hamming") == 0)
@@ -1988,14 +1993,17 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     unless a new edge merges two clusters — the unavoidable semantic,
     stated rather than hidden). Construction is EAGER (components
     checkpoints at build), so the built DataFrame is session-memoized
-    per (app id, corpus) like the shingle table."""
-    app_id = spark.sparkContext.applicationId
-    for key in [k for k in _SPLIT_CACHE if k[0] != app_id]:
-        del _SPLIT_CACHE[key]
-    key = (app_id, sf_dir)
-    hit = _SPLIT_CACHE.get(key)
-    if hit is not None:
-        return hit
+    per (app id, corpus) through the same lock-guarded,
+    path-normalized _session_cached as the shingle/pair caches — a
+    double-build race is COSTLIER here than for the lazily-persisted
+    relations (two threads would each run the whole eager components
+    computation)."""
+    return _session_cached(
+        _SPLIT_CACHE, spark, sf_dir, lambda: _build_split(spark, sf_dir)
+    )
+
+
+def _build_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_full = load_tables(spark, sf_dir)["documents"]
     jac = jaccard_pairs_shared(spark, sf_dir).select("doc_a", "doc_b")
     exact = (
@@ -2016,14 +2024,12 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(conv(substring(md5(cast(cast(cluster as string) as binary)),"
         " 1, 15), 16, 10) as bigint)"
     )
-    out = labeled.select(
+    return labeled.select(
         "doc_id",
         F.when(h < F.lit(_SPLIT_TRAIN_THRESHOLD), "train")
         .otherwise("eval")
         .alias("split"),
     )
-    _SPLIT_CACHE[key] = out
-    return out
 
 
 @register(
@@ -2641,13 +2647,26 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_WORDS = 4
 
 
+def _gram_hash_array_expr(k: int) -> str:
+    """Row-local positional k-gram 60-bit-hash array over a tokenized
+    column ``w`` — the ONE Spark-side gram-stream expression shared by
+    the span audits (exploded) and the winnowing plane (kept as an
+    array), so 'same gram' can never mean two different things
+    across planes."""
+    return (
+        f"if(size(w) < {k}, array(),"
+        f" transform(sequence(1, size(w) - {k - 1}),"
+        f"   i -> cast(conv(substring(md5(cast("
+        f"          concat_ws(' ', slice(w, i, {k})) as binary)),"
+        f"        1, 15), 16, 10) as bigint)))"
+    )
+
+
 def _positional_grams(docs: DataFrame) -> DataFrame:
     """(doc_id, i, gh): every 1-based position's word k-gram as its
-    60-bit content hash — the ONE gram-stream builder shared by the
-    full-corpus and incremental span audits (and by their oracles via
-    :func:`_span_grams_cte`), so 'same gram' can never mean two
-    different things."""
-    k = _SPAN_WORDS
+    60-bit content hash — the span audits' exploded view of
+    :func:`_gram_hash_array_expr` (oracle twin:
+    :func:`_span_grams_cte`)."""
     toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split("text", " ").alias("w")
     )
@@ -2655,18 +2674,17 @@ def _positional_grams(docs: DataFrame) -> DataFrame:
     # generate_subscripts, and only differences of i ever matter
     return toks.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"""
-                if(size(w) < {k}, array(),
-                  transform(sequence(1, size(w) - {k - 1}),
-                            i -> cast(conv(substring(md5(cast(
-                                   concat_ws(' ', slice(w, i, {k}))
-                                 as binary)), 1, 15), 16, 10) as bigint)))
-                """
-            )
-        ).alias("i0", "gh"),
+        F.posexplode(F.expr(_gram_hash_array_expr(_SPAN_WORDS))).alias(
+            "i0", "gh"
+        ),
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
+
+
+def _duck_gram_hash(text_expr: str) -> str:
+    """DuckDB twin of the 60-bit md5-prefix gram hash — ONE idiom for
+    every gram consumer's oracle (span audits, winnowing), mirroring
+    :func:`_gram_hash_array_expr` on the Spark side."""
+    return f"CAST('0x' || substr(md5({text_expr}), 1, 15) AS BIGINT)"
 
 
 def _span_grams_cte(src: str, prefix: str) -> str:
@@ -2674,6 +2692,7 @@ def _span_grams_cte(src: str, prefix: str) -> str:
     CTEs ``{prefix}toks/{prefix}pos/{prefix}grams``, the last one
     (doc_id, i, gh)."""
     k = _SPAN_WORDS
+    gh = _duck_gram_hash(f"array_to_string(list_slice(w, i, i + {k - 1}), ' ')")
     return f"""
     {prefix}toks AS (
       SELECT doc_id, string_split(text, ' ') AS w
@@ -2681,10 +2700,7 @@ def _span_grams_cte(src: str, prefix: str) -> str:
     {prefix}pos AS (
       SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM {prefix}toks),
     {prefix}grams AS (
-      SELECT doc_id, i,
-             CAST('0x' || substr(md5(
-               array_to_string(list_slice(w, i, i + {k - 1}), ' ')
-             ), 1, 15) AS BIGINT) AS gh
+      SELECT doc_id, i, {gh} AS gh
       FROM {prefix}pos WHERE i + {k - 1} <= len(w))"""
 
 
@@ -2937,19 +2953,13 @@ _WINNOW_MIN_SHARED = 2
 
 
 def _winnow_grams_expr() -> str:
-    """Row-local positional gram-hash array over a tokenized column
-    ``w``. Kept as its OWN projection so the md5 stream is computed
-    once per document — inlining it into the window-minima transform
-    would re-evaluate the whole array per window (measured: O(m²) md5
-    calls per doc, a 20× wall blowup at the K=32 smoke)."""
-    k = _SPAN_WORDS
-    return (
-        f"if(size(w) < {k}, array(),"
-        f" transform(sequence(1, size(w) - {k - 1}),"
-        f"   i -> cast(conv(substring(md5(cast("
-        f"          concat_ws(' ', slice(w, i, {k})) as binary)),"
-        f"        1, 15), 16, 10) as bigint)))"
-    )
+    """The shared gram stream (:func:`_gram_hash_array_expr`, same
+    _SPAN_WORDS domain as the span audits). Kept as its OWN projection
+    so the md5 stream is computed once per document — inlining it
+    into the window-minima transform would re-evaluate the whole
+    array per window (measured: O(m²) md5 calls per doc, a 20× wall
+    blowup at the K=32 smoke; plan-pinned in test_plan_quality)."""
+    return _gram_hash_array_expr(_SPAN_WORDS)
 
 
 def _winnow_sel_expr() -> str:
@@ -2968,12 +2978,11 @@ def _winnow_sel_cte(src: str = "documents") -> str:
     """DuckDB twin of :func:`_winnow_sel_expr` — CTE ``wsel``
     (doc_id, n_grams, sel)."""
     k, w = _SPAN_WORDS, _WINNOW_W
+    gh = _duck_gram_hash(f"array_to_string(list_slice(w, i, i + {k - 1}), ' ')")
     grams = (
         f"CASE WHEN len(w) < {k} THEN CAST([] AS BIGINT[]) ELSE"
         f" list_transform(range(1, len(w) - {k - 1} + 1),"
-        f"   i -> CAST('0x' || substr(md5("
-        f"          array_to_string(list_slice(w, i, i + {k - 1}), ' ')"
-        f"        ), 1, 15) AS BIGINT)) END"
+        f"   i -> {gh}) END"
     )
     return f"""
     wtoks AS (
@@ -3013,7 +3022,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint plane the brief's text-analysis inventory names;
     text_fingerprint's content/bag hashes detect whole-doc
     equivalence, winnowing detects PARTIAL overlap (any shared run of
-    ~{_WINNOW_W + _SPAN_WORDS - 1} words must share a fingerprint).
+    at least w + k - 1 = 7 words must share a fingerprint).
 
     Scale: one projection pass, fully row-local whole-stage codegen
     (no explode, no shuffle, no UDF) — the fingerprint table a
@@ -3063,8 +3072,8 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap candidate pairs from shared winnowing
-    fingerprints: documents sharing ≥ {_WINNOW_MIN_SHARED} selected
-    minima, with the shared count — the cheap recall-bounded candidate
+    fingerprints: documents sharing ≥ ``_WINNOW_MIN_SHARED`` (2)
+    selected minima, with the shared count — the cheap recall-bounded candidate
     generator in front of an exact verifier (winnowing's guarantee
     makes a miss impossible for overlaps spanning a full window). Same
     inverted-index topology as every shingle op: explode ONLY the
@@ -3090,15 +3099,7 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = grouped.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(ids, (a, i) ->
-                  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
-                    struct(a AS doc_a, b AS doc_b))))
-                """
-            )
-        ).alias("p")
+        F.explode(F.expr(_IDS_PAIRS_EXPR)).alias("p")
     ).select("p.*")
     return (
         pairs.groupBy("doc_a", "doc_b")

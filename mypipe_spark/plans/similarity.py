@@ -96,11 +96,12 @@ def _cos(a_qv: str, a_n: str, b_qv: str, b_n: str) -> F.Column:
     return F.when(nprod > 0, dot / F.sqrt(nprod)).otherwise(F.lit(0.0))
 
 
-# One oracle for both brute-force twins (expression path and Arrow
-# kernel): the docstrings promise identical quantized arithmetic, and a
-# shared constant makes a scoring-SQL tweak land on both or neither.
-_BRUTEFORCE_ORACLE = f"""
-    WITH q AS ({_SQL_QUANT}),
+# The one-query scored-corpus CTE chain (quantize → norms → broadcast
+# query row → per-vector cosine), shared by the brute-force top-k
+# twins AND ann_range_search: the docstrings promise identical
+# quantized arithmetic, and a shared constant makes a scoring-SQL
+# tweak (e.g. the zero-norm CASE) land on every consumer or none.
+_SCORED_CTES = f"""q AS ({_SQL_QUANT}),
     n AS ({_SQL_NORM}),
     qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
     scored AS (
@@ -111,7 +112,10 @@ _BRUTEFORCE_ORACLE = f"""
                / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
               ELSE 0.0 END) AS cos_raw
       FROM n, qry
-      WHERE n.vec_id <> {_QUERY_VEC_ID})
+      WHERE n.vec_id <> {_QUERY_VEC_ID})"""
+
+_BRUTEFORCE_ORACLE = f"""
+    WITH {_SCORED_CTES}
     SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
     FROM scored
     ORDER BY cos_raw DESC, vec_id
@@ -161,18 +165,7 @@ _RANGE_THRESHOLD = 0.25
 @register(
     "ann_range_search",
     oracle=f"""
-    WITH q AS ({_SQL_QUANT}),
-    n AS ({_SQL_NORM}),
-    qry AS (SELECT qv AS qqv, nrm2 AS qn FROM n WHERE vec_id = {_QUERY_VEC_ID}),
-    scored AS (
-      SELECT n.vec_id, n.label,
-             (CASE WHEN n.nrm2 > 0 AND qry.qn > 0 THEN
-               (SELECT SUM(n.qv[i] * qry.qqv[i])
-                FROM (SELECT UNNEST(range(1, len(n.qv) + 1)) AS i))
-               / SQRT(CAST(n.nrm2 AS DOUBLE) * CAST(qry.qn AS DOUBLE))
-              ELSE 0.0 END) AS cos_raw
-      FROM n, qry
-      WHERE n.vec_id <> {_QUERY_VEC_ID})
+    WITH {_SCORED_CTES}
     SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
     FROM scored
     WHERE cos_raw >= {_RANGE_THRESHOLD}

@@ -608,7 +608,11 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
     # would otherwise pull in non-documents queries (or, for
     # text_ngram_novelty, route to the WRONG module — it lives in
     # dedup beside the shingle machinery, not textops)
-    extra = {"cdc_snapshot_diff": cdc, "text_ngram_novelty": dedup}
+    extra = {
+        "cdc_snapshot_diff": cdc,
+        "text_ngram_novelty": dedup,
+        "text_winnow_fingerprints": dedup,  # winnow plane lives in dedup
+    }
     skip = {
         # EAGER component builders / embeddings-table dependent
         "dedup_semantic", "dedup_leakage_safe_split", "dedup_decontaminate",
@@ -1997,8 +2001,9 @@ def test_winnowing_guarantee_on_planted_overlap(spark):
     requires, so the pair CANNOT be missed. A control doc with no
     shared 4-gram must share nothing."""
     from mypipe_spark.plans import dedup as D
-    from mypipe_spark.plans.catalog import QUERIES
+    from mypipe_spark.plans.catalog import all_queries
 
+    QUERIES = all_queries()
     shared = (
         "alpha beta gamma delta epsilon zeta eta theta iota kappa "
         "lambda mu"
@@ -2037,8 +2042,10 @@ def test_burst_rate_planted_chain(spark):
     hours peaks at 1 and is not flagged; simultaneous events are
     frame peers (both count in each other's window)."""
     from mypipe_spark.plans import analytics as A
-    from mypipe_spark.plans.catalog import QUERIES
+    from mypipe_spark.plans.catalog import all_queries
     from datetime import datetime
+
+    QUERIES = all_queries()
 
     def ev(i, uid, minute):
         return (i, datetime(2026, 1, 1, minute // 60, minute % 60, 0), uid, "click", 1.0, None)
@@ -2068,8 +2075,9 @@ def test_power_users_share_is_a_partition_of_the_corpus(spark, sf_dir):
     sum to the total, shares are monotone-compatible with the
     ascending decile order at the ends (decile 10 holds the heaviest
     users) and sum to ~1 within rounding."""
-    from mypipe_spark.plans.catalog import QUERIES, load_tables
+    from mypipe_spark.plans.catalog import all_queries, load_tables
 
+    QUERIES = all_queries()
     rows = QUERIES["events_power_users_share"].fn(spark, sf_dir).collect()
     ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id").isNotNull())
     assert sorted(r["decile"] for r in rows) == list(range(1, 11))
@@ -2085,8 +2093,10 @@ def test_embedding_cell_audit_consistent_with_pair_kernel(spark, sf_dir):
     per-label populations equal the embeddings table's, sub-cell
     counts respect 2^bits, max_subcell bounds every sub-cell, and
     bits is exactly the adaptive formula from the occupancy."""
-    from mypipe_spark.plans.catalog import QUERIES, load_tables
+    from mypipe_spark.plans.catalog import all_queries, load_tables
     from mypipe_spark.plans.dedup import _CELL_CAP, _CELL_MAX_BITS
+
+    QUERIES = all_queries()
 
     rows = QUERIES["embedding_cell_audit"].fn(spark, sf_dir).collect()
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -2111,11 +2121,41 @@ def test_curation_dedup_report_counts_match_dedup_exact(spark, sf_dir):
     """n_removable summed over sources equals exactly the duplicate
     surplus dedup_exact reports (occurrences minus groups), and
     involved >= removable per source."""
-    from mypipe_spark.plans.catalog import QUERIES, load_tables
+    from mypipe_spark.plans.catalog import all_queries, load_tables
 
+    QUERIES = all_queries()
     rows = QUERIES["curation_dedup_report"].fn(spark, sf_dir).collect()
     groups = QUERIES["dedup_exact"].fn(spark, sf_dir).collect()
     surplus = sum(r["n_copies"] - 1 for r in groups) if groups else 0
     assert sum(r["n_removable"] for r in rows) == surplus
     for r in rows:
         assert 0 <= r["n_removable"] <= r["n_dup_involved"] <= r["n_docs"]
+    # dirty corpus: two NULL-text docs share dedup_exact's NULL hash
+    # group, so the report must count ONE of them removable — the
+    # review-pass case a text-IS-NOT-NULL filter silently broke
+    from mypipe_spark.plans import curation as CU
+    from mypipe_spark.plans import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "a", "en", 14),
+            (2, "same text here", "a", "en", 14),
+            (3, None, "b", "en", 0),
+            (4, None, "b", "en", 0),
+            (5, "unique words only", "b", "en", 17),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    with _planted_tables([CU, D], {"documents": docs}):
+        rep = {
+            r["source"]: r
+            for r in QUERIES["curation_dedup_report"].fn(spark, "dirty-rep").collect()
+        }
+        sur = sum(
+            r["n_copies"] - 1
+            for r in QUERIES["dedup_exact"].fn(spark, "dirty-rep2").collect()
+        )
+    assert sur == 2  # one text dup + one NULL dup
+    assert rep["a"]["n_removable"] == 1 and rep["a"]["n_dup_involved"] == 2
+    assert rep["b"]["n_removable"] == 1 and rep["b"]["n_dup_involved"] == 2
+    assert sum(r["n_removable"] for r in rep.values()) == sur
