@@ -89,11 +89,17 @@ def main() -> int:
         sys.path.insert(0, os.path.join(repo, "tools"))
         import stream_bench
 
-        stream_stats = stream_bench.measure(spark, n_tx=stream_tx)
-        # mutation-row basis, NOT input events: BEGIN/COMMIT control
-        # rows are ~40% of the changelog and would overstate the
-        # per-mutation figure ~1.67x under this field's name
-        stream_mut_per_s = stream_stats["mutations_per_sec"]
+        # never let a streaming-plane failure discard the headline
+        # reading measured above — emit it with a null stream row
+        try:
+            stream_stats = stream_bench.measure(spark, n_tx=stream_tx)
+            # mutation-row basis, NOT input events: BEGIN/COMMIT
+            # control rows are ~40% of the changelog and would
+            # overstate the per-mutation figure ~1.67x under this name
+            stream_mut_per_s = stream_stats["mutations_per_sec"]
+        except Exception as exc:  # noqa: BLE001 — reported, not hidden
+            print(f"stream bench failed: {exc!r}", file=sys.stderr)
+            stream_stats = None
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

@@ -470,6 +470,13 @@ def compact_write(
         slotted.repartition(total_files, "source", "lang", "_slot")
         .drop("_slot")
         .write.mode(mode)
+        # force STATIC overwrite semantics for THIS write regardless of
+        # the session's partitionOverwriteMode: under dynamic overwrite
+        # only the partitions present in `docs` are replaced, and the
+        # whole-directory audit below would blend earlier writes'
+        # surviving partitions into this call's numbers — the same
+        # hazard the append/ignore mode guard exists to close
+        .option("partitionOverwriteMode", "static")
         .partitionBy("source", "lang")
         .parquet(out_dir)
     )

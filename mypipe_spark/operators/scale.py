@@ -241,13 +241,34 @@ def exact_ntile_multi(
         ]
     ).collect()[0]
 
+    def _bound_lit(b) -> str:
+        # typed SQL literals so the frozen boundaries compare exactly:
+        # longs stay integral (L), decimals stay decimal (BD), floats
+        # round-trip through repr
+        import decimal
+
+        if isinstance(b, bool):
+            raise TypeError("boolean ranking keys are not orderable buckets")
+        if isinstance(b, int):
+            return f"{b}L"
+        if isinstance(b, decimal.Decimal):
+            return f"{b}BD"
+        return f"CAST('{b!r}' AS DOUBLE)"
+
     out = df
     for i, (out_col, order_cols) in enumerate(axes):
         key = order_cols[0]
         bounds = sorted({b for b in (bounds_row[f"_b{i}"] or []) if b is not None})
         if bounds:
-            arr = F.array(*[F.lit(b) for b in bounds])
-            bucket = F.size(F.filter(arr, lambda b: F.col(key) > b))
+            # a pure SQL expr resolved BY NAME in whichever subtree it
+            # lands in — a python-side F.filter lambda capturing
+            # F.col(key) carries a frozen attribute id that breaks
+            # with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the
+            # analyzer deduplicates the self-referencing counts/join
+            # branches (caught by the round-7 review pass; pinned by
+            # tests/test_scale.py's raw-relation multi-axis case)
+            arr = ", ".join(_bound_lit(b) for b in bounds)
+            bucket = F.expr(f"size(filter(array({arr}), b -> {key} > b))")
         else:  # P == 1 or empty input: one coarse bucket
             bucket = F.lit(0)
         bk, off, tot, rk = f"_bk{i}", f"_off{i}", f"_n{i}", f"_rk{i}"

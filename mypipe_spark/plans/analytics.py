@@ -3503,14 +3503,18 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, n_ev,
              NTILE(10) OVER (ORDER BY n_ev, user_id) AS decile
       FROM u),
-    tot AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS total_ev FROM u)
-    SELECT CAST(decile AS INT) AS decile,
-           CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(n_ev) AS BIGINT) AS n_events,
-           {round4_frac_sql("CAST(SUM(n_ev) AS HUGEINT)", "total_ev", "//")}
-             AS event_share
-    FROM d, tot
-    GROUP BY decile, total_ev
+    per AS (
+      SELECT CAST(decile AS INT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_ev) AS BIGINT) AS n_events
+      FROM d GROUP BY decile)
+    SELECT decile, n_users, n_events,
+           {round4_frac_sql(
+               "CAST(n_events AS HUGEINT)",
+               "SUM(CAST(n_events AS HUGEINT)) OVER ()",
+               "//",
+           )} AS event_share
+    FROM per
     """,
     tags=("events", "segmentation", "ntile", "pareto"),
 )
@@ -3539,24 +3543,24 @@ def events_power_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
     )
     d = exact_ntile_multi(u, 10, [("decile", ["n_ev", "user_id"])])
-    tot = u.agg(F.sum("n_ev").cast("long").alias("total_ev"))
-    return (
-        d.crossJoin(F.broadcast(tot))
-        .groupBy("decile", "total_ev")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.sum("n_ev").cast("long").alias("n_events"),
-        )
-        .select(
-            F.col("decile").cast("int").alias("decile"),
-            "n_users",
-            "n_events",
-            F.expr(
-                round4_frac_sql(
-                    "CAST(n_events AS DECIMAL(38,0))", "total_ev", "div"
-                )
-            ).alias("event_share"),
-        )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )
+    # the corpus total is derivable from the ≤10 decile rows — a
+    # window over index metadata, never a second pass over events
+    # (the round-7 review's efficiency note)
+    return per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        "n_events",
+        F.expr(
+            round4_frac_sql(
+                "CAST(n_events AS DECIMAL(38,0))",
+                "SUM(CAST(n_events AS DECIMAL(38,0))) OVER ()",
+                "div",
+            )
+        ).alias("event_share"),
     )
 
 

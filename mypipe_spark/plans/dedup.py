@@ -133,18 +133,20 @@ _IDS_PAIRS_EXPR = """
 
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-# One REENTRANT lock for the module's session caches (shingles,
-# pairs, leakage-safe split): two concurrent first callers would
-# otherwise both build the same relation — for the persisted caches
-# that leaks one persisted DataFrame for the session's lifetime; for
-# the split cache both threads would run the whole EAGER components
-# computation. Reentrant because the pair and split builds call the
-# other cached builders inside their own critical sections. For the
-# lazy caches the critical section is plan construction only
-# (persist() just MARKS the relation); the split build runs its
-# checkpoint jobs under the lock by design — serializing the eager
-# work IS the point.
+# Two-level locking for the module's session caches (shingles, pairs,
+# leakage-safe split). _CACHE_LOCK guards only DICT operations
+# (lookup, store, dead-session eviction, build-lock registry) — held
+# for microseconds. Each (cache, key) gets its OWN reentrant build
+# lock, so two concurrent first callers of the SAME relation are
+# serialized (the second finds the first's result — no duplicate
+# persisted DataFrame, no duplicate eager components run), while a
+# long EAGER build (the split cache runs checkpoint jobs at build)
+# never stalls unrelated lookups of other caches or corpora. Build
+# locks are RLocks and acquired in dependency order only (split →
+# pairs → shingles), so no cycles. Stale build-lock entries for dead
+# sessions are bounded (sessions × corpora) and harmless.
 _CACHE_LOCK = threading.RLock()
+_BUILD_LOCKS: dict[tuple[int, str, str], threading.RLock] = {}
 
 
 def _session_cached(
@@ -174,10 +176,21 @@ def _session_cached(
             except Exception:  # owning SparkContext already stopped
                 pass
         df = cache.get(key)
-        if df is None:
-            df = build()
-            cache[key] = df
-        return df
+        if df is not None:
+            return df
+        build_lock = _BUILD_LOCKS.setdefault(
+            (id(cache), *key), threading.RLock()
+        )
+    with build_lock:
+        # double-check: the racing first caller may have finished
+        with _CACHE_LOCK:
+            df = cache.get(key)
+            if df is not None:
+                return df
+        built = build()
+        with _CACHE_LOCK:
+            cache[key] = built
+        return built
 
 
 def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,17 +1185,28 @@ _QSCALE = 10_000
 # Cell-occupancy bound (the 100 TB guard): a `label` cell holding more
 # than _CELL_CAP vectors is sub-split by the sign pattern of its first
 # few quantized dimensions relative to the CELL's per-dimension mean —
-# an in-engine coarse quantizer refining the IVF cell, so within-cell
-# pair work stays O(cap²) per sub-cell no matter how large the corpus
-# grows. bits = ceil(log2(cnt / cap)) clamped to _CELL_MAX_BITS; the
-# mean comparison is integer-exact (qv[i] * cnt > sum_i — no division),
-# so both engines derive the identical sub-cell for every vector.
-# Pairs straddling a sub-cell boundary are dropped — the standard IVF /
+# an in-engine coarse quantizer refining the IVF cell. bits =
+# ceil(log2(cnt / cap)) clamped to _CELL_MAX_BITS; the mean comparison
+# is integer-exact (qv[i] * cnt > sum_i — no division), so both
+# engines derive the identical sub-cell for every vector. Pairs
+# straddling a sub-cell boundary are dropped — the standard IVF /
 # SemDeDup-cell recall tradeoff, now applied one level finer (measured
 # at sf0.1: 52 of the 86 unrefined-kernel pairs survive the 1-bit
 # split; disclosed in SCALING.md).
+#
+# HONEST LIMITS (round-7 review): the bound is a 2^_CELL_MAX_BITS
+# reduction of within-cell pair work, not an unconditional cap — a
+# cell beyond cap·2^maxbits (≥ 512k vectors at these settings) is
+# quadratic again at 1/4096² the coefficient, and a dimension whose
+# values do not straddle the cell mean (constant or one-sided dims)
+# contributes no split, so adversarially degenerate embeddings can
+# defeat the refinement. The remedy at corpus scale is a finer
+# upstream quantizer (more `label` cells — the knob SemDeDup itself
+# turns), with this sub-split as the in-engine backstop; the audit
+# query (embedding_cell_audit.max_subcell) is the alarm that says
+# when.
 _CELL_CAP = 128
-_CELL_MAX_BITS = 6
+_CELL_MAX_BITS = 12
 
 
 def _cell_bits_sql(cnt: str) -> str:
@@ -1355,11 +1379,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``label`` column (the coarse-quantizer/IVF cell — pairs are only
     formed within a cell, never across the corpus), with cells above
     ``_CELL_CAP`` occupants sub-split in-engine by per-dimension mean
-    signs (``_cell_subkey_sql``) so no join bucket ever exceeds
-    ~cap vectors — the pair join is O(cap²·n_subcells), linear in the
-    corpus, at ANY scale. Sub-splitting drops cross-sub-cell pairs
-    (the IVF recall tradeoff SemDeDup already accepts at the cell
-    level; survival measured and disclosed in SCALING.md).
+    signs (``_cell_subkey_sql``) — up to 2^``_CELL_MAX_BITS`` finer
+    cells, cutting within-cell pair work by the same factor (see the
+    HONEST LIMITS note above the constants for where the bound ends:
+    beyond cap·2^maxbits, or under degenerate dims, the join is
+    quadratic-within-finer-cells and the upstream quantizer is the
+    real knob). Sub-splitting drops cross-sub-cell pairs (the IVF
+    recall tradeoff SemDeDup already accepts at the cell level;
+    survival measured and disclosed in SCALING.md).
 
     Quantized-integer cosine (module docstring): dot and norms are
     exact BIGINT sums → order-independent → bit-identical across
