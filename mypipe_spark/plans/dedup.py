@@ -3133,3 +3133,70 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source near-duplication report (the jaccard complement of
+# curation_dedup_report's exact-dup view)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_neardup_report",
+    oracle=f"""
+    WITH {_SQL_JACCARD_CTES},
+    {_SQL_JPAIRS_CTE},
+    involved AS (
+      SELECT doc_a AS doc_id FROM jpairs
+      UNION SELECT doc_b FROM jpairs)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neardup_involved,
+           (CAST((SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               * 10000) // COUNT(*) AS DOUBLE) / 10000) AS neardup_rate
+    FROM documents d LEFT JOIN involved i USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("curation", "dedup", "jaccard", "audit"),
+)
+def curation_neardup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source NEAR-duplication pressure — the jaccard complement
+    of curation_dedup_report's exact-hash view: per source, how many
+    docs participate in at least one qualifying n-gram Jaccard pair
+    (threshold ``_JACCARD_THRESHOLD``, the dedup plane's one pair
+    definition), and the involvement rate. Exact-dup rates say how
+    much a source repeats itself verbatim; near-dup involvement says
+    how much it paraphrases/templates — the two numbers routing a
+    source to hash-dedup vs the expensive near-dup pass.
+
+    Scale: reads the session-shared qualifying-pair table
+    (jaccard_pairs_shared — the AllPairs join runs once per session,
+    not per report), projects the distinct involved doc ids (a
+    relation bounded by the near-dup population, tiny beside the
+    corpus), and LEFT-joins the corpus once; the rollup is the house
+    floor-to-4-digits integer ratio with NULL sources as their own
+    row. Above-cap boilerplate clusters follow the pair table's
+    documented false-negative contract."""
+    pairs = jaccard_pairs_shared(spark, sf_dir)
+    involved = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return (
+        docs.join(involved, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias(
+                "n_neardup_involved"
+            ),
+            F.expr(
+                "CAST((SUM(coalesce(_hit, 0)) * 10000) div COUNT(*)"
+                " AS DOUBLE) / 10000"
+            ).alias("neardup_rate"),
+        )
+    )

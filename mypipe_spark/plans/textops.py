@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import ASCII_LOWER, ASCII_UPPER, load_tables, register, round4_frac_sql
+from .catalog import ASCII_LOWER, ASCII_UPPER, load_tables, register, round4_frac_sql, scale_out
 
 # Marker stopwords for the language-ID heuristic and quality score.
 _STOPWORDS = ("the", "a", "of", "to", "and", "in")
@@ -1159,4 +1159,68 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("words_90pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-rarity quality score (libm-free integer surprisal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_rarity_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL),
+    cnts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cnts),
+    sc AS (
+      SELECT t.doc_id,
+             length(bin(n_total)) - length(bin(cnt)) AS ibits
+      FROM tok t JOIN cnts USING (token) CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {round4_frac_sql("CAST(SUM(ibits) AS BIGINT)", "COUNT(*)", "//")}
+             AS rarity_bits
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("text", "quality", "rarity"),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token rarity per document in WHOLE BITS of unigram
+    surprisal — floor(log2(N_total)) − floor(log2(count(token))) per
+    occurrence, averaged over the doc — the libm-free integer stand-in
+    for a unigram-LM perplexity quality score (rare-vocabulary docs
+    score high, boilerplate scores low). floor(log2(x)) is computed as
+    ``length(bin(x)) − 1`` (binary-string length, identical on both
+    engines) — no transcendental call whose last-ulp could differ
+    across libm builds, the same discipline as text_tfidf_topterms'
+    rational idf.
+
+    Scale: one shuffle on the token for the occurrence counts
+    (map-side combinable), one inverted-index join back (the classic
+    df-join), one doc rollup; the corpus total is a broadcast one-row
+    aggregate OF THE VOCAB relation, never a second corpus pass."""
+    tok = (
+        scale_out(load_tables(spark, sf_dir)["documents"])
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    cnts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    sc = (
+        tok.join(cnts, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.length(F.bin("n_total")) - F.length(F.bin("cnt"))).alias("ibits"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.expr(
+            round4_frac_sql("CAST(SUM(ibits) AS BIGINT)", "COUNT(*)", "div")
+        ).alias("rarity_bits"),
     )

@@ -612,6 +612,7 @@ def test_documents_plane_dirty_corpus_cross_engine_sweep(spark):
         "cdc_snapshot_diff": cdc,
         "text_ngram_novelty": dedup,
         "text_winnow_fingerprints": dedup,  # winnow plane lives in dedup
+        "curation_neardup_report": dedup,  # jaccard-pair consumer
     }
     skip = {
         # EAGER component builders / embeddings-table dependent
@@ -2159,3 +2160,60 @@ def test_curation_dedup_report_counts_match_dedup_exact(spark, sf_dir):
     assert rep["a"]["n_removable"] == 1 and rep["a"]["n_dup_involved"] == 2
     assert rep["b"]["n_removable"] == 1 and rep["b"]["n_dup_involved"] == 2
     assert sum(r["n_removable"] for r in rep.values()) == sur
+
+
+def test_rarity_score_orders_rare_above_common(spark):
+    """text_rarity_score's contract: a document of corpus-unique
+    tokens must out-score a document made of the corpus's most
+    repeated token, and every score is the exact integer-bit mean
+    (n_tokens × whole bits → the floor-to-4-digits division)."""
+    from mypipe_spark.plans import textops as T
+    from mypipe_spark.plans.catalog import all_queries
+
+    QUERIES = all_queries()
+    rows = [
+        (1, "common common common common", "a", "en", 1),
+        (2, "common common common common", "a", "en", 1),
+        (3, "zelkova quixotic brume petrichor", "a", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    with _planted_tables([T], {"documents": docs}):
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["text_rarity_score"].fn(spark, "rarity-x").collect()
+        }
+    # N_total = 12; 'common' cnt=8 -> ibits = len(bin(12)) - len(bin(8)) = 0
+    # unique tokens cnt=1 -> ibits = 4 - 1 = 3
+    assert got[1]["rarity_bits"] == 0.0 == got[2]["rarity_bits"]
+    assert got[3]["rarity_bits"] == 3.0
+    assert all(r["n_tokens"] == 4 for r in got.values())
+
+
+def test_neardup_report_matches_pair_table_involvement(spark, sf_dir):
+    """curation_neardup_report's involvement counts are exactly the
+    distinct doc ids in the qualifying-pair table, grouped by the
+    corpus's source column."""
+    from mypipe_spark.plans.catalog import all_queries, load_tables
+    from mypipe_spark.plans.dedup import jaccard_pairs_shared
+
+    QUERIES = all_queries()
+    rows = QUERIES["curation_neardup_report"].fn(spark, sf_dir).collect()
+    pairs = jaccard_pairs_shared(spark, sf_dir)
+    involved = {
+        r["doc_id"]
+        for df in (pairs.select(F.col("doc_a").alias("doc_id")),
+                   pairs.select(F.col("doc_b").alias("doc_id")))
+        for r in df.collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_tables(spark, sf_dir)["documents"].select("doc_id", "source").collect()
+    }
+    want: dict = {}
+    for d in involved:
+        want[src[d]] = want.get(src[d], 0) + 1
+    got = {r["source"]: r["n_neardup_involved"] for r in rows}
+    assert {k: v for k, v in got.items() if v} == want
+    assert sum(r["n_docs"] for r in rows) == len(src)
