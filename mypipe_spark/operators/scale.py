@@ -260,15 +260,27 @@ def exact_ntile_multi(
         key = order_cols[0]
         bounds = sorted({b for b in (bounds_row[f"_b{i}"] or []) if b is not None})
         if bounds:
-            # a pure SQL expr resolved BY NAME in whichever subtree it
-            # lands in — a python-side F.filter lambda capturing
-            # F.col(key) carries a frozen attribute id that breaks
-            # with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the
-            # analyzer deduplicates the self-referencing counts/join
-            # branches (caught by the round-7 review pass; pinned by
-            # tests/test_scale.py's raw-relation multi-axis case)
-            arr = ", ".join(_bound_lit(b) for b in bounds)
-            bucket = F.expr(f"size(filter(array({arr}), b -> {key} > b))")
+            # NO lambdas here, by hard-won necessity: the offs subtree
+            # and the assignment subtree both contain the base
+            # relation, and when their join is analyzed Spark's
+            # DeduplicateRelations rewrites one branch's attribute
+            # ids — references nested under a HigherOrderFunction
+            # (filter/transform lambda) are left behind and the plan
+            # dies with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (at
+            # analysis with a python-built lambda, at RUNTIME with an
+            # expr-built one — both observed; pinned by
+            # tests/test_scale.py's raw-relation and NULL-key cases).
+            # A flat CASE sum survives the rewrite and codegens fine
+            # at any realistic P. NULL keys fail every comparison and
+            # land in bucket 0, ranking first (NULLS FIRST).
+            bucket = F.expr(
+                "("
+                + " + ".join(
+                    f"(CASE WHEN {key} > {_bound_lit(b)} THEN 1 ELSE 0 END)"
+                    for b in bounds
+                )
+                + ")"
+            )
         else:  # P == 1 or empty input: one coarse bucket
             bucket = F.lit(0)
         bk, off, tot, rk = f"_bk{i}", f"_off{i}", f"_n{i}", f"_rk{i}"

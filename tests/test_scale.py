@@ -490,3 +490,29 @@ def test_exact_ntile_multi_matches_window_ntile_and_builds_in_one_job(spark):
         for r in exact_ntile_multi(tiny, 4, [("q", ["v", "id"])]).collect()
     }
     assert got_t == {2: 1, 1: 2}
+
+
+def test_exact_ntile_multi_null_keys_rank_first(spark):
+    """Documented NULL contract: NULL ranking keys land in the lowest
+    coarse bucket and rank FIRST, matching Spark's ascending
+    NULLS FIRST window order — bit-equal to the window NTILE."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators.scale import exact_ntile_multi
+
+    rows = [(i, None if i % 5 == 0 else i * 3 % 97) for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(6)
+    got = {
+        r["id"]: r["q"]
+        for r in exact_ntile_multi(df, 4, [("q", ["v", "id"])]).collect()
+    }
+    want = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("q")
+        ).collect()
+    }
+    assert got == want
+    # the NULL-key rows all landed in bucket 1 (the lowest)
+    assert {got[i] for i in range(0, 60, 5)} == {1}
