@@ -609,6 +609,54 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_asof_last_click_1h",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id
+                END AS last_click_id_1h
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS click_id
+                    FROM events
+                    WHERE event_type = 'click' AND ts IS NOT NULL
+                    GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof", "window", "tolerance"),
+)
+def q_asof_last_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join — pandas ``merge_asof``'s
+    ``tolerance`` semantics through the same carry-forward operator as
+    q_asof_last_click: the latest click at-or-before each purchase
+    counts only if it is at most ONE HOUR stale (inclusive boundary on
+    both engines: the operator nulls matches strictly older than the
+    tolerance; the oracle keeps ``c.ts >= p.ts - INTERVAL 1 HOUR``).
+    The purchase row is kept with a NULL click when the match is too
+    old — a row-preserving staleness filter, not a join-shrinking one.
+    This registers the operator's tolerance path (previously
+    pytest-only) under the external oracle gate.
+
+    Scale: identical plan shape to q_asof_last_click — one exchange on
+    user_id, one sort, linear carry-forward; the staleness test is a
+    row-local comparison on the carried struct's own timestamp."""
+    from ..operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("ts").isNotNull())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", tolerance_seconds=3600.0
+    ).select("event_id", "user_id", F.col("click_id").alias("last_click_id_1h"))
+
+
 # ---------------------------------------------------------------------------
 # range join: clicks inside the 2-hour window after each purchase
 # ---------------------------------------------------------------------------
