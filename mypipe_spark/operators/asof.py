@@ -34,6 +34,16 @@ def _secs(col: F.Column) -> F.Column:
     return col.cast("timestamp").cast("double")
 
 
+def _micros(col: F.Column) -> F.Column:
+    """Epoch MICROSECONDS as a BIGINT — the exact form for boundary
+    comparisons. A double epoch-second at ~1.7e9 carries ~1.2e-7 s of
+    representation error, enough to flip a staleness test for a pair
+    exactly at the tolerance (the oracle-gate flake class); integer
+    micros are the timestamp's native precision, no rounding at
+    all."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -106,9 +116,11 @@ def asof_join(
     )
     out = carried.filter(F.col(_KIND) == 1)
     if tolerance_seconds is not None:
+        # integer-microsecond staleness test: exact at the tolerance
+        # boundary where the float-second form could round past it
         stale = (
-            _secs(F.col("__t")) - _secs(F.col("__ref.__rt"))
-        ) > tolerance_seconds
+            _micros(F.col("__t")) - _micros(F.col("__ref.__rt"))
+        ) > int(round(tolerance_seconds * 1_000_000))
         picked = [
             F.when(stale, F.lit(None)).otherwise(F.col(f"__ref.{c}")).alias(c)
             for c in rvals

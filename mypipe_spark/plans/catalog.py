@@ -229,6 +229,16 @@ def round4_frac_sql(num: str, den: str, intdiv: str) -> str:
     )
 
 
+def floor4_frac_sql(num: str, den: str, intdiv: str) -> str:
+    """Exact ``CAST(FLOOR(num/den * 10000) AS DOUBLE) / 10000`` for
+    non-negative integer num/den (den > 0) — the TRUNCATING twin of
+    :func:`round4_frac_sql`, for rate displays that must never round
+    UP past the true population share (the curation dup-rate reports).
+    Same widening discipline: the caller casts ``num`` wide enough
+    that the ×10000 cannot overflow (HUGEINT / DECIMAL(38,0))."""
+    return f"(CAST(({num}) * 10000 {intdiv} ({den}) AS DOUBLE) / 10000)"
+
+
 def count_of_sql(col: str, value: str, alias: str):
     """Conditional count ``SUM(CASE WHEN col = value THEN 1 ELSE 0 END)``
     as a Spark Column — the pivot/funnel building block shared by the

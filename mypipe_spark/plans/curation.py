@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import isqrt_sql, load_tables, register, round4_frac_sql, round_div_sql, scale_out
+from .catalog import floor4_frac_sql, isqrt_sql, load_tables, register, round4_frac_sql, round_div_sql, scale_out
 from .dedup import NORM_TEXT_DUCK, norm_text_col
 from .textops import (
     N_STOP_DUCK,
@@ -829,7 +829,7 @@ def layout_zorder_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_dedup_report",
-    oracle="""
+    oracle=f"""
     WITH h AS (
       SELECT doc_id, source, md5(text) AS ch
       FROM documents),
@@ -845,8 +845,8 @@ def layout_zorder_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_dup_involved,
            CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_removable,
-           (CAST((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000)
-               // COUNT(*) AS DOUBLE) / 10000) AS removable_rate
+           {floor4_frac_sql("CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS HUGEINT)", "COUNT(*)", "//")}
+             AS removable_rate
     FROM c GROUP BY source
     """,
     tags=("curation", "dedup", "audit"),
@@ -893,7 +893,10 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
         F.expr(
-            "CAST((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000)"
-            " div COUNT(*) AS DOUBLE) / 10000"
+            floor4_frac_sql(
+                "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0))",
+                "COUNT(*)",
+                "div",
+            )
         ).alias("removable_rate"),
     )

@@ -39,7 +39,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import ASCII_LOWER, ASCII_UPPER, ascii_fold_sql, load_tables, register, round4_frac_sql, scale_out
+from .catalog import ASCII_LOWER, ASCII_UPPER, ascii_fold_sql, floor4_frac_sql, load_tables, register, round4_frac_sql, scale_out
 
 # 3-word shingles; docs shorter than 3 words are kept verbatim (no pairs).
 _SHINGLE_WORDS = 3
@@ -3153,8 +3153,8 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_neardup_involved,
-           (CAST((SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-               * 10000) // COUNT(*) AS DOUBLE) / 10000) AS neardup_rate
+           {floor4_frac_sql("CAST(SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS HUGEINT)", "COUNT(*)", "//")}
+             AS neardup_rate
     FROM documents d LEFT JOIN involved i USING (doc_id)
     GROUP BY d.source
     """,
@@ -3185,7 +3185,9 @@ def curation_neardup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    docs = scale_out(load_tables(spark, sf_dir)["documents"]).select(
+        "doc_id", "source"
+    )
     return (
         docs.join(involved, "doc_id", "left")
         .groupBy("source")
@@ -3195,8 +3197,11 @@ def curation_neardup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_neardup_involved"
             ),
             F.expr(
-                "CAST((SUM(coalesce(_hit, 0)) * 10000) div COUNT(*)"
-                " AS DOUBLE) / 10000"
+                floor4_frac_sql(
+                    "CAST(SUM(coalesce(_hit, 0)) AS DECIMAL(38,0))",
+                    "COUNT(*)",
+                    "div",
+                )
             ).alias("neardup_rate"),
         )
     )

@@ -563,6 +563,31 @@ def q_quantity_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as-of join: latest click at-or-before each purchase
 # ---------------------------------------------------------------------------
 
+
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    """The (purchases, clicks) pair both as-of queries join — ONE
+    construction so the timeless-event exclusion and the tie-collapse
+    can never diverge between the plain and tolerance-bounded twins.
+
+    Timeless-event contract (see events_gapfill_1h): a NULL-ts click
+    would sort NULLS FIRST in Spark's carry-forward and match every
+    purchase as "before everything" while DuckDB's ASOF matches
+    nothing — excluded identically on both sides. Clicks are
+    pre-collapsed per (user, ts) with MAX(event_id) so at-or-before
+    ties resolve identically in both engines."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("ts").isNotNull())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return purchases, clicks
+
+
 @register(
     "q_asof_last_click",
     oracle="""
@@ -586,24 +611,11 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-non-null carry-forward. This is the scalable form — one
     shuffle on the key, linear within partition — versus the naive
     inequality join (quadratic per key) that range-join rewrites
-    produce. Clicks are pre-collapsed per (user, ts) with MAX(event_id)
-    so at-or-before ties resolve identically in both engines."""
+    produce. Sides come from :func:`_asof_sides` (NULL-ts exclusion +
+    tie-collapse shared with the tolerance twin)."""
     from ..operators.asof import asof_join
 
-    t = load_tables(spark, sf_dir)
-    # timeless-event contract (see events_gapfill_1h): a NULL-ts click
-    # would sort NULLS FIRST in Spark's carry-forward and match every
-    # purchase as "before everything" while DuckDB's ASOF matches
-    # nothing — excluded identically on both sides
-    ev = t["events"].filter(F.col("ts").isNotNull())
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    purchases, clicks = _asof_sides(spark, sf_dir)
     return asof_join(purchases, clicks, on="user_id").select(
         "event_id", "user_id", F.col("click_id").alias("last_click_id")
     )
@@ -639,19 +651,13 @@ def q_asof_last_click_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical plan shape to q_asof_last_click — one exchange on
     user_id, one sort, linear carry-forward; the staleness test is a
-    row-local comparison on the carried struct's own timestamp."""
+    row-local INTEGER-microsecond comparison on the carried struct's
+    own timestamp (exact at the boundary — a float epoch-second test
+    could round a pair exactly 1h apart past the tolerance and
+    hash-mismatch the oracle)."""
     from ..operators.asof import asof_join
 
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("ts").isNotNull())
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    purchases, clicks = _asof_sides(spark, sf_dir)
     return asof_join(
         purchases, clicks, on="user_id", tolerance_seconds=3600.0
     ).select("event_id", "user_id", F.col("click_id").alias("last_click_id_1h"))

@@ -701,11 +701,13 @@ def test_events_plane_dirty_corpus_cross_engine_sweep(spark):
         "events_conversion_lag": AN, "events_markov_transitions": AN,
         "events_type_drift": AN, "events_error_impact": AN,
         "events_hll_rollup_check": AN, "events_salted_type_stats": AN,
-        "events_freshness_report": AN,
+        "events_freshness_report": AN, "events_burst_rate": AN,
+        "events_power_users_share": AN,
         "cdc_sessionize": CD, "cdc_event_funnel": CD,
         "cdc_props_json_extract": CD, "cdc_scd2_history": CD,
         "cdc_latest_state": CD, "cdc_incremental_refresh": CD,
         "q_asof_last_click": TP, "q_range_clicks_after_purchase": TP,
+        "q_asof_last_click_1h": TP,  # tolerance CASE's NULL branches
     }
 
     def norm(v):
