@@ -3626,3 +3626,71 @@ def events_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("peak_1h") >= _BURST_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnostics (the decision input for salted_join / AQE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_key_skew_report",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_per_key,
+           CAST(MIN(n) AS BIGINT) AS min_per_key,
+           {round4_frac_sql("CAST(SUM(n) AS HUGEINT)", "COUNT(*)", "//")}
+             AS avg_per_key,
+           {round4_frac_sql(
+               "CAST(MAX(n) AS HUGEINT) * COUNT(*)", "SUM(n)", "//"
+           )} AS skew_ratio,
+           CAST(CASE WHEN CAST(MAX(n) AS HUGEINT) * COUNT(*)
+                          > 10 * CAST(SUM(n) AS HUGEINT)
+                     THEN 1 ELSE 0 END AS INT) AS skew_flag
+    FROM per_key
+    """,
+    tags=("events", "skew", "diagnostics"),
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the events stream's user_id — the
+    decision input for operators.scale.salted_join / AQE skew-join
+    before a 100 TB shuffle: key cardinality, max/min/avg rows per
+    key, the hottest key's multiple of the mean (``skew_ratio``,
+    exactly rounded), and an integer-cross-multiplied flag that fires
+    when any key exceeds 10× the mean row count — no double ever
+    crosses the engine boundary.
+
+    Scale: one map-side-combinable per-key count, then a one-row
+    rollup — the whole report is two aggregates over the shuffle key
+    it diagnoses, the same pass a pipeline would piggyback on its
+    first groupBy."""
+    per_key = (
+        scale_out(load_tables(spark, sf_dir)["events"])
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_per_key"),
+        F.min("n").cast("long").alias("min_per_key"),
+        F.expr(
+            round4_frac_sql("CAST(SUM(n) AS DECIMAL(38,0))", "COUNT(*)", "div")
+        ).alias("avg_per_key"),
+        F.expr(
+            round4_frac_sql(
+                "CAST(MAX(n) AS DECIMAL(38,0)) * COUNT(*)", "SUM(n)", "div"
+            )
+        ).alias("skew_ratio"),
+        # flag: hottest key > 10x mean  <=>  max*n_keys > 10*total
+        F.expr(
+            "CAST(CASE WHEN CAST(MAX(n) AS DECIMAL(38,0)) * COUNT(*)"
+            " > 10 * CAST(SUM(n) AS DECIMAL(38,0)) THEN 1 ELSE 0 END AS INT)"
+        ).alias("skew_flag"),
+    )

@@ -900,3 +900,89 @@ def curation_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("removable_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-column advisor (layout-plane decision input)
+# ---------------------------------------------------------------------------
+
+# Advisory thresholds, shared by plan and oracle: a candidate column
+# is too granular past this many distinct values (tiny files at write
+# time) and too skewed when one value holds more than half the corpus
+# (one giant partition defeats pruning AND parallel writes).
+_ADVISOR_MAX_VALUES = 64
+_ADVISOR_MAX_SHARE_X4 = 5000  # 0.5 in the floor-4-digits domain
+
+
+def _advisor_cte(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS candidate,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_partition_rows,
+             {floor4_frac_sql("CAST(MAX(n) AS HUGEINT)", "SUM(n)", "//")}
+               AS max_share,
+             CAST(CASE WHEN COUNT(*) > {_ADVISOR_MAX_VALUES} THEN 1
+                       ELSE 0 END AS INT) AS too_granular,
+             CAST(CASE WHEN CAST(MAX(n) AS HUGEINT) * 10000
+                            > {_ADVISOR_MAX_SHARE_X4} * CAST(SUM(n) AS HUGEINT)
+                       THEN 1 ELSE 0 END AS INT) AS too_skewed
+      FROM (SELECT {col} AS v, COUNT(*) AS n FROM documents GROUP BY {col})
+    """
+
+
+@register(
+    "layout_partition_advisor",
+    oracle=f"""
+    SELECT * FROM ({_advisor_cte("source")})
+    UNION ALL
+    SELECT * FROM ({_advisor_cte("lang")})
+    """,
+    tags=("layout", "advisor", "diagnostics"),
+)
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor for the documents corpus — the
+    decision input in front of compact_write / partitionBy at 100 TB:
+    for each candidate partition column (source, lang), its value
+    cardinality, the largest partition's row count and corpus share
+    (floor-4-digits, never rounded up past the true share), and two
+    integer-exact advisory flags — ``too_granular`` (more values than
+    the files-per-write budget tolerates: tiny-file explosion) and
+    ``too_skewed`` (one value holds >50% of rows: a straggler
+    partition that defeats both pruning and parallel writes; the
+    comparison is a HUGEINT/DECIMAL38 cross-multiplication — no
+    double crosses the engine boundary). NULL is a value like any
+    other (it becomes the hive default partition on disk).
+
+    Scale: one map-side-combinable per-value count + a one-row rollup
+    PER CANDIDATE, unioned — each candidate costs exactly the
+    aggregate a real partitionBy would pay anyway; candidates never
+    join or multiply."""
+    docs = scale_out(load_tables(spark, sf_dir)["documents"])
+
+    def side(col: str) -> DataFrame:
+        per = docs.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return per.agg(
+            F.lit(col).alias("candidate"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_partition_rows"),
+            F.expr(
+                floor4_frac_sql(
+                    "CAST(MAX(n) AS DECIMAL(38,0))", "SUM(n)", "div"
+                )
+            ).alias("max_share"),
+            F.expr(
+                f"CAST(CASE WHEN COUNT(*) > {_ADVISOR_MAX_VALUES} THEN 1"
+                " ELSE 0 END AS INT)"
+            ).alias("too_granular"),
+            F.expr(
+                "CAST(CASE WHEN CAST(MAX(n) AS DECIMAL(38,0)) * 10000"
+                f" > {_ADVISOR_MAX_SHARE_X4} * CAST(SUM(n) AS DECIMAL(38,0))"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("too_skewed"),
+        )
+
+    return side("source").unionByName(side("lang"))

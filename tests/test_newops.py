@@ -2219,3 +2219,65 @@ def test_neardup_report_matches_pair_table_involvement(spark, sf_dir):
     got = {r["source"]: r["n_neardup_involved"] for r in rows}
     assert {k: v for k, v in got.items() if v} == want
     assert sum(r["n_docs"] for r in rows) == len(src)
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    """events_key_skew_report: one user holding 60 of 69 rows trips
+    the 10x-mean flag and the exact ratio; a uniform corpus does
+    not."""
+    from datetime import datetime
+
+    from mypipe_spark.plans import analytics as A
+    from mypipe_spark.plans.catalog import all_queries
+
+    QUERIES = all_queries()
+    base = datetime(2026, 1, 1)
+    hot = [(i, base, 1, "click", 1.0, None) for i in range(60)]
+    cold = [(100 + i, base, 2 + i, "click", 1.0, None) for i in range(9)]
+    ev = spark.createDataFrame(
+        hot + cold,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with _planted_tables([A], {"events": ev}):
+        r = QUERIES["events_key_skew_report"].fn(spark, "skew-x").collect()[0]
+    assert (r["n_keys"], r["n_rows"], r["max_per_key"], r["min_per_key"]) == (10, 69, 60, 1)
+    # max/mean = 60/(69/10) = 8.6957 (rounded); flag needs >10x: 600 > 690 is False
+    assert r["skew_flag"] == 0 and abs(r["skew_ratio"] - 8.6957) < 1e-9
+    # widen the key population: 200-row hot key vs 29 singleton users
+    # -> mean 229/30, max/mean = 26.2x -> flag fires
+    hot2 = [(i, base, 1, "click", 1.0, None) for i in range(200)]
+    cold2 = [(1000 + i, base, 2 + i, "click", 1.0, None) for i in range(29)]
+    ev2 = spark.createDataFrame(
+        hot2 + cold2,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with _planted_tables([A], {"events": ev2}):
+        r2 = QUERIES["events_key_skew_report"].fn(spark, "skew-y").collect()[0]
+    assert r2["skew_flag"] == 1 and r2["max_per_key"] == 200
+
+
+def test_partition_advisor_flags_planted_layouts(spark):
+    """layout_partition_advisor: 70 distinct sources trip
+    too_granular (>64); one lang holding 80% of rows trips too_skewed
+    (>50%); the shares are exact floor-4-digit fractions."""
+    from mypipe_spark.plans import curation as CU
+    from mypipe_spark.plans.catalog import all_queries
+
+    QUERIES = all_queries()
+    rows = [
+        (i, f"text {i}", "en" if i < 80 else "de", f"s{i % 70}", 6)
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with _planted_tables([CU], {"documents": docs}):
+        got = {
+            r["candidate"]: r
+            for r in QUERIES["layout_partition_advisor"].fn(spark, "adv-x").collect()
+        }
+    src, lang = got["source"], got["lang"]
+    assert (src["n_values"], src["too_granular"], src["too_skewed"]) == (70, 1, 0)
+    assert (lang["n_values"], lang["too_granular"], lang["too_skewed"]) == (2, 0, 1)
+    assert lang["max_share"] == 0.8 and lang["max_partition_rows"] == 80
+    assert src["n_rows"] == lang["n_rows"] == 100
