@@ -3694,3 +3694,108 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 10 * CAST(SUM(n) AS DECIMAL(38,0)) THEN 1 ELSE 0 END AS INT)"
         ).alias("skew_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rate-limit gate (the acting half of events_burst_rate)
+# ---------------------------------------------------------------------------
+
+# Raw-arrival rate gate shared by the batch audit and the streaming
+# twin (streaming/ratelimit.py): an event is KEPT iff fewer than
+# _RATE_LIMIT same-user events (kept or dropped — raw arrivals)
+# precede it inside the trailing _BURST_WINDOW_US window. Sequential
+# semantics via LAG over the (us, event_id) total order — the
+# event at lag _RATE_LIMIT being strictly inside (us - W, us] means
+# this arrival is the (limit+1)-th in window. Deliberately NOT the
+# RANGE-frame count: RANGE counts same-timestamp peers that sort
+# AFTER the row, which a stream processing events in arrival order
+# can never see — LAG is the exact semantics a stateful gate can
+# reproduce, so stream==batch parity is achievable and pinned.
+_RATE_LIMIT = 2  # bites at both driver scale factors
+
+
+def rate_limit_keep_flag() -> F.Column:
+    """The keep flag over columns (user_id, us, event_id) — ONE
+    definition for the batch audit, the batch kept-set, and the
+    parity test's expectations."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc_nulls_last()
+    )
+    lag_t = F.lag("us", _RATE_LIMIT).over(w)
+    return lag_t.isNull() | (lag_t <= F.col("us") - _BURST_WINDOW_US)
+
+
+def rate_limited_events(events: DataFrame) -> DataFrame:
+    """Kept events of a BATCH events DataFrame under the raw-arrival
+    rate gate — column-for-column what streaming/ratelimit.py's
+    stateful twin emits (parity pinned in tests/test_ratelimit.py)."""
+    e = events.filter(F.col("ts").isNotNull()).select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        "event_type",
+        F.col("ts").cast("timestamp_ntz"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    return e.withColumn("_keep", rate_limit_keep_flag()).filter("_keep").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(us, {_RATE_LIMIT}) OVER (
+                    PARTITION BY user_id
+                    ORDER BY us ASC, event_id ASC NULLS LAST) IS NULL
+                  OR LAG(us, {_RATE_LIMIT}) OVER (
+                    PARTITION BY user_id
+                    ORDER BY us ASC, event_id ASC NULLS LAST)
+                     <= us - {_BURST_WINDOW_US}
+                  THEN 1 ELSE 0 END AS keep
+      FROM e)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY user_id
+    HAVING COUNT(*) - SUM(keep) > 0
+    """,
+    tags=("events", "rate", "streaming-twin"),
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user drop audit of the raw-arrival rate gate (keep at most
+    ``_RATE_LIMIT`` events per user per trailing hour): users who
+    would LOSE events, with kept/dropped counts — the report a
+    pipeline reads before enabling the gate, and the batch statement
+    of exactly what streaming/ratelimit.py's stateful twin enforces
+    live (sequential LAG semantics, see rate_limit_keep_flag — parity
+    is achievable and pinned precisely because the gate never counts
+    a same-timestamp peer the stream has not yet seen).
+
+    Scale: one exchange on user_id shared by the LAG window and the
+    rollup; state-free in batch (the window IS the history)."""
+    e = (
+        scale_out(load_tables(spark, sf_dir)["events"])
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+    )
+    flagged = e.withColumn("keep", rate_limit_keep_flag().cast("int"))
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("n_dropped") > 0)
+    )
