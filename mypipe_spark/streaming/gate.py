@@ -1,0 +1,101 @@
+"""Shared plumbing for the stateful per-key event GATES
+(streaming/thin.py debounce, streaming/ratelimit.py rate limiter).
+
+Both operators are "keep or drop each event, per key, in
+(us, event_id) order" — their correctness contracts (stream==batch
+parity with a batch window twin) depend on three projections staying
+byte-identical between them and their batch twins:
+
+1. the canonical input (NULL-ts exclusion, bigint casts, ntz ts,
+   unix_micros ``us``),
+2. the in-batch ordering (us ASC, event_id ASC NULLS LAST), and
+3. the exact round-trip of ids through the Arrow/pandas boundary.
+
+(3) is why ``event_id`` ALSO travels as a STRING column: Arrow→pandas
+input conversion promotes a NULL-bearing bigint column to float64,
+silently corrupting ids ≥ 2^53 that share a batch with a NULL id —
+the string copy is lossless, the gate emits it, and the wrapper casts
+it back to bigint. The numeric event_id column remains ONLY a sort
+tiebreak (documented residual: two events at the same microsecond
+whose ids differ only beyond float64's 53-bit mantissa could mis-tie
+— no realistic id scheme does this). ``user_id`` and any other GROUP
+KEY columns are emitted from the exact key tuple Spark hands the
+gate, never from the (possibly promoted) pandas columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# what the gates EMIT from pandas (string ids — exact), and what
+# their public wrappers expose after the restoring cast
+GATE_EMIT_SCHEMA = (
+    "event_id string, user_id bigint, event_type string, ts timestamp_ntz"
+)
+
+
+def canonical_events(events: DataFrame) -> DataFrame:
+    """The ONE canonical projection in front of every stateful gate:
+    timeless events excluded (NULL ts — same contract as every
+    event-time operator in the catalog), bigint ids, ntz timestamp,
+    integer-microsecond ``us`` for ordering/arithmetic, and the
+    lossless string copy of event_id (``eid_s``)."""
+    return events.filter(F.col("ts").isNotNull()).select(
+        F.col("event_id").cast("bigint"),
+        F.col("event_id").cast("string").alias("eid_s"),
+        F.col("user_id").cast("bigint"),
+        "event_type",
+        F.col("ts").cast("timestamp_ntz"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+
+
+def sort_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """The gates' shared in-batch order — mirrors the batch windows'
+    ORDER BY us ASC, event_id ASC NULLS LAST (stable sort, so
+    microbatch arrival order breaks any residual tie exactly like
+    the batch window's deterministic tiebreak chain)."""
+    return batch.sort_values(
+        ["us", "event_id"], na_position="last", kind="mergesort"
+    )
+
+
+_UNSET = object()
+
+
+def emit_kept(
+    batch: pd.DataFrame, keep: list, user_id, event_type=_UNSET
+) -> pd.DataFrame:
+    """Kept rows in GATE_EMIT_SCHEMA order: exact string event_id from
+    the lossless copy, key-derived user_id, event_type from the key
+    when it is part of it (pass it — even if its value is None) or
+    from the batch column otherwise (strings never promote), and
+    pandas-native ts. The caller yields this iff non-empty."""
+    idx = batch.index[keep]
+    et = (
+        batch.loc[idx, "event_type"].reset_index(drop=True)
+        if event_type is _UNSET
+        else pd.Series([event_type] * len(idx), dtype="object")
+    )
+    return pd.DataFrame(
+        {
+            "event_id": batch.loc[idx, "eid_s"].reset_index(drop=True),
+            "user_id": pd.Series([user_id] * len(idx), dtype="Int64"),
+            "event_type": et,
+            "ts": batch.loc[idx, "ts"].reset_index(drop=True),
+        }
+    )
+
+
+def restore_ids(gated: DataFrame) -> DataFrame:
+    """The public-facing cast back from the gate's exact string ids to
+    the canonical bigint output schema."""
+    return gated.select(
+        F.col("event_id").cast("bigint"),
+        "user_id",
+        "event_type",
+        "ts",
+    )

@@ -29,7 +29,11 @@ data takes the SCD2-style dead-letter guard upstream, same as
 streaming/thin.py.
 
 Timeless events (ts NULL) are excluded by the same contract as every
-event-time operator in the catalog.
+event-time operator in the catalog; the canonical projection, batch
+ordering, and the exact id round-trip through the Arrow boundary are
+the shared streaming/gate.py machinery (its string id copy closes the
+float64-promotion hazard for ids >= 2^53 sharing a batch with a NULL
+id).
 
 Scale shape: state is ``_RATE_LIMIT`` × 8 bytes per live user; each
 microbatch shuffles once on user_id (the stateful-operator exchange)
@@ -44,14 +48,11 @@ from typing import Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.analytics import _BURST_WINDOW_US, _RATE_LIMIT
+from .gate import GATE_EMIT_SCHEMA, canonical_events, emit_kept, restore_ids, sort_batch
 
-_OUT_SCHEMA = (
-    "event_id bigint, user_id bigint, event_type string, ts timestamp_ntz"
-)
 _STATE_SCHEMA = "times array<bigint>"
 
 
@@ -64,12 +65,7 @@ def _make_gate_fn(limit: int, window_us: int):
         # ring of the last `limit` raw arrival times, oldest first
         (times,) = state.get if state.exists else ([],)
         times = list(times)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # per-key order within the microbatch mirrors the batch
-        # window's ORDER BY us ASC, event_id ASC NULLS LAST
-        batch = batch.sort_values(
-            ["us", "event_id"], na_position="last", kind="mergesort"
-        )
+        batch = sort_batch(pd.concat(list(pdfs), ignore_index=True))
         keep = []
         for us in batch["us"]:
             us = int(us)
@@ -81,15 +77,10 @@ def _make_gate_fn(limit: int, window_us: int):
             if len(times) > limit:
                 times.pop(0)
         state.update((times,))
-        kept = batch.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
-        if len(kept):
-            # pandas promotes NULL-bearing int columns to float64+NaN;
-            # nullable Int64 hands Spark bigints with true NULLs
-            kept = kept.assign(
-                event_id=kept["event_id"].astype("Int64"),
-                user_id=kept["user_id"].astype("Int64"),
-            )
-            yield kept
+        if any(keep):
+            # user_id IS the grouping key — emit it from the exact key
+            # tuple; event_type is a payload string (never promotes)
+            yield emit_kept(batch, keep, key[0])
 
     return gate
 
@@ -104,17 +95,16 @@ def ratelimit_stream(
     :func:`plans.analytics.rate_limited_events` output. ``events``
     needs the canonical columns (event_id, user_id, event_type, ts);
     extra columns are ignored."""
-    e = events.filter(F.col("ts").isNotNull()).select(
-        F.col("event_id").cast("bigint"),
-        F.col("user_id").cast("bigint"),
-        "event_type",
-        F.col("ts").cast("timestamp_ntz"),
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-    )
-    return e.groupBy("user_id").applyInPandasWithState(
+    if limit < 1:
+        raise ValueError(
+            f"rate limit must be >= 1 (got {limit}); a block-all gate "
+            "is a filter, not a rate limiter"
+        )
+    gated = canonical_events(events).groupBy("user_id").applyInPandasWithState(
         _make_gate_fn(limit, window_us),
-        outputStructType=_OUT_SCHEMA,
+        outputStructType=GATE_EMIT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return restore_ids(gated)

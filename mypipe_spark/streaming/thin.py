@@ -22,7 +22,10 @@ data needs the SCD2-style dead-letter guard upstream, not silent
 reordering here.
 
 Timeless events (ts NULL) are excluded by the same contract as every
-event-time operator in the catalog.
+event-time operator in the catalog; the canonical projection, batch
+ordering, and the exact id round-trip through the Arrow boundary are
+the shared streaming/gate.py machinery (see its docstring for the
+float64-promotion hazard the string id copy closes).
 
 Scale shape: state is ~16 bytes per live (user, type) key; each
 microbatch shuffles once on the key (the stateful-operator exchange)
@@ -37,14 +40,11 @@ from typing import Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..plans.analytics import _DEBOUNCE_US
+from .gate import GATE_EMIT_SCHEMA, canonical_events, emit_kept, restore_ids, sort_batch
 
-_OUT_SCHEMA = (
-    "event_id bigint, user_id bigint, event_type string, ts timestamp_ntz"
-)
 _STATE_SCHEMA = "last_us bigint"
 
 
@@ -55,29 +55,17 @@ def _make_thin_fn(threshold_us: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (last_us,) = state.get if state.exists else (None,)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # per-key order within the microbatch mirrors the batch
-        # window's ORDER BY us ASC, event_id ASC NULLS LAST
-        batch = batch.sort_values(
-            ["us", "event_id"], na_position="last", kind="mergesort"
-        )
+        batch = sort_batch(pd.concat(list(pdfs), ignore_index=True))
         keep = []
         for us in batch["us"]:
             us = int(us)
             keep.append(last_us is None or us - last_us > threshold_us)
             last_us = us
         state.update((last_us,))
-        kept = batch.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
-        if len(kept):
-            # pandas promotes NULL-bearing int columns to float64+NaN;
-            # convert to nullable Int64 so Arrow hands Spark a bigint
-            # with true NULLs (a NULL event_id is a legal kept row,
-            # and a NULL user_id is a legal grouping key)
-            kept = kept.assign(
-                event_id=kept["event_id"].astype("Int64"),
-                user_id=kept["user_id"].astype("Int64"),
-            )
-            yield kept
+        if any(keep):
+            # (user_id, event_type) ARE the grouping key — emit both
+            # from the exact key tuple, never the pandas columns
+            yield emit_kept(batch, keep, key[0], event_type=key[1])
 
     return thin
 
@@ -89,17 +77,13 @@ def debounce_stream(
     column-for-column the batch :func:`debounce_starters` output.
     ``events`` needs the canonical columns (event_id, user_id,
     event_type, ts); extra columns are ignored."""
-    e = events.filter(F.col("ts").isNotNull()).select(
-        F.col("event_id").cast("bigint"),
-        F.col("user_id").cast("bigint"),
-        "event_type",
-        F.col("ts").cast("timestamp_ntz"),
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-    )
-    return e.groupBy("user_id", "event_type").applyInPandasWithState(
+    gated = canonical_events(events).groupBy(
+        "user_id", "event_type"
+    ).applyInPandasWithState(
         _make_thin_fn(threshold_us),
-        outputStructType=_OUT_SCHEMA,
+        outputStructType=GATE_EMIT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return restore_ids(gated)

@@ -117,3 +117,34 @@ def test_null_ids_survive_the_arrow_boundary(spark, tmp_path):
         key=str,
     )
     assert rows == sorted([(None, 1), (9, None)], key=str)
+
+
+def test_huge_ids_survive_null_peers_exactly(spark, tmp_path):
+    """The gate.py string-copy contract: an event_id beyond float64's
+    53-bit mantissa must round-trip EXACTLY even when a NULL id shares
+    its key and microbatch (Arrow→pandas promotes the null-bearing
+    bigint column to float64 — the pre-round-7 pattern silently
+    emitted 2^53+1 as 2^53)."""
+    t0 = dt.datetime(2024, 1, 1)
+    big = (1 << 53) + 1
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(None, 1, "click", t0), (big, 1, "click", t0 + dt.timedelta(hours=3))],
+        _EV_SCHEMA,
+    ).coalesce(1).write.parquet(src)
+    got = {
+        r["event_id"]
+        for r in _run_stream(spark, src, tmp_path, "rl_bigid").collect()
+    }
+    assert big in got and None in got
+
+
+def test_limit_below_one_rejected_at_construction(spark):
+    """limit=0 / negative must fail fast with a clear ValueError, not
+    an executor-side IndexError on the first event."""
+    import pytest
+
+    df = spark.readStream.format("rate").load()
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="rate limit"):
+            ratelimit_stream(df, limit=bad)
