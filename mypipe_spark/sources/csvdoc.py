@@ -1,0 +1,124 @@
+"""CSV corpus source/sink for the ``documents`` table.
+
+Tabular corpora and vendor exports ship as CSV at least as often as
+JSONL; this adapter lands them in the engine's canonical
+``documents`` shape with the SAME nothing-silently-dropped discipline
+as sources/jsonl.py (whose docstring states the shared rationale):
+raw ``text`` lines + ``from_csv`` in PERMISSIVE mode with a
+corrupt-record column, so the original line survives verbatim into
+the DLQ, the identical projection runs on ``readStream.text``
+(stream==batch pinned), and a malformed line can never silently
+become an all-NULL row.
+
+CSV-specific contract, stated rather than hidden:
+
+- LINE-WISE CSV ONLY: a quoted field containing an embedded newline
+  is a multi-line record, which a line-wise reader cannot reassemble
+  — each physical line dead-letters as ``malformed_csv``. The writer
+  REFUSES (ValueError) to export text containing newlines rather
+  than emitting records the reader contract cannot round-trip.
+- the canonical header line (``doc_id,text,lang,source,n_chars``) is
+  structural, not data — skipped wherever it appears (file
+  concatenation puts headers mid-stream; a streaming landing zone
+  sees one per dropped file), the CSV analog of JSONL's blank-line
+  skip. Blank lines are skipped identically.
+- standard RFC-4180 quoting/escaping applies per line (embedded
+  commas and quotes round-trip; pinned).
+- a line that parses but carries no ``doc_id`` dead-letters as
+  ``missing_doc_id``; ``n_chars`` densifies from the text when
+  absent (same rationale as JSONL — CSV cannot distinguish an empty
+  field from a shipped NULL).
+
+Scale shape: identical to the JSONL reader — an embarrassingly
+parallel line-wise projection over a text scan, the DLQ a second
+filter over the SAME parsed projection, not a second read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CORRUPT = "_corrupt_line"
+_PARSE_SCHEMA = (
+    f"doc_id bigint, text string, lang string, source string,"
+    f" n_chars bigint, {_CORRUPT} string"
+)
+_HEADER = "doc_id,text,lang,source,n_chars"
+_CSV_OPTS = {
+    "mode": "PERMISSIVE",
+    "columnNameOfCorruptRecord": _CORRUPT,
+    # standard RFC-4180 quoting; explicit so both read and write pin
+    # the same dialect
+    "quote": '"',
+    "escape": '"',
+}
+
+
+def parse_documents_csv_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a DataFrame of raw CSV ``value`` lines into
+    (documents, dlq). Works identically on batch ``read.text`` and
+    streaming ``readStream.text`` sources (stateless projection —
+    tests/test_csvdoc.py pins stream == batch)."""
+    parsed = (
+        lines.filter(~F.col("value").rlike(r"^\s*$"))
+        .filter(F.col("value") != _HEADER)
+        .select(
+            F.col("value").alias("raw"),
+            F.from_csv("value", _PARSE_SCHEMA, _CSV_OPTS).alias("p"),
+        )
+    )
+    reason = (
+        F.when(F.col(f"p.{_CORRUPT}").isNotNull(), "malformed_csv")
+        .when(F.col("p").isNull(), "malformed_csv")
+        .when(F.col("p.doc_id").isNull(), "missing_doc_id")
+    )
+    tagged = parsed.select("raw", "p", reason.alias("reason"))
+    docs = tagged.filter(F.col("reason").isNull()).select(
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.text").alias("text"),
+        F.col("p.lang").alias("lang"),
+        F.col("p.source").alias("source"),
+        F.coalesce(F.col("p.n_chars"), F.length("p.text").cast("bigint")).alias(
+            "n_chars"
+        ),
+    )
+    dlq = tagged.filter(F.col("reason").isNotNull()).select("raw", "reason")
+    return docs, dlq
+
+
+def read_documents_csv(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Batch CSV ingest: ``(documents, dlq)`` over every line under
+    ``path``."""
+    return parse_documents_csv_lines(spark.read.text(path))
+
+
+def stream_documents_csv(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Streaming CSV ingest over a directory of line files — the
+    landing-zone pattern. Same projection as the batch reader by
+    construction."""
+    return parse_documents_csv_lines(spark.readStream.format("text").load(path))
+
+
+def write_documents_csv(docs: DataFrame, path: str, mode: str = "error") -> None:
+    """Export a documents table as line-wise CSV (canonical header in
+    every part file via the csv writer, RFC-4180 quoting) — the
+    interchange sink dual to the reader. REFUSES newline-bearing text
+    up front: a quoted multi-line record would be unreadable under
+    the reader's line-wise contract, and exporting it anyway would
+    silently convert good rows into two DLQ lines on the next ingest.
+    Round-trip is exact except the documented n_chars densification;
+    pinned in tests/test_csvdoc.py."""
+    bad = docs.filter(F.col("text").rlike(r"[\n\r]")).limit(1).count()
+    if bad:
+        raise ValueError(
+            "write_documents_csv: text contains newline characters — "
+            "line-wise CSV cannot round-trip multi-line records; clean "
+            "or re-encode the text (or export JSONL) instead"
+        )
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(mode)
+        .options(header=True, quote='"', escape='"')
+        .csv(path)
+    )
