@@ -39,19 +39,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CORRUPT = "_corrupt_line"
-_PARSE_SCHEMA = (
-    f"doc_id bigint, text string, lang string, source string,"
-    f" n_chars bigint, {_CORRUPT} string"
-)
+from .jsonl import _CORRUPT, _PARSE_SCHEMA, split_parsed_documents
+
 _HEADER = "doc_id,text,lang,source,n_chars"
+# standard RFC-4180 quoting and NO whitespace trimming, explicit on
+# BOTH paths: Spark's csv WRITE defaults ignore*WhiteSpace to true
+# (reads default false), which would silently strip padded text on
+# export — a round-trip mutation with an empty DLQ (round-7 review
+# catch; pinned by test_csv_round_trips_padded_whitespace)
 _CSV_OPTS = {
     "mode": "PERMISSIVE",
     "columnNameOfCorruptRecord": _CORRUPT,
-    # standard RFC-4180 quoting; explicit so both read and write pin
-    # the same dialect
     "quote": '"',
     "escape": '"',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
 }
 
 
@@ -68,23 +70,9 @@ def parse_documents_csv_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.from_csv("value", _PARSE_SCHEMA, _CSV_OPTS).alias("p"),
         )
     )
-    reason = (
-        F.when(F.col(f"p.{_CORRUPT}").isNotNull(), "malformed_csv")
-        .when(F.col("p").isNull(), "malformed_csv")
-        .when(F.col("p.doc_id").isNull(), "missing_doc_id")
-    )
-    tagged = parsed.select("raw", "p", reason.alias("reason"))
-    docs = tagged.filter(F.col("reason").isNull()).select(
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.text").alias("text"),
-        F.col("p.lang").alias("lang"),
-        F.col("p.source").alias("source"),
-        F.coalesce(F.col("p.n_chars"), F.length("p.text").cast("bigint")).alias(
-            "n_chars"
-        ),
-    )
-    dlq = tagged.filter(F.col("reason").isNotNull()).select("raw", "reason")
-    return docs, dlq
+    # shared DLQ-split + canonical projection (jsonl.py) — one
+    # definition of the reason taxonomy and the n_chars densification
+    return split_parsed_documents(parsed, "malformed_csv")
 
 
 def read_documents_csv(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -109,16 +97,37 @@ def write_documents_csv(docs: DataFrame, path: str, mode: str = "error") -> None
     silently convert good rows into two DLQ lines on the next ingest.
     Round-trip is exact except the documented n_chars densification;
     pinned in tests/test_csvdoc.py."""
-    bad = docs.filter(F.col("text").rlike(r"[\n\r]")).limit(1).count()
+    # guard EVERY exported free-form string column, not just text —
+    # a newline in lang/source breaks the line-wise contract the same
+    # way. Deliberately a separate pre-scan action (one extra read)
+    # rather than a raise_error inside the write projection: failing
+    # MID-write would leave partial part files behind, and a sink
+    # that refuses must refuse before emitting anything.
+    bad = (
+        docs.filter(
+            F.col("text").rlike(r"[\n\r]")
+            | F.col("lang").rlike(r"[\n\r]")
+            | F.col("source").rlike(r"[\n\r]")
+        )
+        .limit(1)
+        .count()
+    )
     if bad:
         raise ValueError(
-            "write_documents_csv: text contains newline characters — "
-            "line-wise CSV cannot round-trip multi-line records; clean "
-            "or re-encode the text (or export JSONL) instead"
+            "write_documents_csv: a string field (text/lang/source) "
+            "contains newline characters — line-wise CSV cannot "
+            "round-trip multi-line records; clean or re-encode the "
+            "field (or export JSONL) instead"
         )
     (
         docs.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode(mode)
-        .options(header=True, quote='"', escape='"')
+        .options(
+            header=True,
+            quote='"',
+            escape='"',
+            ignoreLeadingWhiteSpace=False,
+            ignoreTrailingWhiteSpace=False,
+        )
         .csv(path)
     )

@@ -47,6 +47,36 @@ _PARSE_SCHEMA = (
 )
 
 
+def split_parsed_documents(
+    parsed: DataFrame, malformed_reason: str
+) -> tuple[DataFrame, DataFrame]:
+    """The ONE DLQ-split + canonical-documents projection shared by
+    every line-wise corpus source (JSONL here, CSV in csvdoc.py):
+    over a (raw, p) frame — p the parsed struct in _PARSE_SCHEMA with
+    the _CORRUPT capture column — classify each line
+    (format-malformed / missing_doc_id / good), densify n_chars from
+    the text when absent, and return (documents, dlq). One
+    definition, so the reason taxonomy and the densification rule
+    cannot fork between formats."""
+    reason = (
+        F.when(F.col(f"p.{_CORRUPT}").isNotNull(), malformed_reason)
+        .when(F.col("p").isNull(), malformed_reason)
+        .when(F.col("p.doc_id").isNull(), "missing_doc_id")
+    )
+    tagged = parsed.select("raw", "p", reason.alias("reason"))
+    docs = tagged.filter(F.col("reason").isNull()).select(
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.text").alias("text"),
+        F.col("p.lang").alias("lang"),
+        F.col("p.source").alias("source"),
+        F.coalesce(F.col("p.n_chars"), F.length("p.text").cast("bigint")).alias(
+            "n_chars"
+        ),
+    )
+    dlq = tagged.filter(F.col("reason").isNotNull()).select("raw", "reason")
+    return docs, dlq
+
+
 def parse_documents_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a DataFrame of raw JSONL ``value`` lines into
     (documents, dlq). Works identically on a batch ``read.text`` and
@@ -62,23 +92,7 @@ def parse_documents_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
         ).alias("p"),
     )
-    reason = (
-        F.when(F.col(f"p.{_CORRUPT}").isNotNull(), "malformed_json")
-        .when(F.col("p").isNull(), "malformed_json")
-        .when(F.col("p.doc_id").isNull(), "missing_doc_id")
-    )
-    tagged = parsed.select("raw", "p", reason.alias("reason"))
-    docs = tagged.filter(F.col("reason").isNull()).select(
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.text").alias("text"),
-        F.col("p.lang").alias("lang"),
-        F.col("p.source").alias("source"),
-        F.coalesce(F.col("p.n_chars"), F.length("p.text").cast("bigint")).alias(
-            "n_chars"
-        ),
-    )
-    dlq = tagged.filter(F.col("reason").isNotNull()).select("raw", "reason")
-    return docs, dlq
+    return split_parsed_documents(parsed, "malformed_json")
 
 
 def read_documents_jsonl(spark, path: str) -> tuple[DataFrame, DataFrame]:

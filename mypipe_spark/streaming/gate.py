@@ -45,7 +45,11 @@ def canonical_events(events: DataFrame) -> DataFrame:
     lossless string copy of event_id (``eid_s``)."""
     return events.filter(F.col("ts").isNotNull()).select(
         F.col("event_id").cast("bigint"),
-        F.col("event_id").cast("string").alias("eid_s"),
+        # normalize BEFORE stringifying: a double/decimal event_id
+        # upstream must yield the same id as the bigint tiebreak
+        # column ('7', never '7.0' — which ANSI cast-back would throw
+        # on at restore_ids)
+        F.col("event_id").cast("bigint").cast("string").alias("eid_s"),
         F.col("user_id").cast("bigint"),
         "event_type",
         F.col("ts").cast("timestamp_ntz"),

@@ -115,3 +115,37 @@ def test_csv_null_nchars_densifies(spark, tmp_path):
     r = docs.collect()[0]
     assert (r["doc_id"], r["n_chars"], r["lang"]) == (7, 9, None)
     assert dlq.count() == 0
+
+
+def test_csv_round_trips_padded_whitespace(spark, tmp_path):
+    """Spark's csv WRITER defaults ignore*WhiteSpace to true; the sink
+    must override both so padded text survives the round-trip exactly
+    (the silent-mutation class the round-7 review caught: export
+    trimmed the padding while the original n_chars rode along)."""
+    docs = spark.createDataFrame(
+        [(1, "  padded sentence  ", "en", "web", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "csv")
+    write_documents_csv(docs, out)
+    back, dlq = read_documents_csv(spark, out)
+    r = back.collect()[0]
+    assert r["text"] == "  padded sentence  " and r["n_chars"] == 19
+    assert dlq.count() == 0
+
+
+def test_csv_writer_refuses_newline_in_any_string_field(spark, tmp_path):
+    """lang/source are free-form strings on the same physical line —
+    a newline there breaks the contract exactly like one in text."""
+    import pytest
+
+    for col_rows in (
+        [(1, "clean", "en\nus", "web", 5)],
+        [(1, "clean", "en", "web\nscrape", 5)],
+    ):
+        docs = spark.createDataFrame(
+            col_rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with pytest.raises(ValueError, match="newline"):
+            write_documents_csv(docs, str(tmp_path / "y"))
