@@ -86,12 +86,13 @@ def main() -> int:
     stream_mut_per_s = None
     stream_stats = None
     if stream_tx > 0:
-        sys.path.insert(0, os.path.join(repo, "tools"))
-        import stream_bench
-
         # never let a streaming-plane failure discard the headline
         # reading measured above — emit it with a null stream row
+        # (the IMPORT is inside the try for the same reason)
         try:
+            sys.path.insert(0, os.path.join(repo, "tools"))
+            import stream_bench
+
             stream_stats = stream_bench.measure(spark, n_tx=stream_tx)
             # mutation-row basis, NOT input events: BEGIN/COMMIT
             # control rows are ~40% of the changelog and would

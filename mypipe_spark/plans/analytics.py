@@ -3728,14 +3728,14 @@ def rate_limit_keep_flag() -> F.Column:
 def rate_limited_events(events: DataFrame) -> DataFrame:
     """Kept events of a BATCH events DataFrame under the raw-arrival
     rate gate — column-for-column what streaming/ratelimit.py's
-    stateful twin emits (parity pinned in tests/test_ratelimit.py)."""
-    e = events.filter(F.col("ts").isNotNull()).select(
-        F.col("event_id").cast("bigint"),
-        F.col("user_id").cast("bigint"),
-        "event_type",
-        F.col("ts").cast("timestamp_ntz"),
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-    )
+    stateful twin emits (parity pinned in tests/test_ratelimit.py).
+    The projection IS streaming/gate.py's canonical_events — one
+    definition, so the NULL-ts exclusion and id/ts normalization can
+    never drift between the batch and streaming halves of the
+    parity contract."""
+    from ..streaming.gate import canonical_events
+
+    e = canonical_events(events)
     return e.withColumn("_keep", rate_limit_keep_flag()).filter("_keep").select(
         "event_id", "user_id", "event_type", "ts"
     )

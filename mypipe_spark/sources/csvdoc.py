@@ -42,18 +42,39 @@ from pyspark.sql import functions as F
 from .jsonl import _CORRUPT, _PARSE_SCHEMA, split_parsed_documents
 
 _HEADER = "doc_id,text,lang,source,n_chars"
-# standard RFC-4180 quoting and NO whitespace trimming, explicit on
-# BOTH paths: Spark's csv WRITE defaults ignore*WhiteSpace to true
-# (reads default false), which would silently strip padded text on
-# export — a round-trip mutation with an empty DLQ (round-7 review
-# catch; pinned by test_csv_round_trips_padded_whitespace)
-_CSV_OPTS = {
+# The ONE CSV dialect, shared by reader and writer (the writer
+# derives its options from this dict — a quoting tweak cannot land on
+# one side only). Explicit beyond the RFC-4180 quoting because three
+# Spark defaults would otherwise silently mutate data with an empty
+# DLQ (all three caught by round-7 review passes and pinned):
+# - the WRITER defaults ignore*WhiteSpace to true (reads default
+#   false) — padded text would come back trimmed;
+# - the READER collapses BOTH a quoted empty field ("") and a bare
+#   empty field to NULL by default — an empty-string document would
+#   change identity to a NULL-text one on re-ingest. The writer
+#   already distinguishes them on disk (Spark writes '' as "" and
+#   NULL as a bare empty field); pointing the reader's nullValue at a
+#   sentinel that can never appear in a physical line (NUL) restores
+#   the distinction: quoted "" parses to '', bare empty parses to
+#   NULL (univocity treats unquoted-empty as null regardless of
+#   nullValue — probed, pinned by test_csv_round_trips_empty_string).
+_CSV_READ_OPTS = {
     "mode": "PERMISSIVE",
     "columnNameOfCorruptRecord": _CORRUPT,
     "quote": '"',
     "escape": '"',
     "ignoreLeadingWhiteSpace": "false",
     "ignoreTrailingWhiteSpace": "false",
+    "nullValue": "\x00",
+}
+_CSV_WRITE_OPTS = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+    "emptyValue": '""',
+    "nullValue": "",
 }
 
 
@@ -67,7 +88,7 @@ def parse_documents_csv_lines(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
         .filter(F.col("value") != _HEADER)
         .select(
             F.col("value").alias("raw"),
-            F.from_csv("value", _PARSE_SCHEMA, _CSV_OPTS).alias("p"),
+            F.from_csv("value", _PARSE_SCHEMA, _CSV_READ_OPTS).alias("p"),
         )
     )
     # shared DLQ-split + canonical projection (jsonl.py) — one
@@ -122,12 +143,6 @@ def write_documents_csv(docs: DataFrame, path: str, mode: str = "error") -> None
     (
         docs.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode(mode)
-        .options(
-            header=True,
-            quote='"',
-            escape='"',
-            ignoreLeadingWhiteSpace=False,
-            ignoreTrailingWhiteSpace=False,
-        )
+        .options(**_CSV_WRITE_OPTS)
         .csv(path)
     )

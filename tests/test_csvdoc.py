@@ -149,3 +149,22 @@ def test_csv_writer_refuses_newline_in_any_string_field(spark, tmp_path):
         )
         with pytest.raises(ValueError, match="newline"):
             write_documents_csv(docs, str(tmp_path / "y"))
+
+
+def test_csv_round_trips_empty_string_vs_null(spark, tmp_path):
+    """Empty string and NULL are different values and must round-trip
+    as themselves: the writer emits '' as a quoted "" and NULL as a
+    bare empty field; the reader's NUL nullValue sentinel keeps the
+    two apart (Spark's default reader collapses both to NULL — the
+    silent identity change the sixth review pass caught)."""
+    docs = spark.createDataFrame(
+        [(1, "", "en", "web", 0), (2, None, "", None, 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "csv")
+    write_documents_csv(docs, out)
+    back, dlq = read_documents_csv(spark, out)
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"]) for r in back.collect()}
+    assert got[1] == ("", "en", "web")
+    assert got[2] == (None, "", None)
+    assert dlq.count() == 0

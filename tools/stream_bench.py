@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -30,13 +31,22 @@ def measure(spark, n_tx: int = 2000) -> dict:
     ``n_tx``-transaction changelog and return the throughput stats
     dict (processing-time rows/sec as ``value`` — startup/stop
     excluded; wall-clock figure reported beside it)."""
+    d = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        return _measure_in(spark, n_tx, d)
+    finally:
+        # bench.py runs this on every official round now — orphaned
+        # changelog+checkpoint dirs would otherwise accumulate in /tmp
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _measure_in(spark, n_tx: int, d: str) -> dict:
     from mypipe_spark.changelog import write_changelog
     from mypipe_spark.operators.decode import mutations_only
     from mypipe_spark.operators.filters import include_events, with_topic
     from mypipe_spark.sources.stream import changelog_stream
     from mypipe_spark.streaming.pipe import Pipe
 
-    d = tempfile.mkdtemp(prefix="stream_bench_")
     write_changelog(spark, d + "/cl", num_transactions=n_tx, num_files=8)
     changelog = spark.read.parquet(d + "/cl")
     total_events = changelog.count()
