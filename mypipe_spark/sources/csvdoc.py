@@ -12,11 +12,16 @@ become an all-NULL row.
 
 CSV-specific contract, stated rather than hidden:
 
-- LINE-WISE CSV ONLY: a quoted field containing an embedded newline
-  is a multi-line record, which a line-wise reader cannot reassemble
-  — each physical line dead-letters as ``malformed_csv``. The writer
-  REFUSES (ValueError) to export text containing newlines rather
-  than emitting records the reader contract cannot round-trip.
+- the STREAMING contract is LINE-WISE: a quoted field containing an
+  embedded newline is a multi-line record, which a line-wise reader
+  cannot reassemble — each physical line dead-letters as
+  ``malformed_csv``, and the line-wise writer REFUSES (ValueError) to
+  export text containing newlines rather than emitting records that
+  contract cannot round-trip. For real vendor exports with embedded
+  newlines there is a BATCH-ONLY twin
+  (``read_documents_csv_multiline`` / ``write_documents_csv_multiline``,
+  same dialect + DLQ discipline; batch-only because ``multiLine=true``
+  makes files unsplittable — see its docstring).
 - the canonical header line (``doc_id,text,lang,source,n_chars``) is
   structural, not data — skipped wherever it appears (file
   concatenation puts headers mid-stream; a streaming landing zone
@@ -124,11 +129,15 @@ def write_documents_csv(docs: DataFrame, path: str, mode: str = "error") -> None
     # rather than a raise_error inside the write projection: failing
     # MID-write would leave partial part files behind, and a sink
     # that refuses must refuse before emitting anything.
+    # \x00 included: the READER uses NUL as its nullValue sentinel
+    # precisely because it can never appear in a physical line — the
+    # writer must enforce that invariant, not just rely on it (a field
+    # whose value IS "\x00" would otherwise round-trip to NULL).
     bad = (
         docs.filter(
-            F.col("text").rlike(r"[\n\r]")
-            | F.col("lang").rlike(r"[\n\r]")
-            | F.col("source").rlike(r"[\n\r]")
+            F.col("text").rlike("[\n\r\x00]")
+            | F.col("lang").rlike("[\n\r\x00]")
+            | F.col("source").rlike("[\n\r\x00]")
         )
         .limit(1)
         .count()
@@ -136,9 +145,99 @@ def write_documents_csv(docs: DataFrame, path: str, mode: str = "error") -> None
     if bad:
         raise ValueError(
             "write_documents_csv: a string field (text/lang/source) "
-            "contains newline characters — line-wise CSV cannot "
-            "round-trip multi-line records; clean or re-encode the "
-            "field (or export JSONL) instead"
+            "contains newline or NUL characters — line-wise CSV cannot "
+            "round-trip multi-line records (and NUL is the reader's "
+            "null sentinel); clean or re-encode the field, or export "
+            "via write_documents_csv_multiline / JSONL instead"
+        )
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(mode)
+        .options(**_CSV_WRITE_OPTS)
+        .csv(path)
+    )
+
+
+# DLQ raw re-serialization for the multiLine reader's missing_doc_id
+# rows (the native reader consumes the physical record, so the DLQ
+# line is reconstructed canonically with the WRITER's dialect)
+_DLQ_RAW_OPTS = {k: v for k, v in _CSV_WRITE_OPTS.items() if k != "header"}
+
+
+def read_documents_csv_multiline(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """BATCH-ONLY multiLine CSV ingest: ``(documents, dlq)`` for real
+    vendor exports whose quoted fields embed newlines — the records
+    the line-wise reader deliberately dead-letters.
+
+    Same dialect, DLQ taxonomy (``malformed_csv`` / ``missing_doc_id``
+    via jsonl.split_parsed_documents) and n_chars densification as the
+    line-wise reader; probed and pinned (tests/test_csvdoc.py):
+    embedded \\n and \\r round-trip exactly inside quotes, quoted ""
+    parses to '' and a bare empty field to NULL (the same NUL
+    nullValue sentinel trick), and header lines — wherever file
+    concatenation puts them — fail bigint typing, land verbatim in the
+    corrupt column, and are skipped structurally (``header=false`` +
+    exact-match filter, so a headerless file can never lose its first
+    record to blind header skipping).
+
+    Why batch-only, stated not hidden: ``multiLine=true`` makes each
+    file unsplittable (a record boundary is no longer a line
+    boundary), so scan parallelism degrades to #files — acceptable for
+    a one-shot vendor-export ingest, wrong for the streaming landing
+    zone, whose contract stays line-wise (module docstring). For the
+    malformed-record DLQ the native reader's corrupt column carries
+    the physical record verbatim; rows that PARSE but lack a doc_id
+    have no physical form left, so their DLQ ``raw`` is re-serialized
+    canonically with the writer's dialect.
+    """
+    opts = dict(_CSV_READ_OPTS, multiLine="true", header="false")
+    scanned = spark.read.schema(_PARSE_SCHEMA).options(**opts).csv(path)
+    parsed = (
+        # structural header skip, exact-match like the line-wise path
+        # (NULL-safe: corrupt is NULL on every good row)
+        scanned.filter(
+            F.col(_CORRUPT).isNull() | (F.col(_CORRUPT) != _HEADER)
+        ).select(
+            F.coalesce(
+                F.col(_CORRUPT),
+                F.to_csv(
+                    F.struct("doc_id", "text", "lang", "source", "n_chars"),
+                    _DLQ_RAW_OPTS,
+                ),
+            ).alias("raw"),
+            F.struct(
+                "doc_id", "text", "lang", "source", "n_chars", _CORRUPT
+            ).alias("p"),
+        )
+    )
+    return split_parsed_documents(parsed, "malformed_csv")
+
+
+def write_documents_csv_multiline(
+    docs: DataFrame, path: str, mode: str = "error"
+) -> None:
+    """Export a documents table as multiLine CSV — the sink dual to
+    ``read_documents_csv_multiline``, lifting the line-wise writer's
+    newline refusal (embedded \\n/\\r are quoted by the writer and
+    round-trip exactly; probed + pinned). Still refuses the one byte
+    the dialect reserves: NUL, the reader's nullValue sentinel — a
+    field containing it would silently round-trip to NULL. Same
+    pre-scan-then-write discipline as the line-wise writer (refuse
+    BEFORE emitting any part file)."""
+    bad = (
+        docs.filter(
+            F.col("text").rlike("\x00")
+            | F.col("lang").rlike("\x00")
+            | F.col("source").rlike("\x00")
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "write_documents_csv_multiline: a string field (text/lang/"
+            "source) contains NUL (\\x00), the reader's null sentinel "
+            "— it cannot round-trip; clean the field or export JSONL"
         )
     (
         docs.select("doc_id", "text", "lang", "source", "n_chars")

@@ -14,11 +14,11 @@ byte-identical between them and their batch twins:
 (3) is why ``event_id`` ALSO travels as a STRING column: Arrow→pandas
 input conversion promotes a NULL-bearing bigint column to float64,
 silently corrupting ids ≥ 2^53 that share a batch with a NULL id —
-the string copy is lossless, the gate emits it, and the wrapper casts
-it back to bigint. The numeric event_id column remains ONLY a sort
-tiebreak (documented residual: two events at the same microsecond
-whose ids differ only beyond float64's 53-bit mantissa could mis-tie
-— no realistic id scheme does this). ``user_id`` and any other GROUP
+the string copy is lossless, the gate emits it, the wrapper casts it
+back to bigint — and the in-batch SORT tiebreak is decoded from the
+same string copy (exact arbitrary-precision ints), so two events at
+the same microsecond order correctly even when their ids differ only
+beyond float64's 53-bit mantissa. ``user_id`` and any other GROUP
 KEY columns are emitted from the exact key tuple Spark hands the
 gate, never from the (possibly promoted) pandas columns.
 """
@@ -61,10 +61,24 @@ def sort_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """The gates' shared in-batch order — mirrors the batch windows'
     ORDER BY us ASC, event_id ASC NULLS LAST (stable sort, so
     microbatch arrival order breaks any residual tie exactly like
-    the batch window's deterministic tiebreak chain)."""
-    return batch.sort_values(
-        ["us", "event_id"], na_position="last", kind="mergesort"
+    the batch window's deterministic tiebreak chain).
+
+    The id tiebreak is decoded from the LOSSLESS ``eid_s`` string copy
+    into Python ints (arbitrary precision), never from the numeric
+    ``event_id`` column — Arrow→pandas promotes that one to float64
+    when a NULL id shares the microbatch, and two same-microsecond ids
+    differing only beyond the 53-bit mantissa would mis-tie."""
+    # dtype=object is load-bearing: .map/inference would promote the
+    # int keys straight back to float64, re-creating the hazard
+    key = pd.Series(
+        [None if pd.isna(s) else int(s) for s in batch["eid_s"]],
+        index=batch.index,
+        dtype="object",
     )
+    out = batch.assign(_eid_key=key).sort_values(
+        ["us", "_eid_key"], na_position="last", kind="mergesort"
+    )
+    return out.drop(columns=["_eid_key"])
 
 
 _UNSET = object()

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 from conftest import drain_stream
 from mypipe_spark.sources.csvdoc import (
     read_documents_csv,
+    read_documents_csv_multiline,
     stream_documents_csv,
     write_documents_csv,
+    write_documents_csv_multiline,
 )
 
 
@@ -168,3 +170,116 @@ def test_csv_round_trips_empty_string_vs_null(spark, tmp_path):
     assert got[1] == ("", "en", "web")
     assert got[2] == (None, "", None)
     assert dlq.count() == 0
+
+
+def test_csv_writer_refuses_nul_sentinel(spark, tmp_path):
+    """The reader's nullValue sentinel is NUL because it "can never
+    appear in a physical line" — the writer must enforce that, not
+    assume it: a field whose value IS \\x00 would silently round-trip
+    to NULL."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "has a \x00 byte", "en", "web", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="NUL"):
+        write_documents_csv(docs, str(tmp_path / "x"))
+
+
+def test_csv_multiline_round_trips_embedded_newlines(spark, tmp_path):
+    """The batch multiLine twin round-trips exactly the records the
+    line-wise contract refuses: embedded \\n, embedded \\r, and the
+    full quote/comma/newline mix — plus the ''-vs-NULL distinction and
+    padded whitespace, same as the line-wise dialect."""
+    rows = [
+        (1, "line one\nline two", "en", "web", 17),
+        (2, "carriage\rreturn", "en", "web", 15),
+        (3, 'quote "q", comma\nand newline', "en\nus", "web", 28),
+        (4, "", None, "web", 0),
+        (5, None, "en", None, None),
+        (6, "  padded  ", "en", "web", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "csv")
+    write_documents_csv_multiline(docs, out)
+    back, dlq = read_documents_csv_multiline(spark, out)
+    assert dlq.count() == 0
+    got = {r["doc_id"]: tuple(r) for r in back.collect()}
+    # n_chars densifies for doc 5 (NULL text -> stays NULL n_chars)
+    assert got[1] == (1, "line one\nline two", "en", "web", 17)
+    assert got[2] == (2, "carriage\rreturn", "en", "web", 15)
+    assert got[3] == (3, 'quote "q", comma\nand newline', "en\nus", "web", 28)
+    assert got[4] == (4, "", None, "web", 0)
+    assert got[5] == (5, None, "en", None, None)
+    assert got[6] == (6, "  padded  ", "en", "web", 10)
+
+
+def test_csv_multiline_dirty_records_classify(spark, tmp_path):
+    """Same DLQ taxonomy as the line-wise reader over a hand-built
+    multiLine file: headers (leading AND mid-file, as concatenation
+    leaves them) skip structurally, type-malformed records dead-letter
+    with the physical record as raw, parsed-but-keyless records
+    dead-letter as missing_doc_id with a canonically re-serialized
+    raw."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part1.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        '1,"multi\nline text",en,web,15\n'
+        "not_a_number,bad,en,web,3\n"
+        'doc_id,text,lang,source,n_chars\n'
+        ',"orphan\ntext",en,web,11\n'
+        "2,plain,de,book,5\n"
+    )
+    docs, dlq = read_documents_csv_multiline(spark, str(src))
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["text"] == "multi\nline text"
+    assert got[2]["lang"] == "de"
+    reasons = sorted((r["reason"], r["raw"]) for r in dlq.collect())
+    assert reasons == [
+        ("malformed_csv", "not_a_number,bad,en,web,3"),
+        ("missing_doc_id", ',"orphan\ntext",en,web,11'),
+    ]
+
+
+def test_csv_multiline_headerless_file_keeps_first_record(spark, tmp_path):
+    """header=false + structural exact-match skip, never Spark's blind
+    header skip: a headerless file must not lose its first record."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "noheader.csv").write_text('9,"first\nrecord",en,web,12\n8,second,en,web,6\n')
+    docs, dlq = read_documents_csv_multiline(spark, str(src))
+    assert dlq.count() == 0
+    got = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got == {9: "first\nrecord", 8: "second"}
+
+
+def test_csv_multiline_writer_refuses_nul(spark, tmp_path):
+    """The multiLine writer lifts the newline refusal but keeps the
+    one reserved byte: NUL, the reader's null sentinel."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "ok", "e\x00n", "web", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="NUL"):
+        write_documents_csv_multiline(docs, str(tmp_path / "x"))
+
+
+def test_csv_multiline_round_trips_fixture_corpus(spark, sf_dir, tmp_path):
+    """The multiLine twin is a strict superset on clean data: the real
+    fixture corpus round-trips exactly through it too."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "csv")
+    write_documents_csv_multiline(docs, out)
+    back, dlq = read_documents_csv_multiline(spark, out)
+    assert dlq.count() == 0
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )

@@ -139,6 +139,34 @@ def test_huge_ids_survive_null_peers_exactly(spark, tmp_path):
     assert big in got and None in got
 
 
+def test_same_microsecond_mantissa_tie_orders_exactly(spark, tmp_path):
+    """The gate's in-batch sort tiebreak must be EXACT, not float64:
+    two same-microsecond events whose ids differ only beyond the
+    53-bit mantissa (2^53 vs 2^53+1), with a NULL id in the same key
+    group forcing the Arrow→pandas float64 promotion, arrive in
+    DESCENDING id order — with limit=1 the gate must keep the LOWER id
+    (ORDER BY us, event_id ASC NULLS LAST), exactly like the batch LAG
+    twin. The pre-round-8 numeric-column sort saw both ids as 2^53.0
+    and kept whichever arrived first (the ADVICE residual)."""
+    t0 = dt.datetime(2024, 1, 1)
+    big = 1 << 53
+    src = str(tmp_path / "src")
+    ev = spark.createDataFrame(
+        [(big + 1, 1, "click", t0), (big, 1, "click", t0),
+         (None, 1, "click", t0)],
+        _EV_SCHEMA,
+    )
+    ev.coalesce(1).write.parquet(src)
+    kept_stream = [
+        r["event_id"]
+        for r in _run_stream(
+            spark, src, tmp_path, "rl_tie", limit=1,
+            window_us=3_600_000_000,
+        ).collect()
+    ]
+    assert kept_stream == [big]
+
+
 def test_limit_below_one_rejected_at_construction(spark):
     """limit=0 / negative must fail fast with a clear ValueError, not
     an executor-side IndexError on the first event."""
