@@ -232,14 +232,25 @@ def exact_ntile_multi(
 
     P = partitions or df.sparkSession.sparkContext.defaultParallelism
     fracs = [i / P for i in range(1, P)]
-    bounds_row = df.agg(
-        *[
-            F.percentile_approx(
-                order_cols[0], F.array(*[F.lit(f) for f in fracs]), F.lit(10_000)
-            ).alias(f"_b{i}")
-            for i, (_out, order_cols) in enumerate(axes)
-        ]
-    ).collect()[0]
+    # P == 1 → no interior boundaries to sketch: skip the collect
+    # entirely and let every axis take the lit(0) single-bucket path
+    # (percentile_approx over an empty F.array() would otherwise lean
+    # on array<null>→array<double> coercion for a discarded aggregate
+    # — an analysis-failure risk on single-core sessions)
+    bounds_row = (
+        df.agg(
+            *[
+                F.percentile_approx(
+                    order_cols[0],
+                    F.array(*[F.lit(f) for f in fracs]),
+                    F.lit(10_000),
+                ).alias(f"_b{i}")
+                for i, (_out, order_cols) in enumerate(axes)
+            ]
+        ).collect()[0]
+        if fracs
+        else None
+    )
 
     def _bound_lit(b) -> str:
         # typed SQL literals so the frozen boundaries compare exactly:
@@ -258,7 +269,11 @@ def exact_ntile_multi(
     out = df
     for i, (out_col, order_cols) in enumerate(axes):
         key = order_cols[0]
-        bounds = sorted({b for b in (bounds_row[f"_b{i}"] or []) if b is not None})
+        bounds = (
+            sorted({b for b in (bounds_row[f"_b{i}"] or []) if b is not None})
+            if bounds_row is not None
+            else []
+        )
         if bounds:
             # NO lambdas here, by hard-won necessity: the offs subtree
             # and the assignment subtree both contain the base

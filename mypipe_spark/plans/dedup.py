@@ -1190,13 +1190,22 @@ _QSCALE = 10_000
 # is integer-exact (qv[i] * cnt > sum_i — no division), so both
 # engines derive the identical sub-cell for every vector. Pairs
 # straddling a sub-cell boundary are dropped — the standard IVF /
-# SemDeDup-cell recall tradeoff, now applied one level finer (measured
-# at sf0.1: 52 of the 86 unrefined-kernel pairs survive the 1-bit
-# split; disclosed in SCALING.md).
+# SemDeDup-cell recall tradeoff, now applied one level finer.
+#
+# _CELL_CAP sizing (round-8, per ADVICE): 256 keeps every fixture-
+# scale cell (max 218 at sf0.1) UNSPLIT — full within-cell recall at
+# test scale, refinement reserved for cells that actually threaten
+# task memory (256²/2 ≈ 33k dot products per finest sub-cell is the
+# worst task). Round 7 shipped cap=128, which split modest sf0.1
+# cells and silently cost 34 of 86 pairs there; the split-path
+# parity is now pinned instead by a synthetic hot-cell test
+# (tests/test_dedup.py::test_embedding_cell_split_parity_on_hot_cell),
+# so correctness coverage of the mechanism no longer rides on the
+# fixtures tripping it.
 #
 # HONEST LIMITS (round-7 review): the bound is a 2^_CELL_MAX_BITS
 # reduction of within-cell pair work, not an unconditional cap — a
-# cell beyond cap·2^maxbits (≥ 512k vectors at these settings) is
+# cell beyond cap·2^maxbits (≥ 1M vectors at these settings) is
 # quadratic again at 1/4096² the coefficient, and a dimension whose
 # values do not straddle the cell mean (constant or one-sided dims)
 # contributes no split, so adversarially degenerate embeddings can
@@ -1205,7 +1214,7 @@ _QSCALE = 10_000
 # turns), with this sub-split as the in-engine backstop; the audit
 # query (embedding_cell_audit.max_subcell) is the alarm that says
 # when.
-_CELL_CAP = 128
+_CELL_CAP = 256
 _CELL_MAX_BITS = 12
 
 

@@ -88,3 +88,22 @@ def test_every_query_sampled_within_full_cycle_even_under_growth():
         assert rounds[0] <= first_needed + horizon - 1, (n, rounds)
         for a, b in zip(rounds, rounds[1:]):
             assert b - a <= horizon + 1, (n, rounds)
+
+
+def test_every_driver_excluded_query_has_an_oracle_bearing_check_twin():
+    """driver=False narrows the EXTERNAL verification surface (the
+    four sketch originals whose output the harness structurally cannot
+    oracle) — that exclusion must never outlive its justification:
+    each excluded query must keep a registered, driver-visible,
+    oracle-bearing ``*_check`` tolerance twin (sketch vs exact ground
+    truth) carrying its correctness contract."""
+    from mypipe_spark.plans.catalog import all_queries
+
+    qs = all_queries()
+    excluded = [n for n, q in qs.items() if not q.driver]
+    assert excluded, "expected the four sketch originals to be excluded"
+    for name in excluded:
+        twin = name.removesuffix("_approx") + "_check"
+        assert twin in qs, f"{name} is driver=False with no {twin} twin"
+        assert qs[twin].driver, f"{twin} must be driver-visible"
+        assert qs[twin].oracle, f"{twin} must be oracle-bearing"

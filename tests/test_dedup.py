@@ -758,3 +758,72 @@ def test_duplicate_spans_plan_is_one_gram_pass(spark, sf_dir):
     assert plan.count("Scan parquet") == 2
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_cell_split_parity_on_hot_cell(spark, tmp_path):
+    """The sub-cell split path of dedup_embedding_cosine, exercised
+    DELIBERATELY (fixture cells sit under _CELL_CAP=256 by design, so
+    the driver gate never trips it): a synthetic 300-vector cell
+    forces bits=1, and the Spark kernel must agree with the DuckDB
+    oracle row-for-row on the split cell — the integer-exact mean-sign
+    quantizer deriving identical sub-cells on both engines is the
+    whole trick."""
+    import math
+    import os
+
+    import duckdb
+
+    from mypipe_spark.plans.dedup import _CELL_CAP
+
+    # synthetic corpus: label 0 hot (300 > cap -> bits=1, split),
+    # label 1 cold (10 -> bits=0, control). Lattice values (k/100)
+    # keep quantization far from ROUND-half boundaries on both
+    # engines; period-101 residues plant exact duplicates that must
+    # survive the split (identical dims -> identical sub-cell).
+    assert 300 > _CELL_CAP
+    rows = [
+        (i, [((i * 7 + d * 13) % 101 - 50) / 100.0 for d in range(4)], 0)
+        for i in range(300)
+    ] + [
+        (i, [((i * 3 + d * 5) % 101 - 50) / 100.0 for d in range(4)], 1)
+        for i in range(300, 310)
+    ]
+    synth = str(tmp_path / "synth")
+    os.makedirs(synth)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{synth}/embeddings.parquet")
+    # the other tables ride along as symlinks (load_tables resolves
+    # every footer; this query only scans embeddings)
+    from mypipe_spark.plans.catalog import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        if t != "embeddings":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{synth}/{t}.parquet")
+
+    audit = {
+        r["label"]: r
+        for r in _Q["embedding_cell_audit"].fn(spark, synth).collect()
+    }
+    assert audit[0]["bits"] == 1 and audit[0]["n_subcells"] == 2, audit[0]
+    assert audit[1]["bits"] == 0 and audit[1]["n_subcells"] == 1, audit[1]
+
+    got = [
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 6))
+        for r in _Q["dedup_embedding_cosine"].fn(spark, synth).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{synth}/embeddings.parquet/*.parquet')"
+    )
+    want = [
+        (a, b, round(c, 6))
+        for a, b, c in con.execute(_Q["dedup_embedding_cosine"].oracle).fetchall()
+    ]
+    con.close()
+    assert sorted(got) == sorted(want)
+    assert len(got) > 0
+    # exact duplicates (period-101 residues in the hot cell) survive
+    dup_pairs = [p for p in got if math.isclose(p[2], 1.0)]
+    assert len(dup_pairs) >= 90

@@ -516,3 +516,33 @@ def test_exact_ntile_multi_null_keys_rank_first(spark):
     assert got == want
     # the NULL-key rows all landed in bucket 1 (the lowest)
     assert {got[i] for i in range(0, 60, 5)} == {1}
+
+
+def test_exact_ntile_multi_single_partition_short_circuits(spark):
+    """partitions=1 (the defaultParallelism==1 single-core session
+    shape) has NO interior boundaries to sketch: the builder must skip
+    the boundary collect entirely — zero build jobs, no
+    percentile_approx over an empty F.array() (an untyped array<null>
+    aggregate) — and the lit(0) single-bucket path must still be
+    bit-equal to the window NTILE."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators.scale import exact_ntile_multi
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 41) for i in range(83)], "id int, v int"
+    ).repartition(4)
+    sc.setJobGroup("ntile_multi_p1_build", "must be job-free")
+    out = exact_ntile_multi(df, 4, [("q", ["v", "id"])], partitions=1)
+    assert len(sc.statusTracker().getJobIdsForGroup("ntile_multi_p1_build")) == 0
+    sc.setJobGroup("ntile_multi_p1_check", "")
+    got = {r["id"]: r["q"] for r in out.collect()}
+    want = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("q")
+        ).collect()
+    }
+    assert got == want
