@@ -1727,7 +1727,17 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure codegen projection on the scan; then the same one-shuffle
     hash-groupBy as dedup_exact. NOTE the DuckDB twin needs the 'g'
     flag (its regexp_replace is first-match by default where Spark's
-    replaces all)."""
+    replaces all).
+
+    Deliberately NO scale_out, measured not assumed (round-8 K-sweep
+    root-cause): the two regexp_replace passes are the catalog's
+    heaviest pure projection and this query CPU-saturates earliest in
+    K-sweeps (per-unit wall flat 8x→32x — linear work, not a blowup).
+    A/B at sf0.1 showed scale_out 50% SLOWER (0.44 → 0.67 s): the
+    round-robin exchange ships the full raw text, which costs more
+    than parallelizing the regexes saves; at 100 TB the scan has
+    thousands of partitions and scale_out is a no-op anyway — so the
+    extra exchange buys nothing at either end of the scale."""
     t = load_tables(spark, sf_dir)
     ntext = norm_text_col()
     return (
@@ -1777,7 +1787,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the 128-bit normalized hash (uniform, skew-free);
     both window functions share the single partition exchange and the
     output stays per-document so downstream ops can anti-join the
-    dropped set."""
+    dropped set. No scale_out — same measured reasoning as
+    dedup_exact_normalized (the text exchange outweighs parallelizing
+    the shared regex canonicalization)."""
     t = load_tables(spark, sf_dir)
     from pyspark.sql import Window
 

@@ -1,0 +1,274 @@
+"""File-backed ``format("kafka")`` stand-in — the wire twin that lets
+the registered Kafka configuration (S14 consume / K4 produce) be
+exercised END-TO-END in an environment with no broker binary and no
+spark-sql-kafka connector jar (this sandbox has neither, so a socket
+fake speaking the Kafka protocol would be unreachable anyway: Spark
+cannot even load the ``kafka`` DataSource).
+
+A Python DataSource (PySpark 4 ``pyspark.sql.datasource``) named
+``kafkafile`` that speaks the EXACT surface of the real connector on
+both sides, so production code switches between them by format name
+alone (``sources.stream.kafka_stream(..., format=...)``,
+producer option ``format``):
+
+- **sink contract**: rows with ``topic`` (string), ``value`` (binary)
+  and optional ``key`` (binary) — what ``operators.filters.with_topic``
+  + ``sinks.wire.encode_generic`` + ``primary_key_string`` produce and
+  ``sinks.producers.kafka_producer`` selects;
+- **source contract**: the connector's record schema verbatim —
+  ``key binary, value binary, topic string, partition int,
+  offset bigint, timestamp timestamp, timestampType int`` — and its
+  option names (``kafka.bootstrap.servers`` = the broker directory,
+  ``subscribe``, ``startingOffsets``);
+- **broker semantics**: one log per topic, strictly increasing
+  offsets assigned at append, at-least-once produces (a retried task
+  re-stages; only COMMITTED stagings reach the log — mirroring the
+  connector's own semantics), resumable reads by offset.
+
+Deliberately a single partition per topic: the reference's default
+deployment (KafkaProducer.scala:29-45 keys but does not partition),
+and the honest statement of what a file directory can order. The
+per-row ``timestampType`` is 1 (LogAppendTime) — offsets and stamps
+are assigned by the "broker" at commit, like a log-append-time topic.
+
+This is a TEST DOUBLE for wire-contract verification, not a
+production sink: single-process broker directory, JSON-lines storage
+(binary as base64), no replication/compaction. The production path
+stays ``format("kafka")`` with real brokers + connector jar.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+# the spark-sql-kafka source schema, verbatim
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int,"
+    " offset bigint, timestamp timestamp, timestampType int"
+)
+
+_UTC = dt.timezone.utc
+
+
+def _b64(b) -> str | None:
+    return None if b is None else base64.b64encode(bytes(b)).decode("ascii")
+
+
+def _unb64(s: str | None) -> bytes | None:
+    return None if s is None else base64.b64decode(s)
+
+
+def _topic_dir(broker: str, topic: str) -> str:
+    return os.path.join(broker, topic)
+
+
+def _data_files(tdir: str) -> list[str]:
+    """Topic log files in offset order (named data-<start offset>)."""
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(
+        os.path.join(tdir, f)
+        for f in os.listdir(tdir)
+        if f.startswith("data-") and f.endswith(".jsonl")
+    )
+
+
+def _next_offset(tdir: str) -> int:
+    """Derived from the log itself (file start offset + record count
+    of the LAST file) — no separate meta file to desynchronize."""
+    files = _data_files(tdir)
+    if not files:
+        return 0
+    last = files[-1]
+    start = int(os.path.basename(last)[5:-6])
+    with open(last, "r", encoding="ascii") as f:
+        n = sum(1 for _ in f)
+    return start + n
+
+
+def _atomic_write_lines(path: str, lines: list[str]) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write("".join(lines))
+    os.replace(tmp, path)
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    path: str
+    n: int
+
+
+class _KafkaFileStreamWriter(DataSourceStreamWriter):
+    """Producer half: tasks stage their records; the driver commit
+    appends them to the per-topic logs with broker-assigned offsets.
+    A retried TASK leaves an orphan staging file that no commit
+    message references (swept by the next commit); a retried COMMIT
+    is idempotent via the per-(run, batch) marker."""
+
+    def __init__(self, options, schema: StructType):
+        self._broker = options.get("kafka.bootstrap.servers")
+        if not self._broker:
+            raise ValueError(
+                "kafkafile sink requires option kafka.bootstrap.servers "
+                "(the broker directory)"
+            )
+        names = set(schema.fieldNames())
+        missing = {"topic", "value"} - names
+        if missing:
+            raise ValueError(
+                f"kafkafile sink needs columns topic+value (key "
+                f"optional); missing: {sorted(missing)}"
+            )
+        self._has_key = "key" in names
+        self._run_id = uuid.uuid4().hex
+
+    def write(self, iterator: Iterator[Row]) -> _Staged:
+        staging = os.path.join(self._broker, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        lines = []
+        for row in iterator:
+            rec = {
+                "t": row["topic"],
+                "k": _b64(row["key"]) if self._has_key else None,
+                "v": _b64(row["value"]),
+            }
+            lines.append(json.dumps(rec) + "\n")
+        _atomic_write_lines(path, lines)
+        return _Staged(path=path, n=len(lines))
+
+    def commit(self, messages, batchId: int) -> None:
+        marker_dir = os.path.join(self._broker, "_commits")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"{self._run_id}-{batchId}.done")
+        if os.path.exists(marker):
+            return  # retried commit: the batch is already in the log
+        now_us = int(time.time() * 1_000_000)
+        by_topic: dict[str, list[dict]] = {}
+        for m in messages:
+            if m is None or m.n == 0:
+                continue
+            with open(m.path, "r", encoding="ascii") as f:
+                for line in f:
+                    rec = json.loads(line)
+                    by_topic.setdefault(rec["t"], []).append(rec)
+        for topic, recs in by_topic.items():
+            tdir = _topic_dir(self._broker, topic)
+            os.makedirs(tdir, exist_ok=True)
+            start = _next_offset(tdir)
+            lines = [
+                json.dumps({"k": r["k"], "v": r["v"], "ts": now_us}) + "\n"
+                for r in recs
+            ]
+            _atomic_write_lines(
+                os.path.join(tdir, f"data-{start:012d}.jsonl"), lines
+            )
+        _atomic_write_lines(marker, [])
+        for m in messages:  # committed stagings are spent
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
+    """Consumer half: offset-tracked replay of one topic log with the
+    connector's record schema. Runs driver-side (SimpleReader) — the
+    right tradeoff for a wire twin; the real connector is the scale
+    path."""
+
+    def __init__(self, options):
+        self._broker = options.get("kafka.bootstrap.servers")
+        self._topic = options.get("subscribe")
+        if not self._broker or not self._topic:
+            raise ValueError(
+                "kafkafile source requires options "
+                "kafka.bootstrap.servers (broker directory) and "
+                "subscribe (one topic)"
+            )
+        if "," in self._topic:
+            raise ValueError(
+                "kafkafile subscribes to a single topic (the stand-in "
+                f"models one log); got {self._topic!r}"
+            )
+        self._starting = options.get("startingOffsets", "earliest").lower()
+        if self._starting not in ("earliest", "latest"):
+            raise ValueError(
+                "kafkafile startingOffsets must be earliest|latest, "
+                f"got {self._starting!r}"
+            )
+
+    def initialOffset(self) -> dict:
+        if self._starting == "latest":
+            return {"offset": _next_offset(_topic_dir(self._broker, self._topic))}
+        return {"offset": 0}
+
+    def _scan(self, lo: int, hi: int) -> Iterator[Tuple]:
+        tdir = _topic_dir(self._broker, self._topic)
+        for path in _data_files(tdir):
+            start = int(os.path.basename(path)[5:-6])
+            with open(path, "r", encoding="ascii") as f:
+                for i, line in enumerate(f):
+                    off = start + i
+                    if off < lo or off >= hi:
+                        continue
+                    rec = json.loads(line)
+                    yield (
+                        _unb64(rec["k"]),
+                        _unb64(rec["v"]),
+                        self._topic,
+                        0,
+                        off,
+                        dt.datetime.fromtimestamp(rec["ts"] / 1e6, tz=_UTC),
+                        1,  # LogAppendTime: the broker stamped it
+                    )
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        lo = start["offset"]
+        hi = _next_offset(_topic_dir(self._broker, self._topic))
+        return self._scan(lo, hi), {"offset": max(lo, hi)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        return self._scan(start["offset"], end["offset"])
+
+
+class KafkaFileDataSource(DataSource):
+    """``spark.dataSource.register(KafkaFileDataSource)`` →
+    ``format("kafkafile")`` on both readStream and writeStream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafkafile"
+
+    def schema(self) -> str:
+        return KAFKA_RECORD_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> _KafkaFileStreamReader:
+        return _KafkaFileStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> _KafkaFileStreamWriter:
+        return _KafkaFileStreamWriter(self.options, schema)
+
+
+def register_kafka_file_shim(spark) -> None:
+    """Idempotent per-session registration of the stand-in format."""
+    spark.dataSource.register(KafkaFileDataSource)
