@@ -112,11 +112,19 @@ def _debezium_consumer(spark: SparkSession, conf: dict) -> DataFrame:
 def _kafka_consumer(spark: SparkSession, conf: dict) -> DataFrame:
     from .sources.stream import kafka_stream
 
+    fmt = conf.get("format", "kafka")
+    if fmt == "kafkafile":
+        # the file-backed wire twin is a Python DataSource — needs a
+        # per-session registration the real connector doesn't
+        from .sources.kafka_shim import register_kafka_file_shim
+
+        register_kafka_file_shim(spark)
     return kafka_stream(
         spark,
         conf["brokers"],
         conf["topics"],
         starting_offsets=conf.get("starting-offsets", "earliest"),
+        format=fmt,
     )
 
 

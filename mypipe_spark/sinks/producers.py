@@ -78,13 +78,19 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
     binlog order. Keying by the row's primary key pins each row's
     history to one partition; without a key column the per-table
     ordering claim holds only for single-partition topics (the
-    reference's default deployment)."""
+    reference's default deployment).
+
+    The optional ``format`` option ("kafka" default) swaps the real
+    connector for the file-backed wire twin ("kafkafile",
+    sources/kafka_shim.py) under the identical column and option
+    contract — how the broker-less test environment exercises this
+    exact producer wiring end-to-end."""
     cols = ["topic", "CAST(value AS BINARY) as value"]
     if "key" in df.columns:
         cols.insert(1, "CAST(key AS BINARY) as key")
     return (
         df.selectExpr(*cols)
-        .writeStream.format("kafka")
+        .writeStream.format(options.get("format", "kafka"))
         .option("kafka.bootstrap.servers", options["brokers"])
     )
 

@@ -245,10 +245,15 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         lo = start["offset"]
         hi = _next_offset(_topic_dir(self._broker, self._topic))
-        return self._scan(lo, hi), {"offset": max(lo, hi)}
+        # a materialized LIST iterator, not a generator: Spark's
+        # simple-reader prefetch cache calls next() on the result AND
+        # copy.copy()s it (list_iterator is copyable, generators are
+        # not); materializing is the SimpleReader tradeoff this test
+        # twin accepts by design
+        return iter(list(self._scan(lo, hi))), {"offset": max(lo, hi)}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        return self._scan(start["offset"], end["offset"])
+        return iter(list(self._scan(start["offset"], end["offset"])))
 
 
 class KafkaFileDataSource(DataSource):

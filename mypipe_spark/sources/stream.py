@@ -47,12 +47,20 @@ def kafka_stream(
     brokers: str,
     topics: str,
     starting_offsets: str = "earliest",
+    format: str = "kafka",
 ) -> DataFrame:
     """Kafka change-stream source (S14). Requires the kafka connector
     jar on the classpath; raises the underlying AnalysisException if
-    it is absent — callers gate on availability."""
+    it is absent — callers gate on availability.
+
+    ``format`` swaps the carrier while keeping the exact option names
+    and record schema: ``"kafka"`` (default, the real connector) or
+    ``"kafkafile"`` (sources/kafka_shim.py — the file-backed wire twin
+    this sandbox's broker-less tests run the SAME configuration
+    against; register it first via
+    ``kafka_shim.register_kafka_file_shim``)."""
     return (
-        spark.readStream.format("kafka")
+        spark.readStream.format(format)
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
