@@ -85,12 +85,21 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
     sources/kafka_shim.py) under the identical column and option
     contract — how the broker-less test environment exercises this
     exact producer wiring end-to-end."""
+    fmt = options.get("format", "kafka")
+    if fmt == "kafkafile":
+        # the wire twin is a Python DataSource needing per-session
+        # registration — done HERE so every entry point (direct Pipe
+        # use AND config-driven build_pipes, whose consumer may be a
+        # changelog source with no kafka leg of its own) gets it
+        from ..sources.kafka_shim import register_kafka_file_shim
+
+        register_kafka_file_shim(df.sparkSession)
     cols = ["topic", "CAST(value AS BINARY) as value"]
     if "key" in df.columns:
         cols.insert(1, "CAST(key AS BINARY) as key")
     return (
         df.selectExpr(*cols)
-        .writeStream.format(options.get("format", "kafka"))
+        .writeStream.format(fmt)
         .option("kafka.bootstrap.servers", options["brokers"])
     )
 

@@ -108,6 +108,28 @@ def _atomic_write_lines(path: str, lines: list[str]) -> None:
     os.replace(tmp, path)
 
 
+def _append_log_file(tdir: str, lines: list[str]) -> int:
+    """Claim the next log slot WITHOUT clobbering a concurrent
+    committer: write staged content once, then os.link (create-only —
+    fails with EEXIST instead of replacing) at the offset-derived
+    name, recomputing the offset and retrying while another producer
+    query races this one to the same topic. Returns the claimed start
+    offset."""
+    tmp = os.path.join(tdir, f".claim.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write("".join(lines))
+    try:
+        while True:
+            start = _next_offset(tdir)
+            try:
+                os.link(tmp, os.path.join(tdir, f"data-{start:012d}.jsonl"))
+                return start
+            except FileExistsError:
+                continue  # lost the race: offset advanced, re-derive
+    finally:
+        os.remove(tmp)
+
+
 @dataclass
 class _Staged(WriterCommitMessage):
     path: str
@@ -116,10 +138,15 @@ class _Staged(WriterCommitMessage):
 
 class _KafkaFileStreamWriter(DataSourceStreamWriter):
     """Producer half: tasks stage their records; the driver commit
-    appends them to the per-topic logs with broker-assigned offsets.
-    A retried TASK leaves an orphan staging file that no commit
-    message references (swept by the next commit); a retried COMMIT
-    is idempotent via the per-(run, batch) marker."""
+    appends them to the per-topic logs with broker-assigned offsets
+    (create-only link claims the offset slot, so two producer queries
+    racing the same topic interleave batches instead of clobbering).
+    A retried COMMIT is idempotent via the per-(run, batch) marker. A
+    retried TASK (or a crash between marker and cleanup) leaves an
+    orphan staging file behind — INERT (nothing ever reads an
+    uncommitted staging; deliberately not swept, since a sweeper
+    cannot tell an orphan from another query's in-flight staging;
+    delete _staging/ to reclaim the test dir)."""
 
     def __init__(self, options, schema: StructType):
         self._broker = options.get("kafka.bootstrap.servers")
@@ -171,14 +198,11 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
         for topic, recs in by_topic.items():
             tdir = _topic_dir(self._broker, topic)
             os.makedirs(tdir, exist_ok=True)
-            start = _next_offset(tdir)
             lines = [
                 json.dumps({"k": r["k"], "v": r["v"], "ts": now_us}) + "\n"
                 for r in recs
             ]
-            _atomic_write_lines(
-                os.path.join(tdir, f"data-{start:012d}.jsonl"), lines
-            )
+            _append_log_file(tdir, lines)
         _atomic_write_lines(marker, [])
         for m in messages:  # committed stagings are spent
             if m is not None and os.path.exists(m.path):

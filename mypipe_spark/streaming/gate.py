@@ -63,11 +63,17 @@ def sort_batch(batch: pd.DataFrame) -> pd.DataFrame:
     microbatch arrival order breaks any residual tie exactly like
     the batch window's deterministic tiebreak chain).
 
-    The id tiebreak is decoded from the LOSSLESS ``eid_s`` string copy
-    into Python ints (arbitrary precision), never from the numeric
-    ``event_id`` column — Arrow→pandas promotes that one to float64
-    when a NULL id shares the microbatch, and two same-microsecond ids
-    differing only beyond the 53-bit mantissa would mis-tie."""
+    The id tiebreak must be EXACT: when a NULL id shares the
+    microbatch, Arrow→pandas promotes the numeric ``event_id`` column
+    to float64 and two same-microsecond ids differing only beyond the
+    53-bit mantissa would mis-tie. Fast path: with no NULL the column
+    arrives as exact int64 and sorts vectorized; only a promoted
+    (float64) column pays the per-row decode of the lossless ``eid_s``
+    string copy into Python ints."""
+    if batch["event_id"].dtype.kind in "iu":  # exact ints: no NULL came
+        return batch.sort_values(
+            ["us", "event_id"], na_position="last", kind="mergesort"
+        )
     # dtype=object is load-bearing: .map/inference would promote the
     # int keys straight back to float64, re-creating the hazard
     key = pd.Series(

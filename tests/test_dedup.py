@@ -760,7 +760,7 @@ def test_duplicate_spans_plan_is_one_gram_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_embedding_cell_split_parity_on_hot_cell(spark, tmp_path):
+def test_embedding_cell_split_parity_on_hot_cell(spark, sf_dir, tmp_path):
     """The sub-cell split path of dedup_embedding_cosine, exercised
     DELIBERATELY (fixture cells sit under _CELL_CAP=256 by design, so
     the driver gate never trips it): a synthetic 300-vector cell
@@ -799,7 +799,7 @@ def test_embedding_cell_split_parity_on_hot_cell(spark, tmp_path):
 
     for t in TABLE_NAMES:
         if t != "embeddings":
-            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{synth}/{t}.parquet")
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{synth}/{t}.parquet")
 
     audit = {
         r["label"]: r

@@ -173,3 +173,68 @@ def test_kafka_consumer_resumes_by_offset_without_duplicates(spark, tmp_path):
     # records, continuing the offset log densely from 0
     assert len(offsets) > n1
     assert offsets == list(range(len(offsets)))
+
+
+def test_kafka_producer_via_config_registers_shim_itself(spark, tmp_path):
+    """The changelog->Kafka bridge from pure config (changelog
+    consumer + kafkafile-format kafka producer, no kafka leg on the
+    consume side): the PRODUCER path must register the Python
+    DataSource itself — review pass 1 found registration only on the
+    consumer path, so this exact config died with
+    DATA_SOURCE_NOT_FOUND."""
+    from mypipe_spark.runner import build_pipes
+    from mypipe_spark.streaming.pipe import run_pipes
+
+    src, broker = str(tmp_path / "cl"), str(tmp_path / "broker")
+    write_changelog(spark, src, num_transactions=5, num_files=1)
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "kshim_cfg_prod": {
+                "consumer": "cl",
+                "wire": {"flavor": "generic"},
+                "topic-template": "${database}_${table}_generic",
+                "producer": {
+                    "name": "kafka",
+                    "brokers": broker,
+                    "format": "kafkafile",
+                },
+                "checkpoint": str(tmp_path / "ckpt"),
+            }
+        },
+    }
+    for p in build_pipes(config):
+        q = run_pipes(spark, [p])[0]
+        q.processAllAvailable()
+        q.stop()
+    logs = glob.glob(f"{broker}/*/data-*.jsonl")
+    n = sum(1 for p in logs for _ in open(p))
+    assert n == mutations_only(changelog_batch(spark, src)).count() > 0
+
+
+def test_append_log_file_claims_next_slot_without_clobbering(tmp_path):
+    """Offset-slot claiming under contention: a slot already taken by
+    a concurrent committer must be skipped (create-only link, derive
+    and retry), never clobbered — review pass 1 found os.replace
+    silently overwrote a racing batch."""
+    import os
+
+    from mypipe_spark.sources.kafka_shim import _append_log_file, _next_offset
+
+    tdir = str(tmp_path / "topic")
+    os.makedirs(tdir)
+    assert _append_log_file(tdir, ['{"a":1}\n', '{"a":2}\n']) == 0
+    # simulate the race: a competing commit landed at the derived slot
+    with open(f"{tdir}/data-{2:012d}.jsonl", "w") as f:
+        f.write('{"race":1}\n')
+    start = _append_log_file(tdir, ['{"a":3}\n'])
+    assert start == 3
+    assert _next_offset(tdir) == 4
+    # nothing was clobbered: all four files' contents intact
+    names = sorted(os.listdir(tdir))
+    assert names == [
+        "data-000000000000.jsonl",
+        "data-000000000002.jsonl",
+        "data-000000000003.jsonl",
+    ]
+    assert open(f"{tdir}/data-000000000002.jsonl").read() == '{"race":1}\n'
