@@ -238,3 +238,64 @@ def test_append_log_file_claims_next_slot_without_clobbering(tmp_path):
         "data-000000000003.jsonl",
     ]
     assert open(f"{tdir}/data-000000000002.jsonl").read() == '{"race":1}\n'
+
+
+def test_kafka_consumer_starting_offsets_latest(spark, tmp_path):
+    """startingOffsets=latest parity with the connector: records
+    already on the topic when the query FIRST starts are skipped;
+    records produced after are consumed from the checkpointed
+    position."""
+    register_kafka_file_shim(spark)
+    broker = str(tmp_path / "broker")
+    reg = in_memory_repo()
+    src1 = str(tmp_path / "cl1")
+    write_changelog(spark, src1, num_transactions=5, num_files=1)
+    _produce_pipe(broker, src1, str(tmp_path / "ckpt_p1"), reg).run_available(spark)
+    pre = sum(
+        1
+        for p in glob.glob(f"{broker}/mypipe_user_generic/data-*.jsonl")
+        for _ in open(p)
+    )
+    assert pre > 0
+
+    from mypipe_spark.sources.stream import kafka_stream
+
+    sink = str(tmp_path / "consumed")
+
+    def consume() -> None:
+        df = kafka_stream(
+            spark,
+            broker,
+            "mypipe_user_generic",
+            starting_offsets="latest",
+            format="kafkafile",
+        )
+        q = (
+            df.selectExpr("offset")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    consume()  # first start at latest: the pre-existing log is skipped
+    import os
+
+    n1 = (
+        spark.read.parquet(sink).count()
+        if any(f.endswith(".parquet") for f in os.listdir(sink))
+        else 0
+    )
+    assert n1 == 0
+
+    src2 = str(tmp_path / "cl2")
+    write_changelog(spark, src2, num_transactions=3, num_files=1, seed=9, seq_start=90_000)
+    _produce_pipe(broker, src2, str(tmp_path / "ckpt_p2"), reg).run_available(spark)
+
+    consume()  # resumed from the checkpointed latest position
+    offsets = sorted(r["offset"] for r in spark.read.parquet(sink).collect())
+    assert offsets and offsets[0] == pre  # only the post-start records
+    assert offsets == list(range(pre, pre + len(offsets)))
