@@ -114,6 +114,33 @@ def stream_documents_csv(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return parse_documents_csv_lines(spark.readStream.format("text").load(path))
 
 
+def _refuse_then_write(
+    docs: DataFrame, path: str, mode: str, pattern: str, message: str
+) -> None:
+    """The ONE writer tail shared by both CSV sinks: pre-scan every
+    exported free-form string column for the dialect's forbidden
+    byte class and refuse BEFORE emitting any part file (failing
+    MID-write would leave partial parts behind), then write the five
+    canonical columns under the one shared dialect."""
+    bad = (
+        docs.filter(
+            F.col("text").rlike(pattern)
+            | F.col("lang").rlike(pattern)
+            | F.col("source").rlike(pattern)
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(message)
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode(mode)
+        .options(**_CSV_WRITE_OPTS)
+        .csv(path)
+    )
+
+
 def write_documents_csv(docs: DataFrame, path: str, mode: str = "error") -> None:
     """Export a documents table as line-wise CSV (canonical header in
     every part file via the csv writer, RFC-4180 quoting) — the
@@ -133,28 +160,16 @@ def write_documents_csv(docs: DataFrame, path: str, mode: str = "error") -> None
     # precisely because it can never appear in a physical line — the
     # writer must enforce that invariant, not just rely on it (a field
     # whose value IS "\x00" would otherwise round-trip to NULL).
-    bad = (
-        docs.filter(
-            F.col("text").rlike("[\n\r\x00]")
-            | F.col("lang").rlike("[\n\r\x00]")
-            | F.col("source").rlike("[\n\r\x00]")
-        )
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            "write_documents_csv: a string field (text/lang/source) "
-            "contains newline or NUL characters — line-wise CSV cannot "
-            "round-trip multi-line records (and NUL is the reader's "
-            "null sentinel); clean or re-encode the field, or export "
-            "via write_documents_csv_multiline / JSONL instead"
-        )
-    (
-        docs.select("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode(mode)
-        .options(**_CSV_WRITE_OPTS)
-        .csv(path)
+    _refuse_then_write(
+        docs,
+        path,
+        mode,
+        "[\n\r\x00]",
+        "write_documents_csv: a string field (text/lang/source) "
+        "contains newline or NUL characters — line-wise CSV cannot "
+        "round-trip multi-line records (and NUL is the reader's "
+        "null sentinel); clean or re-encode the field, or export "
+        "via write_documents_csv_multiline / JSONL instead",
     )
 
 
@@ -224,24 +239,12 @@ def write_documents_csv_multiline(
     field containing it would silently round-trip to NULL. Same
     pre-scan-then-write discipline as the line-wise writer (refuse
     BEFORE emitting any part file)."""
-    bad = (
-        docs.filter(
-            F.col("text").rlike("\x00")
-            | F.col("lang").rlike("\x00")
-            | F.col("source").rlike("\x00")
-        )
-        .limit(1)
-        .count()
-    )
-    if bad:
-        raise ValueError(
-            "write_documents_csv_multiline: a string field (text/lang/"
-            "source) contains NUL (\\x00), the reader's null sentinel "
-            "— it cannot round-trip; clean the field or export JSONL"
-        )
-    (
-        docs.select("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode(mode)
-        .options(**_CSV_WRITE_OPTS)
-        .csv(path)
+    _refuse_then_write(
+        docs,
+        path,
+        mode,
+        "\x00",
+        "write_documents_csv_multiline: a string field (text/lang/"
+        "source) contains NUL (\\x00), the reader's null sentinel "
+        "— it cannot round-trip; clean the field or export JSONL",
     )

@@ -115,7 +115,13 @@ def _append_log_file(tdir: str, lines: list[str]) -> int:
     name, recomputing the offset and retrying while another producer
     query races this one to the same topic. Returns the claimed start
     offset."""
-    tmp = os.path.join(tdir, f".claim.{uuid.uuid4().hex}")
+    # the claim staging lives in _staging/ (same filesystem — link
+    # works), so a driver crash mid-claim leaves its orphan where the
+    # documented recovery ("delete _staging/") reclaims it, never
+    # loose in a topic dir
+    staging = os.path.join(os.path.dirname(tdir), "_staging")
+    os.makedirs(staging, exist_ok=True)
+    tmp = os.path.join(staging, f"claim.{uuid.uuid4().hex}")
     with open(tmp, "w", encoding="ascii") as f:
         f.write("".join(lines))
     try:
@@ -171,8 +177,19 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
         path = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
         lines = []
         for row in iterator:
+            topic = row["topic"]
+            if topic is None:
+                # mirror the real connector's clear per-row refusal —
+                # null-propagating topic templates (a NULL database or
+                # table under with_topic's concat) must not surface as
+                # an opaque os.path.join TypeError at commit
+                raise ValueError(
+                    "kafkafile sink: topic is NULL for a row (a "
+                    "null-propagating topic template?); Kafka cannot "
+                    "route a record without a topic"
+                )
             rec = {
-                "t": row["topic"],
+                "t": topic,
                 "k": _b64(row["key"]) if self._has_key else None,
                 "v": _b64(row["value"]),
             }
@@ -248,12 +265,25 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
 
     def _scan(self, lo: int, hi: int) -> Iterator[Tuple]:
         tdir = _topic_dir(self._broker, self._topic)
-        for path in _data_files(tdir):
+        files = _data_files(tdir)
+        for idx, path in enumerate(files):
             start = int(os.path.basename(path)[5:-6])
+            if start >= hi:
+                break  # file names are offset-ordered
+            # skip files entirely below lo WITHOUT opening them: the
+            # NEXT file's start offset is this file's end, so a
+            # long-running consumer pays O(new records) per trigger,
+            # not O(topic history)
+            if idx + 1 < len(files):
+                nxt = int(os.path.basename(files[idx + 1])[5:-6])
+                if nxt <= lo:
+                    continue
             with open(path, "r", encoding="ascii") as f:
                 for i, line in enumerate(f):
                     off = start + i
-                    if off < lo or off >= hi:
+                    if off >= hi:
+                        break
+                    if off < lo:
                         continue
                     rec = json.loads(line)
                     yield (

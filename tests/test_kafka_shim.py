@@ -299,3 +299,22 @@ def test_kafka_consumer_starting_offsets_latest(spark, tmp_path):
     offsets = sorted(r["offset"] for r in spark.read.parquet(sink).collect())
     assert offsets and offsets[0] == pre  # only the post-start records
     assert offsets == list(range(pre, pre + len(offsets)))
+
+
+def test_kafkafile_sink_refuses_null_topic(spark, tmp_path):
+    """A NULL topic (null-propagating topic template upstream) must
+    fail at write() with a clear per-row refusal — the real
+    connector's behavior — not an opaque os.path.join TypeError at
+    commit (review pass 2)."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from mypipe_spark.sources.kafka_shim import _KafkaFileStreamWriter
+
+    schema = StructType.fromDDL("topic string, value binary")
+    w = _KafkaFileStreamWriter(
+        {"kafka.bootstrap.servers": str(tmp_path / "broker")}, schema
+    )
+    with pytest.raises(ValueError, match="topic is NULL"):
+        w.write(iter([Row(topic=None, value=b"x")]))

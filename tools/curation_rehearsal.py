@@ -172,7 +172,7 @@ def main() -> int:
         with open(args.scaling_md, "a") as f:
             f.write(
                 f"\n## Composed curation rehearsal — K={args.factor}, "
-                f"repeat={args.repeat}, 2026-08-15 "
+                f"repeat={args.repeat}, {time.strftime('%Y-%m-%d')} "
                 f"(machine-appended by tools/curation_rehearsal.py)\n\n"
                 f"| pipeline | 1x s | Kx s | ratio | audit K-fold exact | "
                 f"shards 1x→Kx |\n|---|---|---|---|---|---|\n"
