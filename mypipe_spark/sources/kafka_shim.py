@@ -43,6 +43,7 @@ import base64
 import datetime as dt
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -55,6 +56,11 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
+
+# Kafka's own topic-name rule (kafka.common.Topic), enforced at the
+# sink so a bad topic fails per-row like the real broker — and so a
+# topic name can never be a path-traversal under the broker dir
+_LEGAL_TOPIC = re.compile(r"[a-zA-Z0-9._-]{1,249}")
 
 # the spark-sql-kafka source schema, verbatim
 KAFKA_RECORD_SCHEMA = (
@@ -108,18 +114,19 @@ def _atomic_write_lines(path: str, lines: list[str]) -> None:
     os.replace(tmp, path)
 
 
-def _append_log_file(tdir: str, lines: list[str]) -> int:
+def _append_log_file(broker: str, tdir: str, lines: list[str]) -> int:
     """Claim the next log slot WITHOUT clobbering a concurrent
     committer: write staged content once, then os.link (create-only —
     fails with EEXIST instead of replacing) at the offset-derived
     name, recomputing the offset and retrying while another producer
     query races this one to the same topic. Returns the claimed start
     offset."""
-    # the claim staging lives in _staging/ (same filesystem — link
-    # works), so a driver crash mid-claim leaves its orphan where the
-    # documented recovery ("delete _staging/") reclaims it, never
-    # loose in a topic dir
-    staging = os.path.join(os.path.dirname(tdir), "_staging")
+    # the claim staging lives in the broker's _staging/ (passed in —
+    # ONE definition of the staging location, not re-derived from the
+    # topic path; same filesystem, so link works), so a driver crash
+    # mid-claim leaves its orphan where the documented recovery
+    # ("delete _staging/") reclaims it, never loose in a topic dir
+    staging = os.path.join(broker, "_staging")
     os.makedirs(staging, exist_ok=True)
     tmp = os.path.join(staging, f"claim.{uuid.uuid4().hex}")
     with open(tmp, "w", encoding="ascii") as f:
@@ -178,15 +185,17 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
         lines = []
         for row in iterator:
             topic = row["topic"]
-            if topic is None:
-                # mirror the real connector's clear per-row refusal —
-                # null-propagating topic templates (a NULL database or
-                # table under with_topic's concat) must not surface as
-                # an opaque os.path.join TypeError at commit
+            if topic is None or not _LEGAL_TOPIC.fullmatch(topic):
+                # mirror the real broker's clear per-row refusal:
+                # Kafka enforces [a-zA-Z0-9._-]{1,249} topic names, so
+                # a NULL (null-propagating topic template), empty, or
+                # separator-bearing topic fails HERE with the row in
+                # hand — not as an opaque path error (or a log file
+                # linked into the broker root) at commit
                 raise ValueError(
-                    "kafkafile sink: topic is NULL for a row (a "
-                    "null-propagating topic template?); Kafka cannot "
-                    "route a record without a topic"
+                    f"kafkafile sink: illegal topic {topic!r} for a "
+                    "row (NULL-propagating or non-Kafka-legal topic "
+                    "template?); Kafka topics are [a-zA-Z0-9._-]{1,249}"
                 )
             rec = {
                 "t": topic,
@@ -219,7 +228,7 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
                 json.dumps({"k": r["k"], "v": r["v"], "ts": now_us}) + "\n"
                 for r in recs
             ]
-            _append_log_file(tdir, lines)
+            _append_log_file(self._broker, tdir, lines)
         _atomic_write_lines(marker, [])
         for m in messages:  # committed stagings are spent
             if m is not None and os.path.exists(m.path):
@@ -264,6 +273,10 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
         return {"offset": 0}
 
     def _scan(self, lo: int, hi: int) -> Iterator[Tuple]:
+        if lo >= hi:
+            # idle trigger: nothing new — never open the (possibly
+            # large) last log file just to skip every line of it
+            return
         tdir = _topic_dir(self._broker, self._topic)
         files = _data_files(tdir)
         for idx, path in enumerate(files):

@@ -221,13 +221,14 @@ def test_append_log_file_claims_next_slot_without_clobbering(tmp_path):
 
     from mypipe_spark.sources.kafka_shim import _append_log_file, _next_offset
 
+    broker = str(tmp_path)
     tdir = str(tmp_path / "topic")
     os.makedirs(tdir)
-    assert _append_log_file(tdir, ['{"a":1}\n', '{"a":2}\n']) == 0
+    assert _append_log_file(broker, tdir, ['{"a":1}\n', '{"a":2}\n']) == 0
     # simulate the race: a competing commit landed at the derived slot
     with open(f"{tdir}/data-{2:012d}.jsonl", "w") as f:
         f.write('{"race":1}\n')
-    start = _append_log_file(tdir, ['{"a":3}\n'])
+    start = _append_log_file(broker, tdir, ['{"a":3}\n'])
     assert start == 3
     assert _next_offset(tdir) == 4
     # nothing was clobbered: all four files' contents intact
@@ -301,11 +302,12 @@ def test_kafka_consumer_starting_offsets_latest(spark, tmp_path):
     assert offsets == list(range(pre, pre + len(offsets)))
 
 
-def test_kafkafile_sink_refuses_null_topic(spark, tmp_path):
-    """A NULL topic (null-propagating topic template upstream) must
-    fail at write() with a clear per-row refusal — the real
-    connector's behavior — not an opaque os.path.join TypeError at
-    commit (review pass 2)."""
+def test_kafkafile_sink_refuses_illegal_topics(spark, tmp_path):
+    """A NULL topic (null-propagating topic template upstream), an
+    empty topic, or a non-Kafka-legal one (path separators!) must fail
+    at write() with a clear per-row refusal — the real broker's topic
+    charset rule — not an opaque path error (or a log file linked into
+    the broker root) at commit (review passes 2+3)."""
     import pytest
     from pyspark.sql import Row
     from pyspark.sql.types import StructType
@@ -316,5 +318,6 @@ def test_kafkafile_sink_refuses_null_topic(spark, tmp_path):
     w = _KafkaFileStreamWriter(
         {"kafka.bootstrap.servers": str(tmp_path / "broker")}, schema
     )
-    with pytest.raises(ValueError, match="topic is NULL"):
-        w.write(iter([Row(topic=None, value=b"x")]))
+    for bad in (None, "", "a/b", "a\x00b", "x" * 250):
+        with pytest.raises(ValueError, match="illegal topic"):
+            w.write(iter([Row(topic=bad, value=b"x")]))
