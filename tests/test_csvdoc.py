@@ -283,3 +283,81 @@ def test_csv_multiline_round_trips_fixture_corpus(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, docs.collect())
     )
+
+
+def test_csv_multiline_round_trips_hostile_strings(spark, tmp_path):
+    """Adversarial round-trip corpus for the multiLine dialect (found
+    clean by a round-8 fuzz sweep, pinned here): unicode line
+    separators, a BOM, quote-edge cases, CRLF mixes, tabs/padding,
+    emoji+CJK, formula-injection shapes, trailing backslashes, a 5k
+    field, an all-NULL row and an all-empty row — every value must
+    come back byte-identical with an empty DLQ."""
+    nasty = [
+        " line sep   paragraph ",
+        "﻿BOM start",
+        'ends with quote"',
+        '"starts with quote',
+        '""',
+        ",,,,",
+        "\ttabs\tand  spaces ",
+        "a\r\nb\rc\nd",
+        "emoji \U0001F389 zhongwen 中文",
+        '=cmd("inject")',
+        " \n ",
+        "trailing backslash \\",
+        "\\n literal backslash n",
+        'quote" then, comma\nthen newline',
+        "x" * 5000,
+    ]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(nasty)]
+    rows.append((900, None, None, None, None))
+    rows.append((901, "", "", "", 0))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "csv")
+    write_documents_csv_multiline(docs, out)
+    back, dlq = read_documents_csv_multiline(spark, out)
+    assert dlq.count() == 0
+    a = sorted(map(tuple, docs.collect()), key=str)
+    b = sorted(map(tuple, back.collect()), key=str)
+    assert a == b
+
+
+def test_csv_linewise_round_trips_hostile_strings(spark, tmp_path):
+    """Line-wise twin of the hostile-corpus pin (single-line values
+    only — the line-wise writer refuses \\n/\\r/NUL by contract):
+    quote edges, injection shapes, unicode, a text value equal to the
+    HEADER line (the writer's comma-quoting keeps the physical line
+    distinct from a structural header), 5k fields, all-NULL and
+    all-empty rows."""
+    nasty = [
+        'ends with quote"',
+        '"starts with quote',
+        '""',
+        ",,,,",
+        "\ttabs\tand  spaces ",
+        "emoji \U0001F389 zhongwen 中文",
+        '=cmd("inject")',
+        "trailing backslash \\",
+        "\\n literal backslash n",
+        'quote" then, comma then more',
+        "x" * 5000,
+        "﻿BOM start",
+        "doc_id,text,lang,source,n_chars",
+    ]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(nasty)]
+    rows.append((900, None, None, None, None))
+    rows.append((901, "", "", "", 0))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "csv")
+    write_documents_csv(docs, out)
+    back, dlq = read_documents_csv(spark, out)
+    assert dlq.count() == 0
+    a = sorted(map(tuple, docs.collect()), key=str)
+    b = sorted(map(tuple, back.collect()), key=str)
+    assert a == b
