@@ -64,7 +64,11 @@ _COL = r"(?:`([^`]+)`|([\w$]+))"
 # name when the COLUMN keyword is omitted (DROP INDEX idx / ADD KEY k
 # (c)): without the guard `DROP INDEX idx` deletes a column literally
 # named 'INDEX'.
-_NON_COLUMN = r"(?!(?:index|key|primary|unique|foreign|constraint|partition|fulltext|spatial|check)\b)"
+# `default` included: `ALTER COLUMN c DROP DEFAULT` is metadata-only —
+# without the guard it would parse as dropping a column named
+# 'default' (a real column of that name must be backticked in MySQL,
+# and the backticked form bypasses the lookahead correctly)
+_NON_COLUMN = r"(?!(?:index|key|primary|unique|foreign|constraint|partition|fulltext|spatial|check|default)\b)"
 _ADD_CLAUSE = re.compile(
     rf"\badd\s+(?:column\s+{_COL}|{_NON_COLUMN}{_COL})\s+(\w+)",
     re.IGNORECASE,
@@ -97,6 +101,11 @@ _MYSQL_TYPE_ALIASES = {
     "REAL": "DOUBLE",
     "VARBINARY": "VAR_STRING", "BINARY": "VAR_STRING",
     "JSON": "BLOB",
+    # the TEXT size family + CHARACTER (round-8 review: these common
+    # surface names fell through to spark_type_for and were silently
+    # skipped — the exact bug class this table exists to prevent)
+    "TINYTEXT": "TINY_BLOB", "MEDIUMTEXT": "MEDIUM_BLOB",
+    "LONGTEXT": "LONG_BLOB", "CHARACTER": "STRING",
 }
 
 
@@ -139,12 +148,18 @@ def evolve_schema(schema: StructType, alter_sql: str) -> StructType:
                 dt = spark_type_for(ct)
             except ValueError:
                 continue
-            if col not in schema.fieldNames():
+            # MySQL column identifiers compare case-insensitively in
+            # DDL — `DROP COLUMN EMAIL` drops `email` (round-8 review:
+            # a case-variant DROP was a silent no-op that left a
+            # phantom field frozen in the registered schema)
+            if col.lower() not in {f.lower() for f in schema.fieldNames()}:
                 schema = StructType(
                     list(schema.fields) + [StructField(col, dt, True)]
                 )
         else:
-            schema = StructType([f for f in schema.fields if f.name != col])
+            schema = StructType(
+                [f for f in schema.fields if f.name.lower() != col.lower()]
+            )
     return schema
 
 
@@ -209,11 +224,14 @@ class AlterOrchestrator:
             # which DDL sources (Debezium schema-change records) fill
             # for every statement class
             return False
-        database = database or sql_db
-        table = table or sql_table
-        if not table:
-            return False
-        database = database or ""
+        # statement-first precedence (round-8 review): an explicitly
+        # qualified `ALTER TABLE db2.t ...` targets db2 even when the
+        # event's database column carries the session default (USE
+        # db1) — same convention as operators/decode.py's
+        # alter_database/alter_table. Unqualified statements fall back
+        # to the event's coordinates, per alter_target's contract.
+        database = sql_db or database or ""
+        table = sql_table
         key = (database, table)
         evolved = evolve_schema(self._base_schema(database, table), sql or "")
         self.table_schemas[key] = evolved
@@ -345,5 +363,15 @@ class AlterOrchestrator:
                 query.stop()
                 watcher.stop()
             if restarts >= self.max_restarts:
-                return restarts
+                # run_live stops rounds the moment an ALTER lands, so
+                # rows queued behind the last one are NOT yet
+                # processed — returning normally here would silently
+                # abandon them (run_available may return at the cap:
+                # its rounds always drain first). Fail loudly instead.
+                raise RuntimeError(
+                    f"run_live: restart cap hit ({self.max_restarts}) "
+                    "with DDL still arriving and data queued behind "
+                    "it — raise max_restarts or drain with "
+                    "run_available"
+                )
             restarts += 1

@@ -39,11 +39,20 @@ GATE_EMIT_SCHEMA = (
 
 def canonical_events(events: DataFrame) -> DataFrame:
     """The ONE canonical projection in front of every stateful gate:
-    timeless events excluded (NULL ts — same contract as every
-    event-time operator in the catalog), bigint ids, ntz timestamp,
-    integer-microsecond ``us`` for ordering/arithmetic, and the
-    lossless string copy of event_id (``eid_s``)."""
-    return events.filter(F.col("ts").isNotNull()).select(
+    timeless events excluded — filtered on the TRY_CAST ntz value, so
+    a non-NULL string ts that fails to parse is excluded exactly like
+    a NULL, on BOTH the batch twins (which share this function) and
+    the stream. Filtering the raw column instead would either crash
+    the query at the plain cast under ANSI mode, or (non-ANSI) let
+    the row through with us=NULL and crash the pandas gate's int() on
+    NaN — both observed in the round-8 review. The projections below
+    keep PLAIN casts: only rows whose ts provably parses survive the
+    filter. Then bigint ids, ntz timestamp, integer-microsecond
+    ``us`` for ordering/arithmetic, and the lossless string copy of
+    event_id (``eid_s``)."""
+    return events.filter(
+        F.col("ts").try_cast("timestamp_ntz").isNotNull()
+    ).select(
         F.col("event_id").cast("bigint"),
         # normalize BEFORE stringifying: a double/decimal event_id
         # upstream must yield the same id as the bigint tiebreak

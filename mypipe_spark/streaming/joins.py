@@ -26,14 +26,26 @@ def _purchase_click_sides(
     events: DataFrame, watermark: str
 ) -> tuple[DataFrame, DataFrame]:
     """The shared side-construction contract for BOTH join modes —
-    uniform timeless/anonymous filter, the TIMESTAMP cast watermarks
-    demand (both sides shift by the same session-zone offset, so the
-    equi+range condition is unaffected), per-side renames, one
-    watermark each. One spelling so the inner and outer twins can
-    never drift on the lateness or NULL contract."""
+    uniform timeless/anonymous filter, the TIMESTAMP conversion
+    watermarks demand, per-side renames, one watermark each. One
+    spelling so the inner and outer twins can never drift on the
+    lateness or NULL contract.
+
+    The ntz→TIMESTAMP conversion is ``to_utc_timestamp(ts, 'UTC')``,
+    NOT a bare cast: a cast interprets the wall time in the SESSION
+    zone, and a DST session zone shifts the two sides of a
+    transition-straddling pair by different offsets — silently
+    breaking the equi+range parity with the batch twin
+    (q_range_clicks_after_purchase compares raw wall-clock ts). The
+    explicit UTC interpretation is a fixed-offset bijection from wall
+    time to instant, so range arithmetic is preserved under ANY
+    session timezone (round-8 review finding; under the engine's
+    pinned-UTC sessions the two spellings coincide)."""
     typed = events.filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).withColumn(
+        "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp_ntz"), "UTC")
+    )
     purchases = (
         typed.filter(F.col("event_type") == "purchase")
         .select(

@@ -518,3 +518,63 @@ def test_apply_alter_skips_non_alter_ddl_even_with_event_table(spark):
     assert set(registry.subjects()) == before
     # a real ALTER with the same event columns still applies
     assert orch._apply_alter("mypipe", "user", "ALTER TABLE user ADD COLUMN age INT")
+
+
+def test_apply_alter_statement_qualification_wins(spark):
+    """Statement-first db precedence (round-8 review): a USE-db1
+    session running `ALTER TABLE db2.t ...` delivers the event with
+    database='db1' but TARGETS db2 — the evolved schema must register
+    under db2's subjects, and db1's must stay untouched."""
+    import json as _json
+
+    reg = SchemaRegistry()
+    base = StructType([StructField("id", IntegerType())])
+    for db in ("db1", "db2"):
+        for mt in ("insert", "update", "delete"):
+            reg.register(specific_subject(db, "t", mt), base)
+    orch = AlterOrchestrator(
+        source=None, sink=None, checkpoint_dir="/tmp/unused", registry=reg
+    )
+    assert orch._apply_alter("db1", "t", "ALTER TABLE db2.t ADD COLUMN x INT")
+    got2 = StructType.fromJson(
+        _json.loads(reg.get_latest(specific_subject("db2", "t", "insert"))[1])
+    )
+    got1 = StructType.fromJson(
+        _json.loads(reg.get_latest(specific_subject("db1", "t", "insert"))[1])
+    )
+    assert got2.fieldNames() == ["id", "x"]
+    assert got1.fieldNames() == ["id"]
+
+
+def test_evolve_schema_text_family_and_case_insensitive_drop():
+    """Round-8 review trio: (a) the TEXT size family + CHARACTER map
+    instead of being silently skipped; (b) DROP COLUMN matches
+    case-insensitively like MySQL identifiers; (c) `ALTER COLUMN c
+    DROP DEFAULT` is metadata-only, never a drop of a column named
+    'default' — while a REAL backticked `default` column still
+    drops."""
+    from pyspark.sql.types import BinaryType
+
+    base = StructType(
+        [StructField("id", IntegerType()), StructField("email", StringType())]
+    )
+    for t in ("TINYTEXT", "MEDIUMTEXT", "LONGTEXT"):
+        got = evolve_schema(base, f"ALTER TABLE user ADD COLUMN notes {t}")
+        assert got.fieldNames() == ["id", "email", "notes"], t
+        assert isinstance(got["notes"].dataType, BinaryType), t
+    got = evolve_schema(base, "ALTER TABLE user ADD COLUMN code CHARACTER(4)")
+    assert got.fieldNames() == ["id", "email", "code"]
+
+    got = evolve_schema(base, "ALTER TABLE user DROP COLUMN EMAIL")
+    assert got.fieldNames() == ["id"]
+    # case-variant re-add of an existing column stays a no-op
+    got = evolve_schema(base, "ALTER TABLE user ADD COLUMN EMAIL BIGINT")
+    assert got.fieldNames() == ["id", "email"]
+
+    got = evolve_schema(base, "ALTER TABLE user ALTER COLUMN email DROP DEFAULT")
+    assert got.fieldNames() == ["id", "email"]
+    withdef = StructType(
+        [StructField("id", IntegerType()), StructField("default", StringType())]
+    )
+    got = evolve_schema(withdef, "ALTER TABLE user DROP COLUMN `default`")
+    assert got.fieldNames() == ["id"]

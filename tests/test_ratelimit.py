@@ -176,3 +176,36 @@ def test_limit_below_one_rejected_at_construction(spark):
     for bad in (0, -3):
         with pytest.raises(ValueError, match="rate limit"):
             ratelimit_stream(df, limit=bad)
+
+
+def test_unparseable_ts_is_excluded_not_a_crash(spark, tmp_path):
+    """canonical_events filters on the CAST ts (round-8 review): an
+    untyped source row whose string ts fails to parse must be
+    excluded exactly like a NULL-ts row — on both the stream (where
+    it previously reached the pandas gate as us=NaN and killed the
+    query on int()) and the shared-projection batch twin."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, 1, "click", "2024-01-01 00:00:00"),
+            (2, 1, "click", "garbage"),
+            (3, 1, "click", None),
+            (4, 1, "click", "2024-01-01 03:00:00"),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts string",
+    ).coalesce(1).write.parquet(src)
+    kept_stream = sorted(
+        r["event_id"]
+        for r in _run_stream(
+            spark, src, tmp_path, "rl_badts", limit=1,
+            window_us=3_600_000_000,
+        ).collect()
+    )
+    ev = spark.read.parquet(src)
+    kept_batch = sorted(
+        r["event_id"] for r in rate_limited_events(ev).collect()
+    )
+    # events 2 (unparseable) and 3 (NULL) are excluded on both sides;
+    # 1 and 4 are 3h apart so both clear the 1h window
+    assert kept_stream == [1, 4]
+    assert set(kept_batch) >= {1, 4} and 2 not in kept_batch and 3 not in kept_batch
