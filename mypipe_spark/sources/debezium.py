@@ -152,8 +152,9 @@ def debezium_change_events(
     whose ``op`` is not c/u/d/r — surface with op NULL, letting the
     caller route them through the errors-module DLQ convention instead
     of poisoning the stream; ``keep_raw=True`` appends the original
-    envelope as ``raw_value`` so a DLQ branch can preserve the exact
-    bytes that failed."""
+    envelope COLUMN as ``raw_value`` — un-cast, so a binary source's
+    exact failing bytes survive into the DLQ (a string cast would
+    mangle invalid UTF-8 into replacement characters)."""
     raw = F.col(value_col).cast("string")
     p = F.from_json(raw, _DBZ_SCHEMA)
     # envelope-or-flattened: prefer payload.*, fall back to top level
@@ -203,6 +204,11 @@ def debezium_change_events(
             _typed_map(after, table_schema, k).alias(f"new_{k}")
             for k in ("integers", "longs", "strings", "bytes")
         ],
-        *([raw.alias("raw_value")] if keep_raw else []),
+        # the ORIGINAL column, never the string cast: a binary Kafka
+        # value with invalid UTF-8 (a misrouted Avro record — exactly
+        # what dead-letters) would come back with U+FFFD replacement
+        # characters, unreplayable after the routing fix (round-8
+        # review). String sources pass through unchanged.
+        *([F.col(value_col).alias("raw_value")] if keep_raw else []),
     )
     return out

@@ -57,10 +57,13 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import Row, StructType
 
-# Kafka's own topic-name rule (kafka.common.Topic), enforced at the
-# sink so a bad topic fails per-row like the real broker — and so a
-# topic name can never be a path-traversal under the broker dir
-_LEGAL_TOPIC = re.compile(r"[a-zA-Z0-9._-]{1,249}")
+# Kafka's own topic-name rule (kafka.common.Topic): the legal charset
+# AND the two reserved names "." / ".." Kafka explicitly refuses —
+# enforced at the sink so a bad topic fails per-row like the real
+# broker, and so a topic name can never traverse out of the broker
+# dir ("." would land log files in the broker root, ".." in its
+# PARENT). The reader validates `subscribe` with the same rule.
+_LEGAL_TOPIC = re.compile(r"(?!\.\.?$)[a-zA-Z0-9._-]{1,249}")
 
 # the spark-sql-kafka source schema, verbatim
 KAFKA_RECORD_SCHEMA = (
@@ -72,7 +75,15 @@ _UTC = dt.timezone.utc
 
 
 def _b64(b) -> str | None:
-    return None if b is None else base64.b64encode(bytes(b)).decode("ascii")
+    if b is None:
+        return None
+    if isinstance(b, str):
+        # the real connector accepts string key/value columns and
+        # casts them to binary (UTF-8); the twin must too, or the
+        # format-name-only switch breaks exactly where it claims
+        # drop-in parity
+        b = b.encode("utf-8")
+    return base64.b64encode(bytes(b)).decode("ascii")
 
 
 def _unb64(s: str | None) -> bytes | None:
@@ -259,6 +270,13 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(
                 "kafkafile subscribes to a single topic (the stand-in "
                 f"models one log); got {self._topic!r}"
+            )
+        if not _LEGAL_TOPIC.fullmatch(self._topic):
+            # same legality rule as the sink — a subscribe of "../x"
+            # must never read files outside the broker dir
+            raise ValueError(
+                f"kafkafile: illegal subscribe topic {self._topic!r}; "
+                "Kafka topics are [a-zA-Z0-9._-]{1,249} and not ./.."
             )
         self._starting = options.get("startingOffsets", "earliest").lower()
         if self._starting not in ("earliest", "latest"):

@@ -179,6 +179,7 @@ def to_insert_mutations(
     table: str,
     table_id: int = 0,
     extra_strings: dict[str, F.Column] | None = None,
+    unbucketed_to_strings: bool = False,
 ) -> DataFrame:
     """Re-shape a relational DataFrame into canonical change events:
     ``op='insert'``, ``ts = epoch(0)`` (SelectConsumer emits
@@ -188,6 +189,16 @@ def to_insert_mutations(
     serializer applies (KafkaGenericAvroSerializer.scala:70-116;
     unsupported types dropped, :112). ``extra_strings`` adds caller
     columns (cast to string) into ``new_strings`` — e.g. a source tag.
+
+    ``unbucketed_to_strings=True`` switches the unsupported-type rule
+    from the reference's DROP to the Debezium adapter's
+    string-fallback (debezium.py _typed_map: "adding a schema never
+    loses values") — set it when a snapshot PRELOADS state that a
+    Debezium CDC feed then maintains, so the two sources agree on
+    every row's typed-map key set (round-8 review: a double column
+    otherwise appears in CDC rows' new_strings but in no snapshot
+    row, and keyed state grows a key on first CDC touch). The default
+    stays reference-parity (oracle-pinned).
 
     The output carries the FULL canonical CHANGE_EVENT_SCHEMA column
     set (seq=0, sql=NULL included), so snapshot rows union with a live
@@ -203,7 +214,9 @@ def to_insert_mutations(
             strs.append(field.name)
         elif isinstance(field.dataType, _BYTES_TYPES):
             byts.append(field.name)
-        # other types are dropped, mirroring the reference
+        elif unbucketed_to_strings:
+            strs.append(field.name)  # Debezium-adapter consistency
+        # else: dropped, mirroring the reference
 
     def typed_map(names: list[str], cast: str | None = None) -> F.Column:
         if not names:
@@ -219,13 +232,17 @@ def to_insert_mutations(
         # at the old_* call sites
         return typed_map([], cast)
 
-    new_strings = typed_map(strs)
+    # "string" cast is a no-op for real string columns and makes the
+    # unbucketed_to_strings fallback's mixed types legal in create_map
+    new_strings = typed_map(strs, "string")
     if extra_strings:
-        clash = sorted(set(extra_strings) & set(strs))
+        # check ALL four buckets, not just strings (round-8 review):
+        # an extra key shadowing an int/long/binary column would put
+        # the same key in two typed maps — render_sql's map_concat
+        # then throws DUPLICATED_MAP_KEY deep inside the job, exactly
+        # what this plan-time guard exists to prevent
+        clash = sorted(set(extra_strings) & set(ints + longs + strs + byts))
         if clash:
-            # fail at plan time with a nameable error — map_concat of
-            # duplicate keys would otherwise throw DUPLICATED_MAP_KEY
-            # deep inside the job under Spark's default dedup policy
             raise ValueError(
                 f"extra_strings keys collide with table columns: {clash}"
             )

@@ -429,3 +429,16 @@ def test_debezium_alter_composes_with_orchestrator_live(spark, tmp_path):
     # types LongType so values land in the reference's 'longs' map
     # (the round-5 interop rule) — hence bigint on the wire out
     assert dict(delivered.dtypes)["age"] == "bigint"
+
+
+def test_keep_raw_preserves_exact_binary_bytes(spark):
+    """A binary Kafka value with invalid UTF-8 (a misrouted Avro
+    record — exactly the garbage the DLQ exists for) must survive
+    into raw_value byte-for-byte (round-8 review: the previous string
+    cast mangled it into U+FFFD replacement characters, making the
+    dead-lettered payload unreplayable)."""
+    bad = b"\x00\x01Obj\xff\xfe not utf8"
+    df = spark.createDataFrame([(bad,)], "value binary")
+    r = debezium_change_events(df, keep_raw=True).collect()[0]
+    assert r["op"] is None  # unparseable -> DLQ-routable
+    assert bytes(r["raw_value"]) == bad

@@ -378,3 +378,70 @@ def test_kafka_twin_roundtrips_avro_codec(spark, tmp_path):
         (r["op"], r["database"], r["table"]) for r in df.collect()
     )
     assert sig(out) == sig(batch) and out.count() > 0
+
+
+def test_kafkafile_refuses_dot_topics_and_validates_subscribe(spark, tmp_path):
+    """Kafka reserves '.' and '..' as illegal topic names — the twin
+    must too, or a '.' topic lands log files in the broker ROOT and
+    '..' in its PARENT (round-8 review: the charset regex alone
+    admitted both); the reader applies the same rule to subscribe so
+    '../x' can never read outside the broker dir."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from mypipe_spark.sources.kafka_shim import (
+        _KafkaFileStreamReader,
+        _KafkaFileStreamWriter,
+    )
+
+    schema = StructType.fromDDL("topic string, value binary")
+    w = _KafkaFileStreamWriter(
+        {"kafka.bootstrap.servers": str(tmp_path / "broker")}, schema
+    )
+    for bad in (".", ".."):
+        with pytest.raises(ValueError, match="illegal topic"):
+            w.write(iter([Row(topic=bad, value=b"x")]))
+    for bad in ("..", "../evil", "a/b"):
+        with pytest.raises(ValueError, match="illegal subscribe|single topic"):
+            _KafkaFileStreamReader(
+                {
+                    "kafka.bootstrap.servers": str(tmp_path / "broker"),
+                    "subscribe": bad,
+                }
+            )
+
+
+def test_kafkafile_sink_accepts_string_value_like_the_connector(spark, tmp_path):
+    """The real connector casts string key/value columns to binary;
+    the twin must accept them identically (round-8 review: bytes(str)
+    raised an opaque executor TypeError where format('kafka') would
+    have worked)."""
+    import glob as _glob
+    import json as _json
+
+    register_kafka_file_shim(spark)
+    broker = str(tmp_path / "broker")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("t1", "payload-as-string", "key-as-string")],
+        "topic string, value string, key string",
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("topic string, value string, key string")
+        .parquet(src)
+        .writeStream.format("kafkafile")
+        .option("kafka.bootstrap.servers", broker)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    recs = [
+        _json.loads(l)
+        for p in _glob.glob(f"{broker}/t1/data-*.jsonl")
+        for l in open(p)
+    ]
+    assert len(recs) == 1
+    assert base64.b64decode(recs[0]["v"]) == b"payload-as-string"
+    assert base64.b64decode(recs[0]["k"]) == b"key-as-string"

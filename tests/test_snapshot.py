@@ -179,3 +179,44 @@ def test_generic_bucket_matches_reference_wire_format():
     assert GENERIC_BUCKET_FOR_TYPE["VARCHAR"] == "strings"
     assert GENERIC_BUCKET_FOR_TYPE["LONG"] == "longs"
     assert GENERIC_BUCKET_FOR_TYPE["VAR_STRING"] == "bytes"
+
+
+def test_extra_strings_collision_guard_covers_all_buckets(spark):
+    """The plan-time collision guard must catch an extra_strings key
+    shadowing ANY typed-map column, not just string ones (round-8
+    review: an int-column collision sailed past the guard and
+    render_sql's map_concat threw DUPLICATED_MAP_KEY mid-job)."""
+    import pytest
+
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+
+    df = spark.createDataFrame(
+        [(1, 10, "a")], "id int, n bigint, name string"
+    )
+    for col in ("id", "n", "name"):
+        with pytest.raises(ValueError, match="collide"):
+            to_insert_mutations(
+                df, "db", "t", extra_strings={col: F.lit("x")}
+            )
+
+
+def test_unbucketed_to_strings_matches_debezium_key_set(spark):
+    """Cross-source consistency opt-in (round-8 review): with
+    unbucketed_to_strings=True a snapshot preload buckets a double
+    column into new_strings exactly like the Debezium adapter's
+    string-fallback, so keyed state bootstrapped from the snapshot
+    and maintained by CDC agrees on every row's key set. Default
+    stays the reference's drop rule."""
+    df = spark.createDataFrame(
+        [(1, 2.5, "x")], "id int, score double, name string"
+    )
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+
+    dropped = to_insert_mutations(df, "db", "t").collect()[0]
+    assert "score" not in (dropped["new_strings"] or {})
+    kept = to_insert_mutations(
+        df, "db", "t", unbucketed_to_strings=True
+    ).collect()[0]
+    assert kept["new_strings"]["score"] == "2.5"
+    assert kept["new_strings"]["name"] == "x"
+    assert kept["new_integers"] == {"id": 1}
