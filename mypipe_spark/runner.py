@@ -333,10 +333,16 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     )
                 tschema = _St.fromJson(_json.loads(latest[1]))
 
-                def _wire_split(df: DataFrame, _r=wreg, _s=tschema):
+                def _wire_split(df: DataFrame, _r=wreg, _s=tschema,
+                                _db=db, _tbl=tbl):
                     from .sinks.wire import encode_specific_dead_letter_split
 
-                    return encode_specific_dead_letter_split(df, _s, _r)
+                    # db/table pinned: rows of OTHER tables dead-letter
+                    # instead of shipping this table's body layout
+                    # under their own schema id (single-table contract)
+                    return encode_specific_dead_letter_split(
+                        df, _s, _r, database=_db, table=_tbl
+                    )
 
             else:
                 raise ValueError(

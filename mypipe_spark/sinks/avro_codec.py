@@ -175,12 +175,9 @@ def _read_map(r: _Reader, vkind: str) -> dict:
 # ---------------------------------------------------------------------------
 
 # the union wire record spec comes from the canonical declaration in
-# model.py (importable without pandas); re-exported here for callers
-# that already import them from this module
+# model.py (importable without pandas)
 from ..model import (  # noqa: E402
     ENVELOPE_FIELDS as UNION_FIELDS,
-    ENVELOPE_HEADER_FIELDS,
-    ENVELOPE_MAP_FIELDS,
     ENVELOPE_MAP_KINDS as _MAP_KINDS,
     ENVELOPE_MAP_NAMES as _MAP_NAMES,
 )
@@ -338,16 +335,18 @@ def decode_reference_record(op: str, b: bytes) -> dict:
 
 _FIELD_NAMES = [n for n, _ in UNION_FIELDS]
 
-# struct DDL must match wire._PAYLOAD_JSON_SCHEMA exactly (same columns
-# whichever codec decoded the frame)
-_PAYLOAD_DDL = (
-    "database string, table string, tableId bigint, txid string, "
-    "bytes map<string,binary>, integers map<string,int>, "
-    "strings map<string,string>, longs map<string,bigint>, "
-    "old_bytes map<string,binary>, old_integers map<string,int>, "
-    "old_strings map<string,string>, old_longs map<string,bigint>, "
-    "new_bytes map<string,binary>, new_integers map<string,int>, "
-    "new_strings map<string,string>, new_longs map<string,bigint>"
+# struct DDL derived from the SAME canonical declaration (and with the
+# SAME kind→DDL mapping) as wire._PAYLOAD_JSON_SCHEMA — previously a
+# hand-maintained copy whose "must match exactly" comment nothing
+# enforced: a new ENVELOPE_FIELDS entry would have updated every other
+# twin and silently left this one stale (round-8 review)
+_KIND_DDL = {
+    "string": "string", "long": "bigint",
+    "map_bytes": "map<string,binary>", "map_int": "map<string,int>",
+    "map_string": "map<string,string>", "map_long": "map<string,bigint>",
+}
+_PAYLOAD_DDL = ", ".join(
+    f"{name} {_KIND_DDL[kind]}" for name, kind in UNION_FIELDS
 )
 
 
@@ -529,7 +528,13 @@ def encode_specific_record(op: str, rec: dict, fields: list[tuple[str, str]]) ->
                 continue
             _write_varint(buf, 1)
             if kind in ("int", "long"):
-                _write_varint(buf, int(v))
+                # range-check on ENCODE too, not just decode: an
+                # out-of-width value (a long riding the dual-map
+                # fallback into an 'int' column) must divert HERE as a
+                # serialize_failure, not ship as a "valid" frame the
+                # codec's own decoder then rejects at the consumer
+                # (round-8 review)
+                _write_varint(buf, _checked_int(int(v), kind))
             elif kind == "string":
                 _write_string(buf, str(v))
             else:
@@ -595,7 +600,14 @@ def specific_decode_expr(
     ddl = _specific_ddl(fields, op_kind)
     key = "spec_dec:" + op_kind + ":" + repr(fields)
     if key not in _UDFS:
-        names = [c.split(" ")[0].strip("`") for c in ddl.split(", ")]
+        # names computed DIRECTLY, never re-parsed from the DDL string
+        # (round-8 review: splitting on ', '/' ' truncated legal
+        # backticked names containing spaces or commas, desyncing the
+        # pandas columns from the UDF's declared struct fields)
+        prefixes = ("old_", "new_") if op_kind == "update" else ("",)
+        names = ["database", "table"] + [
+            f"{p}{n}" for p in prefixes for n, _ in fields
+        ]
 
         def dec(payload_s: pd.Series, op_s: pd.Series) -> pd.DataFrame:
             rows = []

@@ -97,6 +97,12 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
     cols = ["topic", "CAST(value AS BINARY) as value"]
     if "key" in df.columns:
         cols.insert(1, "CAST(key AS BINARY) as key")
+    # the kafka sink's other routing/metadata columns pass through
+    # when the caller provided them — previously silently dropped
+    # (header-less, default-partitioned messages with no diagnostics)
+    for extra in ("headers", "partition"):
+        if extra in df.columns:
+            cols.append(extra)
     return (
         df.selectExpr(*cols)
         .writeStream.format(fmt)

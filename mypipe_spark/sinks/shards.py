@@ -52,17 +52,23 @@ def write_training_shards(
     reruns and cluster sizes)."""
     if shards_per_stratum < 1:
         raise ValueError("shards_per_stratum must be >= 1")
+    # internal column name derived to be ABSENT from df: a caller
+    # column literally named '__shard' would otherwise be silently
+    # overwritten and then dropped from the written shards
+    shard_col = "__shard"
+    while shard_col in df.columns:
+        shard_col += "_"
     shard = F.pmod(F.xxhash64(F.col(key)), F.lit(shards_per_stratum))
     (
-        df.withColumn("__shard", shard)
+        df.withColumn(shard_col, shard)
         # hash-partition on (stratum, shard) at the session's default
         # shuffle parallelism: strata*shards groups spread over the
         # cluster, never a fixed task count that would serialize the
         # export (shards_per_stratum bounds files per stratum, not
         # writer parallelism)
-        .repartition(F.col(stratum), F.col("__shard"))
+        .repartition(F.col(stratum), F.col(shard_col))
         .sortWithinPartitions(stratum, key)
-        .drop("__shard")
+        .drop(shard_col)
         .write.partitionBy(stratum)
         .option("maxRecordsPerFile", rows_per_file)
         .mode(mode)

@@ -381,7 +381,14 @@ def decode_generic(
     parts = unframe(v)
     if codec == "avro":
         if avro_available(df.sparkSession):
-            payload = from_avro(parts["payload"], PAYLOAD_AVRO_SCHEMA)
+            # PERMISSIVE, matching frame_dead_letter_split and the
+            # pure-Python fallback (all-null struct on a malformed
+            # body) — the JVM default is FAILFAST, where one corrupt
+            # frame kills the whole query while the jar-less path on
+            # the same pipeline keeps running (round-8 review)
+            payload = from_avro(
+                parts["payload"], PAYLOAD_AVRO_SCHEMA, {"mode": "PERMISSIVE"}
+            )
         else:
             from .avro_codec import avro_decode_expr
 
@@ -648,7 +655,13 @@ def specific_projection(df: DataFrame, table_schema: StructType, image: str = "n
 # ---------------------------------------------------------------------------
 
 
-def encode_specific(df: DataFrame, table_schema: StructType, registry: SchemaRegistry) -> DataFrame:
+def encode_specific(
+    df: DataFrame,
+    table_schema: StructType,
+    registry: SchemaRegistry,
+    database: str | None = None,
+    table: str | None = None,
+) -> DataFrame:
     """Mutations → framed SPECIFIC-record wire bytes: the per-table
     Avro record (database, table, then the table's columns — update
     rows carry old_/new_ pairs) behind the same
@@ -672,12 +685,32 @@ def encode_specific(df: DataFrame, table_schema: StructType, registry: SchemaReg
     reference-topic bytes use ``codec='avro_ref'`` (the mutations.avsc
     union records), which IS wire-compatible. This path's decoder is
     :func:`decode_specific` / ``decode_specific_versioned`` — a
-    matched pair, round-trip-tested against itself."""
+    matched pair, round-trip-tested against itself.
+
+    SINGLE-TABLE CONTRACT: the body of every frame is laid out by THE
+    ONE ``table_schema`` — pass ``database``/``table`` to pin the
+    per-row schema-id lookup to that table's three subjects, so a row
+    from any OTHER registered table gets a NULL id (→ NULL frame →
+    dead-letter) instead of shipping another table's valid id over a
+    body serialized with this table's layout (round-8 review: such
+    frames passed the split as "valid" and misparsed at the
+    consumer). Omitting db/table keeps the all-subjects lookup for
+    single-table feeds that tag rows themselves."""
     from .avro_codec import specific_encode_expr
 
     enveloped = generic_envelope(df)
+    from ..model import specific_subject
+
+    wanted = (
+        {specific_subject(database, table, op_)
+         for op_ in ("insert", "update", "delete")}
+        if database is not None and table is not None
+        else None
+    )
     pairs: list[Column] = []
     for s in registry.subjects():
+        if wanted is not None and s not in wanted:
+            continue
         latest = registry.get_latest(s)
         if latest:
             pairs += [F.lit(s), F.lit(latest[0])]
@@ -749,19 +782,31 @@ def decode_specific_versioned(
     (mutation type, registered version) whose StructType parses from
     the registry. Branch schemas legitimately differ (that is the
     point), so they cannot union; a consumer processes per-version,
-    exactly as the reference's per-class decoding does. Ids are
-    per-subject in this registry, so the (mtype, id) pair — both from
-    the frame header — is the full writer-schema key."""
+    exactly as the reference's per-class decoding does.
+
+    Cross-table guard (round-8 review): ids are PER-SUBJECT (every
+    subject's versions start at 1), so on a topic carrying several
+    tables' frames the (mtype, id) header pair alone would route a
+    colliding other-table frame into this table's branch and decode
+    its body under the wrong schema. The record body's first two
+    fields are (database, table) at identical byte positions in EVERY
+    specific schema, so they decode correctly even under a wrong
+    table's schema — each branch therefore post-filters on the
+    decoded coordinates, keeping only this table's frames (NULL
+    coordinates — an undecodable body — stay in the branch, as
+    before: that is the bad-payload surface, not a foreign table)."""
     import json as _json
 
     from pyspark.sql.types import StructType as _St
+
+    from ..model import specific_subject
 
     v = F.col(value_col)
     parts = unframe(v)
     ops = ("update",) if which == "update" else ("insert", "delete")
     out: dict[tuple[str, int], DataFrame] = {}
     for op in ops:
-        subject = f"{database}_{table}_{op}"
+        subject = specific_subject(database, table, op)
         for version in registry.versions(subject):
             text = registry.get_schema(subject, version)
             if text is None:
@@ -774,20 +819,35 @@ def decode_specific_versioned(
                 (parts["mtype"] == MUTATION_MAGIC[op])
                 & (parts["schema_id"] == version)
             )
-            out[(op, version)] = decode_specific(
+            decoded = decode_specific(
                 branch, schema, value_col=value_col, which=which
+            )
+            rec_db = F.col("record.database")
+            rec_tbl = F.col("record.table")
+            out[(op, version)] = decoded.filter(
+                ~(
+                    (rec_db.isNotNull() & (rec_db != database))
+                    | (rec_tbl.isNotNull() & (rec_tbl != table))
+                )
             )
     return out
 
 
 def encode_specific_dead_letter_split(
-    df: DataFrame, table_schema: StructType, registry: SchemaRegistry
+    df: DataFrame,
+    table_schema: StructType,
+    registry: SchemaRegistry,
+    database: str | None = None,
+    table: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Specific-flavor twin of :func:`encode_dead_letter_split`:
 
     - ``not_a_mutation``       — control rows piped in unfiltered
     - ``unregistered_subject`` — no registered <db>_<table>_<op>
-      subject (the per-row schema-id lookup is NULL)
+      subject (the per-row schema-id lookup is NULL), or — with
+      ``database``/``table`` pinned (encode_specific's single-table
+      contract) — a row belonging to a DIFFERENT table than the one
+      this encoder's body layout serves
     - ``serialize_failure``    — the record codec threw for the row
 
     Returns ``(encoded_valid, dead)``; every valid frame is non-NULL."""
@@ -801,7 +861,9 @@ def encode_specific_dead_letter_split(
     )
     valid = classified.filter(F.col("dlq_reason").isNull()).drop("dlq_reason")
     dead = classified.filter(F.col("dlq_reason").isNotNull())
-    encoded = encode_specific(valid, table_schema, registry)
+    encoded = encode_specific(
+        valid, table_schema, registry, database=database, table=table
+    )
     failed = (
         encoded.filter(F.col("value").isNull())
         .withColumn(

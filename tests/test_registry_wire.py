@@ -732,3 +732,103 @@ def test_encode_specific_split_diverts_controls_and_unregistered(spark):
     reasons = sorted(r["dlq_reason"] for r in dead.collect())
     assert "unregistered_subject" in reasons and "not_a_mutation" in reasons
     assert dead.count() == (events.count() - muts.count()) + 1
+
+
+def test_specific_single_table_contract_and_cross_table_guard(spark):
+    """Round-8 review pair on the specific path's per-subject ids:
+
+    (a) encode: with database/table pinned, a mixed-table feed
+    dead-letters the foreign table's rows instead of shipping their
+    own (valid!) schema id over a body laid out by THIS table's
+    schema;
+    (b) decode_specific_versioned: ids start at 1 for EVERY subject,
+    so on a shared topic another table's (mtype, id)-colliding frames
+    previously landed in this table's branch and misdecoded — the
+    branch now post-filters on the body's decoded (database, table),
+    which sit at identical byte positions under every schema."""
+    from mypipe_spark.sinks.wire import (
+        decode_specific_versioned,
+        encode_specific,
+        encode_specific_dead_letter_split,
+    )
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+
+    users_schema = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    orders_schema = StructType(
+        [StructField("id", IntegerType()), StructField("item", StringType())]
+    )
+    mu = to_insert_mutations(
+        spark.createDataFrame([(1, "a")], users_schema), "db", "users"
+    )
+    mo = to_insert_mutations(
+        spark.createDataFrame([(10, "x")], orders_schema), "db", "orders"
+    )
+    reg = SchemaRegistry()
+    register_table(reg, "db", "users", users_schema)
+    register_table(reg, "db", "orders", orders_schema)
+
+    valid, dead = encode_specific_dead_letter_split(
+        mu.unionByName(mo), users_schema, reg, database="db", table="users"
+    )
+    assert valid.count() == 1
+    assert [r["dlq_reason"] for r in dead.collect()] == ["unregistered_subject"]
+
+    topic = (
+        encode_specific(mu, users_schema, reg, database="db", table="users")
+        .select("value")
+        .unionByName(
+            encode_specific(
+                mo, orders_schema, reg, database="db", table="orders"
+            ).select("value")
+        )
+    )
+    branches = decode_specific_versioned(topic, reg, "db", "users")
+    rows = branches[("insert", 1)].collect()
+    assert [(r["record"]["id"], r["record"]["name"]) for r in rows] == [(1, "a")]
+
+
+def test_encode_specific_range_checks_int_columns(spark):
+    """Encode-side width check (round-8 review): a value beyond int32
+    riding the dual-map fallback into a column declared int must
+    divert as serialize_failure AT THE PRODUCER — not ship as a
+    'valid' frame the codec's own decoder then rejects downstream."""
+    from mypipe_spark.sinks.wire import encode_specific_dead_letter_split
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+
+    df = spark.createDataFrame([(2**40, "a")], "id bigint, name string")
+    mu = to_insert_mutations(df, "db", "t")
+    declared = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    reg = SchemaRegistry()
+    register_table(reg, "db", "t", declared)
+    valid, dead = encode_specific_dead_letter_split(mu, declared, reg)
+    assert valid.count() == 0
+    assert [r["dlq_reason"] for r in dead.collect()] == ["serialize_failure"]
+
+
+def test_specific_roundtrip_with_space_in_column_name(spark):
+    """Backticked column names containing spaces survive the specific
+    round-trip (round-8 review: the decoder re-parsed its own DDL
+    string to recover names, truncating 'unit price' to 'unit' and
+    desyncing the pandas columns from the declared struct)."""
+    from mypipe_spark.sinks.wire import decode_specific, encode_specific
+    from mypipe_spark.sources.snapshot import to_insert_mutations
+
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("unit price", IntegerType())]
+    )
+    df = spark.createDataFrame([(1, 42)], schema)
+    mu = to_insert_mutations(df, "db", "t")
+    reg = SchemaRegistry()
+    register_table(reg, "db", "t", schema)
+    framed = encode_specific(mu, schema, reg)
+    assert framed.filter(F.col("value").isNull()).count() == 0
+    rec = (
+        decode_specific(framed.select("value"), schema, which="single")
+        .select("record.*")
+        .collect()[0]
+    )
+    assert rec["id"] == 1 and rec["unit price"] == 42

@@ -462,3 +462,21 @@ def test_compact_write_rejects_append_and_ignore_modes(spark, sf_dir, tmp_path):
         compact_write(docs, str(tmp_path / "x"), mode="append")
     with pytest.raises(ValueError, match="ignore"):
         compact_write(docs, str(tmp_path / "x"), mode="ignore")
+
+
+def test_caller_shard_column_survives(spark, tmp_path):
+    """A user column literally named '__shard' must not be overwritten
+    by the writer's internal hash column and dropped from the shards
+    (round-8 review) — the internal name is derived to be absent."""
+    from mypipe_spark.sinks.shards import write_training_shards
+
+    df = spark.createDataFrame(
+        [(1, "en", 7), (2, "en", 8)], "doc_id long, lang string, __shard int"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, shards_per_stratum=2)
+    back = spark.read.parquet(out)
+    assert "__shard" in back.columns
+    assert sorted((r["doc_id"], r["__shard"]) for r in back.collect()) == [
+        (1, 7), (2, 8)
+    ]
