@@ -69,6 +69,13 @@ def asof_join(
     returned as-is rather than stitched from an older row, and the
     tolerance test uses that same row's timestamp.
 
+    NULL join keys never match (SQL/merge_asof semantics): a left row
+    with a NULL key keeps left-join NULLs in the right value columns,
+    and a right row with a NULL key is never carried — round-8 review:
+    Window.partitionBy groups NULLs into ONE partition, so NULL keys
+    previously matched each other, diverging from every join-stated
+    oracle.
+
     Scale: one exchange hash-partitions both sides by ``on``; the
     window is a single sort + linear scan per partition. Carried state
     never exceeds one row (the running reference), so hot keys cost
@@ -76,9 +83,24 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     lvals = [c for c in left.columns if c not in keys and c != left_ts]
     rvals = [c for c in right.columns if c not in keys and c != right_ts]
-    overlap = set(lvals) & set(rvals)
+    # a right value column named like a LEFT value column OR like the
+    # output timestamp would emit two same-named columns (the round-8
+    # review case: right carries its own 'ts' beside right_ts); the
+    # internal tag names are reserved on both sides
+    reserved = {"__t", "__rt", "__ref", _KIND}
+    overlap = (set(rvals) & (set(lvals) | {left_ts})) | (
+        (set(rvals) | set(lvals)) & reserved
+    )
     if overlap:
         raise ValueError(f"rename overlapping right columns: {sorted(overlap)}")
+    # NULL-keyed reference rows must never be carried: drop them here
+    # (NULL-keyed LEFT rows still flow — their partition simply has no
+    # references, so the right values come back NULL, the left-join
+    # contract)
+    r_nonnull = right
+    for k in keys:
+        r_nonnull = r_nonnull.filter(F.col(k).isNotNull())
+    right = r_nonnull
 
     r_tagged = right.select(
         *keys,
@@ -154,7 +176,19 @@ def range_join(
     the naive formulation — a pure inequality join that Spark can only
     execute as a nested-loop — which this never produces (asserted in
     tests)."""
+    # same input guards as the sibling bucketed_interval_join
+    # (operators/intervals.py) — round-8 review: bucket_seconds<=0
+    # previously produced NULL buckets on both sides and a silently
+    # EMPTY join, and shared non-key column names surfaced later as
+    # AMBIGUOUS_REFERENCE at the residual filter
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be >= 1 (got {bucket_seconds})")
     keys = [on] if isinstance(on, str) else list(on or [])
+    shared = (set(left.columns) & set(right.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            f"rename columns present on both sides: {sorted(shared)}"
+        )
     lb = left.withColumn(
         _BUCKET, F.floor(_secs(F.col(left_ts)) / bucket_seconds)
     )

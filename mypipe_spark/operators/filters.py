@@ -42,9 +42,13 @@ def include_events(
         return df
     pred = F.expr(condition)
     if keep_controls:
-        pred = pred | F.col("op").isin(
-            "begin", "commit", "rollback", "alter", "unknown"
-        )
+        # the op taxonomy lives in ONE place (decode.is_mutation):
+        # control = anything that is not a data mutation, so a new
+        # control op can never silently drift out of this passthrough
+        # and starve the tx state machine
+        from .decode import is_mutation
+
+        pred = pred | ~is_mutation()
     return df.filter(pred)
 
 
@@ -141,29 +145,43 @@ def render_sql(df: DataFrame) -> DataFrame:
     binary values render as their hex digits — the reference prints
     all four typed maps, so omitting the bytes bucket would emit an
     empty SET/WHERE clause for BLOB/VAR_STRING-only tables).
+
+    Deliberately NOT map_concat (round-8 review): nothing in
+    CHANGE_EVENT_SCHEMA enforces key disjointness across the four
+    typed maps, and map_concat under the default
+    mapKeyDedupPolicy=EXCEPTION kills the whole job on one malformed
+    event carrying a key in two maps. Concatenating the per-map entry
+    ARRAYS renders both values instead — exactly the reference's
+    four independent print loops.
     """
 
     def kv_pairs(prefix: str) -> Column:
-        # union of ALL FOUR typed maps, sorted by key for stable output
-        merged = F.map_concat(
-            F.coalesce(F.col(f"{prefix}_strings"), F.expr("map()")),
-            F.coalesce(
-                F.transform_values(F.col(f"{prefix}_integers"), lambda _, v: v.cast("string")),
-                F.expr("map()"),
-            ),
-            F.coalesce(
-                F.transform_values(F.col(f"{prefix}_longs"), lambda _, v: v.cast("string")),
-                F.expr("map()"),
-            ),
-            F.coalesce(
-                F.transform_values(F.col(f"{prefix}_bytes"), lambda _, v: F.hex(v)),
-                F.expr("map()"),
-            ),
-        )
-        return F.array_sort(
-            F.transform(
-                F.map_entries(merged),
+        def entries(col: Column) -> Column:
+            return F.transform(
+                F.map_entries(F.coalesce(col, F.expr("map()"))),
                 lambda e: F.concat(e["key"], F.lit("='"), e["value"], F.lit("'")),
+            )
+
+        # all four typed maps, flattened as arrays (duplicate keys
+        # render twice, never throw), sorted for stable output
+        return F.array_sort(
+            F.concat(
+                entries(F.col(f"{prefix}_strings")),
+                entries(
+                    F.transform_values(
+                        F.col(f"{prefix}_integers"), lambda _, v: v.cast("string")
+                    )
+                ),
+                entries(
+                    F.transform_values(
+                        F.col(f"{prefix}_longs"), lambda _, v: v.cast("string")
+                    )
+                ),
+                entries(
+                    F.transform_values(
+                        F.col(f"{prefix}_bytes"), lambda _, v: F.hex(v)
+                    )
+                ),
             )
         )
 

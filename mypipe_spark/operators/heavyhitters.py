@@ -80,6 +80,14 @@ def _norm_item(item):
 
 
 def _summary_schema(parts: DataFrame, col: str) -> T.StructType:
+    if col == "cnt":
+        # the summary relation is (col, cnt) — a summarized column
+        # ITSELF named 'cnt' would build a two-'cnt' schema and die in
+        # Arrow conversion with an unnameable error; refuse up front
+        raise ValueError(
+            "mg summaries reserve the column name 'cnt'; rename the "
+            "summarized column (df.withColumnRenamed) first"
+        )
     return T.StructType(
         [
             T.StructField(col, parts.schema[col].dataType, True),

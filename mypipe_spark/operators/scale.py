@@ -99,64 +99,23 @@ def exact_ntile(
     through one task; the one operator shape that cannot survive a
     100x scale-up).
 
-    Classic two-pass distributed ranking instead:
-
-    1. ``repartitionByRange`` on the ordering key, materialized ONCE
-       (``localCheckpoint``) so both passes see the same partition
-       assignment — range partition i holds keys strictly below
-       partition i+1's.
-    2. Per-partition row counts (one tiny aggregate; P scalars to the
-       driver — index metadata, not data) become prefix-sum offsets.
-    3. global rank = offset[partition] + per-partition ``row_number``
-       (each window sorts only its own range partition, in parallel),
-       and the bucket comes from the standard NTILE arithmetic: with
-       ``n`` rows, the first ``n mod k`` buckets take ``n div k + 1``
-       rows, the rest ``n div k`` — bit-identical to the window
-       function for any deterministic (tie-broken) ordering.
+    Single-axis convenience over :func:`exact_ntile_multi` — ONE
+    implementation of the two-pass distributed ranking (round-8
+    review retired this function's older eager localCheckpoint +
+    per-partition-count form, whose partition-assignment determinism
+    hazard and two build jobs the multi-axis operator was explicitly
+    designed to remove; every contract — bit-equality with the window
+    NTILE, NULLS FIRST, strict-total-order requirement — now lives in
+    one place).
 
     ``order_cols`` must be a strict total order (include a unique
     tiebreak column) — the same requirement that makes the
     single-partition NTILE deterministic in the first place.
 
-    NOTE: construction is EAGER — the range partitioning materializes
-    (localCheckpoint) and the per-partition counts collect when this
-    function is CALLED, not when the returned DataFrame executes (the
-    same pattern as the k-means centroid and snapshot-split collects).
-    The result is therefore a snapshot of the input as of the call;
-    callers composing lazy pipelines should invoke it at execution
-    time, and repeated plan-building pays the two jobs each call."""
-    from pyspark.sql import Window
-
-    P = partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(P, *order_cols).localCheckpoint(eager=True)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    got = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in range(P):
-        offsets.append(acc)
-        acc += got.get(pid, 0)
-    n = acc
-    if n == 0:
-        return df.withColumn(out_col, F.lit(None).cast("int"))
-    rank = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("_pid") + 1
-    ) + F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
-    q, m = divmod(n, k)
-    # rank r -> bucket: first m buckets hold q+1 rows each
-    big = m * (q + 1)
-    bucket = (
-        F.when(F.col("_rank") <= big, F.ceil(F.col("_rank") / (q + 1)))
-        .otherwise(m + F.ceil((F.col("_rank") - big) / F.greatest(F.lit(q), F.lit(1))))
-        .cast("int")
-    )
-    return (
-        with_pid.withColumn("_rank", rank)
-        .withColumn(out_col, bucket)
-        .drop("_pid", "_rank")
-    )
+    NOTE: construction still runs ONE driver job when called (the
+    shared boundary sketch; see exact_ntile_multi) — callers composing
+    lazy pipelines should use :func:`exact_ntile_fn`."""
+    return exact_ntile_multi(df, k, [(out_col, order_cols)], partitions)
 
 
 def exact_ntile_fn(

@@ -36,39 +36,64 @@ from .decode import is_mutation
 def committed_mutations(df: DataFrame, group_by_tx: bool = False) -> DataFrame:
     """Mutations of committed transactions, restamped with commit time.
 
-    - discard-on-rollback: an inner join against commit markers drops
-      rolled-back and still-open transactions in one go;
-    - commit-time restamping (T3): ``ts`` becomes the commit event's
-      timestamp, the original event time is kept as ``event_ts``;
-    - ``group_by_tx=True`` emits one row per transaction with the
-      mutations collected in order (the ``group-mutations-by-tx``
-      flag), sorted by binlog sequence.
+    SEQUENCE-AWARE, exactly like the stateful twin (round-8 review —
+    the previous commit-marker inner join was order-insensitive and
+    emitted ROLLED-BACK mutations whenever their txid later committed
+    again): a mutation is emitted iff its NEXT control marker (commit
+    or rollback, by binlog ``seq`` within the txid) is a commit — the
+    batch statement of "buffer per tx; rollback clears the buffer;
+    commit flushes it". Implemented as ONE window over txid (a
+    first-non-null forward scan of control markers), the same single
+    exchange the old join paid.
+
+    - commit-time restamping (T3): ``ts`` becomes THAT commit's
+      timestamp (a txid with several commit markers restamps each
+      flush group with its own commit, matching the stream's
+      flush-per-commit), the original event time is kept as
+      ``event_ts``;
+    - ``group_by_tx=True`` emits one row per FLUSH (per commit — the
+      stream's grouped emission unit) with the mutations collected in
+      order, sorted by binlog sequence.
 
     Mutations with a NULL ``txid`` — snapshot preloads from
     :func:`..sources.snapshot.to_insert_mutations`, which are committed
     by construction — pass through instead of silently vanishing into
-    the commit join: per-mutation mode keeps them as-is (their ts IS
+    the control scan: per-mutation mode keeps them as-is (their ts IS
     their commit time); grouped mode emits each as its own
     single-mutation group (grouping a 100 TB preload into one NULL-key
     row would be both wrong and a straggler)."""
+    from pyspark.sql import Window
+
     mutations = df.filter(is_mutation())
     preload = mutations.filter(F.col("txid").isNull())
-    commits = (
-        df.filter(F.col("op") == "commit")
-        .select("txid", F.col("ts").alias("commit_ts"))
-        .dropDuplicates(["txid"])
+    evs = df.filter(
+        (is_mutation() | F.col("op").isin("commit", "rollback"))
+        & F.col("txid").isNotNull()
     )
+    w = (
+        Window.partitionBy("txid")
+        .orderBy(F.col("seq").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ctl = F.when(
+        F.col("op").isin("commit", "rollback"),
+        F.struct(F.col("seq").alias("c_seq"), F.col("op").alias("c_op"),
+                 F.col("ts").alias("c_ts")),
+    )
+    scanned = evs.withColumn("_next_ctl", F.first(ctl, ignorenulls=True).over(w))
     stamped = (
-        mutations.filter(F.col("txid").isNotNull())
-        .join(commits, "txid")
+        scanned.filter(is_mutation() & (F.col("_next_ctl.c_op") == "commit"))
         .withColumn("event_ts", F.col("ts"))
-        .withColumn("ts", F.col("commit_ts"))
-        .drop("commit_ts")
+        .withColumn("ts", F.col("_next_ctl.c_ts"))
+        .withColumn("_flush_seq", F.col("_next_ctl.c_seq"))
+        .drop("_next_ctl")
     )
     if not group_by_tx:
-        return stamped.unionByName(preload.withColumn("event_ts", F.col("ts")))
+        return stamped.drop("_flush_seq").unionByName(
+            preload.withColumn("event_ts", F.col("ts"))
+        )
     grouped = (
-        stamped.groupBy("txid")
+        stamped.groupBy("txid", "_flush_seq")
         .agg(
             F.min("ts").alias("ts"),
             F.count("*").alias("n_mutations"),
@@ -76,6 +101,7 @@ def committed_mutations(df: DataFrame, group_by_tx: bool = False) -> DataFrame:
                 F.collect_list(F.struct("seq", "op", "database", "table"))
             ).alias("mutations"),
         )
+        .drop("_flush_seq")
     )
     singles = preload.select(
         "txid",

@@ -318,3 +318,44 @@ def test_snapshot_preload_flows_through_tx_grouping(spark, sf_dir, tmp_path):
     got = spark.sql("select * from snapcl")
     assert got.filter("txid IS NULL").count() == 20
     assert got.count() == per_mut.count()
+
+
+def test_committed_mutations_respects_rollback_commit_order(spark):
+    """The batch form is sequence-aware like the stateful twin
+    (round-8 review: the old commit-marker inner join emitted
+    ROLLED-BACK mutations whenever their txid later committed): with
+    [ins 1, ins 2, rollback 3, ins 4, commit 5] only seq 4 survives,
+    stamped with commit 5's ts; and a txid with TWO commits flushes
+    two groups, each restamped with its own commit."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+
+    def ev(seq, op, ts, txid="T"):
+        return {
+            "seq": seq, "op": op, "database": "d", "table": "t",
+            "table_id": 1, "txid": txid, "ts": ts, "sql": None,
+            "old_bytes": None, "old_integers": None, "old_strings": None,
+            "old_longs": None, "new_bytes": None, "new_integers": None,
+            "new_strings": None, "new_longs": None,
+        }
+
+    df = spark.createDataFrame(
+        [
+            ev(1, "insert", t(1)), ev(2, "insert", t(2)),
+            ev(3, "rollback", t(3)), ev(4, "insert", t(4)),
+            ev(5, "commit", t(5)),
+            # second flush in the same txid
+            ev(6, "insert", t(6)), ev(7, "commit", t(7)),
+        ],
+        CHANGE_EVENT_SCHEMA,
+    )
+    out = committed_mutations(df).select("seq", "ts", "event_ts").collect()
+    got = sorted((r["seq"], r["ts"], r["event_ts"]) for r in out)
+    assert got == [(4, t(5), t(4)), (6, t(7), t(6))]
+
+    grouped = committed_mutations(df, group_by_tx=True).collect()
+    flushes = sorted(
+        (r["ts"], [m["seq"] for m in r["mutations"]]) for r in grouped
+    )
+    assert flushes == [(t(5), [4]), (t(7), [6])]
