@@ -223,7 +223,7 @@ def write_changelog(
     stamp_increasing_mtimes(path)
 
 
-def stamp_increasing_mtimes(path: str) -> None:
+def stamp_increasing_mtimes(path: str, files: list[str] | None = None) -> None:
     """Stamp the directory's part files with strictly increasing
     mtimes in filename (= seq-range) order — the delivery-order
     contract behind every changelog replay: a single write job gives
@@ -238,7 +238,23 @@ def stamp_increasing_mtimes(path: str) -> None:
     import os as _os
     import time as _time
 
-    now = _time.time()
-    parts = sorted(_glob.glob(path + "/part-*.parquet"))
-    for i, f in enumerate(parts):
-        _os.utime(f, (now + i, now + i))
+    all_parts = _glob.glob(path + "/part-*.parquet")
+    targets = sorted(files) if files is not None else sorted(all_parts)
+    if not targets:
+        return
+    # Monotonic baseline (round-8 review): files stamp up to N-1
+    # seconds into the FUTURE, so a later segment stamped into the
+    # same watched directory would otherwise start BELOW the previous
+    # segment's tail and replay out of order — the exact
+    # commit-before-mutations loss this function exists to prevent.
+    # The new stamps therefore start ABOVE every file this call does
+    # not touch. For multi-segment directories pass the NEW segment's
+    # files via ``files`` (restamping everything by name would
+    # interleave segments, since part names don't encode segment
+    # order); the default stamps the whole directory, the
+    # single-segment contract.
+    others = set(all_parts) - set(targets)
+    floor = max((_os.path.getmtime(f) for f in others), default=0.0)
+    base = max(_time.time(), floor + 1)
+    for i, f in enumerate(targets):
+        _os.utime(f, (base + i, base + i))

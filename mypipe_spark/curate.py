@@ -152,6 +152,17 @@ def run_curation(
 
     sf_dir = config.get("sf_dir")
     out_dir = config["out_dir"]
+    if str(config.get("mode", "error")) == "append":
+        # same whole-directory-audit rule as compact_write: n_written
+        # counts EVERY row under out_dir, so appending into a
+        # non-empty directory would blend prior runs' rows into this
+        # run's audit and silently break the n_written ≈ mix-selected
+        # invariant consumers check (round-8 review)
+        raise ValueError(
+            "run_curation: mode='append' would corrupt the n_written "
+            "audit (it counts the whole out_dir); write each run to "
+            "its own directory, or use overwrite"
+        )
     budget = int(config.get("budget", 200))
     if docs is None:
         docs = load_tables(spark, sf_dir)["documents"]

@@ -266,7 +266,14 @@ class RestSchemaRegistry:
         new_id = int(out["id"])
         with self._lock:
             self._remember(subject, new_id, text)
-            self._latest_cache[subject] = (new_id, text)
+            # INVALIDATE the latest cache rather than set it: the
+            # server's register is idempotent, so re-registering an
+            # OLD version returns the old id — blindly caching it as
+            # "latest" would pin every subsequent get_latest (and the
+            # encode paths behind it) to a stale schema (round-8
+            # review; the in-memory twin's early return dodges this by
+            # construction). The next get_latest re-fetches — one GET.
+            self._latest_cache.pop(subject, None)
         return new_id
 
     def get_schema(self, subject: str, schema_id: int) -> str | None:

@@ -94,7 +94,11 @@ def _debezium_consumer(spark: SparkSession, conf: dict) -> DataFrame:
     tschema = None
     reg = _registry_from_conf(conf)
     if reg is not None and "database" in conf and "table" in conf:
-        latest = reg.get_latest(f"{conf['database']}_{conf['table']}_insert")
+        from .model import specific_subject
+
+        latest = reg.get_latest(
+            specific_subject(conf["database"], conf["table"], "insert")
+        )
         if latest:
             try:
                 tschema = _St.fromJson(_json.loads(latest[1]))
@@ -152,6 +156,27 @@ def _registry_from_conf(conf: dict) -> Any:
     )
 
 
+def _dlq_pipe(pipe_id, suffix, source, dlq_path, checkpoint) -> Pipe:
+    """The ONE dead-letter sibling-pipe construction (kafka decode,
+    debezium and wire DLQ branches all build the same shape) —
+    including the fail-before-run rule from
+    errors.run_pipe_with_dead_letter: a DLQ parquet sink with no
+    checkpoint would lose dead rows, so refuse at build."""
+    if not checkpoint:
+        raise ValueError(
+            f"pipe '{pipe_id}': dead-letter-path requires a "
+            "'checkpoint' (the DLQ parquet sink cannot run without "
+            "one)"
+        )
+    return Pipe(
+        pipe_id=f"{pipe_id}{suffix}",
+        source=source,
+        producer="parquet",
+        producer_options={"path": dlq_path},
+        checkpoint_dir=checkpoint + suffix,
+    )
+
+
 def build_pipes(config: dict[str, Any]) -> list[Pipe]:
     """Dict config → Pipe objects (not yet started)."""
     consumers: dict[str, dict] = config.get("consumers", {})
@@ -200,16 +225,6 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
             transforms.append(_decode_kafka)
             dlq_path = pconf.get("dead-letter-path")
             if dlq_path:
-                checkpoint = pconf.get("checkpoint")
-                if not checkpoint:
-                    # same fail-before-run rule as
-                    # errors.run_pipe_with_dead_letter: a DLQ parquet
-                    # sink with no checkpoint would lose dead rows
-                    raise ValueError(
-                        f"pipe '{pipe_id}': dead-letter-path requires "
-                        "a 'checkpoint' (the DLQ parquet sink cannot "
-                        "run without one)"
-                    )
 
                 def _dead_source(
                     s: SparkSession,
@@ -225,13 +240,8 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     )[1]
 
                 pipes.append(
-                    Pipe(
-                        pipe_id=f"{pipe_id}_dlq",
-                        source=_dead_source,
-                        producer="parquet",
-                        producer_options={"path": dlq_path},
-                        checkpoint_dir=checkpoint + "_dlq",
-                    )
+                    _dlq_pipe(pipe_id, "_dlq", _dead_source, dlq_path,
+                              pconf.get("checkpoint"))
                 )
         elif ctype == "debezium":
             # the adapter surfaces unparseable/unknown-op envelopes as
@@ -240,13 +250,6 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
             # mutations-only default downstream
             dlq_path = pconf.get("dead-letter-path")
             if dlq_path:
-                checkpoint = pconf.get("checkpoint")
-                if not checkpoint:
-                    raise ValueError(
-                        f"pipe '{pipe_id}': dead-letter-path requires "
-                        "a 'checkpoint' (the DLQ parquet sink cannot "
-                        "run without one)"
-                    )
 
                 def _dbz_dead_source(s: SparkSession, _cc=cconf) -> DataFrame:
                     from .sources.debezium import debezium_change_events
@@ -262,21 +265,35 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     )
 
                 pipes.append(
-                    Pipe(
-                        pipe_id=f"{pipe_id}_dlq",
-                        source=_dbz_dead_source,
-                        producer="parquet",
-                        producer_options={"path": dlq_path},
-                        checkpoint_dir=checkpoint + "_dlq",
-                    )
+                    _dlq_pipe(pipe_id, "_dlq", _dbz_dead_source, dlq_path,
+                              pconf.get("checkpoint"))
                 )
         grouped = bool(pconf.get("group-mutations-by-tx"))
+        if grouped and ctype in ("kafka", "debezium"):
+            # same fail-before-run rule as the wire+grouped rejection
+            # below: these decoded streams carry NO BEGIN/COMMIT
+            # markers (the wire split only passes mutation mtypes; the
+            # Debezium op map has no commit), so the commit-gated tx
+            # state machine would buffer every txid forever and the
+            # pipe would silently emit nothing while state grows
+            raise ValueError(
+                f"pipe '{pipe_id}': group-mutations-by-tx needs a "
+                f"commit-marker-bearing stream; the '{ctype}' consumer "
+                "decodes mutations only (its wire has no BEGIN/COMMIT "
+                "frames) — group upstream, before wire encoding"
+            )
         cond = pconf.get("include-event-condition")
         if cond:
-            # in front of tx grouping the commit/rollback markers must
-            # survive a table-scoped condition (they carry table=NULL)
+            # controls must survive a table-scoped condition (they
+            # carry table=NULL) whenever the pipe keeps them
+            # downstream: in front of tx grouping AND when the caller
+            # explicitly set mutations-only=false to consume controls
+            # (previously only the grouped case — an explicit
+            # keep-controls pipe silently lost every BEGIN/COMMIT/
+            # ALTER row to the NULL-evaluating condition)
+            keep = grouped or not pconf.get("mutations-only", True)
             transforms.append(
-                lambda df, _c=cond, _k=grouped: include_events(
+                lambda df, _c=cond, _k=keep: include_events(
                     df, _c, keep_controls=_k
                 )
             )
@@ -323,9 +340,11 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
 
                 from pyspark.sql.types import StructType as _St
 
+                from .model import specific_subject
+
                 db = wire_conf["database"]
                 tbl = wire_conf["table"]
-                latest = wreg.get_latest(f"{db}_{tbl}_insert")
+                latest = wreg.get_latest(specific_subject(db, tbl, "insert"))
                 if latest is None:
                     raise KeyError(
                         f"pipe '{pipe_id}': no registered schema for "
@@ -364,13 +383,6 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                 # itself — acceptable at the measured ~10^5 frames/s,
                 # and the reference's own skip-and-log serializer pays
                 # the serialize either way.
-                checkpoint = pconf.get("checkpoint")
-                if not checkpoint:
-                    raise ValueError(
-                        f"pipe '{pipe_id}': wire dead-letter-path "
-                        "requires a 'checkpoint'"
-                    )
-
                 def _wire_dead_source(
                     s: SparkSession,
                     _f=cfactory,
@@ -384,13 +396,8 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     return _sp(df)[1]
 
                 pipes.append(
-                    Pipe(
-                        pipe_id=f"{pipe_id}_wire_dlq",
-                        source=_wire_dead_source,
-                        producer="parquet",
-                        producer_options={"path": wire_dlq},
-                        checkpoint_dir=checkpoint + "_wire_dlq",
-                    )
+                    _dlq_pipe(pipe_id, "_wire_dlq", _wire_dead_source,
+                              wire_dlq, pconf.get("checkpoint"))
                 )
         topic_template = pconf.get("topic-template")
         if topic_template:

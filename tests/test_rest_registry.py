@@ -173,3 +173,18 @@ def test_versioned_specific_decode_over_rest(spark, live_repo):
     assert branches[("insert", 1)].count() == n
     r2 = branches[("insert", 2)].select("record.*").limit(1).collect()[0]
     assert r2["email"] == "e@example.com"
+
+
+def test_register_of_old_version_does_not_poison_latest(live_repo):
+    """The server's register is idempotent: re-registering an OLD
+    schema returns the old id. A fresh client doing so (config replay
+    carrying stale schema text) must NOT cache that as the subject's
+    latest (round-8 review: every encode behind get_latest would have
+    framed against the stale id until a manual flush)."""
+    _, url = live_repo
+    writer = RestSchemaRegistry(url)
+    writer.register("p", "v1")
+    writer.register("p", "v2")
+    fresh = RestSchemaRegistry(url)
+    assert fresh.register("p", "v1") == 1  # idempotent old version
+    assert fresh.get_latest("p") == (2, "v2")

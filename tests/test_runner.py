@@ -445,3 +445,64 @@ def test_wire_dead_letters_preserved_from_config(spark, tmp_path):
     dead = spark.read.parquet(dlq)
     assert dead.count() == n_controls > 0
     assert set(r["dlq_reason"] for r in dead.collect()) == {"not_a_mutation"}
+
+
+def test_grouped_tx_rejected_on_commitless_consumers(spark, tmp_path):
+    """group-mutations-by-tx on a kafka or debezium consumer is a
+    silent dead end (their decoded streams carry no BEGIN/COMMIT
+    markers, so the commit-gated state machine buffers forever and
+    emits nothing) — build_pipes must refuse at build, like the
+    wire+grouped rejection (round-8 review)."""
+    import pytest
+
+    from mypipe_spark.runner import build_pipes
+
+    for cconf in (
+        {"type": "kafka", "brokers": "b", "topics": "t"},
+        {"type": "debezium", "path": str(tmp_path)},
+    ):
+        config = {
+            "consumers": {"c": cconf},
+            "pipes": {
+                "p": {"consumer": "c", "group-mutations-by-tx": True,
+                       "producer": {"name": "memory"}}
+            },
+        }
+        with pytest.raises(ValueError, match="commit-marker"):
+            build_pipes(config)
+
+
+def test_include_condition_keeps_controls_when_mutations_only_false(spark, tmp_path):
+    """A pipe that explicitly asked to keep control rows
+    (mutations-only=false) must not lose them to a table-scoped
+    include condition (controls carry table=NULL, so the condition
+    evaluates NULL on them) — round-8 review."""
+    from mypipe_spark.changelog import write_changelog
+    from mypipe_spark.runner import build_pipes
+    from mypipe_spark.sources.stream import changelog_batch
+    from mypipe_spark.streaming.pipe import run_pipes
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=5, num_files=1)
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "ctl_keep": {
+                "consumer": "cl",
+                "mutations-only": False,
+                "include-event-condition": "table = 'user'",
+                "producer": {"name": "memory"},
+                "checkpoint": str(tmp_path / "ck"),
+            }
+        },
+    }
+    (pipe,) = build_pipes(config)
+    q = run_pipes(spark, [pipe])[0]
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from ctl_keep")
+    n_controls = out.filter("op in ('begin','commit','rollback')").count()
+    want = changelog_batch(spark, src).filter(
+        "op in ('begin','commit','rollback')"
+    ).count()
+    assert n_controls == want > 0
