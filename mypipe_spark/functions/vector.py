@@ -48,12 +48,31 @@ def cosine_scores_vectorized(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", cos_raw double"
 
+    dim = len(q)
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            m = _quantize_batch(pdf[emb_col])
-            dots = m @ q  # exact int64
-            norms_sq = (m * m).sum(axis=1).astype(np.float64)
+            # mask NULL/ragged embeddings BEFORE stacking: np.stack on
+            # a None or off-dimension row would kill the whole query,
+            # where the expression twin (plans/similarity._cos) yields
+            # a NULL dot → 0.0 for that row and completes — the two
+            # plans are advertised as interchangeable (round-8
+            # review). Bad rows score 0.0, same as the zero-norm
+            # convention.
+            embs = pdf[emb_col].to_numpy()
+            good = np.array(
+                [e is not None and len(e) == dim for e in embs], dtype=bool
+            )
             pdf = pdf.copy()
+            if not good.any():
+                pdf["cos_raw"] = 0.0
+                yield pdf
+                continue
+            m = _quantize_batch(pd.Series(embs[good]))
+            dots = np.zeros(len(embs), dtype=np.float64)
+            norms_sq = np.zeros(len(embs), dtype=np.float64)
+            dots[good] = (m @ q).astype(np.float64)
+            norms_sq[good] = (m * m).sum(axis=1).astype(np.float64)
             # Denominator as sqrt(na*nb) — one sqrt over the exact
             # integer product, matching the expression path and the
             # DuckDB oracle bit-for-bit; sqrt(a)*sqrt(b) can differ in

@@ -1806,12 +1806,24 @@ def burst_flag_stage(events: DataFrame, threshold_us: int = _DEBOUNCE_US) -> Dat
     previous RAW same-key event; LAG over exact epoch-microseconds,
     explicit NULLS LAST tiebreak). Shared by the registered
     events_debounce aggregate and :func:`debounce_starters`, the
-    batch twin the streaming thinner is pinned against."""
-    e = events.filter(F.col("ts").isNotNull()).select(
-        "event_id",
-        "user_id",
+    batch twin the streaming thinner is pinned against.
+
+    The input projection matches streaming/gate.py's canonical_events
+    norms (round-8 review — the twins must agree on dirty input, not
+    just the typed fixtures): the timeless filter is try_cast-based
+    (an unparseable string ts is excluded like a NULL instead of
+    throwing under ANSI / sorting NULLS-FIRST non-ANSI), and ids
+    normalize to bigint so the tiebreak is numeric, never
+    lexicographic. On the typed events table every one of these is a
+    no-op (ts is already ntz, ids already bigint) — fixture plans and
+    oracle parity are unchanged."""
+    e = events.filter(
+        F.col("ts").try_cast("timestamp_ntz").isNotNull()
+    ).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
         "event_type",
-        "ts",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
     )
     order = [F.col("us").asc(), F.col("event_id").asc_nulls_last()]

@@ -63,8 +63,14 @@ _DECODE_ERROR_MARKERS = (
     "INVALID_UTF8_STRING",
     "MALFORMED_RECORD_IN_PARSING",
     "CANNOT_PARSE_JSON",
-    "CAST_INVALID_INPUT",
     "MALFORMED_AVRO_MESSAGE",
+    # CAST_INVALID_INPUT deliberately NOT here (round-8 review): it is
+    # a general expression error a user transform can raise anywhere
+    # (the reference distinguishes by STAGE, not error text), and the
+    # engine's own decode layers never throw it — they are PERMISSIVE/
+    # try_* by construction. Classifying it as decode-stage let a
+    # handle-stage cast failure slip past
+    # quit_on_event_handle_failure=True under decode=skip.
 )
 
 
@@ -120,15 +126,14 @@ def run_pipe_with_dead_letter(
     ``dead_letter_path`` with a reason column. Each sink is its own
     checkpointed query over the same source (T12), so a DLQ backlog
     can never stall the main pipe."""
-    main = Pipe(
-        pipe_id=pipe.pipe_id,
+    import dataclasses
+
+    # dataclasses.replace, not a by-hand eight-field copy: a future
+    # Pipe field would otherwise silently run with its default on
+    # every dead-letter main branch (round-8 review)
+    main = dataclasses.replace(
+        pipe,
         source=lambda s: dead_letter_split(pipe.source(s), valid_condition)[0],
-        transforms=pipe.transforms,
-        producer=pipe.producer,
-        producer_options=pipe.producer_options,
-        checkpoint_dir=pipe.checkpoint_dir,
-        trigger_seconds=pipe.trigger_seconds,
-        output_mode=pipe.output_mode,
     )
     if not pipe.checkpoint_dir:
         # fail BEFORE either branch runs: the DLQ sink is parquet,

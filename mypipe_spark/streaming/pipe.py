@@ -79,5 +79,21 @@ DataStreamWriterLike = object
 def run_pipes(spark: SparkSession, pipes: list[Pipe]) -> list[StreamingQuery]:
     """PipeRunner analog (runner/PipeRunner.scala:22-60): start every
     configured pipe; each runs as an independent StreamingQuery with
-    its own checkpoint, like the reference's one-thread-per-pipe."""
-    return [p.start(spark) for p in pipes]
+    its own checkpoint, like the reference's one-thread-per-pipe.
+
+    All-or-nothing start (round-8 review): if a later pipe fails to
+    start, the already-started queries are STOPPED before the error
+    propagates — otherwise the caller holds no handles to them, and a
+    retry collides with the orphans' query names / live checkpoints."""
+    started: list[StreamingQuery] = []
+    try:
+        for p in pipes:
+            started.append(p.start(spark))
+    except Exception:
+        for q in started:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
+        raise
+    return started

@@ -39,9 +39,15 @@ def latest_state_merge_for(
     triple: per key keep the ``order_cols``-max row. The step is
     associative and order-insensitive (max of maxes), so folding it
     over any chunking of the log reproduces the batch recompute
-    exactly. Shuffles |state| + |batch| rows on the key, never the
-    history. This is what makes the compaction config-expressible
-    (the ``latest_state`` producer in sinks/producers.py)."""
+    exactly — PROVIDED ``order_cols`` is a strict total order per key
+    (include a unique tiebreak, as the default (ts, event_id) is on
+    real feeds): on a FULL tie row_number picks arbitrarily, and which
+    payload survives can then differ between chunkings and from the
+    batch recompute (round-8 review; the same precondition every
+    NTILE/top-k operator in the catalog states). Shuffles |state| +
+    |batch| rows on the key, never the history. This is what makes
+    the compaction config-expressible (the ``latest_state`` producer
+    in sinks/producers.py)."""
 
     def merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
         ev = batch.select(*cols)
@@ -98,8 +104,16 @@ def scd2_merge(history: DataFrame | None, batch: DataFrame) -> DataFrame:
     ``split_fn``/``dead_letter_path``).
 
     Scale shape: the merge shuffles |open rows for affected keys| +
-    |batch| — history stays on disk untouched except the open slice."""
-    ev = batch.select(
+    |batch| — history stays on disk untouched except the open slice.
+
+    Timeless events (NULL ts) are EXCLUDED, matching the batch twin
+    (cdc_scd2_history filters ts IS NOT NULL precisely because NULL
+    ordering flips between engines) — round-8 review: a NULL ts
+    previously became an immutable [NULL, T) interval persisted in
+    every future snapshot, silently breaking the stream==batch pin.
+    Put :func:`scd2_late_split` in front to PRESERVE such rows in the
+    DLQ instead of dropping them here."""
+    ev = batch.filter(F.col("ts").isNotNull()).select(
         "user_id", "event_id", "event_type", "value",
         F.col("ts").alias("valid_from"),
     )
@@ -137,27 +151,40 @@ def scd2_late_split(
     including ones before the OPEN row's start when no closed interval
     exists yet — recompute correctly and pass through.
 
+    Timeless events (NULL ts) divert too — ``scd2_timeless_event`` —
+    since an interval cannot be ordered by a NULL boundary (the merge
+    excludes them; diverting PRESERVES them, the DLQ discipline).
+
     Scale shape: the frontier aggregate is keys-sized (one row per key
     with closed history) and the guard join shuffles |batch| +
     |frontier| on the key — the same profile as the merge step itself;
     nothing history-sized moves. Late rows come back with the
     :mod:`.errors` ``dlq_reason`` convention."""
     if history is None:
-        return batch, batch.limit(0).withColumn("dlq_reason", F.lit(None).cast("string"))
-    frontier = (
-        history.filter(F.col("is_current") == 0)
-        .groupBy("user_id")
-        .agg(F.max("valid_to").alias("_closed_until"))
-    )
-    marked = batch.join(frontier, "user_id", "left")
+        marked = batch.withColumn(
+            "_closed_until", F.lit(None).cast(batch.schema["ts"].dataType)
+        )
+    else:
+        frontier = (
+            history.filter(F.col("is_current") == 0)
+            .groupBy("user_id")
+            .agg(F.max("valid_to").alias("_closed_until"))
+        )
+        marked = batch.join(frontier, "user_id", "left")
     is_late = F.col("ts") < F.col("_closed_until")  # NULL frontier → NULL → not late
-    ok = marked.filter(~F.coalesce(is_late, F.lit(False))).drop("_closed_until")
-    late = (
-        marked.filter(is_late)
-        .drop("_closed_until")
-        .withColumn("dlq_reason", F.lit("scd2_late_event: ts predates a closed interval"))
+    reason = F.when(
+        F.col("ts").isNull(),
+        "scd2_timeless_event: NULL ts cannot order an interval",
+    ).when(
+        F.coalesce(is_late, F.lit(False)),
+        "scd2_late_event: ts predates a closed interval",
     )
-    return ok, late
+    marked = marked.withColumn("dlq_reason", reason)
+    ok = marked.filter(F.col("dlq_reason").isNull()).drop(
+        "_closed_until", "dlq_reason"
+    )
+    dead = marked.filter(F.col("dlq_reason").isNotNull()).drop("_closed_until")
+    return ok, dead
 
 
 class KeyedStateDir:

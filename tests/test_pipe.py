@@ -123,3 +123,31 @@ def test_pipe_encodes_wire_bytes_streaming(spark, tmp_path):
         r["seq"]: bytes(r["value"]) for r in batch.select("seq", "value").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_run_pipes_stops_started_queries_when_a_later_pipe_fails(spark, tmp_path):
+    """All-or-nothing start (round-8 review): a bad pipe mid-list must
+    not leave earlier pipes running as unstoppable orphans."""
+    import pytest
+
+    from mypipe_spark.streaming.pipe import run_pipes
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=3, num_files=1)
+    good = Pipe(
+        pipe_id="rp_good",
+        source=lambda s: changelog_stream(s, src),
+        producer="memory",
+        checkpoint_dir=str(tmp_path / "ck_good"),
+    )
+    bad = Pipe(
+        pipe_id="rp_bad",
+        source=lambda s: changelog_stream(s, src),
+        producer="no_such_producer",
+        checkpoint_dir=str(tmp_path / "ck_bad"),
+    )
+    before = {q.id for q in spark.streams.active}
+    with pytest.raises(KeyError, match="unknown producer"):
+        run_pipes(spark, [good, bad])
+    leaked = [q for q in spark.streams.active if q.id not in before]
+    assert leaked == []

@@ -113,3 +113,42 @@ def test_null_ids_survive_the_arrow_boundary(spark, tmp_path):
         key=str,
     )
     assert rows == [(9, None), (None, 1)]
+
+
+def test_debounce_stream_equals_batch_on_dirty_typed_input(spark, tmp_path):
+    """The batch twin shares canonical_events' input norms (round-8
+    review): a string-ts corpus with one unparseable value must yield
+    the SAME kept set from debounce_starters and debounce_stream —
+    previously the batch side threw under ANSI (or mis-sorted the
+    NULL us) while the stream excluded the row."""
+    from mypipe_spark.plans.analytics import debounce_starters
+    from mypipe_spark.streaming.thin import debounce_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, 1, "click", "2024-01-01 00:00:00"),
+            (2, 1, "click", "garbage"),
+            (3, 1, "click", "2024-01-01 00:10:00"),
+            (4, 1, "click", "2024-01-01 03:00:00"),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts string",
+    ).coalesce(1).write.parquet(src)
+    ev = spark.read.parquet(src)
+    want = sorted(r["event_id"] for r in debounce_starters(ev).collect())
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        debounce_stream(stream)
+        .writeStream.format("memory")
+        .queryName("thin_dirty")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("select event_id from thin_dirty").collect()
+    )
+    assert got == want == [1, 4]

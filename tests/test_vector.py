@@ -326,3 +326,29 @@ def test_int8_quantization_error_within_theoretical_bound(spark, sf_dir):
         assert r["max_err_q"] <= r["scale_q"] / 254 + 1, dict(r.asDict())
         assert 0 <= r["avg_err_q"] <= r["max_err_q"]
         assert 0 <= r["n_exact"] <= r["n_vecs"]
+
+
+def test_vectorized_cosine_tolerates_null_and_ragged_embeddings(spark):
+    """Round-8 review: a NULL (or off-dimension) embedding killed the
+    whole mapInPandas job where the expression twin scored 0.0 and
+    completed — the two plans are advertised as interchangeable. Bad
+    rows now score 0.0 like the zero-norm convention."""
+    from mypipe_spark.functions.vector import cosine_scores_vectorized
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, None),
+            (3, [1.0, 0.0]),          # ragged
+            (4, [0.0, 0.0, 0.0]),     # zero norm
+            (5, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cos_raw"]
+        for r in cosine_scores_vectorized(df, [1.0, 0.0, 0.0]).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+    assert abs(got[5] - 0.7071) < 1e-3

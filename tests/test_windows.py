@@ -916,3 +916,33 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(
     # 2h window at stream end, so "no click" cannot be declared yet —
     # the delayed-emission contract cutting both ways.
     assert got == [(100, 101), (200, None)]
+
+
+def test_scd2_timeless_events_divert_and_never_corrupt_state(spark):
+    """Round-8 review: a NULL-ts event previously became an immutable
+    [NULL, T) interval persisted forever (the batch twin excludes
+    timeless changes — the stream must too). scd2_late_split diverts
+    it with its own reason; scd2_merge excludes it even without the
+    guard."""
+    import datetime as dt
+
+    from mypipe_spark.streaming.upsert import scd2_late_split, scd2_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "user_id bigint, event_id bigint, event_type string,"
+        " value double, ts timestamp_ntz"
+    )
+    batch = spark.createDataFrame(
+        [(1, 5, "click", 1.0, None), (1, 6, "click", 2.0, t0)], schema
+    )
+    ok, dead = scd2_late_split(None, batch)
+    assert [r["event_id"] for r in ok.collect()] == [6]
+    dlq = dead.collect()
+    assert [r["event_id"] for r in dlq] == [5]
+    assert "timeless" in dlq[0]["dlq_reason"]
+    # merge without the guard still excludes the NULL-ts row
+    hist = scd2_merge(None, batch)
+    rows = hist.collect()
+    assert [r["event_id"] for r in rows] == [6]
+    assert all(r["valid_from"] is not None for r in rows)
