@@ -39,7 +39,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import ASCII_LOWER, ASCII_UPPER, ascii_fold_sql, floor4_frac_sql, load_tables, register, round4_frac_sql, scale_out
+from .catalog import ASCII_LOWER, ASCII_UPPER, ascii_fold_sql, floor4_frac_sql, load_tables, register, round4_double_sql, round4_frac_sql, scale_out
 
 # 3-word shingles; docs shorter than 3 words are kept verbatim (no pairs).
 _SHINGLE_WORDS = 3
@@ -1290,8 +1290,8 @@ def _cosine_oracle() -> str:
     return f"""
     WITH {_COSINE_PAIR_CTES}
     SELECT vec_a, vec_b,
-           CAST(ROUND(dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 4)
-                AS DOUBLE) AS cosine
+           {round4_double_sql("dot / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))")}
+             AS cosine
     FROM pairs
     WHERE {_COSINE_PAIR_PREDICATE}
     """
@@ -1428,7 +1428,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine_raw", 4).cast("double").alias("cosine"),
+            F.expr(round4_double_sql("cosine_raw")).alias("cosine"),
         )
     )
 

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_tables, register, round_div_sql, scale_out
+from .catalog import (
+    load_tables,
+    register,
+    round4_double_sql,
+    round_div_sql,
+    scale_out,
+)
 
 _QSCALE = 10_000
 _QUERY_VEC_ID = 0  # the corpus vector used as the search query
@@ -116,7 +122,7 @@ _SCORED_CTES = f"""q AS ({_SQL_QUANT}),
 
 _BRUTEFORCE_ORACLE = f"""
     WITH {_SCORED_CTES}
-    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    SELECT vec_id, label, {round4_double_sql("cos_raw")} AS cosine
     FROM scored
     ORDER BY cos_raw DESC, vec_id
     LIMIT {_TOP_K}
@@ -150,7 +156,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
         .orderBy(F.desc("cos_raw"), "vec_id")
         .limit(_TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+        .select("vec_id", "label", F.expr(round4_double_sql("cos_raw")).alias("cosine"))
     )
 
 
@@ -166,7 +172,7 @@ _RANGE_THRESHOLD = 0.25
     "ann_range_search",
     oracle=f"""
     WITH {_SCORED_CTES}
-    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    SELECT vec_id, label, {round4_double_sql("cos_raw")} AS cosine
     FROM scored
     WHERE cos_raw >= {_RANGE_THRESHOLD}
     """,
@@ -199,7 +205,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round("cos_raw", 4).cast("double").alias("cosine"),
+            F.expr(round4_double_sql("cos_raw")).alias("cosine"),
         )
     )
 
@@ -242,7 +248,7 @@ def _ivf_oracle() -> str:
               ELSE 0.0 END) AS cos_raw
       FROM n JOIN probed USING (label), qry
       WHERE n.vec_id <> {_QUERY_VEC_ID})
-    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    SELECT vec_id, label, {round4_double_sql("cos_raw")} AS cosine
     FROM scored
     ORDER BY cos_raw DESC, vec_id
     LIMIT {_TOP_K}
@@ -304,7 +310,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
         .orderBy(F.desc("cos_raw"), "vec_id")
         .limit(_TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+        .select("vec_id", "label", F.expr(round4_double_sql("cos_raw")).alias("cosine"))
     )
 
 
@@ -377,7 +383,7 @@ def _lsh_oracle() -> str:
               ELSE 0.0 END) AS cos_raw
       FROM n, qry
       WHERE n.vec_id <> {_QUERY_VEC_ID} AND ({any_match}))
-    SELECT vec_id, label, CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+    SELECT vec_id, label, {round4_double_sql("cos_raw")} AS cosine
     FROM scored
     ORDER BY cos_raw DESC, vec_id
     LIMIT {_TOP_K}
@@ -425,7 +431,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", _cos("qv", "nrm2", "qqv", "qn"))
         .orderBy(F.desc("cos_raw"), "vec_id")
         .limit(_TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+        .select("vec_id", "label", F.expr(round4_double_sql("cos_raw")).alias("cosine"))
     )
 
 
@@ -463,7 +469,7 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("cos_raw"), "vec_id")
         .limit(_TOP_K)
-        .select("vec_id", "label", F.round("cos_raw", 4).cast("double").alias("cosine"))
+        .select("vec_id", "label", F.expr(round4_double_sql("cos_raw")).alias("cosine"))
     )
 
 
@@ -497,7 +503,7 @@ _BATCH_TOP_K = 3
                                 ORDER BY cos_raw DESC, vec_id) AS rk
       FROM scored)
     SELECT query_id, vec_id, rk,
-           CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+           {round4_double_sql("cos_raw")} AS cosine
     FROM ranked WHERE rk <= {_BATCH_TOP_K}
     """,
     tags=("ann", "similarity", "batch"),
@@ -533,7 +539,7 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BATCH_TOP_K)
         .select(
             "query_id", "vec_id", "rk",
-            F.round("cos_raw", 4).cast("double").alias("cosine"),
+            F.expr(round4_double_sql("cos_raw")).alias("cosine"),
         )
     )
 
@@ -567,7 +573,7 @@ def _batch_lsh_oracle() -> str:
                                 ORDER BY cos_raw DESC, vec_id) AS rk
       FROM scored)
     SELECT query_id, vec_id, rk,
-           CAST(ROUND(cos_raw, 4) AS DOUBLE) AS cosine
+           {round4_double_sql("cos_raw")} AS cosine
     FROM ranked WHERE rk <= {_BATCH_TOP_K}
     """
 
@@ -633,7 +639,7 @@ def ann_topk_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BATCH_TOP_K)
         .select(
             "query_id", "vec_id", "rk",
-            F.round("cos_raw", 4).cast("double").alias("cosine"),
+            F.expr(round4_double_sql("cos_raw")).alias("cosine"),
         )
     )
 
