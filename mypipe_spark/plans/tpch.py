@@ -1172,6 +1172,7 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ontime = F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     return (
         t["orders"]
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1182,7 +1183,12 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
-            F.sum(F.when(late, 0).otherwise(1)).alias("n_ontime"),
+            # each counter states ITS OWN predicate, mirroring the
+            # oracle's two CASE forms: `when(late, 0).otherwise(1)`
+            # would count a NULL o_orderdate row (late = NULL) as
+            # on-time where the oracle counts it as neither — the
+            # q12 twin of the count_of_sql NULL-asymmetry class
+            F.sum(F.when(ontime, 1).otherwise(0)).alias("n_ontime"),
         )
     )
 

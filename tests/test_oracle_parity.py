@@ -383,6 +383,99 @@ def test_zero_norm_vectors_agree_with_oracles(spark, tmp_path):
     assert failures == []
 
 
+def test_q12_null_orderdate_counts_as_neither_late_nor_ontime(spark, tmp_path):
+    """q12's two counters must each state their OWN predicate: a NULL
+    o_orderdate makes both date comparisons NULL, and the oracle's two
+    explicit CASE forms count such a row in NEITHER column. The
+    complement form ``when(late, 0).otherwise(1)`` silently counted it
+    as on-time (late = NULL falls to otherwise) — the q12 twin of the
+    count_of_sql NULL-asymmetry class. The fixture has no NULL
+    orderdates, so driver parity alone can never catch a regression;
+    this replays the driver comparison over a corpus with a planted
+    NULL-orderdate order that owns an in-window lineitem."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import check_oracle
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sfnod")
+    os.mkdir(dst)
+    for t in TABLE_NAMES:
+        if t not in ("orders", "lineitem"):
+            shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    def land_single_parquet(df, out_path, scratch):
+        # DuckDB reads the fixture layout (one plain file per table)
+        df.coalesce(1).write.parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.rename(os.path.join(scratch, part), out_path)
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    ot, lt = dict(orders.dtypes), dict(li.dtypes)
+    extra_o = orders.limit(1).select(
+        F.lit(999_999).cast(ot["o_orderkey"]).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(None).cast(ot["o_orderdate"]).alias("o_orderdate"),
+        F.lit("1-URGENT").cast(ot["o_orderpriority"]).alias("o_orderpriority"),
+    )
+    # the planted order owns a lineitem INSIDE q12's shipdate window,
+    # so the NULL-date row actually reaches both counters
+    extra_li = li.limit(1).select(
+        F.lit(999_999).cast(lt["l_orderkey"]).alias("l_orderkey"),
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.lit("1996-06-01").cast(lt["l_shipdate"]).alias("l_shipdate"),
+    )
+    land_single_parquet(
+        orders.unionByName(extra_o),
+        f"{dst}/orders.parquet",
+        str(tmp_path / "o_scratch"),
+    )
+    land_single_parquet(
+        li.unionByName(extra_li),
+        f"{dst}/lineitem.parquet",
+        str(tmp_path / "li_scratch"),
+    )
+
+    assert check_oracle.run(dst, {"q12_late_shipments"}) == []
+    # and the planted row is in NEITHER column: totals off by exactly 1
+    from mypipe_spark.plans.tpch import q12_late_shipments
+
+    base = q12_late_shipments(spark, src).collect()
+    planted = q12_late_shipments(spark, dst).collect()
+    tot = lambda rows: sum(r["n_late"] + r["n_ontime"] for r in rows)  # noqa: E731
+    n_rows = lambda d: sum(  # noqa: E731
+        r["cnt"]
+        for r in spark.sql(
+            f"SELECT COUNT(*) AS cnt FROM parquet.`{d}/lineitem.parquet` l"
+            f" JOIN parquet.`{d}/orders.parquet` o"
+            " ON o.o_orderkey = l.l_orderkey"
+            " WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'"
+            "   AND l.l_shipdate <  TIMESTAMP '1997-01-01'"
+        ).collect()
+    )
+    assert n_rows(dst) == n_rows(src) + 1  # the planted row joined
+    assert tot(planted) == tot(base)  # ...but counted in neither bucket
+
+
 def test_sketch_check_twins_can_go_red(spark):
     """The _check twins' claims must be FALSIFIABLE, not vacuous: feed
     each check's core an out-of-contract input and pin that the
