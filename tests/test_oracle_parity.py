@@ -392,7 +392,17 @@ def test_q12_null_orderdate_counts_as_neither_late_nor_ontime(spark, tmp_path):
     count_of_sql NULL-asymmetry class. The fixture has no NULL
     orderdates, so driver parity alone can never catch a regression;
     this replays the driver comparison over a corpus with a planted
-    NULL-orderdate order that owns an in-window lineitem."""
+    NULL-orderdate order that owns an in-window lineitem.
+
+    Scope note: the relational plane sits behind the declared
+    ingest-trust gate — q_data_quality_audit flags exactly this corpus
+    (in_range(o_orderdate) counts NULL as a violation, and
+    not_null(l_shipdate) covers the other q12 input), so the fix is
+    defense-in-depth: the query must agree with its oracle even on
+    input the gate would have rejected. The TPC-H columns are NOT NULL
+    by spec, which is why (unlike the events/documents planes, which
+    carry standing dirty-corpus sweeps) the relational suite's NULL
+    posture is gate-then-query rather than per-query NULL contracts."""
     import os
     import shutil
     import sys
