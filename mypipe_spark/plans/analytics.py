@@ -1386,11 +1386,15 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     which every cohort has by construction: a user's first week is an
     active week).
 
-    Shape: one groupBy(user) for first-touch, one distinct over
-    (user, week) — both shuffle on user_id, so Catalyst reuses ONE
-    exchange partitioning for the aggregate, the distinct and the
-    equi-join; the final (cohort, offset) aggregate and its ordered
-    window run over cohort-sized data (weeks², not events). Timeless
+    Shape (measured, not assumed — plan audited this round): the
+    distinct exchanges on its full key (user_id, act_w) and the
+    first-touch aggregate on user_id — different partitionings, so no
+    exchange is shared between them; the equi-join then costs nothing
+    extra because the firsts side is |users|-sized and AQE broadcasts
+    it. The final (cohort, offset) aggregate and its ordered window
+    each exchange over cohort-sized data (weeks², not events) — four
+    hash exchanges total, every one over a post-scan relation bounded
+    by user-days or smaller. Timeless
     (NULL-ts) events are unbucketable and anonymous (NULL user_id)
     events uncohortable — both excluded by the SAME explicit contract
     on both engines (the events-plane NULL-ordering and equi-join

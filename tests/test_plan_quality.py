@@ -400,6 +400,40 @@ def test_debounce_single_exchange_topology(spark, sf_dir):
     assert any("IsNotNull(ts)" in p for p in pushed)
 
 
+def test_sessionize_single_exchange_topology(spark, sf_dir):
+    """Both window passes (boundary LAG, running-sum numbering) and
+    the per-(user, session) aggregate must share ONE user_id exchange
+    and ONE sort — the session group key refines the window partition
+    key, the same refinement argument as the debounce pin. Verified
+    against the live plan this round (1 exchange / 1 sort / 2 window
+    nodes); pinned so a refactor cannot silently add a shuffle to a
+    bench-set query."""
+    plan = _plan(spark, "cdc_sessionize", sf_dir)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "Sort") == 1
+    assert _n_nodes(plan, "Window") == 2
+
+
+def test_funnel_ordered_single_exchange_topology(spark, sf_dir):
+    """The three stacked cumulative-max window passes and the per-user
+    flag aggregate must share ONE user_id exchange and ONE sort
+    (same-partition, same-order windows stack on a single exchange —
+    the docstring's stated shape, now pinned): the per-user
+    HashAggregate sits directly on the last Window with no exchange
+    between them. The only OTHER exchange allowed is the trivial
+    single-partition one carrying the four per-user flag sums into the
+    global-total aggregate (driver-sized by construction); the 4-row
+    stack tail adds none."""
+    plan = _plan(spark, "events_funnel_ordered", sf_dir)
+    assert _n_nodes(plan, "Exchange") == 2
+    # formatted mode details the partitioning under each Exchange:
+    # exactly one hash (user_id) + one SinglePartition (global total)
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert _n_nodes(plan, "Sort") == 1
+    assert _n_nodes(plan, "Window") == 3
+
+
 def test_pair_cache_memoizes_and_evicts_like_the_shingle_cache(spark, sf_dir):
     """jaccard_pairs_shared follows the shingle cache's discipline:
     same (session, sf_dir) returns the SAME persisted relation
