@@ -592,12 +592,17 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc) so both engines pick identical rows.
 
     Scale shape: tf is one (doc,term) map-side-combinable aggregate
-    off the exploded scan; df is a second combinable aggregate over
-    the already-distinct tf pairs (never the raw token stream); the
-    corpus size joins in as a broadcast scalar; the df join shuffles
-    on term (vocabulary size is data-dependent — AQE picks broadcast
-    when it fits rather than a forced hint); the final top-k window
-    runs per doc_id with WindowGroupLimit."""
+    off the exploded scan; df rides an UNORDERED count window over the
+    term partitioning of those already-distinct tf pairs (never the
+    raw token stream) instead of a groupBy-then-join-back — Spark
+    plans each reference to the tf subtree as its own scan+explode
+    (no cross-branch exchange reuse), so the join-back form executed
+    the exploded corpus pass TWICE; the window form costs the same
+    term exchange the join would have and pays the corpus pass once
+    (the dedup_duplicate_spans lesson; plan-pinned: ONE Generate).
+    The corpus size joins in as a broadcast scalar off a plain
+    un-exploded count scan; the final top-k window runs per doc_id
+    with WindowGroupLimit."""
     t = load_tables(spark, sf_dir)
     from pyspark.sql import Window
 
@@ -607,10 +612,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        with_df
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1199,20 +1206,41 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     across libm builds, the same discipline as text_tfidf_topterms'
     rational idf.
 
-    Scale: one shuffle on the token for the occurrence counts
-    (map-side combinable), one inverted-index join back (the classic
-    df-join), one doc rollup; the corpus total is a broadcast one-row
-    aggregate OF THE VOCAB relation, never a second corpus pass."""
+    Scale: ONE exploded corpus pass — the per-token occurrence count
+    rides an UNORDERED count window over the token partitioning of the
+    occurrence stream itself, not a groupBy-then-join-back (Spark
+    plans each reference to the exploded subtree as its own
+    scan+explode, so the join-back form executed the corpus pass
+    THREE times: the counts branch, the totals branch derived from it,
+    and the join's probe side — measured in this round's plan audit;
+    the window costs the same token exchange the join would have, and
+    hot boilerplate tokens stream through it exactly as they did the
+    count aggregate). The corpus total is a broadcast one-row
+    token-count aggregate off a plain UN-exploded documents scan
+    (sum of per-doc sizes — the identical integer), then one doc
+    rollup. Plan-pinned: ONE Generate, two corpus scans (exploded +
+    plain-count)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window
+
     tok = (
-        scale_out(load_tables(spark, sf_dir)["documents"])
+        scale_out(docs)
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
-    cnts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    tot = cnts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    occ = tok.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    tot = (
+        docs.filter(F.col("text").isNotNull())
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("n_total")
+        )
+    )
     sc = (
-        tok.join(cnts, "token")
-        .crossJoin(F.broadcast(tot))
+        occ.crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             (F.length(F.bin("n_total")) - F.length(F.bin("cnt"))).alias("ibits"),
