@@ -180,13 +180,25 @@ def exact_ntile_multi(
        (``ceil(a/b) = (a+b-1) div b`` — engine-exact, no doubles).
 
     Scale shape: one boundary-sketch pass over the relation at build,
-    then per axis one map-side-combinable count aggregate, one
-    broadcast join, and one window sort partitioned by the ~P coarse
-    buckets — never a single-partition window over the data. NULL
-    ranking keys land in the lowest bucket and rank first, matching
-    Spark's ascending NULLS FIRST window order (callers comparing
-    against engines that default NULLS LAST must pre-filter, the
-    house convention)."""
+    then ONE shared count side covering ALL axes — the bucket columns
+    posexplode into an (axis, bucket) stream whose counts map-side
+    combine into ≤ axes·P groups and pivot into a single row of plain
+    conditional sums — broadcast-joined ONCE, with each axis's rank
+    offset derived downstream as a flat CASE over prefix sums of those
+    broadcast count attributes; per axis one window sort partitioned
+    by the ~P coarse buckets — never a single-partition window over
+    the data. The shared count side matters: Spark plans each
+    DataFrame branch as its own subtree (no cross-branch exchange
+    reuse), so the earlier per-axis count-aggregate-plus-join form
+    re-derived the ENTIRE base relation once per axis — 8 corpus
+    scans per action on the three-axis RFM caller, measured in the
+    round-8 plan audit; this form plans the base exactly twice
+    (ranking side + count side) regardless of axis count, and also
+    retires the per-axis offsets prefix-sum window (one Window per
+    axis remains — the rank itself). NULL ranking keys land in the
+    lowest bucket and rank first, matching Spark's ascending NULLS
+    FIRST window order (callers comparing against engines that default
+    NULLS LAST must pre-filter, the house convention)."""
     from pyspark.sql import Window
 
     P = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -225,7 +237,12 @@ def exact_ntile_multi(
             return f"{b}BD"
         return f"CAST('{b!r}' AS DOUBLE)"
 
-    out = df
+    # Per-axis coarse-bucket expressions, built once and reused by BOTH
+    # the ranking side and the shared counts side (same frozen-literal
+    # expressions, so the two sides derive identical buckets without
+    # any exchange-reuse dependence).
+    bucket_exprs: list = []
+    bounds_per_axis: list[list] = []
     for i, (out_col, order_cols) in enumerate(axes):
         key = order_cols[0]
         bounds = (
@@ -233,6 +250,7 @@ def exact_ntile_multi(
             if bounds_row is not None
             else []
         )
+        bounds_per_axis.append(bounds)
         if bounds:
             # NO lambdas here, by hard-won necessity: the offs subtree
             # and the assignment subtree both contain the base
@@ -247,48 +265,116 @@ def exact_ntile_multi(
             # A flat CASE sum survives the rewrite and codegens fine
             # at any realistic P. NULL keys fail every comparison and
             # land in bucket 0, ranking first (NULLS FIRST).
-            bucket = F.expr(
-                "("
-                + " + ".join(
-                    f"(CASE WHEN {key} > {_bound_lit(b)} THEN 1 ELSE 0 END)"
-                    for b in bounds
+            bucket_exprs.append(
+                F.expr(
+                    "("
+                    + " + ".join(
+                        f"(CASE WHEN {key} > {_bound_lit(b)} THEN 1 ELSE 0 END)"
+                        for b in bounds
+                    )
+                    + ")"
                 )
-                + ")"
             )
         else:  # P == 1 or empty input: one coarse bucket
-            bucket = F.lit(0)
-        bk, off, tot, rk = f"_bk{i}", f"_off{i}", f"_n{i}", f"_rk{i}"
-        out = out.withColumn(bk, bucket)
-        # counts from the ORIGINAL relation, not the progressively
-        # joined `out`: the bucket depends only on base columns and
-        # frozen literals, and building axis i's counts on `out`
-        # would nest every earlier axis's join/offset subtree inside
-        # it (re-deriving the whole chain per axis absent exchange
-        # reuse) for identical numbers
-        counts = df.withColumn(bk, bucket).groupBy(bk).agg(
-            F.count(F.lit(1)).alias("_cnt")
-        )
-        # one partition+order spec for both frames so the prefix sum
-        # and the total fuse into a SINGLE Window node over the ~P
-        # count rows (a second spec would add a whole extra Window)
-        wp = Window.partitionBy(F.lit(0)).orderBy(bk)
-        offs = counts.select(
-            bk,
-            F.coalesce(
-                F.sum("_cnt").over(
-                    wp.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias(off),
-            F.sum("_cnt")
-            .over(
-                wp.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
+            bucket_exprs.append(F.lit(0))
+
+    # ONE shared counts side for ALL axes: a single map-side-combinable
+    # aggregate over the ORIGINAL relation (never the progressively
+    # joined `out` — building on `out` would nest earlier axes'
+    # subtrees; building per axis re-derived the whole base relation
+    # once per axis) producing, on one row, every axis's per-bucket
+    # conditional count plus the shared total. Prefix sums become
+    # offset columns in a projection over that single row — evaluated
+    # once, broadcast once.
+    # The per-bucket counts come off a POSEXPLODE-stacked (axis,
+    # bucket) stream, NOT a wide one-shot aggregate of per-bucket
+    # conditional sums: Catalyst inlines the bucket alias into every
+    # referencing aggregate column, so the wide form embedded the
+    # ~P-branch boundary CASE in each of its ~P·axes counts and
+    # whole-stage codegen spent MINUTES building the generated-source
+    # string inside the broadcast thread, thrashing the driver heap
+    # until the build died as "Not enough memory to build and
+    # broadcast" (thread-dumped live: AggregateCodegenSupport
+    # .doProduceWithoutKeys). Here each bucket expression evaluates
+    # exactly once per row in the explode projection; the (axis,
+    # bucket) counts map-side combine into ≤ axes·P groups; and the
+    # final one-row pivot aggregates CHEAP attribute comparisons over
+    # that tiny relation.
+    stacked = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    bucket_exprs[i].cast("int")
+                    for i in range(len(axes))
+                ]
             )
-            .alias(tot),
+        ).alias("_axis", "_bkv")
+    )
+    per_bucket = stacked.groupBy("_axis", "_bkv").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    cnt_aggs = []
+    for i, bounds in enumerate(bounds_per_axis):
+        for b in range(len(bounds) + 1):
+            cnt_aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("_axis") == i) & (F.col("_bkv") == b),
+                            F.col("_cnt"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"_c{i}_{b}")
+            )
+    one = per_bucket.agg(
+        # every row lands in exactly one axis-0 bucket, so the axis-0
+        # count sum IS the relation's row count
+        F.coalesce(
+            F.sum(F.when(F.col("_axis") == 0, F.col("_cnt"))), F.lit(0)
         )
-        rank = F.col(off) + F.row_number().over(
+        .cast("long")
+        .alias("_tot"),
+        *cnt_aggs,
+    )
+    # NO prefix-sum projection over `one`: the offsets are derived
+    # DOWNSTREAM (in the per-axis rank CASE) from the broadcast-side
+    # count ATTRIBUTES, so the broadcast child stays a plain aggregate
+    # of simple conditional sums and nothing ever merges hundreds of
+    # composite expressions back into its aggregate list.
+
+    out = df
+    for i, _ in enumerate(axes):
+        out = out.withColumn(f"_bk{i}", bucket_exprs[i])
+    out = out.crossJoin(F.broadcast(one))
+    for i, (out_col, order_cols) in enumerate(axes):
+        bk, rk, tot = f"_bk{i}", f"_rk{i}", "_tot"
+        n_buckets = len(bounds_per_axis[i]) + 1
+        # flat CASE (never a lambda — the DeduplicateRelations note
+        # above) mapping the row's coarse bucket to the prefix sum of
+        # the broadcast-side counts BELOW it — plain attribute
+        # additions, evaluated row-side
+        if n_buckets == 1:
+            off = F.lit(0).cast("long")
+        else:
+            off = F.expr(
+                "CASE "
+                + " ".join(
+                    f"WHEN {bk} = {b} THEN "
+                    + (
+                        "CAST(0 AS BIGINT)"
+                        if b == 0
+                        else "(" + " + ".join(
+                            f"_c{i}_{j}" for j in range(b)
+                        ) + ")"
+                    )
+                    for b in range(n_buckets)
+                )
+                + " END"
+            )
+        rank = off + F.row_number().over(
             Window.partitionBy(bk).orderBy(*order_cols)
         )
         # NTILE arithmetic on exact ranks: with n rows the first
@@ -304,10 +390,10 @@ def exact_ntile_multi(
             f"    div greatest({tot} div {k}, 1)"
             f" END AS INT)"
         )
-        out = (
-            out.join(F.broadcast(offs), bk)
-            .withColumn(rk, rank)
-            .withColumn(out_col, ntile)
-            .drop(bk, off, tot, rk)
-        )
-    return out
+        out = out.withColumn(rk, rank).withColumn(out_col, ntile).drop(rk)
+    drop_cols = [f"_bk{i}" for i in range(len(axes))] + ["_tot"] + [
+        f"_c{i}_{b}"
+        for i, bounds in enumerate(bounds_per_axis)
+        for b in range(len(bounds) + 1)
+    ]
+    return out.drop(*drop_cols)

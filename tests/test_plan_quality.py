@@ -262,15 +262,16 @@ def test_deciles_approx_plan_has_no_window_or_sort(spark, sf_dir):
     assert _n_nodes(plan, "Sort") == 0
     assert "CartesianProduct" not in plan
 
-    # round-7: the exact form migrated to exact_ntile_multi — the
+    # round-7: the exact form migrated to exact_ntile_multi — the ONE
     # DATA window (row_number) must be PARTITIONED by the frozen
     # coarse-bucket key, never the single-partition global window the
-    # plain ntile() plans; the second Window is the in-plan offsets
-    # prefix-sum over the ~P-row bucket-count relation (index
-    # metadata). And the plan must stay fully LAZY: no localCheckpoint
-    # materialization (which would surface as an ExistingRDD scan).
+    # plain ntile() plans. Round-8 retired the second (offsets
+    # prefix-sum) window: offsets now come off the shared broadcast
+    # counts row, so exactly one Window remains. The plan must also
+    # stay fully LAZY: no localCheckpoint materialization (which
+    # would surface as an ExistingRDD scan).
     exact = _plan(spark, "q_customer_balance_deciles", sf_dir)
-    assert _n_nodes(exact, "Window") == 2
+    assert _n_nodes(exact, "Window") == 1
     specs = re.findall(r"windowspecdefinition\(([^,]+),", exact)
     assert any("_bk0" in s for s in specs), exact[:800]
     assert "ExistingRDD" not in exact
