@@ -1765,32 +1765,43 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.date_trunc("day", "ts").alias("day"))
         .distinct()
     )
-    hi = daily.agg(F.max("day").alias("hi"))
-    contrib = (
-        daily.select(
-            "user_id",
-            F.explode(
-                F.expr(
-                    f"sequence(day, day + interval {_WAU_DAYS - 1} day,"
-                    " interval 1 day)"
-                )
-            ).alias("day"),
-        )
-        .distinct()
-        .join(F.broadcast(hi), F.col("day") <= F.col("hi"))
-        .drop("hi")
+    # ONE pass derives dau, wau AND the stream head (round-8 plan
+    # audit: the hi-aggregate / contrib / dau branches each re-planned
+    # the corpus distinct — 3 scans per action; no cross-branch
+    # reuse). posexplode keeps each contribution's OFFSET, so after
+    # collapsing to (user, target day, min offset): a user counts
+    # toward dau exactly when some offset-0 contribution exists
+    # (min = 0 ⟺ active ON the day), wau is the group count, and the
+    # stream head is the latest day with dau > 0 — recovered from the
+    # day-cardinality aggregate through one trivial global window,
+    # never a second corpus pass.
+    contrib = daily.select(
+        "user_id",
+        F.posexplode(
+            F.expr(
+                f"sequence(day, day + interval {_WAU_DAYS - 1} day,"
+                " interval 1 day)"
+            )
+        ).alias("pos", "day"),
     )
-    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
-    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    g = contrib.groupBy("user_id", "day").agg(F.min("pos").alias("mp"))
+    per_day = g.groupBy("day").agg(
+        F.count(F.lit(1)).alias("wau"),
+        F.sum((F.col("mp") == 0).cast("int")).cast("long").alias("dau"),
+    )
+    w_all = Window.partitionBy()  # day-cardinality aggregated rows
     return (
-        wau.join(dau, "day", "left")
+        per_day.withColumn(
+            "hi", F.max(F.when(F.col("dau") > 0, F.col("day"))).over(w_all)
+        )
+        .filter(F.col("day") <= F.col("hi"))
         .select(
             "day",
-            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "dau",
             "wau",
             F.expr(
                 "CASE WHEN wau = 0 THEN NULL ELSE "
-                + round4_frac_sql("COALESCE(dau, 0)", "wau", "div")
+                + round4_frac_sql("dau", "wau", "div")
                 + " END"
             ).alias("stickiness"),
         )

@@ -181,8 +181,15 @@ def mix_select(docs: DataFrame, budget: int = _MIX_BUDGET) -> DataFrame:
     curation runner applies after filtering/scrubbing."""
     counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
     wts = counts.select("lang", "n", F.expr(isqrt_sql("n")).alias("wt"))
-    tot = wts.agg(F.sum("wt").cast("bigint").alias("sw"))
-    targets = wts.crossJoin(F.broadcast(tot)).select(
+    # the weight total rides a global window over the |langs|-row
+    # aggregate instead of a separate broadcast scalar: the one-row
+    # aggregate branch re-planned the whole counts subtree (a second
+    # corpus scan per action — round-8 plan audit; no cross-branch
+    # exchange reuse), where the window costs one trivial pass over
+    # the already-aggregated language rows
+    targets = wts.withColumn(
+        "sw", F.sum("wt").over(Window.partitionBy()).cast("bigint")
+    ).select(
         "lang",
         F.least(
             F.col("n"),

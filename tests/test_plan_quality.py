@@ -496,7 +496,14 @@ def test_session_caches_normalize_paths_and_serialize_builders(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name, scans",
-    [("text_rarity_score", 2), ("text_tfidf_topterms", 2)],
+    [
+        ("text_rarity_score", 2),
+        ("text_tfidf_topterms", 2),
+        # dau/wau/stream-head all derive from ONE exploded pass over
+        # the user-day distinct (was 3 corpus scans: the hi aggregate,
+        # the contrib branch and the dau branch each re-planned it)
+        ("events_dau_wau", 1),
+    ],
 )
 def test_inverted_index_queries_explode_once(spark, sf_dir, name, scans):
     """The df/occurrence counts must ride an unordered count window
