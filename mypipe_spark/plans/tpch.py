@@ -369,7 +369,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22: above-average-balance customers with no urgent
     orders. The global average is a one-row aggregate broadcast into
-    the filter (scalar-subquery decorrelation); the NOT EXISTS is a
+    the filter (scalar-subquery decorrelation — the customer scan is
+    planned once per branch, the q11/q15 trade); the NOT EXISTS is a
     left-anti join whose orders side is filtered first and reduced to
     distinct custkeys by Catalyst."""
     t = load_tables(spark, sf_dir)
@@ -841,9 +842,14 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue
-    (ties all surface — no arbitrary pick). The revenue CTE aggregates
-    once; the scalar MAX is a one-row broadcast joined back as a
-    filter. Revenue is the exact-decimal rounded money value, so the
+    (ties all surface — no arbitrary pick). The scalar MAX is a
+    one-row broadcast joined back as a filter; physically the rev
+    subtree is planned twice (no cross-branch exchange reuse —
+    round-8 plan audit), the same deliberate trade as q11: a global
+    window over the per-supplier relation would serialize a
+    supplier-cardinality (SF-growing) relation through one task,
+    while the re-planned branch stays a parallel filtered scan.
+    Revenue is the exact-decimal rounded money value, so the
     equality comparison is deterministic across engines."""
     t = load_tables(spark, sf_dir)
     rev = (
@@ -1099,11 +1105,15 @@ _Q11_AVG_MULTIPLE = 1.5
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: parts representing a significant share of one
     nation's stock value (lineitem extended price stands in for
-    availqty·supplycost). Per-part aggregation happens once; the
-    global total re-aggregates THOSE aggregated rows (tiny input, no
-    second scan) and broadcasts as a one-row scalar into the filter.
-    Value is the rounded money double in both engines, so the
-    threshold compare is deterministic."""
+    availqty·supplycost). The threshold is a one-row aggregate OVER
+    the per-part values, broadcast into the filter. Physically the
+    val subtree is planned twice (Spark does not reuse exchanges
+    across branches — round-8 plan audit), and that is the RIGHT
+    100 TB trade: the alternative single pass (a global window over
+    the per-part relation) serializes a corpus-growing relation
+    through one task, while the re-planned branch parallelizes like
+    any scan. Value is the rounded money double in both engines, so
+    the threshold compare is deterministic."""
     t = load_tables(spark, sf_dir)
     nation3 = (
         t["supplier"]
