@@ -182,25 +182,45 @@ def exact_ntile_multi(
     Scale shape: one boundary-sketch pass over the relation at build,
     then ONE shared count side covering ALL axes — the bucket columns
     posexplode into an (axis, bucket) stream whose counts map-side
-    combine into ≤ axes·P groups and pivot into a single row of plain
-    conditional sums — broadcast-joined ONCE, with each axis's rank
-    offset derived downstream as a flat CASE over prefix sums of those
-    broadcast count attributes; per axis one window sort partitioned
-    by the ~P coarse buckets — never a single-partition window over
-    the data. The shared count side matters: Spark plans each
-    DataFrame branch as its own subtree (no cross-branch exchange
-    reuse), so the earlier per-axis count-aggregate-plus-join form
-    re-derived the ENTIRE base relation once per axis — 8 corpus
-    scans per action on the three-axis RFM caller, measured in the
-    round-8 plan audit; this form plans the base exactly twice
-    (ranking side + count side) regardless of axis count, and also
-    retires the per-axis offsets prefix-sum window (one Window per
-    axis remains — the rank itself). NULL ranking keys land in the
-    lowest bucket and rank first, matching Spark's ascending NULLS
-    FIRST window order (callers comparing against engines that default
-    NULLS LAST must pre-filter, the house convention)."""
+    combine into ≤ axes·P groups, prefix-sum through a window over
+    those ~axes·P count rows (index metadata, not data), and pivot
+    into a single row of plain conditional sums — broadcast-joined
+    ONCE, with each axis's rank offset a flat CASE whose every branch
+    reads exactly ONE broadcast offset attribute (O(P) expression
+    terms per axis; the round-8 form re-listed every lower bucket's
+    count in every branch — O(P^2) per axis, the same
+    expression-blowup class as the wide-aggregate hazard below, just
+    row-side, and it would have fed tens of thousands of addition
+    terms into codegen on a high-core session); per axis one window
+    sort partitioned by the ~P coarse buckets — never a
+    single-partition window over the data. The shared count side
+    matters: Spark plans each DataFrame branch as its own subtree (no
+    cross-branch exchange reuse), so the earlier per-axis
+    count-aggregate-plus-join form re-derived the ENTIRE base
+    relation once per axis — 8 corpus scans per action on the
+    three-axis RFM caller, measured in the round-8 plan audit; this
+    form plans the base exactly twice (ranking side + count side)
+    regardless of axis count. NULL ranking keys land in the lowest
+    bucket and rank first, matching Spark's ascending NULLS FIRST
+    window order (callers comparing against engines that default
+    NULLS LAST must pre-filter, the house convention).
+
+    Reserved namespace: every helper column this operator adds to the
+    caller's relation starts with ``__entm_`` (``__entm_bk{i}``,
+    ``__entm_rk{i}``, ``__entm_tot``, ``__entm_o{i}_{b}``; the
+    count-side stream uses ``__entm_axis``/``__entm_bkv``/
+    ``__entm_cnt``/``__entm_off``, which never touch the caller's
+    relation). A caller column starting with ``__entm_`` is rejected
+    up front rather than risking a crossJoin ambiguity or a silent
+    drop."""
     from pyspark.sql import Window
 
+    clash = [c for c in df.columns if c.startswith("__entm_")]
+    if clash:
+        raise ValueError(
+            "exact_ntile_multi reserves the __entm_ column prefix for its"
+            f" internal helpers; rename caller column(s) {clash}"
+        )
     P = partitions or df.sparkSession.sparkContext.defaultParallelism
     fracs = [i / P for i in range(1, P)]
     # P == 1 → no interior boundaries to sketch: skip the collect
@@ -283,9 +303,7 @@ def exact_ntile_multi(
     # joined `out` — building on `out` would nest earlier axes'
     # subtrees; building per axis re-derived the whole base relation
     # once per axis) producing, on one row, every axis's per-bucket
-    # conditional count plus the shared total. Prefix sums become
-    # offset columns in a projection over that single row — evaluated
-    # once, broadcast once.
+    # rank OFFSET plus the shared total.
     # The per-bucket counts come off a POSEXPLODE-stacked (axis,
     # bucket) stream, NOT a wide one-shot aggregate of per-bucket
     # conditional sums: Catalyst inlines the bucket alias into every
@@ -297,9 +315,17 @@ def exact_ntile_multi(
     # broadcast" (thread-dumped live: AggregateCodegenSupport
     # .doProduceWithoutKeys). Here each bucket expression evaluates
     # exactly once per row in the explode projection; the (axis,
-    # bucket) counts map-side combine into ≤ axes·P groups; and the
-    # final one-row pivot aggregates CHEAP attribute comparisons over
-    # that tiny relation.
+    # bucket) counts map-side combine into ≤ axes·P groups; prefix
+    # sums run through ONE window over that tiny relation (missing —
+    # empty — buckets contribute 0 to any later bucket's prefix by
+    # construction, so group gaps are harmless); and the final
+    # one-row pivot aggregates CHEAP attribute comparisons over the
+    # tiny relation. The broadcast child therefore stays a PLAIN
+    # aggregate of simple conditional sums — nothing ever merges
+    # composite expressions back into its aggregate list (the codegen
+    # hazard above), and the row side reads each offset as ONE
+    # attribute instead of re-summing counts per CASE branch (the
+    # O(P^2) shape ADVICE r8 flagged).
     stacked = df.select(
         F.posexplode(
             F.array(
@@ -308,54 +334,67 @@ def exact_ntile_multi(
                     for i in range(len(axes))
                 ]
             )
-        ).alias("_axis", "_bkv")
+        ).alias("__entm_axis", "__entm_bkv")
     )
-    per_bucket = stacked.groupBy("_axis", "_bkv").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    per_bucket = stacked.groupBy("__entm_axis", "__entm_bkv").agg(
+        F.count(F.lit(1)).alias("__entm_cnt")
     )
-    cnt_aggs = []
+    pre_w = (
+        Window.partitionBy("__entm_axis")
+        .orderBy("__entm_bkv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_bucket = per_bucket.withColumn(
+        "__entm_off",
+        F.coalesce(F.sum("__entm_cnt").over(pre_w), F.lit(0)).cast("long"),
+    )
+    off_aggs = []
     for i, bounds in enumerate(bounds_per_axis):
-        for b in range(len(bounds) + 1):
-            cnt_aggs.append(
+        # bucket 0's offset is identically 0 — no column needed
+        for b in range(1, len(bounds) + 1):
+            off_aggs.append(
                 F.coalesce(
                     F.sum(
                         F.when(
-                            (F.col("_axis") == i) & (F.col("_bkv") == b),
-                            F.col("_cnt"),
+                            (F.col("__entm_axis") == i)
+                            & (F.col("__entm_bkv") == b),
+                            F.col("__entm_off"),
                         )
                     ),
+                    # an EMPTY bucket b has no count row, so its pivot
+                    # sum is NULL — and no data row carries bk = b, so
+                    # no CASE branch ever reads it; 0 just keeps the
+                    # broadcast row total
                     F.lit(0),
                 )
                 .cast("long")
-                .alias(f"_c{i}_{b}")
+                .alias(f"__entm_o{i}_{b}")
             )
     one = per_bucket.agg(
         # every row lands in exactly one axis-0 bucket, so the axis-0
         # count sum IS the relation's row count
         F.coalesce(
-            F.sum(F.when(F.col("_axis") == 0, F.col("_cnt"))), F.lit(0)
+            F.sum(
+                F.when(F.col("__entm_axis") == 0, F.col("__entm_cnt"))
+            ),
+            F.lit(0),
         )
         .cast("long")
-        .alias("_tot"),
-        *cnt_aggs,
+        .alias("__entm_tot"),
+        *off_aggs,
     )
-    # NO prefix-sum projection over `one`: the offsets are derived
-    # DOWNSTREAM (in the per-axis rank CASE) from the broadcast-side
-    # count ATTRIBUTES, so the broadcast child stays a plain aggregate
-    # of simple conditional sums and nothing ever merges hundreds of
-    # composite expressions back into its aggregate list.
 
     out = df
     for i, _ in enumerate(axes):
-        out = out.withColumn(f"_bk{i}", bucket_exprs[i])
+        out = out.withColumn(f"__entm_bk{i}", bucket_exprs[i])
     out = out.crossJoin(F.broadcast(one))
     for i, (out_col, order_cols) in enumerate(axes):
-        bk, rk, tot = f"_bk{i}", f"_rk{i}", "_tot"
+        bk, rk, tot = f"__entm_bk{i}", f"__entm_rk{i}", "__entm_tot"
         n_buckets = len(bounds_per_axis[i]) + 1
         # flat CASE (never a lambda — the DeduplicateRelations note
-        # above) mapping the row's coarse bucket to the prefix sum of
-        # the broadcast-side counts BELOW it — plain attribute
-        # additions, evaluated row-side
+        # above) mapping the row's coarse bucket to the broadcast-side
+        # prefix-sum attribute for that bucket — ONE attribute read
+        # per branch, O(P) terms per axis
         if n_buckets == 1:
             off = F.lit(0).cast("long")
         else:
@@ -366,9 +405,7 @@ def exact_ntile_multi(
                     + (
                         "CAST(0 AS BIGINT)"
                         if b == 0
-                        else "(" + " + ".join(
-                            f"_c{i}_{j}" for j in range(b)
-                        ) + ")"
+                        else f"__entm_o{i}_{b}"
                     )
                     for b in range(n_buckets)
                 )
@@ -391,9 +428,13 @@ def exact_ntile_multi(
             f" END AS INT)"
         )
         out = out.withColumn(rk, rank).withColumn(out_col, ntile).drop(rk)
-    drop_cols = [f"_bk{i}" for i in range(len(axes))] + ["_tot"] + [
-        f"_c{i}_{b}"
-        for i, bounds in enumerate(bounds_per_axis)
-        for b in range(len(bounds) + 1)
-    ]
+    drop_cols = (
+        [f"__entm_bk{i}" for i in range(len(axes))]
+        + ["__entm_tot"]
+        + [
+            f"__entm_o{i}_{b}"
+            for i, bounds in enumerate(bounds_per_axis)
+            for b in range(1, len(bounds) + 1)
+        ]
+    )
     return out.drop(*drop_cols)

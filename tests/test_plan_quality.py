@@ -265,15 +265,19 @@ def test_deciles_approx_plan_has_no_window_or_sort(spark, sf_dir):
     # round-7: the exact form migrated to exact_ntile_multi — the ONE
     # DATA window (row_number) must be PARTITIONED by the frozen
     # coarse-bucket key, never the single-partition global window the
-    # plain ntile() plans. Round-8 retired the second (offsets
-    # prefix-sum) window: offsets now come off the shared broadcast
-    # counts row, so exactly one Window remains. The plan must also
-    # stay fully LAZY: no localCheckpoint materialization (which
-    # would surface as an ExistingRDD scan).
+    # plain ntile() plans. Round-9 (ADVICE r8): the offsets prefix
+    # sums moved to a window over the ≤ axes·P per-bucket COUNT rows
+    # (index metadata, not data — partitioned by __entm_axis), so the
+    # row-side CASE reads one broadcast attribute per branch instead
+    # of re-summing counts (O(P) expression terms, was O(P^2)).
+    # Exactly TWO Windows: the data rank + the tiny counts prefix.
+    # The plan must also stay fully LAZY: no localCheckpoint
+    # materialization (which would surface as an ExistingRDD scan).
     exact = _plan(spark, "q_customer_balance_deciles", sf_dir)
-    assert _n_nodes(exact, "Window") == 1
+    assert _n_nodes(exact, "Window") == 2
     specs = re.findall(r"windowspecdefinition\(([^,]+),", exact)
-    assert any("_bk0" in s for s in specs), exact[:800]
+    assert any("__entm_bk0" in s for s in specs), exact[:800]
+    assert any("__entm_axis" in s for s in specs), exact[:800]
     assert "ExistingRDD" not in exact
 
 
