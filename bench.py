@@ -30,6 +30,21 @@ from noise WITHOUT re-running):
   checkpointed streaming pipe (processing-time basis, startup
   excluded) — the tracked analog of the reference's one published
   performance number (<10 ms/mutation, BASELINE.md).
+- ``canary_ms`` / ``canary_parallel_ms`` / ``canary_end_ms`` (round
+  9): fixed-work host-speed probes — xxhash64 folds over
+  ``spark.range`` in ONE task (single-core speed) and in
+  ``defaultParallelism`` tasks (whole-box throughput, catches
+  contention a single core misses), best-of-N, data-independent.
+  ``load_flagged`` only catches a BUSY host; the dominant noise is a
+  SLOW-BUT-IDLE host instance (the documented ±2x same-code spread —
+  BENCH_r08 read 1.70x of r07 purely from instance speed), which the
+  canary measures directly. ``canary_ratio`` = canary_ms /
+  CANARY_REF_MS against the checked-in reference-host constant;
+  ``canary_flagged`` is true when the ratio leaves [1/1.3, 1.3] and
+  means: compare ``value`` across rounds ONLY after dividing by
+  ``canary_ratio`` (the normalization rule lives in BENCH_NOTES.md).
+  ``canary_end_ms`` re-probes after the query loop so mid-run host
+  drift is visible too.
 """
 
 from __future__ import annotations
@@ -39,6 +54,43 @@ import os
 import statistics
 import sys
 import time
+
+
+# Reference-host single-task canary (ms): measured on the round-9
+# build host (the instance class whose like-for-like readings match
+# the project's best unflagged totals, r7 4.711 s / r8-close 4.679 s
+# — see BENCH_NOTES.md "Round 9" for the calibration evidence).
+# Readings whose canary_ratio leaves [1/1.3, 1.3] are canary_flagged:
+# normalize value by canary_ratio before any round-over-round verdict.
+CANARY_REF_MS = 430.0
+# 80M rows/task, not 20M: at 20M the per-job fixed overhead (task
+# scheduling, result fetch) was 30-60% of the reading and swung ±1.8x
+# between sessions; at 80M the arithmetic dominates and the
+# within-session spread collapses to ~±10% (measured during round-9
+# calibration)
+_CANARY_ROWS_PER_TASK = 80_000_000
+
+
+def _canary_ms(spark, partitions: int, repeats: int = 3) -> float:
+    """Fixed-work JVM probe: sum(xxhash64(id)) over a range — pure
+    whole-stage-codegen arithmetic, no I/O, no shuffle beyond the
+    single-row final aggregate; work scales with ``partitions`` so
+    per-task work (and thus an uncontended reading) is constant.
+    Best-of-N: the first run pays Janino codegen once (~100 ms), and
+    min is the 'how fast CAN this host go' quantity the normalization
+    needs. The fold is bit_xor, not sum — a 20M-term sum of full-range
+    hashes overflows BIGINT under the session's ANSI mode."""
+    from pyspark.sql import functions as F
+
+    n = _CANARY_ROWS_PER_TASK * partitions
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        spark.range(0, n, 1, partitions).agg(
+            F.expr("bit_xor(xxhash64(id))")
+        ).collect()
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    return round(best, 1)
 
 
 def main() -> int:
@@ -60,6 +112,12 @@ def main() -> int:
 
     qs = {name: qd for name, qd in all_queries().items() if qd.bench}
 
+    # host-speed canary BEFORE any data work: measures the instance,
+    # not the page cache / shingle-cache state
+    par = spark.sparkContext.defaultParallelism
+    canary_ms = _canary_ms(spark, 1, repeats=4)
+    canary_parallel_ms = _canary_ms(spark, par, repeats=2)
+
     # warmup: smallest bench query end-to-end (JIT, codegen, parquet footers)
     warm = qs.get("dedup_exact") or next(iter(qs.values()))
     warm.fn(spark, sf_dir).count()
@@ -80,6 +138,10 @@ def main() -> int:
     total_median = round(
         sum(statistics.median(r) for r in timings.values()), 3
     )
+    # re-probe after the query loop: a start/end canary split shows
+    # mid-run host drift (neither loadavg field can)
+    canary_end_ms = _canary_ms(spark, 1, repeats=2)
+    canary_ratio = round(canary_ms / CANARY_REF_MS, 3)
 
     # streaming throughput row (skippable with BENCH_STREAM_TX=0)
     stream_tx = int(os.environ.get("BENCH_STREAM_TX", "1000"))
@@ -115,6 +177,12 @@ def main() -> int:
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "load_flagged": load_start > max(1.0, (os.cpu_count() or 4) / 4),
+        "canary_ms": canary_ms,
+        "canary_parallel_ms": canary_parallel_ms,
+        "canary_end_ms": canary_end_ms,
+        "canary_ref_ms": CANARY_REF_MS,
+        "canary_ratio": canary_ratio,
+        "canary_flagged": not (1 / 1.3 <= canary_ratio <= 1.3),
         "stream_mutations_per_s": stream_mut_per_s,
     }
     if stream_stats is not None:
