@@ -1,0 +1,60 @@
+"""Standing plan-shape budget gate (round-8 verdict ask #2).
+
+tests/test_plan_quality.py pins hand-picked topologies for the queries
+whose shape was individually audited; THIS gate covers the whole
+catalog mechanically: every registered query's formatted-plan counts
+of the scale-deciding node kinds (Scan parquet / Exchange / Generate /
+Window / Sort) must stay within the snapshot in PLAN_BUDGET.json,
+taken cold-cache at sf0.001 by tools/plan_budget.py. A refactor that
+doubles a corpus scan (the repeated-subtree class the round-8 hand
+audit caught five of — Spark plans each DataFrame branch as its own
+subtree, with no cross-branch exchange reuse) now fails HERE with the
+exact counts instead of waiting for the next hand audit.
+
+Budget semantics are one-sided (actual <= budget): improvements pass;
+land them, then tighten with `python tools/plan_budget.py --regen`.
+An INTENTIONAL topology change regenerates the same way — the diff of
+PLAN_BUDGET.json in review is the point (the cost shows up as +N
+exchanges next to the code that added them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+import plan_budget  # noqa: E402
+
+from mypipe_spark.plans.catalog import all_queries  # noqa: E402
+
+with open(plan_budget.BUDGET_PATH) as _f:
+    _BUDGET = json.load(_f)
+
+
+def test_budget_covers_exactly_the_registered_catalog():
+    """A new registration without a budget row (or a stale row for a
+    retired query) fails loudly — the gate can never silently narrow
+    to a subset of the catalog."""
+    assert sorted(_BUDGET["queries"]) == sorted(all_queries())
+
+
+@pytest.mark.parametrize("name", sorted(_BUDGET["queries"]))
+def test_plan_shape_within_budget(spark, name):
+    counts = plan_budget.plan_counts(spark, name)
+    budget = _BUDGET["queries"][name]
+    over = {
+        n: {"actual": counts[n], "budget": budget[n]}
+        for n in plan_budget.NODES
+        if counts[n] > budget[n]
+    }
+    assert not over, (
+        f"{name}: plan topology grew past the checked-in budget {over} — "
+        "if the change is intentional, regenerate via "
+        "`python tools/plan_budget.py --regen` and justify the diff"
+    )
