@@ -71,14 +71,21 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
     plus an optional ``key`` column (e.g.
     operators.filters.primary_key_string).
 
-    The key matters for ordering: Kafka guarantees order only WITHIN a
-    partition, and a record with no key is sticky/round-robin
-    partitioned — on a multi-partition topic consecutive mutations of
-    the same row would interleave across partitions and replay out of
-    binlog order. Keying by the row's primary key pins each row's
-    history to one partition; without a key column the per-table
-    ordering claim holds only for single-partition topics (the
-    reference's default deployment).
+    The key is REQUIRED for ordering on any multi-partition topic:
+    Kafka guarantees order only WITHIN a partition, and a record with
+    no key is sticky/round-robin partitioned — consecutive mutations
+    of the same row interleave across partitions and replay out of
+    binlog order. Keying by the row's primary key routes each row's
+    history through the default partitioner (murmur2(key) % N) to ONE
+    partition, preserving the reference's per-(db,table) ordering
+    guarantee (README.md:119-124). Without a key column the ordering
+    claim holds only for single-partition topics (the reference's
+    default deployment). Both halves are PINNED against the wire twin
+    under a real 4-partition layout — keyed order survives produce
+    restarts and consumer resume, unkeyed round-robin demonstrably
+    breaks replay order (tests/test_kafka_shim.py
+    test_partitioned_keyed_produce_preserves_per_key_order /
+    test_partitioned_unkeyed_produce_breaks_order).
 
     The optional ``format`` option ("kafka" default) swaps the real
     connector for the file-backed wire twin ("kafkafile",
@@ -103,11 +110,17 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
     for extra in ("headers", "partition"):
         if extra in df.columns:
             cols.append(extra)
-    return (
+    w = (
         df.selectExpr(*cols)
         .writeStream.format(fmt)
         .option("kafka.bootstrap.servers", options["brokers"])
     )
+    if fmt == "kafkafile" and options.get("partitions"):
+        # twin-only: topic partition count at CREATION (a real broker
+        # owns this as topic config; the twin models that — an
+        # existing topic's count never changes)
+        w = w.option("kafkafile.partitions", str(options["partitions"]))
+    return w
 
 
 @register_producer("latest_state")

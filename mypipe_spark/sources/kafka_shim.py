@@ -25,11 +25,23 @@ producer option ``format``):
   re-stages; only COMMITTED stagings reach the log — mirroring the
   connector's own semantics), resumable reads by offset.
 
-Deliberately a single partition per topic: the reference's default
-deployment (KafkaProducer.scala:29-45 keys but does not partition),
-and the honest statement of what a file directory can order. The
-per-row ``timestampType`` is 1 (LogAppendTime) — offsets and stamps
-are assigned by the "broker" at commit, like a log-append-time topic.
+Topics default to a single partition — the reference's default
+deployment (KafkaProducer.scala:29-45 keys but does not partition).
+Opt-in N-partition mode (sink option ``kafkafile.partitions=N`` at
+topic CREATION; like the real broker, the partition count is topic
+config — producing to an existing topic never changes it) models the
+real contract exactly: keyed records route by Kafka's default
+partitioner (murmur2(key) mod N — the twin reimplements murmur2 so
+the key→partition mapping matches a real broker byte-for-byte),
+NULL-key records round-robin, offsets are PER PARTITION, and the
+consumer interleaves partitions with no cross-partition order — so
+the per-(db,table) ordering guarantee the reference relies on
+(README.md:119-124) holds exactly when produces are keyed, which
+tests/test_kafka_shim.py pins positively (keyed order survives
+partitioned produce + resume) and negatively (unkeyed round-robin
+demonstrably breaks it). The per-row ``timestampType`` is 1
+(LogAppendTime) — offsets and stamps are assigned by the "broker" at
+commit, like a log-append-time topic.
 
 This is a TEST DOUBLE for wire-contract verification, not a
 production sink: single-process broker directory, JSON-lines storage
@@ -92,6 +104,86 @@ def _unb64(s: str | None) -> bytes | None:
 
 def _topic_dir(broker: str, topic: str) -> str:
     return os.path.join(broker, topic)
+
+
+_META_FILE = ".partitions"
+
+
+def _murmur2(data: bytes) -> int:
+    """Kafka's 32-bit murmur2 (seed 0x9747b28c) — reimplemented from
+    the published algorithm (org.apache.kafka.common.utils.Utils
+    .murmur2) so the twin's keyed-record partition routing,
+    ``toPositive(murmur2(key)) % N``, matches the real default
+    partitioner byte-for-byte: a consumer moving between the twin and
+    a real broker sees the same key→partition mapping."""
+    mask = 0xFFFFFFFF
+    m = 0x5BD1E995
+    length = len(data)
+    h = (0x9747B28C ^ length) & mask
+    n4 = length & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & mask
+        k ^= k >> 24
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    rem = length & 3
+    if rem >= 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def _partition_for_key(key: bytes, n: int) -> int:
+    return (_murmur2(key) & 0x7FFFFFFF) % n
+
+
+def _topic_partitions(tdir: str) -> int:
+    """Partition count of an existing topic: the .partitions metadata
+    file if present, else 1 (the flat single-partition layout every
+    pre-round-9 broker dir uses)."""
+    meta = os.path.join(tdir, _META_FILE)
+    if os.path.exists(meta):
+        with open(meta, "r", encoding="ascii") as f:
+            return int(f.read().strip())
+    return 1
+
+
+def _partition_dir(tdir: str, n: int, p: int) -> str:
+    """Partition p's log directory: the topic dir itself for
+    single-partition topics (backward-compatible flat layout), a
+    p-NNNNN subdir otherwise."""
+    return tdir if n == 1 else os.path.join(tdir, f"p-{p:05d}")
+
+
+def _ensure_topic(tdir: str, n_opt: int) -> int:
+    """Create the topic if absent (with ``n_opt`` partitions); an
+    EXISTING topic keeps its own count — like the real broker, the
+    partition count is topic configuration, and a producer option can
+    never repartition a topic that already has a log. The metadata
+    file is claimed create-only (O_EXCL) so two queries racing the
+    first produce agree on one count."""
+    os.makedirs(tdir, exist_ok=True)
+    meta = os.path.join(tdir, _META_FILE)
+    if n_opt > 1 and not os.path.exists(meta) and not _data_files(tdir):
+        try:
+            fd = os.open(meta, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w", encoding="ascii") as f:
+                f.write(str(n_opt))
+        except FileExistsError:
+            pass  # lost the creation race: use the winner's count
+    n = _topic_partitions(tdir)
+    for p in range(n):
+        os.makedirs(_partition_dir(tdir, n, p), exist_ok=True)
+    return n
 
 
 def _data_files(tdir: str) -> list[str]:
@@ -188,6 +280,19 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
             )
         self._has_key = "key" in names
         self._run_id = uuid.uuid4().hex
+        # opt-in N-partition mode: applies to topics THIS writer
+        # creates; existing topics keep their own count (_ensure_topic)
+        try:
+            self._n_partitions = int(options.get("kafkafile.partitions", "1"))
+        except ValueError:
+            raise ValueError(
+                "kafkafile.partitions must be a positive int, got "
+                f"{options.get('kafkafile.partitions')!r}"
+            ) from None
+        if self._n_partitions < 1:
+            raise ValueError(
+                f"kafkafile.partitions must be >= 1, got {self._n_partitions}"
+            )
 
     def write(self, iterator: Iterator[Row]) -> _Staged:
         staging = os.path.join(self._broker, "_staging")
@@ -234,12 +339,32 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
                     by_topic.setdefault(rec["t"], []).append(rec)
         for topic, recs in by_topic.items():
             tdir = _topic_dir(self._broker, topic)
-            os.makedirs(tdir, exist_ok=True)
-            lines = [
-                json.dumps({"k": r["k"], "v": r["v"], "ts": now_us}) + "\n"
-                for r in recs
-            ]
-            _append_log_file(self._broker, tdir, lines)
+            n = _ensure_topic(tdir, self._n_partitions)
+            # Kafka's default partitioner: keyed records route by
+            # murmur2(key) % n — per-key order within a batch is
+            # preserved because each key maps to ONE partition and the
+            # per-partition append keeps arrival order; NULL-key
+            # records round-robin (order across partitions is
+            # deliberately NOT preserved — exactly the real broker's
+            # contract, pinned negatively in tests)
+            by_part: dict[int, list[str]] = {}
+            rr = 0
+            for r in recs:
+                if n == 1:
+                    p = 0
+                elif r["k"] is not None:
+                    p = _partition_for_key(base64.b64decode(r["k"]), n)
+                else:
+                    p = rr % n
+                    rr += 1
+                by_part.setdefault(p, []).append(
+                    json.dumps({"k": r["k"], "v": r["v"], "ts": now_us})
+                    + "\n"
+                )
+            for p, lines in by_part.items():
+                _append_log_file(
+                    self._broker, _partition_dir(tdir, n, p), lines
+                )
         _atomic_write_lines(marker, [])
         for m in messages:  # committed stagings are spent
             if m is not None and os.path.exists(m.path):
@@ -285,18 +410,46 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
                 f"got {self._starting!r}"
             )
 
-    def initialOffset(self) -> dict:
-        if self._starting == "latest":
-            return {"offset": _next_offset(_topic_dir(self._broker, self._topic))}
-        return {"offset": 0}
+    def _tdir(self) -> str:
+        return _topic_dir(self._broker, self._topic)
 
-    def _scan(self, lo: int, hi: int) -> Iterator[Tuple]:
+    def _starts(self, start: dict, n: int) -> dict[int, int]:
+        """Normalize a checkpointed offset to per-partition form.
+
+        Flat (single-partition) checkpoints carry ``{"offset": int}``;
+        partitioned topics carry ``{"offset": {"0": int, ...}}``. An
+        int start against a now-partitioned topic only happens when
+        the stream began BEFORE the topic existed (initialOffset saw
+        no log → 0), so the int seeds every partition."""
+        raw = start["offset"]
+        if isinstance(raw, dict):
+            return {p: int(raw.get(str(p), 0)) for p in range(n)}
+        return {p: int(raw) for p in range(n)}
+
+    def initialOffset(self) -> dict:
+        tdir = self._tdir()
+        n = _topic_partitions(tdir)
+        if n == 1:
+            if self._starting == "latest":
+                return {"offset": _next_offset(tdir)}
+            return {"offset": 0}
+        if self._starting == "latest":
+            return {
+                "offset": {
+                    str(p): _next_offset(_partition_dir(tdir, n, p))
+                    for p in range(n)
+                }
+            }
+        return {"offset": {str(p): 0 for p in range(n)}}
+
+    def _scan(
+        self, pdir: str, pid: int, lo: int, hi: int
+    ) -> Iterator[Tuple]:
         if lo >= hi:
             # idle trigger: nothing new — never open the (possibly
             # large) last log file just to skip every line of it
             return
-        tdir = _topic_dir(self._broker, self._topic)
-        files = _data_files(tdir)
+        files = _data_files(pdir)
         for idx, path in enumerate(files):
             start = int(os.path.basename(path)[5:-6])
             if start >= hi:
@@ -321,24 +474,62 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
                         _unb64(rec["k"]),
                         _unb64(rec["v"]),
                         self._topic,
-                        0,
+                        pid,
                         off,
                         dt.datetime.fromtimestamp(rec["ts"] / 1e6, tz=_UTC),
                         1,  # LogAppendTime: the broker stamped it
                     )
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
-        lo = start["offset"]
-        hi = _next_offset(_topic_dir(self._broker, self._topic))
-        # a materialized LIST iterator, not a generator: Spark's
-        # simple-reader prefetch cache calls next() on the result AND
-        # copy.copy()s it (list_iterator is copyable, generators are
-        # not); materializing is the SimpleReader tradeoff this test
-        # twin accepts by design
-        return iter(list(self._scan(lo, hi))), {"offset": max(lo, hi)}
+        tdir = self._tdir()
+        n = _topic_partitions(tdir)
+        if n == 1:
+            lo = start["offset"]
+            if isinstance(lo, dict):  # partitioned checkpoint, flat log
+                raise ValueError(
+                    "kafkafile: checkpoint carries per-partition offsets "
+                    f"but topic {self._topic!r} is single-partition — was "
+                    "the broker directory recreated under a checkpoint?"
+                )
+            hi = _next_offset(tdir)
+            # a materialized LIST iterator, not a generator: Spark's
+            # simple-reader prefetch cache calls next() on the result
+            # AND copy.copy()s it (list_iterator is copyable,
+            # generators are not); materializing is the SimpleReader
+            # tradeoff this test twin accepts by design
+            return (
+                iter(list(self._scan(tdir, 0, lo, hi))),
+                {"offset": max(lo, hi)},
+            )
+        starts = self._starts(start, n)
+        rows: list[Tuple] = []
+        ends: dict[str, int] = {}
+        for p in range(n):
+            pdir = _partition_dir(tdir, n, p)
+            lo = starts[p]
+            hi = _next_offset(pdir)
+            rows.extend(self._scan(pdir, p, lo, hi))
+            ends[str(p)] = max(lo, hi)
+        return iter(rows), {"offset": ends}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        return iter(list(self._scan(start["offset"], end["offset"])))
+        tdir = self._tdir()
+        raw_end = end["offset"]
+        if not isinstance(raw_end, dict):
+            return iter(list(self._scan(tdir, 0, start["offset"], raw_end)))
+        n = len(raw_end)
+        starts = self._starts(start, n)
+        rows: list[Tuple] = []
+        for p in range(n):
+            rows.extend(
+                self._scan(
+                    _partition_dir(tdir, n, p),
+                    p,
+                    starts[p],
+                    int(raw_end[str(p)]),
+                )
+            )
+        return iter(rows)
 
 
 class KafkaFileDataSource(DataSource):

@@ -445,3 +445,262 @@ def test_kafkafile_sink_accepts_string_value_like_the_connector(spark, tmp_path)
     assert len(recs) == 1
     assert base64.b64decode(recs[0]["v"]) == b"payload-as-string"
     assert base64.b64decode(recs[0]["k"]) == b"key-as-string"
+
+
+# ---------------------------------------------------------------------------
+# N-partition mode (round-8 verdict ask #4): the per-(db,table) ordering
+# guarantee the reference relies on (README.md:119-124) under PARTITIONED
+# produce — keyed order survives, round-robin demonstrably does not.
+
+
+def test_murmur2_matches_kafka_test_vectors():
+    """The twin's partitioner must be the REAL default partitioner:
+    murmur2 pinned against the vectors from Kafka's own UtilsTest, so
+    a consumer moving between the twin and a real broker sees the
+    identical key->partition mapping."""
+    from mypipe_spark.sources.kafka_shim import _murmur2
+
+    def signed(x: int) -> int:
+        return x - 2**32 if x >= 2**31 else x
+
+    vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+        b"a-little-bit-longer-string": -1486304829,
+        b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+        b"": 275646681,
+    }
+    for data, want in vectors.items():
+        assert signed(_murmur2(data)) == want, data
+
+
+def _write_waves(spark, src: str, waves, keys, keyed: bool = True) -> None:
+    """One parquet file per wave (seq range), mtime-ordered so the
+    file stream (maxFilesPerTrigger=1) replays them as one batch per
+    wave, oldest first — the produce order the assertions reason
+    about."""
+    import os
+    import time
+
+    # stamp mtimes PER WAVE as the files appear: the parquet part
+    # names carry random UUIDs, so any name-sorted stamping would
+    # scramble wave order and the produce-order assertions with it
+    seen: set[str] = set()
+    base = time.time()
+    for i, w in enumerate(waves):
+        rows = [(k, f"{k}:{s}") for s in w for k in keys]
+        df = spark.createDataFrame(rows, "key string, value string")
+        if not keyed:
+            df = df.select("value")
+        df.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(os.path.join(src, f), (base + i, base + i))
+                seen.add(f)
+
+
+def _produce_partitioned(
+    spark, src: str, broker: str, ckpt: str, topic: str, keyed: bool = True
+) -> None:
+    from pyspark.sql import functions as F
+
+    schema = "key string, value string" if keyed else "value string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("topic", F.lit(topic))
+    )
+    q = (
+        stream.writeStream.format("kafkafile")
+        .option("kafka.bootstrap.servers", broker)
+        .option("kafkafile.partitions", "4")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_partitioned_keyed_produce_preserves_per_key_order(spark, tmp_path):
+    """pk-keyed produce across a 4-partition topic: every key lands in
+    exactly its murmur2 partition, per-partition offsets are dense
+    from 0, and each key's values read back in produce order — across
+    BOTH a producer restart and a consumer checkpoint resume. This is
+    the reference's ordering contract (README.md:119-124: per-table
+    topics stay ordered because records are pk-keyed) under the real
+    broker's partitioning rules."""
+    import os
+
+    from mypipe_spark.sources.kafka_shim import (
+        _partition_for_key,
+        register_kafka_file_shim,
+    )
+    from mypipe_spark.sources.stream import kafka_stream
+
+    register_kafka_file_shim(spark)
+    src = str(tmp_path / "src")
+    broker = str(tmp_path / "broker")
+    topic = "orders_by_pk"
+    keys = [f"user{i}" for i in range(16)]
+
+    _write_waves(spark, src, [range(0, 2), range(2, 4)], keys)
+    _produce_partitioned(
+        spark, src, broker, str(tmp_path / "ckpt_p"), topic
+    )
+
+    tdir = os.path.join(broker, topic)
+    assert os.path.exists(os.path.join(tdir, ".partitions"))
+    pdirs = sorted(d for d in os.listdir(tdir) if d.startswith("p-"))
+    assert pdirs == [f"p-{p:05d}" for p in range(4)]
+
+    sink = str(tmp_path / "consumed")
+
+    def consume() -> None:
+        df = kafka_stream(spark, broker, topic, format="kafkafile")
+        q = (
+            df.selectExpr(
+                "CAST(key AS STRING) AS key",
+                "CAST(value AS STRING) AS value",
+                "partition",
+                "offset",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    consume()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 16 * 4
+
+    # producer down; two more waves arrive; producer restarts from its
+    # checkpoint, consumer resumes from its own
+    _write_waves(spark, src, [range(4, 6)], keys)
+    _produce_partitioned(
+        spark, src, broker, str(tmp_path / "ckpt_p"), topic
+    )
+    consume()
+
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 16 * 6, "resume duplicated or dropped records"
+    by_key: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["partition"], r["offset"])):
+        # the partition IS the murmur2 route for the key
+        assert r["partition"] == _partition_for_key(
+            r["key"].encode(), 4
+        ), r
+        by_key.setdefault(r["key"], []).append(r)
+    for k, recs in by_key.items():
+        # one partition per key, and values in produce order when read
+        # in that partition's offset order — the ordering contract
+        assert len({r["partition"] for r in recs}) == 1, k
+        assert [r["value"] for r in recs] == [
+            f"{k}:{s}" for s in range(6)
+        ], k
+    # per-partition offsets are dense from 0 (broker-assigned)
+    for p in {r["partition"] for r in rows}:
+        offs = sorted(r["offset"] for r in rows if r["partition"] == p)
+        assert offs == list(range(len(offs))), p
+
+
+def test_partitioned_unkeyed_produce_breaks_order(spark, tmp_path):
+    """The negative half of the ordering pin: UNKEYED produce
+    round-robins across partitions, and since the consumer only
+    orders within a partition, the read-back sequence provably
+    diverges from the produce sequence. This is why the production
+    guidance (sinks/producers.py) REQUIRES pk-keying on partitioned
+    topics — not a twin artifact, the real broker contract."""
+    from mypipe_spark.sources.kafka_shim import register_kafka_file_shim
+    from mypipe_spark.sources.stream import kafka_stream
+
+    register_kafka_file_shim(spark)
+    src = str(tmp_path / "src")
+    broker = str(tmp_path / "broker")
+    topic = "unkeyed_topic"
+
+    # one wave, one file, ONE task: values v:0..v:11 staged in order
+    _write_waves(spark, src, [range(12)], ["v"], keyed=False)
+    _produce_partitioned(
+        spark, src, broker, str(tmp_path / "ckpt_p"), topic, keyed=False
+    )
+
+    df = kafka_stream(spark, broker, topic, format="kafkafile")
+    sink = str(tmp_path / "consumed")
+    q = (
+        df.selectExpr("CAST(value AS STRING) AS value", "partition", "offset")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(sink).collect()
+    produced = [f"v:{s}" for s in range(12)]
+    assert sorted(r["value"] for r in rows) == sorted(produced)
+    # records spread across several partitions...
+    assert len({r["partition"] for r in rows}) > 1
+    # ...and the consumer's only available order (partition, offset)
+    # does NOT reproduce the produce order
+    consumed = [
+        r["value"]
+        for r in sorted(rows, key=lambda r: (r["partition"], r["offset"]))
+    ]
+    assert consumed != produced
+
+
+def test_partition_count_is_topic_config_not_producer_option(spark, tmp_path):
+    """Producing to an EXISTING flat topic with kafkafile.partitions=4
+    must not repartition it (the real broker's partition count is
+    topic configuration): the log stays flat, offsets keep continuing
+    densely, and no .partitions metadata appears."""
+    import os
+
+    from mypipe_spark.sources.kafka_shim import register_kafka_file_shim
+
+    register_kafka_file_shim(spark)
+    broker = str(tmp_path / "broker")
+    topic = "flat_first"
+
+    def produce(src: str, ckpt: str, partitions: str | None) -> None:
+        from pyspark.sql import functions as F
+
+        w = (
+            spark.readStream.schema("key string, value string")
+            .parquet(src)
+            .withColumn("topic", F.lit(topic))
+            .writeStream.format("kafkafile")
+            .option("kafka.bootstrap.servers", broker)
+            .option("checkpointLocation", ckpt)
+        )
+        if partitions:
+            w = w.option("kafkafile.partitions", partitions)
+        q = w.start()
+        q.processAllAvailable()
+        q.stop()
+
+    src1 = str(tmp_path / "s1")
+    _write_waves(spark, src1, [range(3)], ["a", "b"])
+    produce(src1, str(tmp_path / "c1"), None)
+
+    src2 = str(tmp_path / "s2")
+    _write_waves(spark, src2, [range(3, 6)], ["a", "b"])
+    produce(src2, str(tmp_path / "c2"), "4")
+
+    tdir = os.path.join(broker, topic)
+    assert not os.path.exists(os.path.join(tdir, ".partitions"))
+    assert not any(d.startswith("p-") for d in os.listdir(tdir))
+    import glob as _glob
+    import json as _json
+
+    files = sorted(_glob.glob(f"{tdir}/data-*.jsonl"))
+    n = sum(1 for p in files for _ in open(p))
+    assert n == 12  # both produces landed in the one flat log
