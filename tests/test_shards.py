@@ -480,3 +480,100 @@ def test_caller_shard_column_survives(spark, tmp_path):
     assert sorted((r["doc_id"], r["__shard"]) for r in back.collect()) == [
         (1, 7), (2, 8)
     ]
+
+
+def _stage_waves(spark, batch_docs, src: str, n_waves: int) -> None:
+    """Split the corpus into n_waves mtime-ordered parquet files so a
+    maxFilesPerTrigger=1 file stream replays them as one epoch per
+    wave. Mtimes are stamped PER WAVE as the files appear (part names
+    carry random UUIDs — name order is not write order)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    seen: set[str] = set()
+    base = time.time()
+    for i in range(n_waves):
+        wave = batch_docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_waves)) == i
+        )
+        wave.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(os.path.join(src, f), (base + i, base + i))
+                seen.add(f)
+
+
+def test_streaming_curation_replayed_epoch_is_idempotent(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The at-least-once retry path of the epoch-keyed overwrite
+    contract, exercised for real (round-8 verdict ask #5): an epoch's
+    foreachBatch WRITES its shards fully and then dies (injected
+    post-write failure — the worst case for a bare append sink, which
+    would double every row of the epoch on replay); the restarted
+    query replays the SAME epoch into the same epoch=<id> directory
+    with mode=overwrite, so the landed corpus equals the batch
+    gate+scrub output exactly — no duplicates, no gaps."""
+    import mypipe_spark.curate as cur
+    from conftest import drain_stream
+    from mypipe_spark.plans.curation import gate_documents, scrub_documents
+    from pyspark.sql import functions as F
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _stage_waves(spark, batch_docs, src, n_waves=2)
+
+    def stream():
+        return (
+            spark.readStream.schema(batch_docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    real = cur.write_training_shards
+    armed = {"on": True}
+
+    def failing(df, path, **kw):
+        real(df, path, **kw)  # the epoch's shards ARE on disk...
+        if armed["on"]:
+            armed["on"] = False  # ...when the "task" dies exactly once
+            raise RuntimeError("injected post-write epoch failure")
+
+    monkeypatch.setattr(cur, "write_training_shards", failing)
+    q = cur.run_streaming_curation(
+        spark, stream(), out, ckpt, shards_per_stratum=2, rows_per_file=50
+    )
+    failed = None
+    try:
+        drain_stream(q)
+    except Exception as exc:  # noqa: BLE001 — the injected failure
+        failed = exc
+    assert failed is not None and "injected post-write" in str(failed)
+    # the poisoned epoch's output is REAL on-disk state the replay
+    # must overwrite, not an empty directory
+    assert glob.glob(f"{out}/epoch=*"), "injected failure landed no epoch"
+
+    monkeypatch.setattr(cur, "write_training_shards", real)
+    q2 = cur.run_streaming_curation(
+        spark, stream(), out, ckpt, shards_per_stratum=2, rows_per_file=50
+    )
+    drain_stream(q2)
+
+    want = sorted(
+        map(
+            tuple,
+            scrub_documents(
+                gate_documents(batch_docs)
+                .filter(F.col("gate_keep") == 1)
+                .select("doc_id", "lang", "source", "text")
+            ).collect(),
+        )
+    )
+    back = spark.read.parquet(out)
+    cols = scrub_documents(batch_docs).columns
+    got = sorted(map(tuple, back.select(cols).collect()))
+    assert got == want and len(got) > 0
+    assert back.groupBy("doc_id").count().filter("count > 1").count() == 0
