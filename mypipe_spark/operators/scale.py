@@ -215,11 +215,13 @@ def exact_ntile_multi(
     drop."""
     from pyspark.sql import Window
 
-    clash = [c for c in df.columns if c.startswith("__entm_")]
+    clash = [c for c in df.columns if c.startswith("__entm_")] + [
+        name for name, _ in axes if name.startswith("__entm_")
+    ]
     if clash:
         raise ValueError(
             "exact_ntile_multi reserves the __entm_ column prefix for its"
-            f" internal helpers; rename caller column(s) {clash}"
+            f" internal helpers; rename caller column(s)/out_col(s) {clash}"
         )
     P = partitions or df.sparkSession.sparkContext.defaultParallelism
     fracs = [i / P for i in range(1, P)]

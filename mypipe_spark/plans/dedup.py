@@ -1203,17 +1203,24 @@ _QSCALE = 10_000
 # so correctness coverage of the mechanism no longer rides on the
 # fixtures tripping it.
 #
-# HONEST LIMITS (round-7 review): the bound is a 2^_CELL_MAX_BITS
-# reduction of within-cell pair work, not an unconditional cap — a
-# cell beyond cap·2^maxbits (≥ 1M vectors at these settings) is
-# quadratic again at 1/4096² the coefficient, and a dimension whose
-# values do not straddle the cell mean (constant or one-sided dims)
-# contributes no split, so adversarially degenerate embeddings can
-# defeat the refinement. The remedy at corpus scale is a finer
+# HONEST LIMITS (round-7 review; MEASURED round-9 at the boundary —
+# tools/cell_bound_probe.py, SCALING.md): the bound is a
+# 2^_CELL_MAX_BITS reduction of within-cell pair work, not an
+# unconditional cap — a cell beyond cap·2^maxbits (1,048,576 vectors
+# at these settings) is quadratic in N again at 1/4096 of the naive
+# N²/2 TOTAL (measured: 2x the bound → exactly 4.00x the candidate
+# pairs, coefficient 0.00024413 ≈ 1/4096 at both 1x and 2x; the
+# per-finest-sub-cell — i.e. per-task — share is (N/4096)²/2, the
+# 1/4096² figure); and a dimension whose values do not straddle the
+# cell mean (constant or one-sided dims) contributes no split, so
+# adversarially degenerate embeddings defeat the refinement entirely
+# (measured: a 4096-identical-vector cell yields ONE sub-cell and
+# exactly naive C(N,2) pairs). The remedy at corpus scale is a finer
 # upstream quantizer (more `label` cells — the knob SemDeDup itself
 # turns), with this sub-split as the in-engine backstop; the audit
 # query (embedding_cell_audit.max_subcell) is the alarm that says
-# when.
+# when, and it fires on both measured corpora (pinned:
+# tests/test_dedup.py::test_embedding_cell_audit_flags_beyond_bound_and_degenerate).
 _CELL_CAP = 256
 _CELL_MAX_BITS = 12
 

@@ -170,7 +170,15 @@ def _ensure_topic(tdir: str, n_opt: int) -> int:
     partition count is topic configuration, and a producer option can
     never repartition a topic that already has a log. The metadata
     file is claimed create-only (O_EXCL) so two queries racing the
-    first produce agree on one count."""
+    first produce agree on one count.
+
+    Racing the first-ever produce of one topic with CONFLICTING
+    partition counts (one flat, one partitioned) is undefined — the
+    flat leg can append root log files in the window before the meta
+    claim lands, and those records are invisible to partitioned
+    readers. The real broker has no such race only because topics are
+    created administratively; create consistently (or pre-create by
+    producing once) before fanning out."""
     os.makedirs(tdir, exist_ok=True)
     meta = os.path.join(tdir, _META_FILE)
     if n_opt > 1 and not os.path.exists(meta) and not _data_files(tdir):
