@@ -24,6 +24,14 @@ discipline as tests/test_plan_quality.py's jaccard pin. Counts are the
 pre-execution physical plan (no AQE), so they are deterministic for a
 fixed SF and session config.
 
+Disclosed limitation: one SF only. A size-dependent strategy flip
+(broadcast→sort-merge when a side outgrows the threshold) at a larger
+SF is invisible here — by design, since stats-driven flips are
+Catalyst doing its job, not a regression; the node kinds this gate
+watches come from the logical shape and do not flip with size.
+Correctness at sf0.1 is preflight's job; sf0.1 wall-clock is
+bench.py's.
+
 Usage:
     python tools/plan_budget.py --regen      # rewrite PLAN_BUDGET.json
     python tools/plan_budget.py [name ...]   # check (all, or named) against it
