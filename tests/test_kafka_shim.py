@@ -23,9 +23,13 @@ from mypipe_spark.sources.stream import changelog_batch, changelog_stream
 from mypipe_spark.streaming.pipe import Pipe
 
 
-def _produce_pipe(broker: str, src: str, ckpt: str, reg) -> Pipe:
+def _produce_pipe(
+    broker: str, src: str, ckpt: str, reg, partitions: int | None = None
+) -> Pipe:
     """The registered kafka producer wiring, verbatim (topic + value +
-    pk key columns -> producer 'kafka'), pointed at the stand-in."""
+    pk key columns -> producer 'kafka'), pointed at the stand-in.
+    ``partitions`` opts the created topic into the twin's N-partition
+    mode through the producer option, like a config would."""
 
     def _frame(df):
         from pyspark.sql import functions as F
@@ -38,12 +42,15 @@ def _produce_pipe(broker: str, src: str, ckpt: str, reg) -> Pipe:
         ).otherwise(primary_key_string(["id"], image="new"))
         return framed.withColumn("key", pk.cast("binary"))
 
+    popts = {"brokers": broker, "format": "kafkafile"}
+    if partitions:
+        popts["partitions"] = partitions
     return Pipe(
         pipe_id="kshim_prod",
         source=lambda s: changelog_stream(s, src, max_files_per_trigger=1),
         transforms=[mutations_only, _frame],
         producer="kafka",
-        producer_options={"brokers": broker, "format": "kafkafile"},
+        producer_options=popts,
         checkpoint_dir=ckpt,
     )
 
@@ -704,3 +711,107 @@ def test_partition_count_is_topic_config_not_producer_option(spark, tmp_path):
     files = sorted(_glob.glob(f"{tdir}/data-*.jsonl"))
     n = sum(1 for p in files for _ in open(p))
     assert n == 12  # both produces landed in the one flat log
+
+
+def test_partitioned_kafka_pipe_keeps_per_pk_latest(spark, tmp_path):
+    """The SEMANTIC consequence of pk-keyed partitioned produce,
+    pinned through the full config-driven cascade: on a 4-partition
+    topic, broker offsets (→ seq) are only PER-PARTITION dense — two
+    rows of different pks may share a seq — but every pk's history
+    lives in exactly one partition, so per-pk argmax(seq), the
+    keep-last rule every latest-state consumer applies, still selects
+    exactly the changelog's last mutation for every pk. This is why
+    decoded_change_events can keep offset→seq unchanged under the
+    round-9 partition mode."""
+    import os
+
+    from mypipe_spark.runner import build_pipes
+    from mypipe_spark.streaming.pipe import run_pipes
+
+    register_kafka_file_shim(spark)
+    src, broker = str(tmp_path / "cl"), str(tmp_path / "broker")
+    write_changelog(spark, src, num_transactions=30, num_files=3)
+    reg = in_memory_repo()
+    _produce_pipe(
+        broker, src, str(tmp_path / "ckpt_p"), reg, partitions=4
+    ).run_available(spark)
+
+    tdir = os.path.join(broker, "mypipe_user_generic")
+    assert os.path.exists(os.path.join(tdir, ".partitions"))
+    used = [d for d in os.listdir(tdir) if d.startswith("p-") and os.listdir(os.path.join(tdir, d))]
+    assert len(used) > 1, "fixture keys all hashed to one partition"
+
+    config = {
+        "consumers": {
+            "k1": {
+                "type": "kafka",
+                "brokers": broker,
+                "topics": "mypipe_user_generic",
+                "format": "kafkafile",
+                "codec": "json",
+            }
+        },
+        "pipes": {
+            "kshim_part_latest": {
+                "consumer": "k1",
+                "producer": {"name": "memory"},
+                "checkpoint": str(tmp_path / "ckpt_c"),
+            }
+        },
+    }
+    (pipe,) = build_pipes(config)
+    pipe.checkpoint_dir = str(tmp_path / "ckpt_c")
+    q = run_pipes(spark, [pipe])[0]
+    q.processAllAvailable()
+    q.stop()
+
+    # pk derived EXACTLY like the producer keys records (deletes carry
+    # only the old image). Deriving it from the new image alone
+    # collapsed every delete into pk '' — a group whose rows span
+    # partitions, where argmax(seq) promptly picked a different row
+    # than the batch ground truth: the keying hazard this test
+    # documents, demonstrated live by its own first draft.
+    from pyspark.sql import functions as F
+
+    pk = F.when(
+        F.col("op") == "delete", primary_key_string(["id"], image="old")
+    ).otherwise(primary_key_string(["id"], image="new"))
+    out = spark.sql("select * from kshim_part_latest").withColumn("pk", pk)
+    batch = mutations_only(changelog_batch(spark, src)).withColumn("pk", pk)
+    map_cols = [
+        c
+        for c in batch.columns
+        if c.startswith("old_") or c.startswith("new_")
+    ]
+
+    def norm(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return v
+
+    def latest_by(df, seq_col):
+        best: dict = {}
+        for r in df.collect():
+            k = r["pk"]
+            if k not in best or r[seq_col] > best[k][seq_col]:
+                best[k] = r
+        return {
+            k: (r["op"],)
+            + tuple(
+                tuple(sorted((kk, norm(vv)) for kk, vv in (r[c] or {}).items()))
+                for c in map_cols
+            )
+            for k, r in best.items()
+        }
+
+    got = latest_by(out, "seq")
+    want = latest_by(batch, "seq")
+    assert got == want and len(got) > 1
+    # and the collision premise is real: consumed seqs are NOT
+    # globally unique (per-partition offsets), yet per pk they are
+    seqs = [r["seq"] for r in out.select("seq").collect()]
+    assert len(set(seqs)) < len(seqs)
+    per_pk = {}
+    for r in out.select("pk", "seq").collect():
+        per_pk.setdefault(r["pk"], []).append(r["seq"])
+    assert all(len(set(v)) == len(v) for v in per_pk.values())
