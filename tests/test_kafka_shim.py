@@ -815,3 +815,67 @@ def test_partitioned_kafka_pipe_keeps_per_pk_latest(spark, tmp_path):
     for r in out.select("pk", "seq").collect():
         per_pk.setdefault(r["pk"], []).append(r["seq"])
     assert all(len(set(v)) == len(v) for v in per_pk.values())
+
+
+def test_ensure_topic_creation_race_agrees_on_one_count(tmp_path):
+    """The create-only (O_EXCL) metadata claim under REAL concurrency:
+    many threads race the first-ever produce of one topic with the
+    SAME partition count (the supported race — conflicting counts are
+    documented undefined), and every one must come back with the
+    winner's count, one metadata file, and all four partition dirs —
+    never a torn half-created topic."""
+    import os
+    import threading
+
+    from mypipe_spark.sources.kafka_shim import _ensure_topic
+
+    tdir = str(tmp_path / "broker" / "raced_topic")
+    results: list[int] = []
+    errors: list[BaseException] = []
+    start = threading.Barrier(8)
+
+    def run():
+        try:
+            start.wait()
+            results.append(_ensure_topic(tdir, 4))
+        except BaseException as exc:  # noqa: BLE001 — collected
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors and results == [4] * 8
+    with open(os.path.join(tdir, ".partitions")) as fh:
+        assert fh.read().strip() == "4"
+    pdirs = sorted(d for d in os.listdir(tdir) if d.startswith("p-"))
+    assert pdirs == [f"p-{p:05d}" for p in range(4)]
+
+
+def test_murmur2_tail_lengths_route_in_range():
+    """The Kafka UtilsTest vectors cover byte lengths {0, 2, 6, 24,
+    26, 48} — remainders 0 and 2 only, and Java's switch fall-through
+    means the rem-2 vectors also execute the rem-1 XOR and the tail
+    multiply. The one line no vector reaches is the rem-3 XOR
+    (<<16), verified against the published algorithm text; this test
+    at least pins that every tail length is deterministic, in range,
+    and actually sensitive to its last byte (a truncation bug that
+    ignored the tail would collide these)."""
+    from mypipe_spark.sources.kafka_shim import (
+        _murmur2,
+        _partition_for_key,
+    )
+
+    for length in range(1, 9):
+        a = bytes(range(length))
+        b = bytes(range(length - 1)) + bytes([0xFF])
+        assert _murmur2(a) == _murmur2(bytes(a))  # deterministic
+        assert 0 <= _partition_for_key(a, 7) < 7
+        if length >= 1:
+            assert _murmur2(a) != _murmur2(b) or a == b
+    # tail-byte sensitivity for each remainder class specifically
+    for rem_len in (1, 2, 3):
+        base = b"abcd" * 2 + bytes(rem_len)
+        flip = b"abcd" * 2 + bytes(rem_len - 1) + b"\x01"
+        assert _murmur2(base) != _murmur2(flip), rem_len
