@@ -47,6 +47,16 @@ from noise WITHOUT re-running):
   core on slow instances (normalization rule in BENCH_NOTES.md).
   ``canary_end_ms`` re-probes after the query loop so mid-run host
   drift is visible too.
+- ``canary_bw_ms`` / ``canary_bw_ratio`` (round 10): fixed-work
+  memory-BANDWIDTH probe — repeated whole-box scans of a 2 GiB
+  incompressible in-memory-cached string column — covering the axis
+  the register-resident compute probes cannot see (the round-9
+  residual: compute-canary≈1.0 instances still split ~2x on bench
+  wall purely on cache/DRAM speed). ``canary_host_ratio`` =
+  max(parallel, bw) ratio is the single normalization denominator:
+  divide ``value`` by it before any round-over-round comparison
+  (rule + calibration in BENCH_NOTES.md 'Round 10'). Non-fatal: a
+  probe failure emits null fields, never discards the reading.
 """
 
 from __future__ import annotations
@@ -68,6 +78,14 @@ import time
 # verdict.
 CANARY_REF_MS = 450.0
 CANARY_PARALLEL_REF_MS = 835.0
+# Memory-bandwidth reference (round 10 — covers the axis the compute
+# probes cannot see: BENCH_NOTES 'Round 9' third reading showed
+# compute-canary≈1.0 instances still splitting 7.4–9.4 s vs the
+# 4.679 s fast-class floor on cache/DRAM speed). Calibrated on the
+# round-10 build instance at its quietest (compute ratios 0.79/0.74
+# at calibration time — a fast-class instance; see BENCH_NOTES
+# 'Round 10' for the chain rule when comparing across classes).
+CANARY_BW_REF_MS = 280.0
 # 80M rows/task, not 20M: at 20M the per-job fixed overhead (task
 # scheduling, result fetch) was 30-60% of the reading and swung ±1.8x
 # between sessions; at 80M the arithmetic dominates and the
@@ -98,6 +116,52 @@ def _canary_ms(spark, partitions: int, repeats: int = 3) -> float:
     return round(best, 1)
 
 
+def _canary_bw_ms(spark, partitions: int, repeats: int = 3) -> float:
+    """Fixed-work memory-BANDWIDTH probe (round 10 — the compute
+    canary's disclosed blind spot: instances whose xxhash64 probes
+    read ~1.0 still split 7.4–9.4 s vs the 4.679 s fast-class floor,
+    BENCH_NOTES 'Round 9' third reading — cache/memory bandwidth is
+    the axis a register-resident arithmetic loop cannot see).
+
+    Materializes ~64 MiB of INCOMPRESSIBLE strings per task into the
+    in-memory columnar cache (2 GiB total at 32 tasks — ~40x any VM
+    LLC, so repeat scans stream DRAM; distinct-hash concat so the
+    cache's string encoding can't run-length/dictionary it away),
+    then times repeated full scans with a cheap xxhash64 fold: the
+    scan streams main memory at whole-box width, so the reading
+    tracks DRAM bandwidth, not ALU speed. Cache build cost is
+    excluded (one-time, before timing); best-of-N for the same
+    reason as the compute probes. The default columnar batch size is
+    deliberate: capping it to dodge G1-humongous buffers (tried at
+    2048 rows during round-10 calibration) made the scan per-batch
+    overhead-bound — 4x slower and ±2x noisy, no longer a bandwidth
+    reading. The humongous-allocation risk that motivated the cap
+    (32 concurrent ~10 MiB builders in the 8g heap can flake with
+    'Retried waiting for GCLocker too often') is handled by the
+    caller's retry instead."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    rows_per_task = 65_536  # x ~1 KiB/row = 64 MiB/task
+    df = spark.range(0, rows_per_task * partitions, 1, partitions).select(
+        F.expr(
+            "concat_ws('', transform(sequence(1, 52), "
+            "j -> cast(xxhash64(id * 52 + j) as string)))"
+        ).alias("payload")
+    )
+    cached = df.persist(StorageLevel.MEMORY_ONLY)
+    try:
+        cached.count()  # build the cache OUTSIDE the timed region
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            cached.agg(F.expr("bit_xor(xxhash64(payload))")).collect()
+            best = min(best, (time.perf_counter() - t0) * 1000)
+        return round(best, 1)
+    finally:
+        cached.unpersist()
+
+
 def main() -> int:
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
@@ -122,6 +186,17 @@ def main() -> int:
     par = spark.sparkContext.defaultParallelism
     canary_ms = _canary_ms(spark, 1, repeats=6)
     canary_parallel_ms = _canary_ms(spark, par, repeats=3)
+    # non-fatal: a canary must never discard the reading it qualifies.
+    # One retry for the known flake (concurrent humongous cache-build
+    # allocations can trip G1's 'Retried waiting for GCLocker too
+    # often' under the 8g bench heap)
+    canary_bw_ms = None
+    for _attempt in range(2):
+        try:
+            canary_bw_ms = _canary_bw_ms(spark, par, repeats=6)
+            break
+        except Exception as exc:  # noqa: BLE001 — reported, not hidden
+            print(f"bw canary failed: {exc!r}", file=sys.stderr)
 
     # warmup: smallest bench query end-to-end (JIT, codegen, parquet footers)
     warm = qs.get("dedup_exact") or next(iter(qs.values()))
@@ -149,6 +224,11 @@ def main() -> int:
     canary_ratio = round(canary_ms / CANARY_REF_MS, 3)
     canary_parallel_ratio = round(
         canary_parallel_ms / CANARY_PARALLEL_REF_MS, 3
+    )
+    canary_bw_ratio = (
+        None
+        if canary_bw_ms is None
+        else round(canary_bw_ms / CANARY_BW_REF_MS, 3)
     )
 
     # streaming throughput row (skippable with BENCH_STREAM_TX=0)
@@ -190,11 +270,22 @@ def main() -> int:
         "canary_end_ms": canary_end_ms,
         "canary_ref_ms": CANARY_REF_MS,
         "canary_parallel_ref_ms": CANARY_PARALLEL_REF_MS,
+        "canary_bw_ms": canary_bw_ms,
+        "canary_bw_ref_ms": CANARY_BW_REF_MS,
         "canary_ratio": canary_ratio,
         "canary_parallel_ratio": canary_parallel_ratio,
+        "canary_bw_ratio": canary_bw_ratio,
+        "canary_host_ratio": max(
+            canary_parallel_ratio,
+            canary_bw_ratio if canary_bw_ratio is not None else 0.0,
+        ),
         "canary_flagged": not (
             1 / 1.3 <= canary_ratio <= 1.3
             and 1 / 1.3 <= canary_parallel_ratio <= 1.3
+            and (
+                canary_bw_ratio is None
+                or 1 / 1.3 <= canary_bw_ratio <= 1.3
+            )
         ),
         "stream_mutations_per_s": stream_mut_per_s,
     }

@@ -115,11 +115,35 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
         .writeStream.format(fmt)
         .option("kafka.bootstrap.servers", options["brokers"])
     )
-    if fmt == "kafkafile" and options.get("partitions"):
+    if "partitions" in options:
         # twin-only: topic partition count at CREATION (a real broker
         # owns this as topic config; the twin models that — an
-        # existing topic's count never changes)
-        w = w.option("kafkafile.partitions", str(options["partitions"]))
+        # existing topic's count never changes). Validated HERE, not
+        # only in the twin, and rejected loudly for the real
+        # connector: a real broker's partition count is administrative
+        # topic config, so a config that believes it set partitioning
+        # through this option must hear that it didn't.
+        try:
+            n_parts = int(options["partitions"])
+        except (TypeError, ValueError):
+            raise ValueError(
+                "kafka producer: 'partitions' must be a positive "
+                f"int, got {options['partitions']!r}"
+            ) from None
+        if n_parts < 1:
+            raise ValueError(
+                "kafka producer: 'partitions' must be a positive "
+                f"int, got {n_parts}"
+            )
+        if fmt != "kafkafile":
+            raise ValueError(
+                "kafka producer: 'partitions' is only honored by the "
+                "kafkafile wire twin; a real Kafka topic's partition "
+                f"count is broker-side topic config (format={fmt!r} "
+                "would silently ignore it — create the topic "
+                "administratively instead)"
+            )
+        w = w.option("kafkafile.partitions", str(n_parts))
     return w
 
 

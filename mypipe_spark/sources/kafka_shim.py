@@ -169,8 +169,12 @@ def _ensure_topic(tdir: str, n_opt: int) -> int:
     EXISTING topic keeps its own count — like the real broker, the
     partition count is topic configuration, and a producer option can
     never repartition a topic that already has a log. The metadata
-    file is claimed create-only (O_EXCL) so two queries racing the
-    first produce agree on one count.
+    file is published with the same staged-content + create-only
+    ``os.link`` pattern as ``_append_log_file``: the file only ever
+    appears WITH its count already written, so a racing loser (or a
+    concurrent ``_topic_partitions`` reader) can never observe an
+    empty meta file — O_CREAT|O_EXCL alone would make the name
+    visible before its content.
 
     Racing the first-ever produce of one topic with CONFLICTING
     partition counts (one flat, one partitioned) is undefined — the
@@ -182,12 +186,20 @@ def _ensure_topic(tdir: str, n_opt: int) -> int:
     os.makedirs(tdir, exist_ok=True)
     meta = os.path.join(tdir, _META_FILE)
     if n_opt > 1 and not os.path.exists(meta) and not _data_files(tdir):
+        # topics are direct children of the broker dir (topic names
+        # are [a-zA-Z0-9._-], no separators), so the broker's
+        # _staging/ is one level up — same filesystem, link works
+        staging = os.path.join(os.path.dirname(tdir), "_staging")
+        os.makedirs(staging, exist_ok=True)
+        tmp = os.path.join(staging, f"meta.{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(str(n_opt))
         try:
-            fd = os.open(meta, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w", encoding="ascii") as f:
-                f.write(str(n_opt))
+            os.link(tmp, meta)
         except FileExistsError:
             pass  # lost the creation race: use the winner's count
+        finally:
+            os.remove(tmp)
     n = _topic_partitions(tdir)
     for p in range(n):
         os.makedirs(_partition_dir(tdir, n, p), exist_ok=True)
@@ -426,13 +438,26 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
 
         Flat (single-partition) checkpoints carry ``{"offset": int}``;
         partitioned topics carry ``{"offset": {"0": int, ...}}``. An
-        int start against a now-partitioned topic only happens when
-        the stream began BEFORE the topic existed (initialOffset saw
-        no log → 0), so the int seeds every partition."""
+        int start against a now-partitioned topic is only legitimate
+        when the stream began BEFORE the topic existed (initialOffset
+        saw no log → 0), so ONLY a zero seeds every partition; a
+        nonzero flat offset means the checkpoint was taken against a
+        DIFFERENT (flat) log — seeding it per-partition would silently
+        skip that many records in every partition, so it raises, the
+        mirror of read()'s dict-checkpoint-vs-flat-topic guard."""
         raw = start["offset"]
         if isinstance(raw, dict):
             return {p: int(raw.get(str(p), 0)) for p in range(n)}
-        return {p: int(raw) for p in range(n)}
+        if int(raw) != 0:
+            raise ValueError(
+                "kafkafile: checkpoint carries a flat offset "
+                f"{raw!r} but topic {self._topic!r} has {n} "
+                "partitions — was the broker directory recreated "
+                "with a different partition count under a "
+                "checkpoint? Only offset 0 (stream started before "
+                "the topic existed) is valid here."
+            )
+        return {p: 0 for p in range(n)}
 
     def initialOffset(self) -> dict:
         tdir = self._tdir()

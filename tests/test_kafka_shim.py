@@ -12,6 +12,7 @@ from __future__ import annotations
 import base64
 import glob
 import json
+import os
 
 from mypipe_spark.changelog import write_changelog
 from mypipe_spark.operators.decode import mutations_only
@@ -879,3 +880,121 @@ def test_murmur2_tail_lengths_route_in_range():
         base = b"abcd" * 2 + bytes(rem_len)
         flip = b"abcd" * 2 + bytes(rem_len - 1) + b"\x01"
         assert _murmur2(base) != _murmur2(flip), rem_len
+
+
+def test_ensure_topic_meta_never_visible_empty_to_racing_readers(tmp_path):
+    """ADVICE r9 (kafka_shim.py:186): O_CREAT|O_EXCL made .partitions
+    visible BEFORE its content was written, so a concurrent
+    _topic_partitions reader could crash on ValueError(int('')).
+    The fix publishes via staged-content + create-only os.link (the
+    _append_log_file pattern), so the meta file only ever appears
+    complete. Pin it under real concurrency: creators race readers
+    that poll _topic_partitions in a tight loop; every observation
+    must be 1 (meta not yet linked) or 4 (linked complete) — never a
+    parse error, never a torn value."""
+    import threading
+
+    from mypipe_spark.sources.kafka_shim import (
+        _ensure_topic,
+        _topic_partitions,
+    )
+
+    tdir = str(tmp_path / "broker" / "read_raced")
+    os.makedirs(tdir, exist_ok=True)
+    observed: set[int] = set()
+    errors: list[BaseException] = []
+    start = threading.Barrier(8)
+    done = threading.Event()
+
+    def create():
+        try:
+            start.wait()
+            _ensure_topic(tdir, 4)
+        except BaseException as exc:  # noqa: BLE001 — collected
+            errors.append(exc)
+
+    def read():
+        try:
+            start.wait()
+            while not done.is_set():
+                observed.add(_topic_partitions(tdir))
+        except BaseException as exc:  # noqa: BLE001 — collected
+            errors.append(exc)
+
+    threads = [threading.Thread(target=create) for _ in range(4)] + [
+        threading.Thread(target=read) for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads[:4]:
+        t.join()
+    done.set()
+    for t in threads[4:]:
+        t.join()
+    assert not errors, errors
+    assert observed <= {1, 4} and 4 in observed
+    # and nothing staged leaked: the claim temp is always removed
+    staging = os.path.join(os.path.dirname(tdir), "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+
+
+def test_kafka_producer_validates_partitions_option(spark, tmp_path):
+    """ADVICE r9 (producers.py:118): 'partitions' was silently ignored
+    for the real 'kafka' format (and for falsy values like 0) — a
+    config that believed it set topic partitioning got no feedback.
+    Now: non-kafkafile format raises (a real broker's partition count
+    is administrative topic config), and the value is validated as a
+    positive int HERE rather than only inside the twin."""
+    import pytest
+
+    from mypipe_spark.sinks.producers import get_producer
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    df = spark.readStream.schema("topic string, value string").parquet(src)
+    kafka = get_producer("kafka")
+    broker = str(tmp_path / "broker")
+
+    with pytest.raises(ValueError, match="only honored by the .*kafkafile"):
+        kafka(df, {"brokers": broker, "partitions": 4})
+    with pytest.raises(ValueError, match="only honored by the .*kafkafile"):
+        kafka(df, {"brokers": broker, "format": "kafka", "partitions": 4})
+    for bad in (0, -1, "zero", None):
+        with pytest.raises(ValueError, match="positive int"):
+            kafka(
+                df,
+                {"brokers": broker, "format": "kafkafile", "partitions": bad},
+            )
+    # the happy path still builds: kafkafile + positive int (and the
+    # string form a config file would carry)
+    for ok in (4, "4"):
+        kafka(df, {"brokers": broker, "format": "kafkafile", "partitions": ok})
+
+
+def test_flat_nonzero_checkpoint_against_partitioned_topic_raises(tmp_path):
+    """ADVICE r9 (kafka_shim.py:432): a flat int checkpoint offset > 0
+    against a now-partitioned topic silently seeded EVERY partition
+    with that offset — skipping that many records per partition —
+    while the symmetric mismatch (dict checkpoint, flat topic) raised.
+    Now only offset 0 (the documented stream-started-before-the-topic
+    case) seeds partitions; any nonzero flat offset raises like its
+    mirror guard."""
+    import pytest
+
+    from mypipe_spark.sources.kafka_shim import (
+        _ensure_topic,
+        _KafkaFileStreamReader,
+    )
+
+    broker = str(tmp_path / "broker")
+    _ensure_topic(os.path.join(broker, "ptopic"), 4)
+    reader = _KafkaFileStreamReader(
+        {"kafka.bootstrap.servers": broker, "subscribe": "ptopic"}
+    )
+    with pytest.raises(ValueError, match="flat offset"):
+        reader.read({"offset": 5})
+    # offset 0 is the legitimate pre-topic start: seeds every
+    # partition at 0 and reports per-partition ends from here on
+    rows, end = reader.read({"offset": 0})
+    assert list(rows) == []
+    assert end == {"offset": {str(p): 0 for p in range(4)}}
