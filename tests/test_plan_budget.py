@@ -58,3 +58,54 @@ def test_plan_shape_within_budget(spark, name):
         "if the change is intentional, regenerate via "
         "`python tools/plan_budget.py --regen` and justify the diff"
     )
+
+
+# Round-9 verdict ask #6: the budget counts are PRE-AQE by design;
+# this probe closes the gap between the gate and what actually runs.
+_AQE_PROBE = (
+    # the budget-heaviest rows by Exchange count, plus the pinned
+    # bench heavy — a runtime exchange-count regression would surface
+    # here first
+    "dedup_lsh_tuning_report",  # 13 budgeted exchanges
+    "events_rfm_segments",  # 13
+    "curation_neardup_report",  # 9
+    "q_integrity_orphans",  # 8
+    "dedup_ngram_jaccard",  # 5, the top bench heavy
+)
+
+
+@pytest.mark.parametrize("name", _AQE_PROBE)
+def test_executed_plan_never_exceeds_preaqe_exchange_budget(spark, name):
+    """The EXECUTED plan (AQE on, as every real run is) must stay
+    within the pre-AQE Exchange budget: AQE only ever removes or
+    reuses exchanges at runtime (broadcast conversion, stage reuse,
+    partition coalescing) — it cannot add one. If this ever fails,
+    either the budget snapshot is stale or a runtime re-plan is
+    inserting shuffles the static gate cannot see.
+
+    Counting detail: the final adaptive plan is read from the same
+    DataFrame's QueryExecution AFTER collect() (count() would execute
+    a different QueryExecution), truncated at '== Initial Plan =='
+    (formatted explain appends the initial tree, which would double
+    the counts), and matched with a word-boundary so
+    Broadcast/ReusedExchange nodes don't inflate the plain-Exchange
+    count. Measured at round 10: post-AQE exchanges were <= budget on
+    all five probes (e.g. dedup_lsh_tuning_report 13 -> 4 via
+    broadcast conversion at this SF)."""
+    import re
+
+    plan_budget.evict_plan_caches()
+    df = all_queries()[name].fn(spark, plan_budget.SF_DIR)
+    df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    post = df._jdf.queryExecution().explainString(jmode)
+    assert "isFinalPlan=true" in post, "plan did not execute adaptively"
+    final = post.split("== Initial Plan ==")[0]
+    executed = len(re.findall(r"\bExchange \(\d+\)", final))
+    budget = _BUDGET["queries"][name]["Exchange"]
+    assert executed <= budget, (
+        f"{name}: executed plan has {executed} exchanges vs the "
+        f"pre-AQE budget of {budget} — runtime re-plan added shuffles"
+    )

@@ -72,7 +72,12 @@ def plan_counts(spark, name: str, sf_dir: str = SF_DIR) -> dict[str, int]:
     """Formatted-explain node counts for one catalog query, cold-cache.
 
     Counts use the detail headers ("(3) Exchange") — the tree section
-    repeats each node, so a raw substring count would double-count."""
+    repeats each node, so a raw substring count would double-count.
+    The trailing (?![A-Za-z]) keeps each count to its exact node kind:
+    without it "Sort" also matched SortMergeJoin headers and "Window"
+    matched WindowGroupLimit (found during the round-10 sf0.1 diff,
+    where q7's broadcast→SMJ flip read as +3 sorts instead of +2
+    sorts +1 SMJ)."""
     from mypipe_spark.plans.catalog import all_queries
 
     evict_plan_caches()
@@ -82,7 +87,11 @@ def plan_counts(spark, name: str, sf_dir: str = SF_DIR) -> dict[str, int]:
     )
     plan = df._jdf.queryExecution().explainString(jmode)
     return {
-        node: len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.MULTILINE))
+        node: len(
+            re.findall(
+                rf"^\(\d+\) {node}(?![A-Za-z])", plan, flags=re.MULTILINE
+            )
+        )
         for node in NODES
     }
 
