@@ -92,6 +92,8 @@ CANARY_BW_REF_MS = 280.0
 # within-session spread collapses to ~±10% (measured during round-9
 # calibration)
 _CANARY_ROWS_PER_TASK = 80_000_000
+# bw probe: fixed TOTAL bytes (see _canary_bw_ms) — 2 GiB at ~1 KiB/row
+_CANARY_BW_TOTAL_ROWS = 65_536 * 32
 
 
 def _canary_ms(spark, partitions: int, repeats: int = 3) -> float:
@@ -123,10 +125,11 @@ def _canary_bw_ms(spark, partitions: int, repeats: int = 3) -> float:
     BENCH_NOTES 'Round 9' third reading — cache/memory bandwidth is
     the axis a register-resident arithmetic loop cannot see).
 
-    Materializes ~64 MiB of INCOMPRESSIBLE strings per task into the
-    in-memory columnar cache (2 GiB total at 32 tasks — ~40x any VM
-    LLC, so repeat scans stream DRAM; distinct-hash concat so the
-    cache's string encoding can't run-length/dictionary it away),
+    Materializes 2 GiB TOTAL of INCOMPRESSIBLE strings into the
+    in-memory columnar cache (~40x any VM LLC, so repeat scans stream
+    DRAM; 64 MiB per task at the calibration host's 32 partitions;
+    distinct-hash concat so the cache's string encoding can't
+    run-length/dictionary it away),
     then times repeated full scans with a cheap xxhash64 fold: the
     scan streams main memory at whole-box width, so the reading
     tracks DRAM bandwidth, not ALU speed. Cache build cost is
@@ -142,8 +145,18 @@ def _canary_bw_ms(spark, partitions: int, repeats: int = 3) -> float:
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    rows_per_task = 65_536  # x ~1 KiB/row = 64 MiB/task
-    df = spark.range(0, rows_per_task * partitions, 1, partitions).select(
+    # FIXED TOTAL work (2 GiB), split across however many partitions
+    # the host offers — unlike the compute probes (fixed work PER
+    # task, because uncontended single-core speed is the quantity),
+    # DRAM bandwidth is a shared whole-box resource, so the probe
+    # must push the same total bytes on every host to be comparable.
+    # Scaling with partitions would also overflow the 8g heap's
+    # ~4.6 GiB storage pool past ~48 tasks and MEMORY_ONLY would
+    # silently evict — the timed "scan" would then measure ALU
+    # recompute of the concat/hash pipeline, not memory. 2 GiB at
+    # 32 partitions = the 64 MiB/task the reference constant was
+    # calibrated on.
+    df = spark.range(0, _CANARY_BW_TOTAL_ROWS, 1, partitions).select(
         F.expr(
             "concat_ws('', transform(sequence(1, 52), "
             "j -> cast(xxhash64(id * 52 + j) as string)))"

@@ -123,13 +123,19 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
         # connector: a real broker's partition count is administrative
         # topic config, so a config that believes it set partitioning
         # through this option must hear that it didn't.
-        try:
-            n_parts = int(options["partitions"])
-        except (TypeError, ValueError):
+        raw = options["partitions"]
+        # exact-int only: int(4.9) would silently truncate a config's
+        # float to 4 partitions, and bool is an int subclass (True ->
+        # 1 partition) — both are the misconfigurations this check
+        # exists to reject loudly, so no coercion beyond digit strings
+        if isinstance(raw, bool) or not (
+            isinstance(raw, int) or (isinstance(raw, str) and raw.isdigit())
+        ):
             raise ValueError(
                 "kafka producer: 'partitions' must be a positive "
-                f"int, got {options['partitions']!r}"
-            ) from None
+                f"int, got {raw!r}"
+            )
+        n_parts = int(raw)
         if n_parts < 1:
             raise ValueError(
                 "kafka producer: 'partitions' must be a positive "

@@ -76,6 +76,13 @@ from pyspark.sql.types import Row, StructType
 # dir ("." would land log files in the broker root, ".." in its
 # PARENT). The reader validates `subscribe` with the same rule.
 _LEGAL_TOPIC = re.compile(r"(?!\.\.?$)[a-zA-Z0-9._-]{1,249}")
+# broker-internal directories living beside the topic dirs: a topic
+# named after one would interleave its log with in-flight claim/meta
+# temps (and the documented recovery "delete _staging/" would delete
+# a real topic's data), so both names are refused wherever topic
+# legality is checked — a twin-only reservation the real broker does
+# not need (its internals aren't files in the topic namespace)
+_RESERVED_TOPICS = frozenset({"_staging", "_commits"})
 
 # the spark-sql-kafka source schema, verbatim
 KAFKA_RECORD_SCHEMA = (
@@ -164,7 +171,7 @@ def _partition_dir(tdir: str, n: int, p: int) -> str:
     return tdir if n == 1 else os.path.join(tdir, f"p-{p:05d}")
 
 
-def _ensure_topic(tdir: str, n_opt: int) -> int:
+def _ensure_topic(broker: str, tdir: str, n_opt: int) -> int:
     """Create the topic if absent (with ``n_opt`` partitions); an
     EXISTING topic keeps its own count — like the real broker, the
     partition count is topic configuration, and a producer option can
@@ -186,10 +193,10 @@ def _ensure_topic(tdir: str, n_opt: int) -> int:
     os.makedirs(tdir, exist_ok=True)
     meta = os.path.join(tdir, _META_FILE)
     if n_opt > 1 and not os.path.exists(meta) and not _data_files(tdir):
-        # topics are direct children of the broker dir (topic names
-        # are [a-zA-Z0-9._-], no separators), so the broker's
-        # _staging/ is one level up — same filesystem, link works
-        staging = os.path.join(os.path.dirname(tdir), "_staging")
+        # the broker's _staging/ (passed in, like _append_log_file —
+        # ONE definition of the staging location; same filesystem, so
+        # link works)
+        staging = os.path.join(broker, "_staging")
         os.makedirs(staging, exist_ok=True)
         tmp = os.path.join(staging, f"meta.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="ascii") as f:
@@ -321,7 +328,11 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
         lines = []
         for row in iterator:
             topic = row["topic"]
-            if topic is None or not _LEGAL_TOPIC.fullmatch(topic):
+            if (
+                topic is None
+                or topic in _RESERVED_TOPICS
+                or not _LEGAL_TOPIC.fullmatch(topic)
+            ):
                 # mirror the real broker's clear per-row refusal:
                 # Kafka enforces [a-zA-Z0-9._-]{1,249} topic names, so
                 # a NULL (null-propagating topic template), empty, or
@@ -332,6 +343,7 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
                     f"kafkafile sink: illegal topic {topic!r} for a "
                     "row (NULL-propagating or non-Kafka-legal topic "
                     "template?); Kafka topics are [a-zA-Z0-9._-]{1,249}"
+                    " and not the twin-internal _staging/_commits"
                 )
             rec = {
                 "t": topic,
@@ -359,7 +371,7 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
                     by_topic.setdefault(rec["t"], []).append(rec)
         for topic, recs in by_topic.items():
             tdir = _topic_dir(self._broker, topic)
-            n = _ensure_topic(tdir, self._n_partitions)
+            n = _ensure_topic(self._broker, tdir, self._n_partitions)
             # Kafka's default partitioner: keyed records route by
             # murmur2(key) % n — per-key order within a batch is
             # preserved because each key maps to ONE partition and the
@@ -416,12 +428,17 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
                 "kafkafile subscribes to a single topic (the stand-in "
                 f"models one log); got {self._topic!r}"
             )
-        if not _LEGAL_TOPIC.fullmatch(self._topic):
+        if (
+            self._topic in _RESERVED_TOPICS
+            or not _LEGAL_TOPIC.fullmatch(self._topic)
+        ):
             # same legality rule as the sink — a subscribe of "../x"
-            # must never read files outside the broker dir
+            # must never read files outside the broker dir, and the
+            # twin's internal dirs are not topics
             raise ValueError(
                 f"kafkafile: illegal subscribe topic {self._topic!r}; "
-                "Kafka topics are [a-zA-Z0-9._-]{1,249} and not ./.."
+                "Kafka topics are [a-zA-Z0-9._-]{1,249}, not ./.., and "
+                "not the twin-internal _staging/_commits"
             )
         self._starting = options.get("startingOffsets", "earliest").lower()
         if self._starting not in ("earliest", "latest"):

@@ -37,6 +37,13 @@ def drain_stream(q):
 # existing def, so a rename can never silently demote a test out of
 # the tier. Parametrized families are deliberately NOT listable (a
 # bare name would mark every param); mark those at the def site.
+# Matching is by bare name, so a name defined in several files marks
+# ALL of them — currently true for exactly two names
+# (test_stream_equals_batch_on_ordered_replay and
+# test_null_ids_survive_the_arrow_boundary, each in test_thin.py AND
+# test_ratelimit.py), and both copies of both are intended slow
+# (7-11 s each in the round-10 durations reading): 62 collected items
+# for 60 listed names.
 SLOW_TESTS = frozenset(
     {
         # whole-catalog sweeps (every registered query, cross-engine)

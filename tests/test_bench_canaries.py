@@ -18,14 +18,21 @@ import bench  # noqa: E402
 
 
 def test_bw_canary_runs_and_cleans_up(spark, monkeypatch):
-    """The bandwidth probe at 2 partitions (128 MiB cached) returns a
-    positive reading and leaves no cached relation behind (a leaked
-    2 GiB cache in the bench session would distort every query that
-    follows it)."""
+    """The bandwidth probe returns a positive reading and leaves no
+    NEW cached relation behind (a leaked 2 GiB cache in the bench
+    session would distort every query that follows it). Asserted as a
+    before/after delta, not global emptiness: the shared session
+    fixture legitimately carries the dedup plane's session-persisted
+    caches when those tests ran first. Total work is shrunk to
+    ~128 MiB for the pin — the probe's fixed-TOTAL design is what's
+    under test, not the 2 GiB reading."""
+    monkeypatch.setattr(bench, "_CANARY_BW_TOTAL_ROWS", 65_536 * 2)
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     ms = bench._canary_bw_ms(spark, 2, repeats=2)
     assert ms > 0
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().isEmpty(), "bw canary leaked a cache"
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, "bw canary leaked a cache"
 
 
 def test_bw_canary_payload_is_incompressible_1kib(spark):

@@ -838,7 +838,7 @@ def test_ensure_topic_creation_race_agrees_on_one_count(tmp_path):
     def run():
         try:
             start.wait()
-            results.append(_ensure_topic(tdir, 4))
+            results.append(_ensure_topic(str(tmp_path / "broker"), tdir, 4))
         except BaseException as exc:  # noqa: BLE001 — collected
             errors.append(exc)
 
@@ -909,7 +909,7 @@ def test_ensure_topic_meta_never_visible_empty_to_racing_readers(tmp_path):
     def create():
         try:
             start.wait()
-            _ensure_topic(tdir, 4)
+            _ensure_topic(str(tmp_path / "broker"), tdir, 4)
         except BaseException as exc:  # noqa: BLE001 — collected
             errors.append(exc)
 
@@ -959,7 +959,9 @@ def test_kafka_producer_validates_partitions_option(spark, tmp_path):
         kafka(df, {"brokers": broker, "partitions": 4})
     with pytest.raises(ValueError, match="only honored by the .*kafkafile"):
         kafka(df, {"brokers": broker, "format": "kafka", "partitions": 4})
-    for bad in (0, -1, "zero", None):
+    # exact-int only: int() coercion would silently truncate a
+    # config's 4.9 to 4 partitions and accept True as 1
+    for bad in (0, -1, "zero", None, True, 4.9, "4.9"):
         with pytest.raises(ValueError, match="positive int"):
             kafka(
                 df,
@@ -987,7 +989,7 @@ def test_flat_nonzero_checkpoint_against_partitioned_topic_raises(tmp_path):
     )
 
     broker = str(tmp_path / "broker")
-    _ensure_topic(os.path.join(broker, "ptopic"), 4)
+    _ensure_topic(broker, os.path.join(broker, "ptopic"), 4)
     reader = _KafkaFileStreamReader(
         {"kafka.bootstrap.servers": broker, "subscribe": "ptopic"}
     )
@@ -998,3 +1000,36 @@ def test_flat_nonzero_checkpoint_against_partitioned_topic_raises(tmp_path):
     rows, end = reader.read({"offset": 0})
     assert list(rows) == []
     assert end == {"offset": {str(p): 0 for p in range(4)}}
+
+
+def test_reserved_internal_names_are_not_topics(tmp_path):
+    """'_staging' and '_commits' are broker-INTERNAL directories of
+    the twin (claim temps, idempotent-commit markers) living beside
+    the topic dirs; a topic with either name would interleave its log
+    with in-flight temps and the documented recovery ('delete
+    _staging/') would delete real data. Both refused at the sink's
+    per-row check and at subscribe — a twin-only reservation,
+    documented at _RESERVED_TOPICS."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from mypipe_spark.sources.kafka_shim import (
+        _KafkaFileStreamReader,
+        _KafkaFileStreamWriter,
+    )
+
+    schema = StructType.fromDDL("topic string, value binary")
+    w = _KafkaFileStreamWriter(
+        {"kafka.bootstrap.servers": str(tmp_path / "broker")}, schema
+    )
+    for bad in ("_staging", "_commits"):
+        with pytest.raises(ValueError, match="illegal topic"):
+            w.write(iter([Row(topic=bad, value=b"x")]))
+        with pytest.raises(ValueError, match="illegal subscribe"):
+            _KafkaFileStreamReader(
+                {
+                    "kafka.bootstrap.servers": str(tmp_path / "broker"),
+                    "subscribe": bad,
+                }
+            )

@@ -85,9 +85,13 @@ def test_executed_plan_never_exceeds_preaqe_exchange_budget(spark, name):
 
     Counting detail: the final adaptive plan is read from the same
     DataFrame's QueryExecution AFTER collect() (count() would execute
-    a different QueryExecution), truncated at '== Initial Plan =='
-    (formatted explain appends the initial tree, which would double
-    the counts), and matched with a word-boundary so
+    a different QueryExecution). Formatted explain appends an
+    '== Initial Plan ==' tree after each final plan — the MAIN plan's
+    and one per adaptively-executed SUBQUERY — so every initial-plan
+    region is excised up to the next 'Subquery:' header (or end of
+    string) rather than truncating at the first marker, which would
+    also drop the subquery FINAL plans and blind the gate to a
+    runtime re-plan inside one. Matched with a word-boundary so
     Broadcast/ReusedExchange nodes don't inflate the plain-Exchange
     count. Measured at round 10: post-AQE exchanges were <= budget on
     all five probes (e.g. dedup_lsh_tuning_report 13 -> 4 via
@@ -102,7 +106,9 @@ def test_executed_plan_never_exceeds_preaqe_exchange_budget(spark, name):
     )
     post = df._jdf.queryExecution().explainString(jmode)
     assert "isFinalPlan=true" in post, "plan did not execute adaptively"
-    final = post.split("== Initial Plan ==")[0]
+    final = re.sub(
+        r"== Initial Plan ==.*?(?=Subquery:|$)", "", post, flags=re.DOTALL
+    )
     executed = len(re.findall(r"\bExchange \(\d+\)", final))
     budget = _BUDGET["queries"][name]["Exchange"]
     assert executed <= budget, (
