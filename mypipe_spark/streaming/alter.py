@@ -106,7 +106,31 @@ _MYSQL_TYPE_ALIASES = {
     # skipped — the exact bug class this table exists to prevent)
     "TINYTEXT": "TINY_BLOB", "MEDIUMTEXT": "MEDIUM_BLOB",
     "LONGTEXT": "LONG_BLOB", "CHARACTER": "STRING",
+    # round-10 review: the remaining documented MySQL surface aliases
+    # that still fell through (same silent-skip class): SERIAL is an
+    # alias for BIGINT UNSIGNED AUTO_INCREMENT, NCHAR/NVARCHAR are
+    # the national-charset char family, FIXED is DECIMAL
+    "SERIAL": "LONGLONG", "NCHAR": "STRING", "NVARCHAR": "VARCHAR",
+    "FIXED": "NEWDECIMAL",
 }
+
+# String literals inside a DDL tail (COMMENT 'must drop legacy col',
+# DEFAULT 'add foo int') must be invisible to the clause scanners —
+# without this, keyword text INSIDE a literal parses as a phantom
+# ADD/DROP and corrupts the evolved schema (round-10 review; column
+# COMMENTs are routine in MySQL DDL). MySQL string syntax: '' or \'
+# escape a quote inside '...'; double-quoted strings behave the same
+# under the default (non-ANSI_QUOTES) mode. Backticked identifiers
+# are untouched.
+_STRING_LITERAL = re.compile(
+    r"""'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.|"")*\"""",
+)
+
+
+def _strip_string_literals(sql: str) -> str:
+    """Blank out string-literal CONTENTS (quotes kept, same length NOT
+    preserved — only relative clause order matters to the scanners)."""
+    return _STRING_LITERAL.sub("''", sql)
 
 
 def alter_target(alter_sql: str) -> tuple[str | None, str | None]:
@@ -133,7 +157,7 @@ def evolve_schema(schema: StructType, alter_sql: str) -> StructType:
     head = _HEAD_RE.search(alter_sql)
     if not head:
         return schema
-    tail = alter_sql[head.end():]
+    tail = _strip_string_literals(alter_sql[head.end():])
     ops: list[tuple[int, str, str, str | None]] = []
     for m in _ADD_CLAUSE.finditer(tail):
         col = next(g for g in m.groups()[:4] if g)
@@ -161,6 +185,34 @@ def evolve_schema(schema: StructType, alter_sql: str) -> StructType:
                 [f for f in schema.fields if f.name.lower() != col.lower()]
             )
     return schema
+
+
+def _stop_pair(query, watcher) -> None:
+    """Best-effort stop of BOTH queries: a raising query.stop()
+    (stopTimeout, dead context) must not leak the watcher running
+    against the shared _ddl checkpoint — the next round's start would
+    collide with it (round-10 review)."""
+    try:
+        query.stop()
+    finally:
+        watcher.stop()
+
+
+def _raise_if_dead(query, role: str) -> None:
+    """Surface an asynchronously failed/stopped streaming query from a
+    poll loop: without this, a query that dies in its first microbatch
+    leaves run_live sleeping forever by default (done() never fires
+    because rows never land, and stop() in the finally does not
+    rethrow)."""
+    if query.isActive:
+        return
+    exc = query.exception()
+    if exc is not None:
+        raise exc
+    raise RuntimeError(
+        f"run_live: the {role} query stopped unexpectedly (no "
+        "exception recorded) — external stop or session shutdown?"
+    )
 
 
 @dataclass
@@ -251,11 +303,10 @@ class AlterOrchestrator:
             # written — permanently lost, since the replay never
             # re-delivers the committed batch. In-batch work is
             # at-least-once; register() is idempotent.
-            ddl = (
-                batch_df.filter(F.col("op") == "alter")
-                .select("database", "table", "sql")
-                .collect()
-            )
+            # no op filter here: the watcher SOURCE is already built
+            # as filter(op == 'alter') below — one definition of the
+            # invariant, not two that can drift
+            ddl = batch_df.select("database", "table", "sql").collect()
             for r in ddl:
                 if self._apply_alter(r["database"], r["table"], r["sql"]):
                     saw_alter[0] = True
@@ -272,7 +323,20 @@ class AlterOrchestrator:
         if trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
             wwriter = wwriter.trigger(processingTime=f"{trigger_seconds} seconds")
-        return writer.start(), wwriter.start(), saw_alter
+        sink_q = writer.start()
+        try:
+            watcher_q = wwriter.start()
+        except BaseException:
+            # the sink query is already running; leaking it here
+            # leaves a handle-less query committing checkpoints that
+            # collides with the retry (the exact orphan run_pipes
+            # stops on failure, pipe.py)
+            try:
+                sink_q.stop()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+            raise
+        return sink_q, watcher_q, saw_alter
 
     def run_available(self, spark: SparkSession) -> int:
         """Drain everything currently available, restarting after each
@@ -284,8 +348,7 @@ class AlterOrchestrator:
                 query.processAllAvailable()
                 watcher.processAllAvailable()
             finally:
-                query.stop()
-                watcher.stop()
+                _stop_pair(query, watcher)
 
             if not saw_alter[0]:
                 return restarts
@@ -346,6 +409,8 @@ class AlterOrchestrator:
                 while True:
                     if saw_alter[0]:
                         break
+                    _raise_if_dead(query, "sink")
+                    _raise_if_dead(watcher, "DDL watcher")
                     if done():
                         # drain what's left; an ALTER surfacing in the
                         # drain still forces one more restart round
@@ -360,8 +425,7 @@ class AlterOrchestrator:
                         )
                     time.sleep(poll_seconds)
             finally:
-                query.stop()
-                watcher.stop()
+                _stop_pair(query, watcher)
             if restarts >= self.max_restarts:
                 # run_live stops rounds the moment an ALTER lands, so
                 # rows queued behind the last one are NOT yet

@@ -41,8 +41,16 @@ def _purchase_click_sides(
     time to instant, so range arithmetic is preserved under ANY
     session timezone (round-8 review finding; under the engine's
     pinned-UTC sessions the two spellings coincide)."""
+    # filter on the TRY_CAST value, not the raw column (gate.py's
+    # canonical_events contract, round-10 review): a non-NULL ts that
+    # fails to parse must be EXCLUDED like a NULL — filtering the raw
+    # column would crash the streaming query at the plain cast under
+    # ANSI mode (or, non-ANSI, let a NULL-ts row into the watermark).
+    # The plain cast below is safe: only rows whose ts provably
+    # parses survive the filter.
     typed = events.filter(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts").try_cast("timestamp_ntz").isNotNull()
+        & F.col("user_id").isNotNull()
     ).withColumn(
         "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp_ntz"), "UTC")
     )

@@ -578,3 +578,155 @@ def test_evolve_schema_text_family_and_case_insensitive_drop():
     )
     got = evolve_schema(withdef, "ALTER TABLE user DROP COLUMN `default`")
     assert got.fieldNames() == ["id"]
+
+
+# ---------------------------------------------------------------------------
+# round-10 review findings: DDL parser string literals + alias tail,
+# query-lifecycle leaks, dead-query surfacing
+# ---------------------------------------------------------------------------
+
+def test_evolve_schema_ignores_keywords_inside_string_literals():
+    """COMMENT/DEFAULT string literals are routine in MySQL DDL and may
+    contain ADD/DROP keyword text; the clause scanners must not see
+    it (round-10 review: `COMMENT 'must drop legacy col later'`
+    parsed a DROP of a real column named `legacy` and published the
+    corrupted schema)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mypipe_spark.streaming.alter import evolve_schema
+
+    s = StructType(
+        [StructField("id", LongType()), StructField("legacy", StringType())]
+    )
+    out = evolve_schema(
+        s,
+        "ALTER TABLE t ADD COLUMN note VARCHAR(64) "
+        "COMMENT 'must drop legacy col later'",
+    )
+    assert out.fieldNames() == ["id", "legacy", "note"]
+    out = evolve_schema(
+        s, "ALTER TABLE t ADD COLUMN note VARCHAR(64) DEFAULT 'add foo int'"
+    )
+    assert out.fieldNames() == ["id", "legacy", "note"]
+    # escaped quotes ('' and \') stay inside the literal; clauses
+    # AROUND literals still apply in statement order
+    out = evolve_schema(
+        s,
+        "ALTER TABLE t ADD a INT COMMENT 'it''s \\'quoted\\' drop x', "
+        "DROP legacy",
+    )
+    assert out.fieldNames() == ["id", "a"]
+
+
+def test_evolve_schema_serial_national_and_fixed_aliases():
+    """SERIAL (BIGINT UNSIGNED), NCHAR/NVARCHAR (national charset),
+    FIXED (DECIMAL) — the remaining documented MySQL surface aliases
+    that silently fell through spark_type_for (the round-8 bug class,
+    round-10 tail)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mypipe_spark.streaming.alter import evolve_schema
+
+    s = StructType([StructField("id", LongType())])
+    out = evolve_schema(
+        s,
+        "ALTER TABLE t ADD COLUMN id2 SERIAL, ADD COLUMN nm NVARCHAR(30), "
+        "ADD COLUMN f FIXED(10,2), ADD COLUMN nc NCHAR(5)",
+    )
+    got = {f.name: f.dataType.simpleString() for f in out.fields}
+    assert got["id2"] == "bigint"
+    assert got["nm"] == "string" and got["nc"] == "string"
+    assert got["f"].startswith("decimal")
+
+
+def test_stop_pair_stops_watcher_even_when_query_stop_raises():
+    """A raising query.stop() (stopTimeout, dead context) must not
+    leak the DDL watcher running against the shared _ddl checkpoint
+    (round-10 review)."""
+    import pytest
+
+    from mypipe_spark.streaming.alter import _stop_pair
+
+    stopped = []
+
+    class _Raises:
+        def stop(self):
+            stopped.append("query")
+            raise TimeoutError("stopTimeout")
+
+    class _Counts:
+        def stop(self):
+            stopped.append("watcher")
+
+    with pytest.raises(TimeoutError):
+        _stop_pair(_Raises(), _Counts())
+    assert stopped == ["query", "watcher"]
+
+
+def test_start_round_stops_sink_when_watcher_start_fails(spark, tmp_path):
+    """If the DDL watcher's start() raises after the sink query
+    started, the sink must be stopped before the exception propagates
+    — otherwise a handle-less query keeps committing checkpoints and
+    collides with the retry (round-10 review; the run_pipes
+    all-or-nothing contract)."""
+    import pytest
+
+    path = str(tmp_path / "cl")
+    from mypipe_spark.changelog import changelog_df
+
+    changelog_df(spark, num_transactions=2, alter_every=0).write.parquet(path)
+    ckpt = str(tmp_path / "ckpt")
+    # make `<ckpt>_ddl` unusable: an existing FILE where the watcher
+    # needs a checkpoint DIRECTORY
+    with open(ckpt + "_ddl", "w") as f:
+        f.write("not a directory")
+
+    orch = AlterOrchestrator(
+        source=lambda s: changelog_stream(s, path),
+        sink=lambda df, c: (
+            df.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", c)
+            .outputMode("append")
+        ),
+        checkpoint_dir=ckpt,
+        registry=SchemaRegistry(),
+        table_schemas={("mypipe", "user"): USER_SCHEMA},
+    )
+    before = {q.id for q in spark.streams.active}
+    with pytest.raises(Exception):
+        orch._start_round(spark)
+    leaked = {q.id for q in spark.streams.active} - before
+    assert not leaked, f"sink query leaked after watcher start failure: {leaked}"
+
+
+def test_run_live_raises_when_sink_query_dies(spark, tmp_path):
+    """A sink query that fails asynchronously (first microbatch) must
+    surface its exception from run_live's poll loop instead of
+    sleeping forever with no deadline (round-10 review: done() never
+    fires because rows never land, and stop() does not rethrow)."""
+    import pytest
+
+    path = str(tmp_path / "cl")
+    from mypipe_spark.changelog import changelog_df
+
+    changelog_df(spark, num_transactions=2, alter_every=0).write.parquet(path)
+    out = str(tmp_path / "out")
+    with open(out, "w") as f:
+        f.write("a file where the sink needs a directory")
+
+    orch = AlterOrchestrator(
+        source=lambda s: changelog_stream(s, path),
+        sink=lambda df, c: (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", c)
+            .outputMode("append")
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        registry=SchemaRegistry(),
+        table_schemas={("mypipe", "user"): USER_SCHEMA},
+    )
+    with pytest.raises(Exception):
+        # no max_wall_seconds: the fix, not a timeout, must end this
+        orch.run_live(spark, done=lambda: False, trigger_seconds=0.5)

@@ -946,3 +946,47 @@ def test_scd2_timeless_events_divert_and_never_corrupt_state(spark):
     rows = hist.collect()
     assert [r["event_id"] for r in rows] == [6]
     assert all(r["valid_from"] is not None for r in rows)
+
+
+def test_stream_stream_join_excludes_unparseable_ts_like_the_gates(
+    spark, tmp_path
+):
+    """The join sides claim the gates' uniform timeless filter; that
+    contract is try_cast-then-filter (gate.py canonical_events) — a
+    non-NULL string ts that fails to parse must be EXCLUDED, not
+    crash the streaming query at a plain cast under ANSI mode
+    (round-10 review: joins.py filtered the RAW column)."""
+    from mypipe_spark.streaming.joins import attribution_join_stream
+    from tests.conftest import drain_stream
+
+    rows = [
+        (1, 10, "purchase", "2024-01-01 10:00:00"),
+        (2, 10, "click", "2024-01-01 10:30:00"),   # inside the window
+        (3, 10, "click", "not-a-time"),            # unparseable: excluded
+        (4, 10, "click", None),                    # timeless: excluded
+        (5, None, "click", "2024-01-01 10:40:00"),  # anonymous: excluded
+    ]
+    src = str(tmp_path / "dirty_src")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts string"
+        ).parquet(src)
+    )
+    q = (
+        attribution_join_stream(stream, watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("dirty_ts_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    drain_stream(q)  # raises if the query crashed on the cast
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM dirty_ts_pairs").collect()
+    )
+    assert got == [(1, 2)]
