@@ -141,6 +141,20 @@ GENERIC_BUCKET_FOR_TYPE: dict[str, str] = {
     "LONG_BLOB": "bytes",
 }
 
+# The same bucketing keyed by SPARK simple type name — the ONE
+# taxonomy both row-image adapters consume (sources/debezium.py
+# _typed_map and sources/snapshot.py to_insert_mutations). Round-10
+# review: each module carried its own private copy of this table, and
+# the snapshot-preload/CDC-feed key-set agreement the round-8 fix
+# established (unbucketed_to_strings) depended on the two copies
+# never drifting.
+BUCKET_SIMPLE_TYPES: dict[str, tuple[str, ...]] = {
+    "integers": ("int", "smallint", "tinyint"),
+    "longs": ("bigint",),
+    "strings": ("string",),
+    "bytes": ("binary",),
+}
+
 # ---------------------------------------------------------------------------
 # Canonical change-event schema (raw change-log form)
 #

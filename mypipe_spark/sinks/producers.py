@@ -106,7 +106,10 @@ def kafka_producer(df: DataFrame, options: dict) -> DataStreamWriter:
         cols.insert(1, "CAST(key AS BINARY) as key")
     # the kafka sink's other routing/metadata columns pass through
     # when the caller provided them — previously silently dropped
-    # (header-less, default-partitioned messages with no diagnostics)
+    # (header-less, default-partitioned messages with no diagnostics).
+    # The kafkafile twin honors 'partition' (explicit routing) and
+    # REFUSES 'headers' loudly at start (its record format has no
+    # headers) — either way, never a silent drop.
     for extra in ("headers", "partition"):
         if extra in df.columns:
             cols.append(extra)

@@ -43,6 +43,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..model import BUCKET_SIMPLE_TYPES
+
 # the envelope subset the adapter reads; unknown fields are ignored by
 # from_json (PERMISSIVE), so schema-ful and schema-less (SMT-flattened
 # "payload-only") producers both parse
@@ -70,12 +72,10 @@ _DBZ_SCHEMA = (
 _OP_MAP = {"c": "insert", "u": "update", "d": "delete", "r": "insert"}
 
 
-_BUCKET_TYPES = {
-    "integers": ("int", "smallint", "tinyint"),
-    "longs": ("bigint",),
-    "strings": ("string",),
-    "bytes": ("binary",),
-}
+# ONE taxonomy shared with the snapshot adapter (model.py, round-10
+# review — private copies in each module could drift and silently
+# re-create the snapshot-vs-CDC key-set divergence)
+_BUCKET_TYPES = BUCKET_SIMPLE_TYPES
 _BUCKET_CASTS = {
     "integers": "int", "longs": "bigint", "strings": "string", "bytes": "binary",
 }
@@ -95,6 +95,13 @@ def _typed_map(img: Column, table_schema: StructType | None, kind: str) -> Colum
       date, …) fall back to the STRINGS map, matching the schema-less
       behavior — providing a schema must never lose values the
       schema-less path keeps;
+    - image keys ABSENT from the declared schema (the DB gained a
+      column after the caller captured table_schema — a stale
+      registry snapshot) also land in the STRINGS map: the rule above
+      is about undeclared TYPES, this one about undeclared COLUMNS,
+      and both exist so a schema can only ever ADD typing, never
+      silently lose data the schema-less path keeps (round-10
+      review);
     - a bucket with no matching columns is NULL, same as the snapshot
       path's empty typed_map — snapshot and CDC rows of one table must
       not disagree on NULL-vs-empty images."""
@@ -115,8 +122,24 @@ def _typed_map(img: Column, table_schema: StructType | None, kind: str) -> Colum
             if f.dataType.simpleString() in k
         }
         names += [f.name for f in table_schema.fields if f.name not in bucketed]
+    extra = None
+    if kind == "strings":
+        # undeclared-COLUMN fallthrough: image keys the schema does
+        # not know about (schema drift) ride the strings map
+        declared = F.array(
+            *[F.lit(f.name) for f in table_schema.fields]
+        )
+        extra = F.map_filter(
+            img, lambda k, _: ~F.array_contains(declared, k)
+        )
     if not names:
-        return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")
+        if extra is None:
+            return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")
+        # empty-vs-NULL contract preserved: with no drifted keys this
+        # is NULL exactly like before; drifted keys surface
+        return F.when(
+            img.isNotNull() & (F.size(extra) > 0), extra
+        ).cast("map<string,string>")
     pairs: list[Column] = []
     for n in names:
         pairs.append(F.lit(n))
@@ -136,6 +159,8 @@ def _typed_map(img: Column, table_schema: StructType | None, kind: str) -> Colum
     built = F.map_filter(
         F.create_map(*pairs), lambda k, _: F.array_contains(F.map_keys(img), k)
     )
+    if extra is not None:
+        built = F.map_concat(built, extra)
     return F.when(img.isNotNull(), built)
 
 

@@ -193,20 +193,8 @@ def _ensure_topic(broker: str, tdir: str, n_opt: int) -> int:
     os.makedirs(tdir, exist_ok=True)
     meta = os.path.join(tdir, _META_FILE)
     if n_opt > 1 and not os.path.exists(meta) and not _data_files(tdir):
-        # the broker's _staging/ (passed in, like _append_log_file —
-        # ONE definition of the staging location; same filesystem, so
-        # link works)
-        staging = os.path.join(broker, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        tmp = os.path.join(staging, f"meta.{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="ascii") as f:
-            f.write(str(n_opt))
-        try:
-            os.link(tmp, meta)
-        except FileExistsError:
-            pass  # lost the creation race: use the winner's count
-        finally:
-            os.remove(tmp)
+        # a lost creation race is fine: use the winner's count
+        _link_staged(broker, str(n_opt), meta)
     n = _topic_partitions(tdir)
     for p in range(n):
         os.makedirs(_partition_dir(tdir, n, p), exist_ok=True)
@@ -224,6 +212,32 @@ def _data_files(tdir: str) -> list[str]:
     )
 
 
+# data-N.jsonl files are IMMUTABLE once linked (created complete via
+# the staged-content claim), so a file's record count never changes —
+# without this cache every trigger re-reads the whole last log file
+# just to derive the next offset, O(tail-file size) of redundant I/O
+# per trigger even when idle (round-10 review), undercutting _scan's
+# own never-open-unneeded-files optimization. Keyed (path, size,
+# mtime_ns) so a recreated same-name file can't serve a stale count;
+# bounded so a long session over many ephemeral test brokers can't
+# grow it without limit.
+_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
+_COUNT_CACHE_MAX = 8192
+
+
+def _line_count(path: str) -> int:
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        with open(path, "r", encoding="ascii") as f:
+            n = sum(1 for _ in f)
+        if len(_COUNT_CACHE) >= _COUNT_CACHE_MAX:
+            _COUNT_CACHE.clear()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def _next_offset(tdir: str) -> int:
     """Derived from the log itself (file start offset + record count
     of the LAST file) — no separate meta file to desynchronize."""
@@ -232,9 +246,7 @@ def _next_offset(tdir: str) -> int:
         return 0
     last = files[-1]
     start = int(os.path.basename(last)[5:-6])
-    with open(last, "r", encoding="ascii") as f:
-        n = sum(1 for _ in f)
-    return start + n
+    return start + _line_count(last)
 
 
 def _atomic_write_lines(path: str, lines: list[str]) -> None:
@@ -244,33 +256,43 @@ def _atomic_write_lines(path: str, lines: list[str]) -> None:
     os.replace(tmp, path)
 
 
-def _append_log_file(broker: str, tdir: str, lines: list[str]) -> int:
-    """Claim the next log slot WITHOUT clobbering a concurrent
-    committer: write staged content once, then os.link (create-only —
-    fails with EEXIST instead of replacing) at the offset-derived
-    name, recomputing the offset and retrying while another producer
-    query races this one to the same topic. Returns the claimed start
-    offset."""
-    # the claim staging lives in the broker's _staging/ (passed in —
-    # ONE definition of the staging location, not re-derived from the
-    # topic path; same filesystem, so link works), so a driver crash
-    # mid-claim leaves its orphan where the documented recovery
-    # ("delete _staging/") reclaims it, never loose in a topic dir
+def _link_staged(broker: str, content: str, dest: str) -> bool:
+    """ONE definition of the publish protocol shared by the log-slot
+    claim and the topic-metadata claim (round-10 review: two copies
+    had to be kept in lockstep): stage the content in the broker's
+    ``_staging/`` (same filesystem, so link works; a crashed orphan
+    lands where the documented recovery "delete _staging/" reclaims
+    it, never loose in a topic dir), then ``os.link`` create-only at
+    ``dest`` — the target can never be observed incomplete. Returns
+    False when dest already existed (lost a creation race)."""
     staging = os.path.join(broker, "_staging")
     os.makedirs(staging, exist_ok=True)
     tmp = os.path.join(staging, f"claim.{uuid.uuid4().hex}")
     with open(tmp, "w", encoding="ascii") as f:
-        f.write("".join(lines))
+        f.write(content)
     try:
-        while True:
-            start = _next_offset(tdir)
-            try:
-                os.link(tmp, os.path.join(tdir, f"data-{start:012d}.jsonl"))
-                return start
-            except FileExistsError:
-                continue  # lost the race: offset advanced, re-derive
+        os.link(tmp, dest)
+        return True
+    except FileExistsError:
+        return False
     finally:
         os.remove(tmp)
+
+
+def _append_log_file(broker: str, tdir: str, lines: list[str]) -> int:
+    """Claim the next log slot WITHOUT clobbering a concurrent
+    committer: publish via _link_staged at the offset-derived name,
+    recomputing the offset and retrying while another producer query
+    races this one to the same topic (a lost race re-stages — rare,
+    and strictly simpler than sharing one temp across retries).
+    Returns the claimed start offset."""
+    content = "".join(lines)
+    while True:
+        start = _next_offset(tdir)
+        dest = os.path.join(tdir, f"data-{start:012d}.jsonl")
+        if _link_staged(broker, content, dest):
+            return start
+        # lost the race: offset advanced, re-derive
 
 
 @dataclass
@@ -306,6 +328,20 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
                 f"optional); missing: {sorted(missing)}"
             )
         self._has_key = "key" in names
+        # the real connector's other input columns: an explicit
+        # 'partition' is HONORED (routes the record, like the real
+        # producer; out-of-range fails at commit when the topic's
+        # count is known); 'headers' is REFUSED loudly — the twin's
+        # record format and read schema carry no headers, and
+        # silently dropping them is the exact silent-drop class
+        # sinks/producers.py exists to prevent
+        self._has_partition = "partition" in names
+        if "headers" in names:
+            raise ValueError(
+                "kafkafile sink does not support the 'headers' "
+                "column (the twin's record format has no headers); "
+                "drop the column or use the real kafka connector"
+            )
         self._run_id = uuid.uuid4().hex
         # opt-in N-partition mode: applies to topics THIS writer
         # creates; existing topics keep their own count (_ensure_topic)
@@ -350,6 +386,8 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
                 "k": _b64(row["key"]) if self._has_key else None,
                 "v": _b64(row["value"]),
             }
+            if self._has_partition and row["partition"] is not None:
+                rec["p"] = int(row["partition"])
             lines.append(json.dumps(rec) + "\n")
         _atomic_write_lines(path, lines)
         return _Staged(path=path, n=len(lines))
@@ -382,7 +420,19 @@ class _KafkaFileStreamWriter(DataSourceStreamWriter):
             by_part: dict[int, list[str]] = {}
             rr = 0
             for r in recs:
-                if n == 1:
+                explicit = r.get("p")
+                if explicit is not None:
+                    # an explicit partition column routes the record,
+                    # exactly like the real producer; out of range is
+                    # the broker's loud refusal, not a silent remap
+                    if not 0 <= explicit < n:
+                        raise ValueError(
+                            f"kafkafile sink: explicit partition "
+                            f"{explicit} out of range for topic "
+                            f"{topic!r} with {n} partition(s)"
+                        )
+                    p = explicit
+                elif n == 1:
                     p = 0
                 elif r["k"] is not None:
                     p = _partition_for_key(base64.b64decode(r["k"]), n)
@@ -464,6 +514,18 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
         mirror of read()'s dict-checkpoint-vs-flat-topic guard."""
         raw = start["offset"]
         if isinstance(raw, dict):
+            if len(raw) != n:
+                # same data-loss class as the flat/partitioned
+                # mismatches: these offsets were taken against a log
+                # with a DIFFERENT partition count — seeding by key
+                # overlap would silently skip records
+                raise ValueError(
+                    f"kafkafile: checkpoint carries offsets for "
+                    f"{len(raw)} partitions but topic {self._topic!r} "
+                    f"has {n} — was the broker directory recreated "
+                    "with a different partition count under a "
+                    "checkpoint?"
+                )
             return {p: int(raw.get(str(p), 0)) for p in range(n)}
         if int(raw) != 0:
             raise ValueError(
@@ -542,6 +604,7 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
                     "the broker directory recreated under a checkpoint?"
                 )
             hi = _next_offset(tdir)
+            self._check_data_loss(0, lo, hi)
             # a materialized LIST iterator, not a generator: Spark's
             # simple-reader prefetch cache calls next() on the result
             # AND copy.copy()s it (list_iterator is copyable,
@@ -549,7 +612,7 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
             # tradeoff this test twin accepts by design
             return (
                 iter(list(self._scan(tdir, 0, lo, hi))),
-                {"offset": max(lo, hi)},
+                {"offset": hi},
             )
         starts = self._starts(start, n)
         rows: list[Tuple] = []
@@ -558,9 +621,26 @@ class _KafkaFileStreamReader(SimpleDataSourceStreamReader):
             pdir = _partition_dir(tdir, n, p)
             lo = starts[p]
             hi = _next_offset(pdir)
+            self._check_data_loss(p, lo, hi)
             rows.extend(self._scan(pdir, p, lo, hi))
-            ends[str(p)] = max(lo, hi)
+            ends[str(p)] = hi
         return iter(rows), {"offset": ends}
+
+    def _check_data_loss(self, pid: int, lo: int, hi: int) -> None:
+        """A checkpointed offset PAST the log's end means the log was
+        truncated or recreated under the checkpoint: the real
+        connector kills the query here (failOnDataLoss=true, its
+        default) — the twin must too, not clamp with max(lo, hi) and
+        silently skip the new log's first ``lo`` records forever
+        (round-10 review)."""
+        if lo > hi:
+            raise ValueError(
+                f"kafkafile: checkpoint offset {lo} is past the end "
+                f"({hi}) of topic {self._topic!r} partition {pid} — "
+                "log truncated or broker directory recreated under a "
+                "checkpoint (the real connector's failOnDataLoss "
+                "refusal)"
+            )
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         tdir = self._tdir()

@@ -34,7 +34,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..model import BUCKET_SIMPLE_TYPES as _BUCKETS
 
 
 @dataclass(frozen=True)
@@ -167,10 +168,11 @@ def snapshot_table(
 # S11/S12: rows → canonical insert mutations (generic envelope)
 # ---------------------------------------------------------------------------
 
-_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType)
-_LONG_TYPES = (T.LongType,)
-_STR_TYPES = (T.StringType,)
-_BYTES_TYPES = (T.BinaryType,)
+# The bucketing taxonomy is model.BUCKET_SIMPLE_TYPES (imported
+# above), shared with the Debezium adapter — round-10 review: the
+# snapshot-preload/CDC-feed typed-map key-set agreement
+# (unbucketed_to_strings below) requires the two adapters to bucket
+# identically, which private per-module copies could silently break.
 
 
 def to_insert_mutations(
@@ -206,13 +208,14 @@ def to_insert_mutations(
     stages unchanged."""
     ints, longs, strs, byts = [], [], [], []
     for field in df.schema.fields:
-        if isinstance(field.dataType, _INT_TYPES):
+        st = field.dataType.simpleString()
+        if st in _BUCKETS["integers"]:
             ints.append(field.name)
-        elif isinstance(field.dataType, _LONG_TYPES):
+        elif st in _BUCKETS["longs"]:
             longs.append(field.name)
-        elif isinstance(field.dataType, _STR_TYPES):
+        elif st in _BUCKETS["strings"]:
             strs.append(field.name)
-        elif isinstance(field.dataType, _BYTES_TYPES):
+        elif st in _BUCKETS["bytes"]:
             byts.append(field.name)
         elif unbucketed_to_strings:
             strs.append(field.name)  # Debezium-adapter consistency

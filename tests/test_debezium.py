@@ -442,3 +442,33 @@ def test_keep_raw_preserves_exact_binary_bytes(spark):
     r = debezium_change_events(df, keep_raw=True).collect()[0]
     assert r["op"] is None  # unparseable -> DLQ-routable
     assert bytes(r["raw_value"]) == bad
+
+
+def test_debezium_stale_schema_keeps_undeclared_columns_in_strings(spark):
+    """Schema drift (round-10 review): the DB gained a column after
+    the caller captured table_schema — the envelope carries it but no
+    declared field does. The value must ride the STRINGS map exactly
+    like the schema-less path would keep it, not vanish from every
+    typed map; and with no drift the strings bucket stays NULL-when-
+    empty (snapshot parity)."""
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("name", StringType())]
+    )
+    after = {"id": 1, "name": "x", "price": "9.99"}  # price undeclared
+    df = spark.createDataFrame(
+        [(_env("c", None, after, 1, "t"),)], "value string"
+    )
+    r = debezium_change_events(df, table_schema=schema).collect()[0]
+    assert r["new_integers"] == {"id": 1}
+    assert r["new_strings"] == {"name": "x", "price": "9.99"}
+
+    # declared-int-only schema + drifted key: strings carries ONLY the
+    # drifted key; and with no drift at all it stays NULL
+    int_only = StructType([StructField("id", IntegerType())])
+    r2 = debezium_change_events(df, table_schema=int_only).collect()[0]
+    assert r2["new_strings"] == {"name": "x", "price": "9.99"}
+    clean = spark.createDataFrame(
+        [(_env("c", None, {"id": 2}, 2, "t"),)], "value string"
+    )
+    r3 = debezium_change_events(clean, table_schema=int_only).collect()[0]
+    assert r3["new_integers"] == {"id": 2} and r3["new_strings"] is None

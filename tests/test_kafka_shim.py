@@ -1033,3 +1033,155 @@ def test_reserved_internal_names_are_not_topics(tmp_path):
                     "subscribe": bad,
                 }
             )
+
+
+def test_explicit_partition_column_routes_and_headers_refused(
+    spark, tmp_path
+):
+    """The real connector honors an explicit 'partition' column and a
+    'headers' column; the twin must not silently ignore either
+    (round-10 review — sinks/producers.py deliberately forwards both).
+    'partition' ROUTES the record (out-of-range is the broker's loud
+    refusal at commit); 'headers' is refused at construction (the
+    twin's record format has no headers — a documented divergence,
+    never a silent drop)."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from mypipe_spark.sources.kafka_shim import _KafkaFileStreamWriter
+
+    register_kafka_file_shim(spark)
+    broker = str(tmp_path / "broker")
+
+    def produce(rows, name):
+        src = str(tmp_path / f"src_{name}")
+        spark.createDataFrame(
+            rows, "topic string, value string, partition int"
+        ).write.parquet(src)
+        q = (
+            spark.readStream.schema(
+                "topic string, value string, partition int"
+            )
+            .parquet(src)
+            .writeStream.format("kafkafile")
+            .option("kafka.bootstrap.servers", broker)
+            .option("kafkafile.partitions", "4")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    produce(
+        [("t1", "a", 2), ("t1", "b", 2), ("t1", "c", 0), ("t1", "d", None)],
+        "ok",
+    )
+    tdir = os.path.join(broker, "t1")
+    recs_by_part = {
+        p: [
+            base64.b64decode(json.loads(l)["v"]).decode()
+            for f in sorted(glob.glob(f"{tdir}/p-{p:05d}/data-*.jsonl"))
+            for l in open(f)
+        ]
+        for p in range(4)
+    }
+    # explicit routing (source-file read order is not deterministic
+    # across parquet parts, so membership, not order, is the claim)
+    assert sorted(recs_by_part[2]) == ["a", "b"]
+    assert "c" in recs_by_part[0]
+    # the NULL-partition row fell back to the default partitioner
+    # (keyless round-robin: lands SOMEWHERE, possibly partition 0)
+    all_values = sorted(v for vs in recs_by_part.values() for v in vs)
+    assert all_values == ["a", "b", "c", "d"]
+
+    # out of range: loud refusal (the query fails at commit)
+    with pytest.raises(Exception, match="out of range"):
+        produce([("t1", "x", 9)], "oor")
+
+    # headers: refused at writer construction, never silently dropped
+    schema = StructType.fromDDL(
+        "topic string, value binary, headers array<struct<key:string,value:binary>>"
+    )
+    with pytest.raises(ValueError, match="headers"):
+        _KafkaFileStreamWriter(
+            {"kafka.bootstrap.servers": broker}, schema
+        )
+
+
+def test_checkpoint_partition_count_mismatch_raises(tmp_path):
+    """Per-partition offsets taken against an 8-partition log must not
+    seed a 4-partition topic by key overlap (round-10 review: records
+    silently skipped, offsets for the extra partitions silently
+    discarded) — same loud data-loss refusal as the flat/partitioned
+    mismatches."""
+    import pytest
+
+    from mypipe_spark.sources.kafka_shim import (
+        _ensure_topic,
+        _KafkaFileStreamReader,
+    )
+
+    broker = str(tmp_path / "broker")
+    _ensure_topic(broker, os.path.join(broker, "ptopic"), 4)
+    reader = _KafkaFileStreamReader(
+        {"kafka.bootstrap.servers": broker, "subscribe": "ptopic"}
+    )
+    with pytest.raises(ValueError, match="4"):
+        reader.read({"offset": {str(p): 5 for p in range(8)}})
+
+
+def test_truncated_log_raises_like_fail_on_data_loss(spark, tmp_path):
+    """A checkpoint offset past the log's end means the log was
+    truncated/recreated under the checkpoint: the real connector
+    kills the query (failOnDataLoss default); the twin must raise,
+    not clamp and silently skip the new log's first records forever
+    (round-10 review)."""
+    import pytest
+
+    from mypipe_spark.sources.kafka_shim import _KafkaFileStreamReader
+
+    register_kafka_file_shim(spark)
+    broker = str(tmp_path / "broker")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("t1", "a"), ("t1", "b")], "topic string, value string"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("topic string, value string")
+        .parquet(src)
+        .writeStream.format("kafkafile")
+        .option("kafka.bootstrap.servers", broker)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    reader = _KafkaFileStreamReader(
+        {"kafka.bootstrap.servers": broker, "subscribe": "t1"}
+    )
+    rows, end = reader.read({"offset": 0})
+    assert len(list(rows)) == 2 and end == {"offset": 2}
+    with pytest.raises(ValueError, match="truncated|recreated"):
+        reader.read({"offset": 7})
+
+
+def test_line_count_cache_keys_on_identity_not_path(tmp_path):
+    """Data files are immutable once linked, so counts are cacheable —
+    but the cache must key on (path, size, mtime) so a recreated
+    same-name file can never serve a stale count (round-10 review:
+    the O(tail-file) re-read per trigger was the cost being removed)."""
+    import os as _os
+    import time as _time
+
+    from mypipe_spark.sources.kafka_shim import _line_count
+
+    p = str(tmp_path / "data-000000000000.jsonl")
+    with open(p, "w") as f:
+        f.write("a\nb\n")
+    assert _line_count(p) == 2
+    assert _line_count(p) == 2  # cached
+    _time.sleep(0.01)
+    _os.remove(p)
+    with open(p, "w") as f:
+        f.write("a\nb\nc\n")
+    assert _line_count(p) == 3  # recreated file: fresh count

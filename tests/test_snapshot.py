@@ -144,23 +144,21 @@ def test_generic_bucket_table_matches_snapshot_bucketing():
     reference wire widens LONG values to java.lang.Long and ships
     them in the longs map (KafkaGenericAvroSerializer.scala:94-104),
     so reference-format consumers look INT columns up there."""
-    from mypipe_spark.model import GENERIC_BUCKET_FOR_TYPE, spark_type_for
-    from mypipe_spark.sources.snapshot import (
-        _BYTES_TYPES,
-        _INT_TYPES,
-        _LONG_TYPES,
-        _STR_TYPES,
+    from mypipe_spark.model import (
+        BUCKET_SIMPLE_TYPES,
+        GENERIC_BUCKET_FOR_TYPE,
+        spark_type_for,
     )
 
+    # to_insert_mutations and the Debezium adapter both bucket by
+    # simpleString membership in BUCKET_SIMPLE_TYPES (one shared
+    # taxonomy since round 10), so the agreement to pin is between
+    # model's two tables, joined through spark_type_for
     def bucket_of(spark_type) -> str | None:
-        if isinstance(spark_type, _INT_TYPES):
-            return "integers"
-        if isinstance(spark_type, _LONG_TYPES):
-            return "longs"
-        if isinstance(spark_type, _STR_TYPES):
-            return "strings"
-        if isinstance(spark_type, _BYTES_TYPES):
-            return "bytes"
+        st = spark_type.simpleString()
+        for bucket, simples in BUCKET_SIMPLE_TYPES.items():
+            if st in simples:
+                return bucket
         return None
 
     for ct, bucket in GENERIC_BUCKET_FOR_TYPE.items():
