@@ -192,7 +192,18 @@ def range_join(
     lb = left.withColumn(
         _BUCKET, F.floor(_secs(F.col(left_ts)) / bucket_seconds)
     )
-    rb = right.withColumn(
+    # inverted/NULL-interval guard (round-10 review, mirroring
+    # intervals.py): one corrupt row with right_end < right_start
+    # would otherwise explode into a huge DESCENDING bucket sequence
+    # (Spark's sequence(a, b) auto-steps -1 when a > b — ~500k
+    # elements for a zeroed-sentinel end at bucket_seconds=3600).
+    # Filtering is exact for this inner join: the residual
+    # ts >= start AND ts < end discards every such row anyway.
+    rb = right.filter(
+        F.col(right_start).isNotNull()
+        & F.col(right_end).isNotNull()
+        & (F.col(right_end) >= F.col(right_start))
+    ).withColumn(
         _BUCKET,
         F.explode(
             F.sequence(

@@ -88,19 +88,25 @@ def with_topic(df: DataFrame, template: str = "${database}_${table}_generic") ->
     """X7 — topic-name templating.
 
     The reference Eval-compiles an interpolated-string template from
-    config (KafkaUtil.scala:7-27). Here ``${col}`` placeholders become
-    a concat expression; arbitrary SQL functions are allowed inside
-    because the template is translated to ``format_string``-free pure
-    column concat, e.g. ``${database}_${table}_generic``.
+    config (KafkaUtil.scala:7-27). Here ``${expr}`` placeholders
+    become SQL expressions inside a concat — ``${database}`` is a
+    column, ``${upper(database)}`` any SQL function (round-10 review:
+    the earlier ``\\w+``-only pattern silently emitted a
+    function-bearing placeholder as literal text).
+
+    NULL propagates: a NULL template column (database/table on
+    CONTROL rows) yields a NULL topic, which the Kafka sink refuses
+    loudly per-row — route mutations_only streams into topics, or
+    template only on non-NULL columns.
     """
     import re
 
     parts: list[Column] = []
     pos = 0
-    for m in re.finditer(r"\$\{(\w+)\}", template):
+    for m in re.finditer(r"\$\{([^}]+)\}", template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
-        parts.append(F.col(m.group(1)).cast("string"))
+        parts.append(F.expr(m.group(1)).cast("string"))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
@@ -157,9 +163,21 @@ def render_sql(df: DataFrame) -> DataFrame:
 
     def kv_pairs(prefix: str) -> Column:
         def entries(col: Column) -> Column:
+            # NULL map VALUES render as unquoted SQL NULL: plain
+            # concat would NULL the whole element and array_join
+            # would then silently DROP the column from the rendered
+            # SET/WHERE (round-10 review; valueContainsNull=True, so
+            # NULL values are legal inputs)
             return F.transform(
                 F.map_entries(F.coalesce(col, F.expr("map()"))),
-                lambda e: F.concat(e["key"], F.lit("='"), e["value"], F.lit("'")),
+                lambda e: F.concat(
+                    e["key"],
+                    F.lit("="),
+                    F.coalesce(
+                        F.concat(F.lit("'"), e["value"], F.lit("'")),
+                        F.lit("NULL"),
+                    ),
+                ),
             )
 
         # all four typed maps, flattened as arrays (duplicate keys

@@ -75,18 +75,32 @@ def mg_fold(pairs: Iterable[tuple[object, int]], k: int) -> dict:
 def _norm_item(item):
     """pandas reports missing values as NaN/NaT — normalize to None so
     a NULL item is ONE dict key (NaN keys break dict identity: equal
-    hashes, unequal values) and round-trips to a SQL NULL."""
+    hashes, unequal values) and round-trips to a SQL NULL.
+
+    Disclosed limit (round-10 review): for FLOAT columns this merges
+    genuine NaN data values into the NULL item — unavoidable on the
+    pandas path, where float dtype uses NaN AS the missing marker, so
+    Spark NULLs and data NaNs arrive indistinguishable through Arrow.
+    On such a column the NULL item's count can exceed its GROUP BY
+    count (NULL + NaN combined) and the one-sided deficit bound holds
+    for the MERGED item, not NULL alone. Integer/string/timestamp
+    columns (every catalog consumer) are unaffected: their only
+    pd.isna source is SQL NULL."""
     return None if pd.isna(item) else item
 
 
 def _summary_schema(parts: DataFrame, col: str) -> T.StructType:
-    if col == "cnt":
-        # the summary relation is (col, cnt) — a summarized column
-        # ITSELF named 'cnt' would build a two-'cnt' schema and die in
-        # Arrow conversion with an unnameable error; refuse up front
+    if col in ("cnt", "__mg_g"):
+        # the summary relation is (col, cnt), and the constant-group
+        # merge adds a grouping column '__mg_g' — a summarized column
+        # with EITHER name would build a duplicate-label pandas frame
+        # (zip over a duplicated label iterates labels, producing a
+        # silently garbage summary) or die in Arrow conversion with an
+        # unnameable error; refuse up front (round-10 review)
         raise ValueError(
-            "mg summaries reserve the column name 'cnt'; rename the "
-            "summarized column (df.withColumnRenamed) first"
+            f"mg summaries reserve the column names 'cnt' and "
+            f"'__mg_g'; rename the summarized column "
+            "(df.withColumnRenamed) first"
         )
     return T.StructType(
         [
@@ -114,7 +128,7 @@ def mg_merge_summaries(parts: DataFrame, col: str, k: int) -> DataFrame:
 
     return (
         parts.select(col, "cnt")
-        .groupBy(F.lit(1).alias("_g"))
+        .groupBy(F.lit(1).alias("__mg_g"))
         .applyInPandas(lambda _key, pdf: merge(pdf), schema)
     )
 

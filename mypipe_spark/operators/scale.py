@@ -78,6 +78,16 @@ def salted_join(
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}")
+    for side_name, side in (("skewed", skewed), ("other", other)):
+        if _SALT in side.columns:
+            # the sibling operators all fence their internal names;
+            # without this, withColumn silently OVERWRITES a caller
+            # column named __salt and drop() removes it from the
+            # output (round-10 review)
+            raise ValueError(
+                f"salted_join reserves the column name {_SALT!r}; "
+                f"rename it on the {side_name} side first"
+            )
     left = skewed.withColumn(_SALT, (F.rand(42) * n_salt).cast("int"))
     right = other.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
@@ -205,6 +215,13 @@ def exact_ntile_multi(
     window order (callers comparing against engines that default
     NULLS LAST must pre-filter, the house convention).
 
+    Disclosed limit (round-10 review): an axis whose FIRST ranking
+    key is constant (or all-NULL) collapses every percentile boundary
+    to one coarse bucket, and that axis's window degrades to the
+    single-partition global sort this operator exists to retire — no
+    distributed exact-NTILE can bucket a key with no order; pick a
+    ranking key with spread (the tiebreak column alone is enough).
+
     Reserved namespace: every helper column this operator adds to the
     caller's relation starts with ``__entm_`` (``__entm_bk{i}``,
     ``__entm_rk{i}``, ``__entm_tot``, ``__entm_o{i}_{b}``; the
@@ -223,6 +240,12 @@ def exact_ntile_multi(
             "exact_ntile_multi reserves the __entm_ column prefix for its"
             f" internal helpers; rename caller column(s)/out_col(s) {clash}"
         )
+    if k < 1:
+        # fail fast like window ntile(k) does at analysis: k=0 would
+        # otherwise die mid-job on DIVIDE_BY_ZERO (ANSI) after the
+        # boundary sketch already ran, and k<0 would silently emit
+        # wrong bucket numbers (round-10 review)
+        raise ValueError(f"ntile k must be >= 1, got {k}")
     P = partitions or df.sparkSession.sparkContext.defaultParallelism
     fracs = [i / P for i in range(1, P)]
     # P == 1 → no interior boundaries to sketch: skip the collect

@@ -225,8 +225,13 @@ def tx_group_stream(
 ) -> DataFrame:
     """Streaming transaction grouping over the canonical change stream.
 
-    Input: any (batch or streaming) DataFrame with CHANGE_EVENT_SCHEMA
-    columns. Output: committed mutations only, with ``ts`` restamped to
+    Input: a STREAMING DataFrame with CHANGE_EVENT_SCHEMA columns —
+    ``applyInPandasWithState`` is streaming-only in Spark (a batch
+    input fails at planning with an unrelated-looking
+    "unsupported in batch query" error; round-10 review); batch
+    callers use :func:`committed_mutations`, whose output this
+    function matches row-for-row (the stream==batch parity pins).
+    Output: committed mutations only, with ``ts`` restamped to
     the commit time, in original binlog order per transaction.
 
     ``group_by_tx=True`` emits ONE row per committed transaction —
