@@ -88,11 +88,16 @@ def with_topic(df: DataFrame, template: str = "${database}_${table}_generic") ->
     """X7 — topic-name templating.
 
     The reference Eval-compiles an interpolated-string template from
-    config (KafkaUtil.scala:7-27). Here ``${expr}`` placeholders
-    become SQL expressions inside a concat — ``${database}`` is a
-    column, ``${upper(database)}`` any SQL function (round-10 review:
-    the earlier ``\\w+``-only pattern silently emitted a
-    function-bearing placeholder as literal text).
+    config (KafkaUtil.scala:7-27). Here a plain-identifier placeholder
+    (``${database}``, ``${user$col}``) resolves as a COLUMN reference
+    (F.col — never parsed as SQL, so a column named ``table`` or
+    ``count`` cannot collide with a keyword); anything else
+    (``${upper(database)}``) is EXECUTED as a SQL expression — that is
+    the documented contract, matching the reference's Eval-compiled
+    template (round-10 review widened \\w+-only to functions; ADVICE
+    r10: column-first for identifiers so a non-identifier name like
+    ``my-col`` must be written ``${`my-col`}``, not silently parsed
+    as ``my - col``).
 
     NULL propagates: a NULL template column (database/table on
     CONTROL rows) yields a NULL topic, which the Kafka sink refuses
@@ -106,7 +111,14 @@ def with_topic(df: DataFrame, template: str = "${database}_${table}_generic") ->
     for m in re.finditer(r"\$\{([^}]+)\}", template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
-        parts.append(F.expr(m.group(1)).cast("string"))
+        body = m.group(1)
+        if re.fullmatch(r"[\w$]+", body):
+            ref = F.col(body)
+        elif re.fullmatch(r"`[^`]+`", body):
+            ref = F.col(body[1:-1])  # backticked: any column name
+        else:
+            ref = F.expr(body)
+        parts.append(ref.cast("string"))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))

@@ -85,11 +85,15 @@ def _norm_item(item):
     count (NULL + NaN combined) and the one-sided deficit bound holds
     for the MERGED item, not NULL alone. Integer/string/timestamp
     columns (every catalog consumer) are unaffected: their only
-    pd.isna source is SQL NULL."""
+    pd.isna source is SQL NULL. Since round 11 float/double summarized
+    columns are refused up front by :func:`_summary_schema` unless the
+    caller opts in with ``allow_float=True``."""
     return None if pd.isna(item) else item
 
 
-def _summary_schema(parts: DataFrame, col: str) -> T.StructType:
+def _summary_schema(
+    parts: DataFrame, col: str, allow_float: bool = False
+) -> T.StructType:
     if col in ("cnt", "__mg_g"):
         # the summary relation is (col, cnt), and the constant-group
         # merge adds a grouping column '__mg_g' — a summarized column
@@ -102,6 +106,25 @@ def _summary_schema(parts: DataFrame, col: str) -> T.StructType:
             f"'__mg_g'; rename the summarized column "
             "(df.withColumnRenamed) first"
         )
+    if isinstance(
+        parts.schema[col].dataType, (T.FloatType, T.DoubleType)
+    ) and not allow_float:
+        # round-11 (VERDICT r10 ask #4): on the pandas path float
+        # dtype uses NaN AS the missing marker, so Spark NULLs and
+        # genuine NaN data values arrive indistinguishable through
+        # Arrow — the NULL item's count silently merges both and the
+        # one-sided deficit bound holds only for the MERGED item. A
+        # documented footgun becomes a loud one: refuse up front like
+        # the reserved-name fence above; pass allow_float=True to
+        # accept the NULL/NaN merge knowingly.
+        raise ValueError(
+            f"mg summaries over float/double column {col!r} merge NaN "
+            "data values into the NULL item (pandas uses NaN as the "
+            "missing marker, so SQL NULL and data NaN are "
+            "indistinguishable through Arrow) — cast to "
+            "decimal/string first, or pass allow_float=True to "
+            "accept the merged NULL+NaN item"
+        )
     return T.StructType(
         [
             T.StructField(col, parts.schema[col].dataType, True),
@@ -110,14 +133,16 @@ def _summary_schema(parts: DataFrame, col: str) -> T.StructType:
     )
 
 
-def mg_merge_summaries(parts: DataFrame, col: str, k: int) -> DataFrame:
+def mg_merge_summaries(
+    parts: DataFrame, col: str, k: int, allow_float: bool = False
+) -> DataFrame:
     """Merge a relation of (col, cnt) partial summaries into one
     k-counter summary — the reduce stage of :func:`mg_summary`, also
     usable standalone over a STORE of per-microbatch partials (the
     streaming fold: append each epoch's summary, merge on read — same
     shape as the anomaly plane's moment-partial store, and the
     deficit bound survives because folding IS the merge)."""
-    schema = _summary_schema(parts, col)
+    schema = _summary_schema(parts, col, allow_float)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         s = mg_fold(
@@ -133,14 +158,17 @@ def mg_merge_summaries(parts: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
-def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
+def mg_summary(
+    df: DataFrame, col: str, k: int, allow_float: bool = False
+) -> DataFrame:
     """(col, cnt) Misra-Gries summary of ``df[col]`` with k counters,
     computed distributed: per-partition partials via mapInPandas
     (value_counts per Arrow batch, folded locally), then one
     constant-group applyInPandas merge over the P·k partial rows.
     NULL is a first-class item (its own counter), matching GROUP BY
-    semantics on the exact side."""
-    schema = _summary_schema(df, col)
+    semantics on the exact side. Float/double columns are refused
+    unless ``allow_float=True`` — see :func:`_summary_schema`."""
+    schema = _summary_schema(df, col, allow_float)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         s: dict = {}
@@ -154,4 +182,4 @@ def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
             )
 
     parts = df.select(col).mapInPandas(partials, schema)
-    return mg_merge_summaries(parts, col, k)
+    return mg_merge_summaries(parts, col, k, allow_float)

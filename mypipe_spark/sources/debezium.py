@@ -109,6 +109,15 @@ def _typed_map(img: Column, table_schema: StructType | None, kind: str) -> Colum
         if kind == "strings":
             return img
         return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")
+    if not table_schema.fields:
+        # zero-field declared schema (degenerate but legal input):
+        # every image key is drift, so the strings map carries the
+        # whole image — short-circuiting also avoids building the
+        # empty F.array() (array<void>) the drift filter below would
+        # need, which fails analysis (ADVICE r10)
+        if kind == "strings":
+            return img
+        return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")
     names = [
         f.name
         for f in table_schema.fields

@@ -218,16 +218,22 @@ def _data_files(tdir: str) -> list[str]:
 # just to derive the next offset, O(tail-file size) of redundant I/O
 # per trigger even when idle (round-10 review), undercutting _scan's
 # own never-open-unneeded-files optimization. Keyed (path, size,
-# mtime_ns) so a recreated same-name file can't serve a stale count;
-# bounded so a long session over many ephemeral test brokers can't
-# grow it without limit.
-_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
+# mtime_ns, ino, dev) so a recreated same-name file can't serve a
+# stale count even within one coarse-mtime tick; bounded so a long
+# session over many ephemeral test brokers can't grow it without
+# limit.
+_COUNT_CACHE: dict[tuple[str, int, int, int, int], int] = {}
 _COUNT_CACHE_MAX = 8192
 
 
 def _line_count(path: str) -> int:
     st = os.stat(path)
-    key = (path, st.st_size, st.st_mtime_ns)
+    # (inode, device) in the key (ADVICE r10): data files are
+    # immutable once linked, so inode identity exactly captures a
+    # broker dir deleted and recreated with a same-size file inside
+    # one coarse-mtime tick — size+mtime alone could serve that
+    # recreation a stale count and mis-derive offsets
+    key = (path, st.st_size, st.st_mtime_ns, st.st_ino, st.st_dev)
     n = _COUNT_CACHE.get(key)
     if n is None:
         with open(path, "r", encoding="ascii") as f:

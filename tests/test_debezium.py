@@ -472,3 +472,21 @@ def test_debezium_stale_schema_keeps_undeclared_columns_in_strings(spark):
     )
     r3 = debezium_change_events(clean, table_schema=int_only).collect()[0]
     assert r3["new_integers"] == {"id": 2} and r3["new_strings"] is None
+
+
+def test_debezium_zero_field_schema_routes_everything_to_strings(spark):
+    """ADVICE r10: a zero-field declared StructType previously built
+    F.array() (array<void>) for the drift filter and could fail
+    analysis — degenerate input, but the function guards totality
+    everywhere else. With no declared columns EVERYTHING is drift:
+    the whole image rides the strings map, same as schema-less."""
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame(
+        [(_env("c", None, {"id": 7, "name": "x"}, 5, "t"),)], "value string"
+    )
+    r = debezium_change_events(df, table_schema=StructType([])).collect()[0]
+    assert r["op"] == "insert"
+    assert r["new_strings"] == {"id": "7", "name": "x"}
+    assert r["new_integers"] is None and r["new_longs"] is None
+    assert r["new_bytes"] is None

@@ -1185,3 +1185,31 @@ def test_line_count_cache_keys_on_identity_not_path(tmp_path):
     with open(p, "w") as f:
         f.write("a\nb\nc\n")
     assert _line_count(p) == 3  # recreated file: fresh count
+
+
+def test_line_count_cache_keys_on_inode(tmp_path):
+    """ADVICE r10: on coarse-mtime filesystems a broker dir deleted and
+    recreated with a same-size, different-line-count data file within
+    one timestamp tick must not serve a stale cached count (offsets
+    would mis-derive). Data files are immutable, so inode identity
+    exactly captures recreation — force identical (path, size, mtime)
+    and pin that the recreated file's count is re-read."""
+    import os
+
+    from mypipe_spark.sources.kafka_shim import _line_count
+
+    path = str(tmp_path / "data-00000000000000000000.jsonl")
+    with open(path, "w") as f:
+        f.write("a\nb\n")  # 4 bytes, 2 lines
+    os.utime(path, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    assert _line_count(path) == 2
+
+    # build the replacement while the original still exists so the
+    # filesystem cannot hand the freed inode straight back (which
+    # would defeat the pin, not the fix)
+    repl = str(tmp_path / "replacement.jsonl")
+    with open(repl, "w") as f:
+        f.write("abc\n")  # 4 bytes, 1 line — same size, same mtime
+    os.replace(repl, path)
+    os.utime(path, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    assert _line_count(path) == 1

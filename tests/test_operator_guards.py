@@ -113,3 +113,70 @@ def test_with_topic_supports_sql_functions_in_placeholders(spark):
     )
     out = with_topic(df, "${upper(database)}_${table}")
     assert out.collect()[0]["topic"] == "MYDB_t1"
+
+
+def test_with_topic_identifier_placeholders_are_columns_not_sql(spark):
+    """ADVICE r10: a plain-identifier placeholder resolves via F.col,
+    never F.expr — a column named like a SQL keyword or function
+    cannot be parsed as SQL, and `${`my-col`}` (backticked) reaches a
+    non-identifier column name instead of parsing as `my - col`."""
+    from mypipe_spark.operators.filters import with_topic
+
+    # 'table' and 'current_date' are keyword/function-shaped names —
+    # F.expr would mis-parse or shadow them; F.col must not
+    df = spark.createDataFrame(
+        [("db1", "t1", "cd")], "database string, table string, current_date string"
+    )
+    out = with_topic(df, "${database}_${table}_${current_date}")
+    assert out.collect()[0]["topic"] == "db1_t1_cd"
+    # backticked placeholder targets a dashed column as a column ref
+    df2 = spark.createDataFrame(
+        [("x", 1, 2)], "`my-col` string, my long, col long"
+    )
+    out2 = with_topic(df2, "pre_${`my-col`}")
+    assert out2.collect()[0]["topic"] == "pre_x"
+    # function-bearing placeholders still execute as SQL
+    out3 = with_topic(df, "${concat(database, '_', table)}")
+    assert out3.collect()[0]["topic"] == "db1_t1"
+
+
+def test_mg_summary_refuses_float_columns_unless_opted_in(spark):
+    """Round-11 (VERDICT r10 ask #4): on the pandas path float dtype
+    uses NaN as the missing marker, so SQL NULLs and genuine NaN data
+    values merge into one item and the deficit bound holds only for
+    the merged item — refuse float/double summarized columns up front
+    (like the module's reserved-name fences) with allow_float as the
+    explicit escape hatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators.heavyhitters import (
+        mg_merge_summaries,
+        mg_summary,
+    )
+
+    df = spark.range(20).withColumn("score", F.col("id").cast("double"))
+    with pytest.raises(ValueError, match="allow_float"):
+        mg_summary(df, "score", 4)
+    with pytest.raises(ValueError, match="allow_float"):
+        mg_merge_summaries(
+            df.withColumn("cnt", F.lit(1).cast("long")), "score", 4
+        )
+    # the escape hatch works, and the merged NULL+NaN item is the
+    # documented semantics: NULL and NaN inputs land on ONE counter
+    nan_df = spark.createDataFrame(
+        [(1.5,), (1.5,), (float("nan"),), (None,)], "score double"
+    )
+    got = {
+        r["score"]: r["cnt"]
+        for r in mg_summary(nan_df, "score", 4, allow_float=True).collect()
+    }
+    assert got[1.5] == 2
+    assert got[None] == 2  # NULL + NaN merged, per the disclosure
+    # integer/string columns stay unaffected (a heavy item — 6 of 10
+    # rows — must survive, per the deficit bound)
+    skew = spark.range(10).withColumn(
+        "bucket", F.when(F.col("id") < 6, F.lit(0)).otherwise(F.col("id"))
+    )
+    got = {r["bucket"]: r["cnt"] for r in mg_summary(skew, "bucket", 4).collect()}
+    assert got.get(0, 0) > 0
