@@ -121,6 +121,10 @@ _RECOGNIZED_NEUTRAL = [
         # `ALTER [COLUMN] c SET DEFAULT ... / DROP DEFAULT / SET
         # {VISIBLE|INVISIBLE}` — column metadata, not structure
         r"^alter\s+(?:column\s+)?" + _IDENT + r"\s+(?:set|drop)\b",
+        # MySQL 8 index visibility / constraint enforcement toggles
+        r"^alter\s+(?:index|key)\s+" + _IDENT + r"\s+(?:visible|invisible)\b",
+        r"^alter\s+(?:check|constraint)\s+" + _IDENT
+        + r"\s+(?:not\s+)?enforced\b",
         # index rename / table rename (table rename is a ROUTING
         # concern — topics key on (db, table) — handled at the
         # orchestrator layer if ever needed, never a schema change)

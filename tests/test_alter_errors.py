@@ -877,6 +877,8 @@ def test_evolve_schema_unrecognized_clause_is_loud(caplog):
             "ALTER TABLE t ROW_FORMAT=COMPRESSED, ALGORITHM=INPLACE, LOCK=NONE",
             "ALTER TABLE t DROP PARTITION p0",
             "ALTER TABLE t FORCE",
+            "ALTER TABLE t ALTER INDEX idx INVISIBLE",
+            "ALTER TABLE t ALTER CHECK c1 NOT ENFORCED",
         ):
             assert evolve_schema(base, sql) == base, sql
         assert not caplog.records, [r.message for r in caplog.records]
