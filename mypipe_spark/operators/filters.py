@@ -112,10 +112,16 @@ def with_topic(df: DataFrame, template: str = "${database}_${table}_generic") ->
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
         body = m.group(1)
-        if re.fullmatch(r"[\w$]+", body):
+        if re.fullmatch(r"[A-Za-z_$][\w$]*", body) and body.lower() not in (
+            "true", "false", "null"
+        ):
+            # plain identifier (not a SQL literal): a column reference
             ref = F.col(body)
         elif re.fullmatch(r"`[^`]+`", body):
-            ref = F.col(body[1:-1])  # backticked: any column name
+            # backticked: any column name — pass the backticks through,
+            # F.col honors them (stripping them would make a dotted
+            # name parse as nested-field access)
+            ref = F.col(body)
         else:
             ref = F.expr(body)
         parts.append(ref.cast("string"))

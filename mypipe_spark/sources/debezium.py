@@ -105,16 +105,12 @@ def _typed_map(img: Column, table_schema: StructType | None, kind: str) -> Colum
     - a bucket with no matching columns is NULL, same as the snapshot
       path's empty typed_map — snapshot and CDC rows of one table must
       not disagree on NULL-vs-empty images."""
-    if table_schema is None:
-        if kind == "strings":
-            return img
-        return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")
-    if not table_schema.fields:
-        # zero-field declared schema (degenerate but legal input):
-        # every image key is drift, so the strings map carries the
-        # whole image — short-circuiting also avoids building the
-        # empty F.array() (array<void>) the drift filter below would
-        # need, which fails analysis (ADVICE r10)
+    if table_schema is None or not table_schema.fields:
+        # no schema, or a zero-field one (degenerate but legal): every
+        # image key is undeclared, so the strings map carries the whole
+        # image — the zero-field leg also avoids building the empty
+        # F.array() (array<void>) the drift filter below would need,
+        # which fails analysis (ADVICE r10)
         if kind == "strings":
             return img
         return F.lit(None).cast(f"map<string,{_BUCKET_CASTS[kind]}>")

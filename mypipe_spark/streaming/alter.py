@@ -129,7 +129,10 @@ _RECOGNIZED_NEUTRAL = [
         # concern — topics key on (db, table) — handled at the
         # orchestrator layer if ever needed, never a schema change)
         r"^rename\s+(?:index|key)\b",
-        r"^rename\s+(?:to\s+|as\s+)?" + _IDENT + r"\s*$",
+        r"^rename\s+(?:to\s+|as\s+)?" + _IDENT
+        + rf"(?:\s*\.\s*{_IDENT})?\s*$",
+        # (re)partitioning schemes are storage layout, not columns
+        r"^partition\s+by\b",
         # table options and maintenance
         r"^engine\b", r"^auto_increment\b", r"^comment\b",
         r"^(?:default\s+)?(?:character\s+set|charset)\b",
@@ -354,14 +357,18 @@ def _apply_clause(schema: StructType, clause: str, stmt: str) -> StructType:
             return schema
         idx = _field_index(schema, old)
         if idx is None:
-            # replayed CHANGE: the rename already applied — retype the
-            # new-named column idempotently; otherwise it's a real miss
-            idx = _field_index(schema, new)
-            if idx is None:
-                _warn_clause(
-                    f"CHANGE of unknown column {old!r}", clause, stmt
-                )
+            # replayed CHANGE (at-least-once registration): the first
+            # application already renamed AND retyped, so a no-op is
+            # exactly idempotent — retyping the new-named column here
+            # instead would silently mutate an UNRELATED column when
+            # the miss is real divergence, not a replay (round-11
+            # review; mirrors the RENAME COLUMN fallback below)
+            if _field_index(schema, new) is not None:
                 return schema
+            _warn_clause(
+                f"CHANGE of unknown column {old!r}", clause, stmt
+            )
+            return schema
         fields = list(schema.fields)
         fields[idx] = StructField(new, dt, True)
         return StructType(fields)

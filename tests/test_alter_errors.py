@@ -772,6 +772,12 @@ def test_evolve_schema_modify_change_rename():
     s1 = evolve_schema(base, "ALTER TABLE t CHANGE login_count logins BIGINT")
     s2 = evolve_schema(s1, "ALTER TABLE t CHANGE login_count logins BIGINT")
     assert s1 == s2
+    # the replay fallback is a NO-OP, never a retype of the new-named
+    # column: when the old name is missing because the schema DIVERGED
+    # (not a replay), mutating an unrelated existing column would be
+    # silent corruption (round-11 review)
+    s3 = evolve_schema(base, "ALTER TABLE t CHANGE ghost username BIGINT")
+    assert s3 == base  # username keeps StringType, untouched
     # RENAME COLUMN keeps position and type
     s = evolve_schema(base, "ALTER TABLE t RENAME COLUMN username TO login_name")
     assert s.fieldNames() == ["id", "login_count", "login_name"]
@@ -879,6 +885,8 @@ def test_evolve_schema_unrecognized_clause_is_loud(caplog):
             "ALTER TABLE t FORCE",
             "ALTER TABLE t ALTER INDEX idx INVISIBLE",
             "ALTER TABLE t ALTER CHECK c1 NOT ENFORCED",
+            "ALTER TABLE t RENAME TO db2.t2",
+            "ALTER TABLE t PARTITION BY RANGE (id) (PARTITION p0 VALUES LESS THAN (10))",
         ):
             assert evolve_schema(base, sql) == base, sql
         assert not caplog.records, [r.message for r in caplog.records]

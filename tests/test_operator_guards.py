@@ -135,6 +135,13 @@ def test_with_topic_identifier_placeholders_are_columns_not_sql(spark):
     )
     out2 = with_topic(df2, "pre_${`my-col`}")
     assert out2.collect()[0]["topic"] == "pre_x"
+    # backticks pass through to F.col, so a DOTTED column name stays a
+    # single column instead of parsing as nested-field access
+    df3 = spark.createDataFrame([("y",)], "`my.col` string")
+    assert with_topic(df3, "p_${`my.col`}").collect()[0]["topic"] == "p_y"
+    # SQL literals keep their pre-round-11 expression semantics
+    assert with_topic(df, "v${123}").collect()[0]["topic"] == "v123"
+    assert with_topic(df, "f_${true}").collect()[0]["topic"] == "f_true"
     # function-bearing placeholders still execute as SQL
     out3 = with_topic(df, "${concat(database, '_', table)}")
     assert out3.collect()[0]["topic"] == "db1_t1"
