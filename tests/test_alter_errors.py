@@ -995,3 +995,37 @@ def test_change_rename_propagates_through_specific_wire(spark):
     # projection under the evolved schema reads the renamed column
     proj = specific_projection(ins2, v2)
     assert proj.filter(F.col("login").isNotNull()).count() == n
+
+
+def test_apply_alter_registers_modify_and_change_versions(spark):
+    """Orchestrator-level closure of the T10 clause gap: MODIFY and
+    CHANGE observed by _apply_alter must register an evolved specific
+    schema version exactly like ADD/DROP always did."""
+    import json as _json
+
+    reg = SchemaRegistry()
+    base = StructType(
+        [StructField("id", IntegerType()), StructField("username", StringType())]
+    )
+    for mt in ("insert", "update", "delete"):
+        reg.register(specific_subject("mypipe", "user", mt), base)
+    orch = AlterOrchestrator(
+        source=None, sink=None, checkpoint_dir="/tmp/unused", registry=reg
+    )
+    assert orch._apply_alter(
+        "mypipe", "user", "ALTER TABLE mypipe.user MODIFY id BIGINT"
+    )
+    v2 = StructType.fromJson(
+        _json.loads(reg.get_latest(specific_subject("mypipe", "user", "insert"))[1])
+    )
+    assert v2["id"].dataType.typeName() == "long"
+    assert orch._apply_alter(
+        "mypipe", "user", "ALTER TABLE mypipe.user CHANGE username login VARCHAR(64)"
+    )
+    v3 = StructType.fromJson(
+        _json.loads(reg.get_latest(specific_subject("mypipe", "user", "insert"))[1])
+    )
+    assert v3.fieldNames() == ["id", "login"]
+    # three versions registered per subject across base + 2 ALTERs
+    for mt in ("insert", "update", "delete"):
+        assert reg.get_latest(specific_subject("mypipe", "user", mt))[0] == 3
