@@ -240,3 +240,13 @@ ENVELOPE_FIELDS: list[tuple[str, str]] = [
     for prefix in ("", "old_", "new_")
     for name, kind in zip(ENVELOPE_MAP_NAMES, ENVELOPE_MAP_KINDS)
 ]
+
+# kind → Spark DDL type for the declaration above — the ONE copy both
+# wire's JSON-schema DDL twin and the pure-Python codec's record spec
+# consume (round-11 review: each module held a private dict of this
+# translation, the last copy-paste twin in the envelope declaration).
+ENVELOPE_KIND_DDL: dict[str, str] = {
+    "string": "string", "long": "bigint",
+    "map_bytes": "map<string,binary>", "map_int": "map<string,int>",
+    "map_string": "map<string,string>", "map_long": "map<string,bigint>",
+}

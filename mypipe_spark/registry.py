@@ -218,6 +218,13 @@ class RestSchemaRegistry:
         self.timeout_s = timeout_s
         self._cache: dict[str, _Subject] = {}
         self._latest_cache: dict[str, tuple[int, str]] = {}
+        # per-subject invalidation generation: get_latest snapshots it
+        # before its (unlocked) GET and refuses to cache the response
+        # if a register() bumped it meanwhile — without this, a fetch
+        # in flight across a concurrent register could re-cache the
+        # STALE latest forever (round-11 review; the round-8
+        # pinned-stale-latest bug through a race window)
+        self._latest_gen: dict[str, int] = {}
         self._lock = threading.RLock()
 
     # -- HTTP plumbing ------------------------------------------------------
@@ -237,6 +244,24 @@ class RestSchemaRegistry:
                 return json.loads(resp.read().decode())
         except urllib.error.HTTPError as e:
             if e.code == 404:
+                # Only ENTITY 404s ("no such subject/schema") mean
+                # not-registered; a ROUTE-level 404 (misconfigured
+                # base_url, proxy prefix, wrong server) must raise —
+                # returning None here would make every lookup report
+                # "not registered" and silently dead-letter the whole
+                # stream with zero diagnostics pointing at the URL
+                # (round-11 review; the server sends distinct error
+                # bodies precisely for this)
+                try:
+                    detail = json.loads(e.read().decode()).get("error", "")
+                except Exception:  # noqa: BLE001 — non-JSON 404 body
+                    detail = ""
+                if detail == "unknown route":
+                    raise RuntimeError(
+                        f"schema registry at {self.base_url!r} does not "
+                        f"serve {path!r} (route-level 404) — check "
+                        "base_url"
+                    ) from e
                 return None
             raise
 
@@ -274,6 +299,7 @@ class RestSchemaRegistry:
             # review; the in-memory twin's early return dodges this by
             # construction). The next get_latest re-fetches — one GET.
             self._latest_cache.pop(subject, None)
+            self._latest_gen[subject] = self._latest_gen.get(subject, 0) + 1
         return new_id
 
     def get_schema(self, subject: str, schema_id: int) -> str | None:
@@ -309,13 +335,19 @@ class RestSchemaRegistry:
                 self._latest_cache.pop(subject, None)
             if subject in self._latest_cache:
                 return self._latest_cache[subject]
+            gen = self._latest_gen.get(subject, 0)
         out = self._http("GET", f"/subject/{_urlsub(subject)}/latest")
         if out is None:
             return None
         entry = (int(out["id"]), out["schema"])
         with self._lock:
             self._remember(subject, *entry)
-            self._latest_cache[subject] = entry
+            # cache only if no register() invalidated this subject
+            # while the GET was in flight — the response may predate
+            # the newly registered version, and caching it would pin
+            # a stale latest forever (see _latest_gen in __init__)
+            if self._latest_gen.get(subject, 0) == gen:
+                self._latest_cache[subject] = entry
         return entry
 
     def subjects(self) -> list[str]:

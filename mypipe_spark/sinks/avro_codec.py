@@ -340,11 +340,8 @@ _FIELD_NAMES = [n for n, _ in UNION_FIELDS]
 # hand-maintained copy whose "must match exactly" comment nothing
 # enforced: a new ENVELOPE_FIELDS entry would have updated every other
 # twin and silently left this one stale (round-8 review)
-_KIND_DDL = {
-    "string": "string", "long": "bigint",
-    "map_bytes": "map<string,binary>", "map_int": "map<string,int>",
-    "map_string": "map<string,string>", "map_long": "map<string,bigint>",
-}
+from ..model import ENVELOPE_KIND_DDL as _KIND_DDL  # noqa: E402
+
 _PAYLOAD_DDL = ", ".join(
     f"{name} {_KIND_DDL[kind]}" for name, kind in UNION_FIELDS
 )
@@ -478,6 +475,20 @@ def specific_fields(table_schema) -> list[tuple[str, str]]:
     column would be a wrong wire format, not a degraded one."""
     out = []
     for f in table_schema.fields:
+        if f.name.lower() in ("database", "table"):
+            # the record body leads with the (database, table) header
+            # at fixed positions — decode_specific_versioned's
+            # cross-table guard reads them — so a table COLUMN with
+            # either name would duplicate the struct field, overwrite
+            # the header on decode, and silently filter the table's
+            # own frames as "foreign" (round-11 review); refuse loudly
+            # like the unsupported-type path below
+            raise ValueError(
+                f"specific avro record: column name {f.name!r} "
+                "collides with the record header fields "
+                "(database/table) — rename it "
+                "(df.withColumnRenamed) first"
+            )
         kind = _SPARK_TO_AVRO_KIND.get(f.dataType.simpleString())
         if kind is None:
             raise ValueError(
@@ -584,7 +595,13 @@ def _specific_ddl(fields: list[tuple[str, str]], op_kind: str) -> str:
     cols = ["database string", "table string"]
     prefixes = ("old_", "new_") if op_kind == "update" else ("",)
     for prefix in prefixes:
-        cols += [f"`{prefix}{n}` {back[k]}" for n, k in fields]
+        # double embedded backticks — a legal MySQL column name may
+        # contain one, and unescaped it terminates the quoted DDL
+        # identifier early (round-11 review)
+        cols += [
+            f"`{(prefix + n).replace('`', '``')}` {back[k]}"
+            for n, k in fields
+        ]
     return ", ".join(cols)
 
 

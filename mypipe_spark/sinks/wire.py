@@ -121,18 +121,15 @@ def mtype_byte(op: Column | str = "op") -> Column:
 # before image, update both as old_*/new_* — this union struct covers
 # all three so one column type serves the whole stream.
 def _payload_json_schema() -> str:
-    """Derived from the canonical field declaration in avro_codec so
-    the DDL twin, the Avro writer schema, and the JVM null-strip
-    struct can never drift apart field-by-field."""
-    from ..model import ENVELOPE_FIELDS
+    """Derived from the canonical field declaration in model so the
+    DDL twin, the Avro writer schema, and the JVM null-strip struct
+    can never drift apart field-by-field — including the kind→DDL
+    translation itself (model.ENVELOPE_KIND_DDL, shared with the
+    pure-Python codec; round-11 review)."""
+    from ..model import ENVELOPE_FIELDS, ENVELOPE_KIND_DDL
 
-    ddl = {"string": "string", "long": "bigint"}
-    mddl = {
-        "map_bytes": "map<string,binary>", "map_int": "map<string,int>",
-        "map_string": "map<string,string>", "map_long": "map<string,bigint>",
-    }
     return ", ".join(
-        f"{name} {ddl.get(kind) or mddl[kind]}" for name, kind in ENVELOPE_FIELDS
+        f"{name} {ENVELOPE_KIND_DDL[kind]}" for name, kind in ENVELOPE_FIELDS
     )
 
 
@@ -223,7 +220,17 @@ def with_schema_id(df: DataFrame, registry: SchemaRegistry) -> DataFrame:
         latest = registry.get_latest(generic_subject(op))
         if latest:
             pairs += [F.lit(op), F.lit(latest[0])]
-    return df.withColumn("schema_id", F.create_map(*pairs)[F.col("op")])
+    # empty registry (no generic subject registered at all): every row
+    # gets a NULL id and the dead-letter split diverts it — the empty
+    # F.create_map()[op] expression would instead fail ANALYSIS
+    # (map<void,void> lookup) and kill the pipe (round-11 review;
+    # mirrors encode_specific's pinned-subject guard)
+    ids = (
+        F.create_map(*pairs)[F.col("op")]
+        if pairs
+        else F.lit(None).cast("int")
+    )
+    return df.withColumn("schema_id", ids)
 
 
 # ---------------------------------------------------------------------------
@@ -633,14 +640,21 @@ def specific_projection(df: DataFrame, table_schema: StructType, image: str = "n
         # the same table buckets its Spark IntegerType read into
         # 'integers' — the projection must find the value either way
         # (int → bigint is a lossless widening).
+        # try_cast, not cast: under ANSI mode (this repo's default) a
+        # value that does not fit the declared type — a pre-ALTER
+        # string frame projected under a post-ALTER INT schema, a
+        # bigint narrowed into smallint — must project NULL for that
+        # cell (and let coalesce consult the next map), never kill the
+        # whole query at runtime (round-11 review; same permissive
+        # posture as the docstring's per-row absence rule)
         src = (
             F.coalesce(
-                F.col(f"{image}_integers").getItem(name).cast(field.dataType)
+                F.col(f"{image}_integers").getItem(name).try_cast(field.dataType)
                 if field.dataType.simpleString()
                 in ("int", "smallint", "tinyint", "bigint")
                 else F.lit(None).cast(field.dataType),
-                F.col(f"{image}_longs").getItem(name).cast(field.dataType),
-                F.col(f"{image}_strings").getItem(name).cast(field.dataType),
+                F.col(f"{image}_longs").getItem(name).try_cast(field.dataType),
+                F.col(f"{image}_strings").getItem(name).try_cast(field.dataType),
             )
             if field.dataType.simpleString() != "binary"
             else F.col(f"{image}_bytes").getItem(name)
@@ -714,7 +728,19 @@ def encode_specific(
         latest = registry.get_latest(s)
         if latest:
             pairs += [F.lit(s), F.lit(latest[0])]
-    subject = F.concat_ws("_", F.col("database"), F.col("table"), F.col("op"))
+    # the per-row key must serialize EXACTLY like specific_subject's
+    # f-string AND yield NULL when any coordinate is NULL: concat_ws
+    # silently SKIPS nulls, so (NULL, 't', 'insert') would collapse to
+    # 't_insert' and could match an unrelated registered subject —
+    # shipping a "valid" frame with the wrong schema id instead of
+    # dead-lettering (round-11 review; the round-8 mislabeled-frame
+    # class through a different door)
+    subject = F.when(
+        F.col("database").isNotNull()
+        & F.col("table").isNotNull()
+        & F.col("op").isNotNull(),
+        F.concat_ws("_", F.col("database"), F.col("table"), F.col("op")),
+    )
     schema_id = F.create_map(*pairs)[subject] if pairs else F.lit(None).cast("int")
     payload_bytes = specific_encode_expr(
         F.col("payload"), F.col("op"), table_schema

@@ -832,3 +832,166 @@ def test_specific_roundtrip_with_space_in_column_name(spark):
         .collect()[0]
     )
     assert rec["id"] == 1 and rec["unit price"] == 42
+
+
+# ---------------------------------------------------------------------------
+# round-11 review findings: empty-registry analysis crash, ANSI casts in
+# the specific projection, subject-key NULL collapse, REST cache race,
+# route-404 conflation, header-name collision, DDL-twin hoist
+# ---------------------------------------------------------------------------
+
+def test_with_schema_id_empty_registry_yields_null_ids(spark):
+    """A registry with NO generic subject registered must produce NULL
+    schema ids (→ dead-letter) — the empty F.create_map()[op] lookup
+    previously failed ANALYSIS and killed the pipe (round-11 review;
+    the specific path already guarded this)."""
+    from mypipe_spark.sinks.wire import with_schema_id
+
+    ins = mutations_only(changelog_df(spark, num_transactions=2))
+    out = with_schema_id(ins, SchemaRegistry())
+    assert out.filter(F.col("schema_id").isNotNull()).count() == 0
+    assert out.count() > 0
+
+
+def test_specific_projection_bad_value_projects_null_under_ansi(spark):
+    """Schema evolution can leave frames whose map values no longer fit
+    the declared type (VARCHAR column ALTERed to INT); under ANSI mode
+    a plain cast kills the whole query at runtime — the projection
+    must yield NULL for that cell instead (round-11 review)."""
+    from mypipe_spark.sinks.wire import specific_projection
+
+    ins = mutations_only(changelog_df(spark, num_transactions=2)).filter(
+        "op = 'insert'"
+    )
+    # 'username' carries strings like 'username3'; project it as INT
+    evolved = StructType(
+        [StructField("id", IntegerType()), StructField("username", IntegerType())]
+    )
+    rows = specific_projection(ins, evolved).collect()
+    assert len(rows) > 0
+    assert all(r["username"] is None for r in rows)  # not a crash
+    assert all(r["id"] is not None for r in rows)    # real ints survive
+
+
+def test_encode_specific_null_coordinate_dead_letters(spark):
+    """concat_ws silently skips NULLs, so a row with database=NULL and
+    table='a_b' previously keyed to 'a_b_insert' and could collapse
+    onto registered subject (a, b, insert) — shipping a valid-looking
+    frame with a schema id belonging to a different coordinate tuple.
+    Any NULL coordinate must yield a NULL id (round-11 review)."""
+    from mypipe_spark.sinks.wire import encode_specific
+
+    schema = StructType([StructField("id", IntegerType())])
+    reg = SchemaRegistry()
+    register_table(reg, "a", "b", schema)
+
+    ins = (
+        mutations_only(changelog_df(spark, num_transactions=2))
+        .filter("op = 'insert'")
+        .withColumn("database", F.lit(None).cast("string"))
+        .withColumn("table", F.lit("a_b"))
+    )
+    out = encode_specific(ins, schema, reg)  # unpinned: all subjects
+    assert out.count() > 0
+    assert out.filter(F.col("schema_id").isNotNull()).count() == 0
+    # the same rows WITH coordinates resolve normally
+    ok = encode_specific(
+        ins.withColumn("database", F.lit("a")).withColumn("table", F.lit("b")),
+        schema,
+        reg,
+    )
+    assert ok.filter(F.col("schema_id").isNull()).count() == 0
+
+
+def test_rest_get_latest_does_not_cache_across_concurrent_register():
+    """The round-8 invalidation popped the latest cache on register,
+    but a GET already in flight could re-cache its stale response
+    AFTER the pop — pinning the old version forever (no caller uses
+    flush_cache). The generation counter must refuse that write
+    (round-11 review). Simulated deterministically by registering
+    between the GET's return and the cache write."""
+    import threading
+
+    from mypipe_spark.registry import RestSchemaRegistry, serve_registry
+
+    backing = SchemaRegistry()
+    v1 = StructType([StructField("id", IntegerType())]).json()
+    v2 = StructType(
+        [StructField("id", IntegerType()), StructField("x", IntegerType())]
+    ).json()
+    backing.register("s", v1)
+    server, base = serve_registry(backing)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = RestSchemaRegistry(base)
+        orig_http = client._http
+
+        def hooked(method, path, body=None):
+            out = orig_http(method, path, body)
+            if method == "GET" and path.endswith("/latest"):
+                client._http = orig_http  # only race the first GET
+                client.register("s", v2)  # lands mid-flight
+            return out
+
+        client._http = hooked
+        stale = client.get_latest("s")  # returns v1 (the in-flight GET)
+        assert stale[0] == 1
+        # the stale response must NOT have been cached: the next read
+        # re-fetches and sees v2
+        assert client.get_latest("s")[0] == 2
+    finally:
+        server.shutdown()
+
+
+def test_rest_client_raises_on_route_level_404():
+    """A misconfigured base_url (proxy prefix, wrong server) answers
+    every request with the catch-all 404; treating that as 'not
+    registered' silently dead-letters whole streams — the client must
+    raise pointing at the URL (round-11 review)."""
+    import threading
+
+    from mypipe_spark.registry import RestSchemaRegistry, serve_registry
+
+    backing = SchemaRegistry()
+    backing.register("s", StructType([StructField("id", IntegerType())]))
+    server, base = serve_registry(backing)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        bad = RestSchemaRegistry(base + "/registry")  # wrong prefix
+        with pytest.raises(RuntimeError, match="base_url"):
+            bad.get_latest("s")
+        # entity-level 404 still reads as not-registered, not an error
+        good = RestSchemaRegistry(base)
+        assert good.get_latest("nope") is None
+    finally:
+        server.shutdown()
+
+
+def test_specific_fields_rejects_header_colliding_columns():
+    """A table column literally named 'database' or 'table' would
+    duplicate the record header fields, overwrite the header on
+    decode, and make the cross-table guard filter the table's own
+    frames as foreign — refuse loudly (round-11 review)."""
+    from mypipe_spark.sinks.avro_codec import specific_fields
+
+    for name in ("database", "table", "TABLE"):
+        bad = StructType(
+            [StructField("id", IntegerType()), StructField(name, StringType())]
+        )
+        with pytest.raises(ValueError, match="header"):
+            specific_fields(bad)
+
+
+def test_envelope_ddl_twins_share_one_mapping():
+    """wire's JSON-schema DDL and avro_codec's record-spec DDL must be
+    the same string, both derived from model.ENVELOPE_FIELDS through
+    model.ENVELOPE_KIND_DDL (round-11 review hoisted the last private
+    copy of the kind→DDL translation)."""
+    from mypipe_spark.model import ENVELOPE_FIELDS, ENVELOPE_KIND_DDL
+    from mypipe_spark.sinks.avro_codec import _PAYLOAD_DDL
+    from mypipe_spark.sinks.wire import _PAYLOAD_JSON_SCHEMA
+
+    assert _PAYLOAD_JSON_SCHEMA == _PAYLOAD_DDL
+    assert {k for _, k in ENVELOPE_FIELDS} <= set(ENVELOPE_KIND_DDL)
