@@ -147,32 +147,56 @@ def run_curation(
     ``"constraints"`` in the returned audit; with
     ``config["audit_enforce"]`` any violation raises
     :class:`AuditError` before the pipeline spends a single shuffle
-    (the fail-fast an unattended 100 TB ingest wants)."""
+    (the fail-fast an unattended 100 TB ingest wants). With NEITHER
+    key configured, a minimal ENFORCED precondition still runs:
+    doc_id non-NULL and unique — the funnel's keyed join-backs
+    structurally require addressable rows, so violating corpora are
+    refused rather than silently diverging the audit; opt out with
+    ``audit_checks=[]``."""
     from .plans.dedup import bloom_filter_fresh
 
     sf_dir = config.get("sf_dir")
     out_dir = config["out_dir"]
-    if str(config.get("mode", "error")) == "append":
+    if str(config.get("mode", "error")) in ("append", "ignore"):
         # same whole-directory-audit rule as compact_write: n_written
         # counts EVERY row under out_dir, so appending into a
         # non-empty directory would blend prior runs' rows into this
-        # run's audit and silently break the n_written ≈ mix-selected
-        # invariant consumers check (round-8 review)
+        # run's audit — and 'ignore' is worse: it silently SKIPS the
+        # write and audits the pre-existing directory as this run's
+        # output (round-8 review; ignore half closed round-11, the
+        # same pair compact_write refuses)
         raise ValueError(
-            "run_curation: mode='append' would corrupt the n_written "
-            "audit (it counts the whole out_dir); write each run to "
-            "its own directory, or use overwrite"
+            "run_curation: mode='append'/'ignore' would corrupt the "
+            "n_written audit (it counts the whole out_dir); write "
+            "each run to its own directory, or use overwrite"
         )
     budget = int(config.get("budget", 200))
     if docs is None:
         docs = load_tables(spark, sf_dir)["documents"]
     if "n_chars" not in docs.columns:
         docs = docs.withColumn("n_chars", F.length("text"))
-    constraints = audit_corpus(
-        docs,
-        config.get("audit_checks"),
-        enforce=bool(config.get("audit_enforce", False)),
-    )
+    checks = config.get("audit_checks")
+    if checks is None and "audit_enforce" not in config:
+        # Key-integrity PRECONDITION, on by default (round-11 review):
+        # the funnel's doc_id-keyed join-backs structurally require
+        # addressable rows — a NULL doc_id is counted kept by the
+        # flags but silently dropped by the join-back, and a
+        # duplicated doc_id multiplies written rows; both diverge
+        # n_written from the selection with no audit trace. One
+        # scan-aggregate, enforced. Opt out with audit_checks=[]
+        # (acknowledging the divergence) or configure the gate
+        # explicitly via audit_checks/audit_enforce as before.
+        from .operators.audit import not_null, unique_key
+
+        constraints = audit_corpus(
+            docs, [not_null("doc_id"), unique_key("doc_id")], enforce=True
+        )
+    else:
+        constraints = audit_corpus(
+            docs,
+            checks,
+            enforce=bool(config.get("audit_enforce", False)),
+        )
     n_corpus_dup = None
     fresh = None
     try:
@@ -352,6 +376,19 @@ def audit_stream(
         # foreachBatch (which would start the query, create the
         # checkpoint, then die as an opaque StreamingQueryException)
         raise ValueError("audit_stream needs at least one check")
+    if checks == "default":
+        # the documented sibling spelling (audit_corpus accepts it) —
+        # minus the key checks the row-level restriction below refuses
+        # (round-11 review: the bare string previously iterated as
+        # characters and died with an opaque AttributeError)
+        from .operators.audit import default_doc_checks
+
+        checks = [c for c in default_doc_checks() if not c.key_cols]
+    elif isinstance(checks, str):
+        raise ValueError(
+            f"audit_stream: unknown checks spec {checks!r} — pass "
+            "'default' or a list of row-level Check objects"
+        )
     keyed = [c.name for c in checks if c.key_cols]
     if keyed:
         raise ValueError(

@@ -106,6 +106,21 @@ class SchemaRegistry:
         return sorted(sub.by_id) if sub else []
 
 
+def struct_from_schema_text(text: str) -> StructType | None:
+    """Registered schema text → StructType, or None when the text is
+    not StructType JSON (e.g. an Avro record schema registered by
+    another producer). The ONE parse every consumer shares — before
+    round 11 this try/except lived in four call sites with three
+    different behaviors (round-11 review); each site still chooses
+    what None means (degrade / skip / raise a guided error)."""
+    import json
+
+    try:
+        return StructType.fromJson(json.loads(text))
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
 GENERIC_ENVELOPE_DESCRIPTOR = "mypipe_spark.generic_envelope.v1"
 
 

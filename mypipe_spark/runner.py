@@ -85,10 +85,6 @@ def _debezium_consumer(spark: SparkSession, conf: dict) -> DataFrame:
     without one, values ride the strings maps (lossless for JSON
     scalars). A Kafka-hosted Debezium topic composes the same way:
     kafka consumer → debezium_change_events on the value column."""
-    import json as _json
-
-    from pyspark.sql.types import StructType as _St
-
     from .sources.debezium import debezium_change_events
 
     tschema = None
@@ -100,14 +96,13 @@ def _debezium_consumer(spark: SparkSession, conf: dict) -> DataFrame:
             specific_subject(conf["database"], conf["table"], "insert")
         )
         if latest:
-            try:
-                tschema = _St.fromJson(_json.loads(latest[1]))
-            except (ValueError, KeyError, TypeError):
-                # non-StructType schema text (an Avro record registered
-                # by another producer): degrade to the documented
-                # schema-less strings-map mode, same tolerance as
-                # decode_specific_versioned
-                tschema = None
+            from .registry import struct_from_schema_text
+
+            # None = non-StructType schema text (an Avro record
+            # registered by another producer): degrade to the
+            # documented schema-less strings-map mode, same tolerance
+            # as decode_specific_versioned
+            tschema = struct_from_schema_text(latest[1])
     raw = spark.readStream.text(conf["path"])
     return debezium_change_events(raw, table_schema=tschema)
 
@@ -336,10 +331,6 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                     return encode_dead_letter_split(df, _r, codec=_c, strict_txid=_s)
 
             elif flavor == "specific":
-                import json as _json
-
-                from pyspark.sql.types import StructType as _St
-
                 from .model import specific_subject
 
                 db = wire_conf["database"]
@@ -350,7 +341,21 @@ def build_pipes(config: dict[str, Any]) -> list[Pipe]:
                         f"pipe '{pipe_id}': no registered schema for "
                         f"{db}.{tbl} — register the table first"
                     )
-                tschema = _St.fromJson(_json.loads(latest[1]))
+                from .registry import struct_from_schema_text
+
+                tschema = struct_from_schema_text(latest[1])
+                if tschema is None:
+                    # the wire encoder NEEDS the column layout; a
+                    # non-StructType registration (another producer's
+                    # Avro text) must fail with a guided error, not a
+                    # bare fromJson KeyError (round-11 review)
+                    raise ValueError(
+                        f"pipe '{pipe_id}': the registered schema for "
+                        f"{db}.{tbl} is not a Spark StructType JSON — "
+                        "the specific wire sink needs the table's "
+                        "column layout; re-register via "
+                        "registry.register_table"
+                    )
 
                 def _wire_split(df: DataFrame, _r=wreg, _s=tschema,
                                 _db=db, _tbl=tbl):
@@ -451,4 +456,11 @@ def run_from_config(
         for p in pipes:
             p.run_available(spark)
         return []
-    return [p.start(spark) for p in pipes]
+    # run_pipes, not a bare start loop: its all-or-nothing cleanup
+    # stops already-started queries when a later pipe fails to start
+    # (round-11 review: this path re-implemented the loop without the
+    # round-8 guard, so a config whose second pipe failed validation
+    # orphaned the first's running query and checkpoint)
+    from .streaming.pipe import run_pipes
+
+    return run_pipes(spark, pipes)

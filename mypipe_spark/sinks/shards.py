@@ -71,6 +71,13 @@ def write_training_shards(
         .drop(shard_col)
         .write.partitionBy(stratum)
         .option("maxRecordsPerFile", rows_per_file)
+        # pin static overwrite regardless of the session's
+        # partitionOverwriteMode: under dynamic overwrite a rerun over
+        # a corpus missing a stratum would leave the prior run's
+        # partition in place, blending runs in the directory (and in
+        # run_curation's whole-directory n_written audit) — same pin
+        # as compact_write (round-11 review)
+        .option("partitionOverwriteMode", "static")
         .mode(mode)
         .parquet(path)
     )

@@ -837,9 +837,10 @@ def decode_specific_versioned(
             text = registry.get_schema(subject, version)
             if text is None:
                 continue
-            try:
-                schema = _St.fromJson(_json.loads(text))
-            except (ValueError, KeyError, TypeError):
+            from ..registry import struct_from_schema_text
+
+            schema = struct_from_schema_text(text)
+            if schema is None:
                 continue  # non-StructType schema text: not decodable here
             branch = df.filter(
                 (parts["mtype"] == MUTATION_MAGIC[op])

@@ -501,10 +501,12 @@ class AlterOrchestrator:
             specific_subject(database, table, "insert")
         )
         if latest is not None:
-            try:
-                return StructType.fromJson(json.loads(latest[1]))
-            except (ValueError, KeyError, TypeError):
-                pass  # non-StructType schema text: start empty
+            from ..registry import struct_from_schema_text
+
+            parsed = struct_from_schema_text(latest[1])
+            if parsed is not None:
+                return parsed
+            # non-StructType schema text: start empty
         return StructType([])
 
     def _apply_alter(

@@ -222,3 +222,40 @@ def test_audit_stream_partials_sum_to_batch(spark, tmp_path):
             stream, "documents", default_doc_checks(),
             str(tmp_path / "log2"), str(tmp_path / "ckpt2"),
         )
+
+
+def test_audit_stream_accepts_default_spelling(spark, tmp_path):
+    """round-11 review: audit_corpus accepts checks='default' but
+    audit_stream iterated the string's characters and died with an
+    opaque AttributeError — it must normalize 'default' to the
+    row-level subset of default_doc_checks and reject other strings
+    clearly."""
+    import pytest
+
+    from mypipe_spark.curate import audit_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "hello world text", "en", 16)],
+        "doc_id int, text string, lang string, n_chars int",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id int, text string, lang string, n_chars int"
+    ).parquet(src)
+    q = audit_stream(
+        stream, "documents", "default",
+        str(tmp_path / "log"), str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    log = spark.read.parquet(str(tmp_path / "log"))
+    names = {r["check_name"] for r in log.select("check_name").collect()}
+    assert "not_null(text)" in names
+    assert "unique_key(doc_id)" not in names  # key checks excluded
+    with pytest.raises(ValueError, match="default"):
+        audit_stream(
+            stream, "documents", "weird",
+            str(tmp_path / "log2"), str(tmp_path / "ckpt2"),
+        )

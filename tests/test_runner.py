@@ -506,3 +506,77 @@ def test_include_condition_keeps_controls_when_mutations_only_false(spark, tmp_p
         "op in ('begin','commit','rollback')"
     ).count()
     assert n_controls == want > 0
+
+
+def test_run_from_config_nonblock_stops_started_on_later_failure(spark, tmp_path):
+    """round-11 review: the non-block path re-implemented the start
+    loop without run_pipes' all-or-nothing cleanup — a config whose
+    SECOND pipe fails to start (unknown producer, resolved only at
+    start) orphaned the first pipe's running query and checkpoint,
+    and a retry collided with the orphan's query name."""
+    import pytest
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=3, num_files=1)
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "ok_pipe": {
+                "consumer": "cl",
+                "producer": {"name": "memory"},
+                "checkpoint": str(tmp_path / "ck1"),
+            },
+            "bad_pipe": {
+                "consumer": "cl",
+                "producer": {"name": "no_such_producer"},
+                "checkpoint": str(tmp_path / "ck2"),
+            },
+        },
+    }
+    before = {q.id for q in spark.streams.active}
+    with pytest.raises(Exception):
+        run_from_config(spark, config, block=False)
+    leaked = {q.id for q in spark.streams.active} - before
+    assert not leaked, f"orphaned queries after partial start: {leaked}"
+
+
+def test_specific_wire_pipe_rejects_non_structtype_registration(spark, tmp_path):
+    """round-11 review: a subject holding a non-StructType schema text
+    (another producer's Avro record) made build_pipes die with a bare
+    fromJson KeyError; the specific wire sink needs the column layout
+    and must fail with a guided error instead."""
+    import json as _json
+
+    import pytest
+
+    from mypipe_spark.registry import SchemaRegistry, save_registry
+
+    src = str(tmp_path / "cl")
+    write_changelog(spark, src, num_transactions=2, num_files=1)
+    reg = SchemaRegistry()
+    avro_text = _json.dumps(
+        {"type": "record", "name": "user", "fields": [{"name": "id", "type": "int"}]}
+    )
+    for mt in ("insert", "update", "delete"):
+        reg.register(f"mypipe_user_{mt}", avro_text)
+    reg_path = str(tmp_path / "reg")
+    save_registry(reg, reg_path)
+
+    config = {
+        "consumers": {"cl": {"type": "changelog", "path": src}},
+        "pipes": {
+            "wire_pipe": {
+                "consumer": "cl",
+                "wire": {
+                    "flavor": "specific",
+                    "database": "mypipe",
+                    "table": "user",
+                    "schema-registry": {"path": reg_path},
+                },
+                "producer": {"name": "memory"},
+                "checkpoint": str(tmp_path / "ck"),
+            }
+        },
+    }
+    with pytest.raises(ValueError, match="StructType"):
+        build_pipes(config)

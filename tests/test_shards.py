@@ -244,7 +244,14 @@ def test_against_corpus_dedup_is_row_level_and_keyless(spark, tmp_path):
     )
     audit = run_curation(
         spark,
-        {"out_dir": str(tmp_path / "o"), "budget": 10, "mode": "overwrite"},
+        # audit_checks=[]: this corpus DELIBERATELY carries NULL and
+        # duplicate doc_ids to pin the against-dedup's row-level
+        # keyless behavior — opt out of the round-11 default
+        # key-integrity gate that (correctly) refuses such a corpus
+        {
+            "out_dir": str(tmp_path / "o"), "budget": 10,
+            "mode": "overwrite", "audit_checks": [],
+        },
         docs=docs,
         against=corpus.select("doc_id", "text"),
     )
@@ -577,3 +584,78 @@ def test_streaming_curation_replayed_epoch_is_idempotent(
     got = sorted(map(tuple, back.select(cols).collect()))
     assert got == want and len(got) > 0
     assert back.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_run_curation_refuses_ignore_mode(spark, sf_dir, tmp_path):
+    """round-11 review: mode='ignore' silently SKIPS the write when
+    out_dir exists and audits the pre-existing directory as this
+    run's output — refused like 'append' (the pair compact_write
+    already rejects)."""
+    import pytest
+
+    from mypipe_spark.curate import run_curation
+
+    with pytest.raises(ValueError, match="ignore"):
+        run_curation(
+            spark,
+            {"sf_dir": sf_dir, "out_dir": str(tmp_path / "o"), "mode": "ignore"},
+        )
+
+
+def test_write_training_shards_static_overwrite_under_dynamic_session(
+    spark, tmp_path
+):
+    """round-11 review: under a session with dynamic
+    partitionOverwriteMode, an overwrite rerun over a corpus missing
+    a stratum would leave the prior run's partition in place —
+    write_training_shards must pin static overwrite like
+    compact_write does."""
+    from mypipe_spark.sinks.shards import write_training_shards
+
+    out = str(tmp_path / "shards")
+    run1 = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "fr")], "doc_id int, text string, lang string"
+    )
+    run2 = run1.filter("lang = 'en'")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_training_shards(run1, out, mode="overwrite")
+        write_training_shards(run2, out, mode="overwrite")
+        got = spark.read.parquet(out)
+        assert [r["lang"] for r in got.select("lang").distinct().collect()] == ["en"]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_run_curation_default_key_integrity_gate(spark, tmp_path):
+    """round-11 review: with no audit config at all, the doc_id
+    key-integrity precondition (non-NULL + unique) is enforced by
+    default — a NULL doc_id is counted kept by the flags but dropped
+    by the keyed join-back, and a duplicate multiplies written rows,
+    silently diverging the audit. audit_checks=[] is the explicit
+    opt-out."""
+    import pytest
+
+    from mypipe_spark.curate import AuditError, run_curation
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "the of to and in a solid document body here", "en", "s", 43),
+            (1, "the of to and in a solid document body here", "en", "s", 43),
+            (None, "the of to and in another document body goes", "en", "s", 43),
+        ],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    )
+    with pytest.raises(AuditError) as ei:
+        run_curation(
+            spark, {"out_dir": str(tmp_path / "refused")}, docs=dirty
+        )
+    assert ei.value.failed == {"not_null(doc_id)": 1, "unique_key(doc_id)": 1}
+    # explicit opt-out still runs (acknowledged divergence)
+    audit = run_curation(
+        spark,
+        {"out_dir": str(tmp_path / "opted_out"), "audit_checks": []},
+        docs=dirty,
+    )
+    assert audit["n_written"] >= 0
