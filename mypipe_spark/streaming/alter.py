@@ -369,6 +369,16 @@ def _apply_clause(schema: StructType, clause: str, stmt: str) -> StructType:
                 f"CHANGE of unknown column {old!r}", clause, stmt
             )
             return schema
+        new_idx = _field_index(schema, new)
+        if new_idx is not None and new_idx != idx:
+            # MySQL refuses a rename onto ANOTHER existing column
+            # (duplicate column name) — applying it would register a
+            # schema with two same-named fields (round-11 property
+            # test caught this)
+            _warn_clause(
+                f"CHANGE onto existing column {new!r}", clause, stmt
+            )
+            return schema
         fields = list(schema.fields)
         fields[idx] = StructField(new, dt, True)
         return StructType(fields)
@@ -382,6 +392,12 @@ def _apply_clause(schema: StructType, clause: str, stmt: str) -> StructType:
                 return schema  # replayed rename: already applied
             _warn_clause(
                 f"RENAME COLUMN of unknown column {old!r}", clause, stmt
+            )
+            return schema
+        new_idx = _field_index(schema, new)
+        if new_idx is not None and new_idx != idx:
+            _warn_clause(
+                f"RENAME COLUMN onto existing column {new!r}", clause, stmt
             )
             return schema
         fields = list(schema.fields)
@@ -479,7 +495,19 @@ class AlterOrchestrator:
     ALTER-added column). Statements whose table cannot be resolved
     (ALTER USER/VIEW/DATABASE — prefix-classified as 'alter' but not a
     table DDL) are skipped entirely rather than registering garbage
-    subjects."""
+    subjects.
+
+    Replay idempotency (property-pinned, tests/test_properties.py):
+    re-applying a statement to its own result is a no-op for every
+    statement whose clauses touch disjoint columns — the realistic
+    DDL shape. Disclosed limit: an INTRA-statement composition that
+    re-touches a column it just created or renamed (``ADD COLUMN x
+    INT, RENAME COLUMN x TO y`` in one statement) re-applies on a
+    crash replay (the replayed ADD no longer finds x) and registers a
+    spurious extra version; the reference is immune by construction
+    (any ALTER refetches the whole schema, TableCache.scala:41-49).
+    If such DDL ever matters, resolve the replay at the source with a
+    batch-id memo keyed on the watcher's checkpoint."""
 
     source: Callable[[SparkSession], DataFrame]
     sink: Callable[[DataFrame, str], object]  # returns DataStreamWriter

@@ -503,3 +503,60 @@ def test_streaks_oracle_matches_independent_reference(user_days):
             days=first_best
         )
         assert start_got == want_start, (uid, days, start_got)
+
+
+# round-11: evolve_schema replay idempotency — the registration path is
+# at-least-once (the DDL watcher registers BEFORE its checkpoint
+# commits, so a crash replays the ALTER), which is safe because
+# re-applying a statement to its own result is a no-op for every
+# realistic DDL shape: each clause touches its own column(s). (A
+# pathological intra-statement composition — ADD x then RENAME x TO y
+# in ONE statement — is not replay-idempotent and is disclosed on
+# AlterOrchestrator; MySQL applies ALTER atomically, so statements
+# with clauses invalid against the live schema never reach a binlog
+# either.) Generate statements from the full clause alphabet over
+# DISJOINT column draws and pin f(f(s)) == f(s) plus field-name
+# uniqueness.
+
+_COL_POOL = ["id", "email", "n", "user$x", "x-1", "Flag", "extra", "more"]
+_TYPES = st.sampled_from(["INT", "BIGINT", "VARCHAR(32)", "TEXT", "DECIMAL(10,2)"])
+
+
+def _mk_clause(kind: str, c1: str, c2: str, t: str) -> str:
+    q = lambda c: f"`{c}`" if "-" in c else c  # noqa: E731
+    if kind == "add":
+        return f"ADD COLUMN {q(c1)} {t}"
+    if kind == "addp":
+        return f"ADD ({q(c1)} {t}, {q(c2)} INT)"
+    if kind == "drop":
+        return f"DROP COLUMN {q(c1)}"
+    if kind == "modify":
+        return f"MODIFY {q(c1)} {t}"
+    if kind == "change":
+        return f"CHANGE {q(c1)} {q(c2)} {t}"
+    return f"RENAME COLUMN {q(c1)} TO {q(c2)}"
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_evolve_schema_statement_replay_is_idempotent(data):
+    cols = data.draw(st.permutations(_COL_POOL))
+    n_base = data.draw(st.integers(min_value=0, max_value=3))
+    base = StructType(
+        [StructField(c, IntegerType(), True) for c in sorted(cols)[:n_base]]
+    )
+    n = data.draw(st.integers(min_value=1, max_value=3))
+    clauses = []
+    for i in range(n):
+        kind = data.draw(
+            st.sampled_from(["add", "addp", "drop", "modify", "change", "rename"])
+        )
+        # disjoint column pair per clause — the realistic shape
+        c1, c2 = cols[2 * i], cols[2 * i + 1]
+        clauses.append(_mk_clause(kind, c1, c2, data.draw(_TYPES)))
+    sql = "ALTER TABLE mypipe.user " + ", ".join(clauses)
+    once = evolve_schema(base, sql)
+    twice = evolve_schema(once, sql)
+    assert twice == once, sql
+    # field names stay unique whatever the clause sequence did
+    assert len(set(f.name.lower() for f in once.fields)) == len(once.fields), sql
