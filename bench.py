@@ -7,7 +7,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 ``value`` is the total wall-clock over the headline set after a warmup
 pass of the smallest query (JVM/codegen warm); per-query numbers are
-the fastest of ``--repeat`` runs (default 5).
+the fastest of ``--repeat`` runs (default 5). The timed action is the
+noop sink (round 11, guide §1.4 — every column of every row computed
+and discarded; ``df.count()`` before that, which under-measured
+queries whose measures prune above a count and over-measured top-k
+plans — see OPTIMIZATION_r11.md for the same-host bridge numbers).
 
 Adjudicability fields (round 7 — the official number drifted ±8% two
 rounds running on a host whose documented same-code spread is ±2×, so
@@ -211,19 +215,31 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — reported, not hidden
             print(f"bw canary failed: {exc!r}", file=sys.stderr)
 
-    # warmup: smallest bench query end-to-end (JIT, codegen, parquet footers)
+    # warmup: smallest bench query end-to-end (JIT, codegen, parquet
+    # footers) through the same noop sink the timed loop uses
     warm = qs.get("dedup_exact") or next(iter(qs.values()))
-    warm.fn(spark, sf_dir).count()
+    warm.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     timings: dict[str, list[float]] = {}
     for name, qd in sorted(qs.items()):
         runs: list[float] = []
         for _ in range(repeat):
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             t0 = time.perf_counter()
             df = qd.fn(spark, sf_dir)
-            df.count()  # full materialization without driver collect
+            # Round 11 (guide §1.4): the timed action is the noop sink —
+            # computes EVERY column of every row and discards it. The
+            # previous action, df.count(), let Catalyst prune columns
+            # above the count: q1's six decimal measures were never
+            # computed (measured 0.30 s count vs 1.98 s noop at sf0.1),
+            # while for top-k plans count() added work the query does
+            # not have (ann_topk_bruteforce 1.68 s count vs 0.57 s
+            # noop). Methodology bridge recorded in OPTIMIZATION_r11.md
+            # (same-host count-timed value at the r11-open HEAD: 10.865).
+            df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
         timings[name] = runs
         per_query[name] = min(runs)
 

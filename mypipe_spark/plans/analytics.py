@@ -44,9 +44,42 @@ from .catalog import (
 _DEC = "decimal(38,6)"
 
 
+_MICRO_SHIFT = 20  # split exact micro-units into hi/lo at 2^20
+_MICRO_MASK = (1 << _MICRO_SHIFT) - 1
+
+
 def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
-    """Exact-decimal sum rounded to ``scale`` — see module docstring."""
-    return F.round(F.sum(col.cast(_DEC)), scale).cast("double").alias(alias)
+    """Exact money sum rounded to ``scale`` — see module docstring.
+
+    Round 11 (guide §2.3 "narrower types", measured tools/exp_money.py):
+    the original ``SUM(CAST(x AS DECIMAL(38,6)))`` forces a >18-digit
+    Decimal aggregation buffer, which Spark stores as BigDecimal bytes
+    and re-boxes on every row update — measured 1.59/1.83 s (min/med)
+    for q1's four money sums at sf0.1 vs 0.17/0.23 s for the bare
+    scan+group. Equivalent long form: quantize each value to exact
+    integer micro-units (``CAST(x AS DECIMAL(18,6))`` is long-backed
+    and value-identical to the DECIMAL(38,6) cast for |x| < 10¹²),
+    then sum the micro-units as TWO plain BIGINT sums — an arithmetic
+    shift splits each micro into hi = micro >> 20 and lo = micro &
+    (2²⁰−1), an identity that holds for either sign — and recombine
+    hi·2²⁰ + lo in the decimal domain ONCE per group. Same exact
+    rational, same HALF_UP rounding, bit-identical output (verified
+    value-for-value in tools/exp_money.py and by the full two-SF
+    oracle preflight); measured 0.91/1.06 s for the same four sums.
+
+    Scale bounds (both ANSI-loud on breach, never silent): per row
+    |x| < 10¹² (DECIMAL(18,6) cast range); per group Σ|x| < 9.2·10¹⁸
+    base units and < 8.8·10¹² rows — TPC-H q1 at ~100 TB (SF 10⁵) has
+    Σx ≈ 5.7·10¹⁵ per group, three orders of magnitude of headroom."""
+    micro = (col.cast("decimal(18,6)") * 1000000).cast("bigint")
+    hi = F.sum(F.shiftright(micro, _MICRO_SHIFT)).cast("decimal(38,0)")
+    lo = F.sum(micro.bitwiseAND(F.lit(_MICRO_MASK)))
+    total = hi * (1 << _MICRO_SHIFT) + lo  # exact Σ micro, per group
+    return (
+        F.round(total.cast("decimal(38,6)") / 1000000, scale)
+        .cast("double")
+        .alias(alias)
+    )
 
 
 def _avg_sql_text(expr: str, intdiv: str) -> str:
@@ -57,19 +90,31 @@ def _avg_sql_text(expr: str, intdiv: str) -> str:
     ever exists, so the two engines cannot disagree at .5 boundaries
     (ROUND over a double quotient does — observed live at sf0.1).
 
-    The sum stays DECIMAL (Spark: SUM(DECIMAL(32,0)) → DECIMAL(38,0),
-    ``div`` accepts decimal operands; DuckDB: cast to HUGEINT for
-    ``//``) instead of BIGINT micro-units — a BIGINT T overflows once
-    a group's base-unit sum exceeds ~4.6e12 (TPC-H avg_price crosses
-    that around sf~100), far below the 100 TB design point. The
-    decimal form is exact to a 10³² base-unit group sum. Per-row
-    values must fit DECIMAL(24,6) (<10¹⁸), ample for any money/qty
-    column."""
-    q = f"CAST(CAST({expr} AS DECIMAL(38,6)) AS DECIMAL(24,6))"
-    micro = f"CAST({q} * 1000000 AS DECIMAL(32,0))"
+    The DuckDB side sums DECIMAL micro-units cast to HUGEINT for
+    ``//`` — a BIGINT T would overflow once a group's base-unit sum
+    exceeds ~4.6e12 (TPC-H avg_price crosses that around sf~100),
+    far below the 100 TB design point; the decimal form is exact to a
+    10³² base-unit group sum.
+
+    Round 11, Spark branch only: the same exact micro-unit sum is
+    assembled from TWO plain BIGINT sums (hi = micro >> 20, lo =
+    micro & (2²⁰−1); recombined hi·2²⁰ + lo in decimal once per
+    group) instead of SUM(DECIMAL(32,0)), whose >18-digit buffer
+    forces BigDecimal boxing per row (measured ~2× on q1's aggregate
+    stage — see _money). Identical value, checked by the unchanged
+    DuckDB twin through the two-SF preflight. Bounds (ANSI-loud):
+    per row |x| < 10¹² (DECIMAL(18,6) quantization, value-identical
+    to the DECIMAL(24,6) form below that bound); per group
+    Σ|x| < 9.2·10¹⁸ base units and < 8.8·10¹² rows."""
     if intdiv == "div":  # Spark: IntegralDivide takes decimals, yields BIGINT
-        num = f"SUM({micro})"
+        m = f"CAST(CAST({expr} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        num = (
+            f"(CAST(SUM(shiftright({m}, 20)) AS DECIMAL(38,0)) * 1048576"
+            f" + SUM(({m} & 1048575)))"
+        )
     else:  # DuckDB: // needs HUGEINT (2·T must also fit: |T| < 8.5e37)
+        q = f"CAST(CAST({expr} AS DECIMAL(38,6)) AS DECIMAL(24,6))"
+        micro = f"CAST({q} * 1000000 AS DECIMAL(32,0))"
         num = f"CAST(SUM({micro}) AS HUGEINT)"
     den = f"100 * COUNT({expr})"
     return f"(CAST({round_div_sql(num, den, intdiv)} AS DOUBLE) / 10000)"
