@@ -1098,27 +1098,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-specific hashing ⇒ no SQL oracle; tests/test_dedup.py pins
     recall against the exact-Jaccard pairs."""
-    sh = shingle_arrays(spark, sf_dir).select(
-        "doc_id", F.explode("hsh").alias("shingle")
-    )
-    bits = sh.select(
-        "doc_id",
-        *[
-            (F.shiftright(F.xxhash64("shingle"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-            for i in range(_SIMHASH_BITS)
-        ],
-    )
-    votes = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(_SIMHASH_BITS)]
-    )
-    # assemble via bitwise OR of shifted bits — a summed CAST(1<<63)
-    # literal would not fit in BIGINT, and OR has no overflow semantics
+    # Round 11 (guide §2.4 remove shuffles outright; measured): votes
+    # are computed ROW-LOCALLY from the cached shingle-hash array —
+    # one xxhash64 per shingle into a named ``hx`` intermediate, then
+    # per bit i the 1-count via a scalar array aggregate; the bit is
+    # set iff 2·ones > n (identical to sign(Σ±1) > 0, tie → 0 in both
+    # forms). The previous form exploded every (doc, shingle) mention
+    # into 64 ±1 columns and re-aggregated by doc_id — a full mention
+    # shuffle plus a 64-sum hash aggregate for quantities that are
+    # pure per-row array folds. A/B at sf0.1 (same session,
+    # interleaved): explode+groupBy 0.83/1.02 s (min/med) vs row-local
+    # 0.29/0.37 s, outputs bit-identical for all 5000 docs. Zero
+    # shingle-stage exchanges remain in the fingerprint (the banding
+    # aggregation below is now the op's only shuffle), matching the
+    # minhash signature stage's shuffle-free design.
+    # Docs with no shingles produced no exploded rows before; the
+    # size(hsh) > 0 filter preserves that exclusion exactly.
+    # Assemble via bitwise OR of shifted bits — a summed CAST(1<<63)
+    # literal would not fit in BIGINT, and OR has no overflow
+    # semantics.
     fp_expr = " | ".join(
-        f"(CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i})"
+        f"(CASE WHEN 2 * aggregate(hx, 0, (acc, h) ->"
+        f" acc + cast(shiftright(h, {i}) & 1 as int)) > size(hx)"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {i})"
         " ELSE CAST(0 AS BIGINT) END)"
         for i in range(_SIMHASH_BITS)
     )
-    fps = votes.select("doc_id", F.expr(fp_expr).alias("simhash"))
+    fps = (
+        shingle_arrays(spark, sf_dir)
+        .filter(F.size("hsh") > 0)
+        .withColumn("hx", F.expr("transform(hsh, h -> xxhash64(h))"))
+        .select("doc_id", F.expr(fp_expr).alias("simhash"))
+    )
     # Combination-band buckets as posting lists (same shape as the
     # MinHash-LSH path): ONE pass over the fingerprints — explode each
     # doc into its 28 (band_id, band_key) block-pair buckets, collect
