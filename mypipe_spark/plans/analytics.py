@@ -30,9 +30,14 @@ from pyspark.sql import functions as F
 
 from .catalog import (
     APPROX_RSD,
+    MICRO_SPLIT_MASK,
+    MICRO_SPLIT_SHIFT,
     PCTL_ACCURACY,
     load_tables,
+    micro_long_col,
     micro_quant_sql,
+    micro_split_sum_cols,
+    micro_split_total_col,
     register,
     round4_double_sql,
     round4_frac_sql,
@@ -42,10 +47,6 @@ from .catalog import (
 )
 
 _DEC = "decimal(38,6)"
-
-
-_MICRO_SHIFT = 20  # split exact micro-units into hi/lo at 2^20
-_MICRO_MASK = (1 << _MICRO_SHIFT) - 1
 
 
 def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
@@ -70,16 +71,12 @@ def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
     Scale bounds (both ANSI-loud on breach, never silent): per row
     |x| < 10¹² (DECIMAL(18,6) cast range); per group Σ|x| < 9.2·10¹⁸
     base units and < 8.8·10¹² rows — TPC-H q1 at ~100 TB (SF 10⁵) has
-    Σx ≈ 5.7·10¹⁵ per group, three orders of magnitude of headroom."""
-    micro = (col.cast("decimal(18,6)") * 1000000).cast("bigint")
-    hi = F.sum(F.shiftright(micro, _MICRO_SHIFT)).cast("decimal(38,0)")
-    lo = F.sum(micro.bitwiseAND(F.lit(_MICRO_MASK)))
-    total = hi * (1 << _MICRO_SHIFT) + lo  # exact Σ micro, per group
-    return (
-        F.round(total.cast("decimal(38,6)") / 1000000, scale)
-        .cast("double")
-        .alias(alias)
-    )
+    Σx ≈ 5.7·10¹⁵ per group, three orders of magnitude of headroom.
+    Thin wrapper over catalog.money_sum_col so the split-sum formula
+    lives in exactly one place."""
+    from .catalog import money_sum_col
+
+    return money_sum_col(col, alias, scale)
 
 
 def _avg_sql_text(expr: str, intdiv: str) -> str:
@@ -107,11 +104,9 @@ def _avg_sql_text(expr: str, intdiv: str) -> str:
     to the DECIMAL(24,6) form below that bound); per group
     Σ|x| < 9.2·10¹⁸ base units and < 8.8·10¹² rows."""
     if intdiv == "div":  # Spark: IntegralDivide takes decimals, yields BIGINT
-        m = f"CAST(CAST({expr} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
-        num = (
-            f"(CAST(SUM(shiftright({m}, 20)) AS DECIMAL(38,0)) * 1048576"
-            f" + SUM(({m} & 1048575)))"
-        )
+        from .catalog import micro_sum_spark_sql
+
+        num = micro_sum_spark_sql(expr)
     else:  # DuckDB: // needs HUGEINT (2·T must also fit: |T| < 8.5e37)
         q = f"CAST(CAST({expr} AS DECIMAL(38,6)) AS DECIMAL(24,6))"
         micro = f"CAST({q} * 1000000 AS DECIMAL(32,0))"
@@ -1260,16 +1255,25 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("us")
         .rangeBetween(-_TRAIL_US, 0)
     )
+    # round 11: the RANGE-frame money sum as the long-split pair of
+    # window sums (catalog.py note) — Spark re-evaluates a sliding
+    # frame's aggregate row by row, so per-element BigDecimal boxing
+    # compounds with frame width; the split keeps the frame work on
+    # BIGINT and recombines to the SAME integral decimal once per row.
+    # A single BIGINT micro sum was (rightly) rejected here — it
+    # ANSI-overflows once a frame's base-unit sum passes ~9.2e12; the
+    # split's per-frame bound is Σ|value| < 9.2e18 base units, six
+    # orders above it, and still ANSI-loud beyond.
+    m1h = micro_long_col(F.col("value"))
     win = e.select(
         "event_id",
         "user_id",
         "us",
         F.count("*").over(w).alias("n_1h"),
-        # the sum STAYS DECIMAL through the ratio (Spark's div accepts
-        # decimal operands — see _avg_sql_text): a BIGINT intermediate
-        # would shrink the exact headroom ~4 orders of magnitude below
-        # the oracle's HUGEINT path and ANSI-overflow on heavy windows
-        F.sum(F.expr(micro_quant_sql("value"))).over(w).alias("sum_micro_dec"),
+        micro_split_total_col(
+            F.sum(F.shiftright(m1h, MICRO_SPLIT_SHIFT)).over(w),
+            F.sum(m1h.bitwiseAND(F.lit(MICRO_SPLIT_MASK))).over(w),
+        ).alias("sum_micro_dec"),
     )
     return win.select(
         "event_id",
@@ -2926,7 +2930,18 @@ def q_nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.round(F.sum(vol.cast("decimal(38,6)")), 2) * 100)
+            # round 11: long-split micro sum (catalog.py note) — same
+            # exact rational into the same ROUND/scale chain
+            (
+                F.round(
+                    micro_split_total_col(
+                        *micro_split_sum_cols(micro_long_col(vol))
+                    ).cast("decimal(38,6)")
+                    / 1000000,
+                    2,
+                )
+                * 100
+            )
             .cast("decimal(38,0)")
             .alias("cents")
         )
@@ -3424,7 +3439,12 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        F.expr(micro_quant_sql("value")).alias("vm"),
+        # round 11: BIGINT micro-units (same integers as the decimal
+        # quantization; catalog.py note). Per-user money sums stay
+        # plain long sums — the ANSI-loud bound is Σ|value| < 9.2e12
+        # base units per user, absurd for one user's purchases — and
+        # the corpus-scale segment rollup below uses the hi/lo split.
+        micro_long_col(F.col("value")).alias("vm"),
     )
     u = p.groupBy("user_id").agg(
         F.max("us").alias("last_us"),
@@ -3456,9 +3476,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("avg_recency_days"),
-        (F.sum("mon").cast("double") / F.lit(1000000.0)).alias(
-            "total_monetary"
-        ),
+        # corpus-scale rollup of per-user micro longs: hi/lo split
+        # (Σ per segment can pass the single-long bound at ~100 TB)
+        (
+            micro_split_total_col(
+                F.sum(F.shiftright(F.col("mon"), MICRO_SPLIT_SHIFT)),
+                F.sum(F.col("mon").bitwiseAND(F.lit(MICRO_SPLIT_MASK))),
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("total_monetary"),
     ).select(
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
         .cast("int")
@@ -3532,7 +3558,10 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.date_trunc("week", "ts").alias("buy_w"),
-        F.expr(micro_quant_sql("value")).alias("vm"),
+        # round 11: BIGINT micros (catalog.py note); per-cell sums are
+        # plain long sums (bound Σ|value| < 9.2e12 base units per
+        # cohort-week cell), the cumulative rollup below splits
+        micro_long_col(F.col("value")).alias("vm"),
     )
     cells = (
         buys.join(firsts, "user_id")
@@ -3547,8 +3576,14 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    # cumulative rollup crosses cell bounds → hi/lo split window sums
+    # (a cohort's lifetime micro sum can pass the single-long bound)
     return cells.withColumn(
-        "cum_micro", F.sum("rev_micro").over(w)
+        "cum_micro",
+        micro_split_total_col(
+            F.sum(F.shiftright(F.col("rev_micro"), MICRO_SPLIT_SHIFT)).over(w),
+            F.sum(F.col("rev_micro").bitwiseAND(F.lit(MICRO_SPLIT_MASK))).over(w),
+        ),
     ).select(
         "cohort_week",
         "week_offset",

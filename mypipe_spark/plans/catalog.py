@@ -289,6 +289,93 @@ def micro_quant_sql(expr: str) -> str:
     return f"CAST({q} * 1000000 AS DECIMAL(32,0))"
 
 
+# ---------------------------------------------------------------------------
+# round 11: micro-unit LONG-SPLIT sums (Spark side only)
+#
+# SUM over a >18-precision DECIMAL forces a BigDecimal-backed
+# aggregation buffer that Spark re-boxes on every row update —
+# measured ~2× of q1's whole aggregate stage (tools/exp_money.py,
+# OPTIMIZATION_r11.md). The split form sums the SAME exact integer
+# micro-units as two plain BIGINT sums (hi = micro >> 20, lo = micro &
+# (2²⁰−1) — an exact identity for either sign under arithmetic shift)
+# and recombines hi·2²⁰ + lo in the decimal domain once per group.
+# Values are bit-identical to the decimal path (same per-row HALF_UP
+# quantization at scale 6; the DuckDB oracles stay on the decimal
+# form, so every preflight hash-compare re-proves it). Bounds, both
+# ANSI-loud on breach: per row |x| < 10¹² (DECIMAL(18,6) range,
+# value-identical to the wider casts below that bound); per group
+# Σ|x| < 9.2·10¹⁸ base units AND < 8.8·10¹² rows — three orders of
+# magnitude above the 100 TB design point (TPC-H q1 at SF 10⁵ has
+# Σx ≈ 5.7·10¹⁵ over ~1.5·10¹¹ rows in its biggest group).
+# ---------------------------------------------------------------------------
+
+MICRO_SPLIT_SHIFT = 20
+MICRO_SPLIT_MASK = (1 << MICRO_SPLIT_SHIFT) - 1
+
+
+def micro_long_col(col):
+    """Exact BIGINT micro-units of a money/qty Column — the long-backed
+    twin of :func:`micro_quant_sql` (identical value for |x| < 10¹²)."""
+    return (col.cast("decimal(18,6)") * 1000000).cast("bigint")
+
+
+def micro_split_sum_cols(micro):
+    """The two BIGINT partial sums of a micro-unit Column — mergeable
+    (plain long adds), so incremental-view partials re-aggregate
+    exactly like the decimal partials they replace."""
+    from pyspark.sql import functions as F
+
+    hi = F.sum(F.shiftright(micro, MICRO_SPLIT_SHIFT))
+    lo = F.sum(micro.bitwiseAND(F.lit(MICRO_SPLIT_MASK)))
+    return hi, lo
+
+
+def micro_split_total_col(hi, lo):
+    """Recombine the split sums into the exact Σmicro as an integral
+    DECIMAL(38,0) — one scalar op per group."""
+    return hi.cast("decimal(38,0)") * (1 << MICRO_SPLIT_SHIFT) + lo
+
+
+def money_sum_col(col, alias: str, scale: int = 2):
+    """Exact money sum ROUND(Σx, scale) as DOUBLE via the long-split
+    path — the Column-API sibling of analytics._money, shared by every
+    plan module that sums money outside the analytics helpers."""
+    from pyspark.sql import functions as F
+
+    hi, lo = micro_split_sum_cols(micro_long_col(col))
+    total = micro_split_total_col(hi, lo)
+    return (
+        F.round(total.cast("decimal(38,6)") / 1000000, scale)
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def micro_quant_spark_sql(expr: str) -> str:
+    """BIGINT micro-units of ``expr`` as SQL text — the Spark-side
+    long twin of :func:`micro_quant_sql` (same value below 10¹²)."""
+    return f"CAST(CAST({expr} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
+def micro_split_sum_sql(micro_expr: str) -> str:
+    """Exact SUM of a BIGINT micro expression as an integral
+    DECIMAL(38,0), via the hi/lo long split — the Spark-side drop-in
+    for ``SUM(DECIMAL micro)`` text forms (:func:`micro_sum_sql`);
+    composes with :func:`round_micro_ratio_sql`'s ``div`` branch
+    unchanged (decimal operands)."""
+    return (
+        f"(CAST(SUM(shiftright({micro_expr}, {MICRO_SPLIT_SHIFT})) AS DECIMAL(38,0))"
+        f" * {1 << MICRO_SPLIT_SHIFT}"
+        f" + SUM(({micro_expr} & {MICRO_SPLIT_MASK})))"
+    )
+
+
+def micro_sum_spark_sql(expr: str) -> str:
+    """Spark-side long-split twin of :func:`micro_sum_sql` — same
+    exact integral value, BIGINT buffers instead of BigDecimal."""
+    return micro_split_sum_sql(micro_quant_spark_sql(expr))
+
+
 def round_micro_ratio_sql(
     num_micro: str, den_micro: str, mult: int, digits: int, intdiv: str
 ) -> str:

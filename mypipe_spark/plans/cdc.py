@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import count_of_sql, load_tables, register, round4_frac_sql
+from .catalog import (
+    count_of_sql,
+    load_tables,
+    money_sum_col,
+    register,
+    round4_frac_sql,
+)
 
 
 @register(
@@ -70,9 +76,9 @@ def cdc_type_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
-            .cast("double")
-            .alias("total_value"),
+            # round 11: long-split micro sum (catalog.money_sum_col) —
+            # bit-identical to SUM(DECIMAL(38,6)), BIGINT buffers
+            money_sum_col(F.col("value"), "total_value"),
         )
     )
 
@@ -205,17 +211,15 @@ def cdc_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_of("view", "n_view"),
             n_of("click", "n_click"),
             n_of("purchase", "n_purchase"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase",
-                        F.col("value").cast("decimal(38,6)"),
-                    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+            # round 11: long-split micro sum of the conditional value —
+            # same NULL/ELSE-0 semantics, BIGINT buffers (see
+            # catalog.money_sum_col)
+            money_sum_col(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    F.lit(0)
                 ),
-                2,
-            )
-            .cast("double")
-            .alias("purchase_value"),
+                "purchase_value",
+            ),
         )
     )
 
@@ -249,9 +253,7 @@ def cdc_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
-            .cast("double")
-            .alias("total_value"),
+            money_sum_col(F.col("value"), "total_value"),
         )
     )
 
@@ -427,9 +429,20 @@ def cdc_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit(_IVM_CUTOFF).cast("timestamp_ntz")
 
     def partial(df: DataFrame) -> DataFrame:
+        # round 11: the mergeable money partial is the long-split pair
+        # (hi, lo) of exact BIGINT micro-unit sums instead of one
+        # DECIMAL(38,6) sum — longs ADD exactly under re-aggregation
+        # just like the decimal partials they replace (that exactness
+        # is the whole point of this query), with BIGINT aggregation
+        # buffers instead of per-row BigDecimal boxing (bounds and
+        # equivalence: catalog.py round-11 note).
+        from .catalog import micro_long_col, micro_split_sum_cols
+
+        hi, lo = micro_split_sum_cols(micro_long_col(F.col("value")))
         return df.groupBy("user_id", "event_type").agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+            hi.alias("sum_hi"),
+            lo.alias("sum_lo"),
             F.max("ts").alias("last_ts"),
         )
 
@@ -441,14 +454,31 @@ def cdc_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = partial(
         t["events"].filter((F.col("ts") >= cutoff) | F.col("ts").isNull())
     )
-    return (
+    from .catalog import micro_split_total_col
+
+    merged = (
         old.unionByName(delta)
         .groupBy("user_id", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.round(F.sum("sum_dec"), 2).cast("double").alias("total_value"),
+            F.sum("sum_hi").alias("sum_hi"),
+            F.sum("sum_lo").alias("sum_lo"),
             F.max("last_ts").alias("last_ts"),
         )
+    )
+    # NULL-group edge: a (user, type) group whose values are all NULL
+    # summed to a NULL decimal before and must still surface as NULL —
+    # the split sums are NULL in exactly the same case (both halves
+    # skip the same NULL micros), so the recombine propagates it.
+    total = micro_split_total_col(F.col("sum_hi"), F.col("sum_lo"))
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round(total.cast("decimal(38,6)") / 1000000, 2)
+        .cast("double")
+        .alias("total_value"),
+        "last_ts",
     )
 
 

@@ -24,10 +24,17 @@ from pyspark.sql import functions as F
 
 from .analytics import _money, _sql_money
 from .catalog import (
+    MICRO_SPLIT_MASK,
+    MICRO_SPLIT_SHIFT,
     PCTL_ACCURACY,
     count_of_sql,
     load_tables,
+    micro_long_col,
+    micro_split_sum_cols,
+    micro_split_total_col,
+    micro_sum_spark_sql,
     micro_sum_sql,
+    money_sum_col,
     register,
     round_double_sql,
     round_micro_ratio_sql,
@@ -168,8 +175,12 @@ def _q14_pct_sql(intdiv: str) -> str:
     integers — ROUND over the double quotient diverges between engines
     at .5-repr boundaries (the q2/centroid failure class, observed live
     at sf0.1), so no double quotient is allowed to exist."""
+    # round 11: the Spark side sums micros via the long split
+    # (catalog.micro_sum_spark_sql) — same exact integral value,
+    # BIGINT buffers; the DuckDB side keeps the decimal form
+    ms = micro_sum_spark_sql if intdiv == "div" else micro_sum_sql
     return round_micro_ratio_sql(
-        micro_sum_sql(_Q14_PROMO), micro_sum_sql(_Q14_DISC), 100, 4, intdiv
+        ms(_Q14_PROMO), ms(_Q14_DISC), 100, 4, intdiv
     )
 
 
@@ -210,7 +221,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the constant 7 in micro-units) — no double quotient, see _q14_pct_sql
 _Q17_AVG_YEARLY = {
     intdiv: round_micro_ratio_sql(
-        micro_sum_sql(col), "7000000", 1, 2, intdiv
+        (micro_sum_spark_sql if intdiv == "div" else micro_sum_sql)(col),
+        "7000000",
+        1,
+        2,
+        intdiv,
     )
     for intdiv, col in (("div", "l_extendedprice"), ("//", "li.l_extendedprice"))
 }
@@ -251,10 +266,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     w = Window.partitionBy("l_partkey")
-    avg_qty = (
-        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double")
-        / F.count("*").over(w)
+    # round 11: the per-part exact quantity sum as the long-split pair
+    # of window sums (catalog.py round-11 note) — same exact rational,
+    # same double, BIGINT window buffers instead of BigDecimal
+    m = micro_long_col(F.col("l_quantity"))
+    tot = micro_split_total_col(
+        F.sum(F.shiftright(m, MICRO_SPLIT_SHIFT)).over(w),
+        F.sum(m.bitwiseAND(F.lit(MICRO_SPLIT_MASK))).over(w),
     )
+    avg_qty = (tot.cast("decimal(38,6)") / 1000000).cast("double") / F.count(
+        "*"
+    ).over(w)
     return (
         li.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
@@ -375,11 +397,19 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct custkeys by Catalyst."""
     t = load_tables(spark, sf_dir)
     c = t["customer"]
+    # round 11: long-split exact balance sum (catalog.py note) — the
+    # customer scan is fact-scaled, so the global average's aggregate
+    # buffers matter; same exact rational, same double
+    bal_hi, bal_lo = micro_split_sum_cols(micro_long_col(F.col("c_acctbal")))
     avg_bal = F.broadcast(
         c.filter(F.col("c_acctbal") > 0).agg(
-            (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")).alias(
-                "v"
-            )
+            (
+                (
+                    micro_split_total_col(bal_hi, bal_lo).cast("decimal(38,6)")
+                    / 1000000
+                ).cast("double")
+                / F.count("*")
+            ).alias("v")
         )
     )
     urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
@@ -435,16 +465,13 @@ def q_pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_of("purchase", "n_purchase"),
             n_of("signup", "n_signup"),
             n_of("error", "n_error"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value").cast(_DEC)
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("purchase_value"),
+            # round 11: long-split conditional money sum — no
+            # ``otherwise``, so an all-non-purchase day still sums to
+            # NULL exactly as the decimal form did
+            money_sum_col(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                "purchase_value",
+            ),
         )
     )
 
@@ -961,8 +988,9 @@ def _q8_share_sql(nation_col: str, intdiv: str) -> str:
         f"CASE WHEN {nation_col} = 'NATION_3' THEN {vol}"
         " ELSE CAST(0 AS DOUBLE) END"
     )
+    ms = micro_sum_spark_sql if intdiv == "div" else micro_sum_sql
     return round_micro_ratio_sql(
-        micro_sum_sql(nation_vol), micro_sum_sql(vol), 1, 4, intdiv
+        ms(nation_vol), ms(vol), 1, 4, intdiv
     )
 
 
@@ -1134,11 +1162,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale-free threshold (TPC-H scales Q11's FRACTION by 1/SF for the
     # same reason): a multiple of the average per-part value. Exact
     # decimal sum, one double division — deterministic across engines.
+    # round 11: long-split exact sum of the per-part values (catalog.py
+    # note) — same exact rational, same double threshold
+    val_hi, val_lo = micro_split_sum_cols(micro_long_col(F.col("value")))
     total = F.broadcast(
         val.agg(
             (
                 _Q11_AVG_MULTIPLE
-                * F.sum(F.col("value").cast(_DEC)).cast("double")
+                * (
+                    micro_split_total_col(val_hi, val_lo).cast("decimal(38,6)")
+                    / 1000000
+                ).cast("double")
                 / F.count("*")
             ).alias("threshold")
         )
