@@ -1321,16 +1321,12 @@ def _quantized_subcells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair kernel (dedup_embedding_cosine → dedup_semantic) and the
     embedding_cell_audit so the two can never disagree on cell
     derivation."""
-    # round 11: quantization + norm come from the session-persisted
-    # shared relation (similarity.quantized_embeddings — the shingle
-    # cache pattern applied to the vector plane); both branches below
-    # (cell stats + the per-vector side) read it instead of
-    # re-quantizing the parquet scan per subtree. Same expressions,
-    # same values (the cached nrm2 IS the aggregate this select used
-    # to inline).
-    from .similarity import quantized_embeddings
-
-    q = quantized_embeddings(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    q = scale_out(t["embeddings"]).select(
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
+    )
     cellstats = q.groupBy("label").agg(
         F.count("*").alias("cnt"),
         *[
@@ -1343,7 +1339,7 @@ def _quantized_subcells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "qv",
-        "nrm2",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").alias("nrm2"),
         F.expr(
             _cell_subkey_sql("try_element_at(qv, {i})", "cnt", "bits")
         ).alias("subkey"),

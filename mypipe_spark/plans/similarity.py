@@ -63,44 +63,20 @@ def _assemble_by_pos(pos: str, val: str) -> str:
     )
 
 
-_QUANT_CACHE: dict[tuple[str, str], DataFrame] = {}
+def _spark_quantized(
+    spark: SparkSession, sf_dir: str, rebalance: bool = True
+) -> DataFrame:
+    """Quantized (vec_id, label, qv, nrm2) over the embeddings table.
 
-
-def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-memoized, persisted quantized (vec_id, label, qv, nrm2)
-    table over the fixture embeddings — the ONE quantization pass
-    shared by every vector consumer (brute-force/IVF/LSH/batch top-k,
-    range search, recall check, norm profile, outliers), exactly the
-    shingle-cache pattern (plans.dedup.shingle_arrays): all of them
-    start from the same per-row integer quantization + norm, so
-    re-deriving it per query — and per SUBTREE inside composed plans
-    like ann_recall_check, which embeds four variants — is pure
-    repeated work. Round 11 (guide §2.4 / §1.2 step 1).
-
-    100 TB analog: the quantized-vector table an index build writes
-    once per corpus snapshot and every retrieval job reads. Same
-    eviction discipline as the dedup caches (dead-session entries
-    dropped on access via the shared lock-guarded _session_cached);
-    tools/plan_budget.py evicts it alongside them so budget counts
-    stay the cold pipeline shape."""
-    from pyspark import StorageLevel
-
-    from .dedup import _session_cached
-
-    return _session_cached(
-        _QUANT_CACHE,
-        spark,
-        sf_dir,
-        lambda: _build_quantized(spark, sf_dir).persist(
-            StorageLevel.MEMORY_AND_DISK
-        ),
-    )
-
-
-def _build_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The uncached quantization pipeline behind quantized_embeddings."""
+    ``rebalance=True`` (the corpus side) spreads a few-file table
+    across all cores before the per-row scoring work. Pass
+    ``rebalance=False`` for BROADCAST query-side extractions: the
+    filtered row(s) are collapsing to a broadcast anyway, so the
+    round-robin exchange + extra 32-task stage is pure overhead
+    (measured ~25% of ann_topk_bruteforce wall-clock at sf0.1)."""
     t = load_tables(spark, sf_dir)
-    q = scale_out(t["embeddings"]).select(
+    emb = t["embeddings"]
+    q = (scale_out(emb) if rebalance else emb).select(
         "vec_id",
         "label",
         F.expr(f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT))").alias("qv"),
@@ -108,21 +84,6 @@ def _build_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.withColumn(
         "nrm2", F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
     )
-
-
-def _spark_quantized(
-    spark: SparkSession, sf_dir: str, rebalance: bool = True
-) -> DataFrame:
-    """Quantized (vec_id, label, qv, nrm2) over the embeddings table —
-    served from the session-persisted shared relation (round 11).
-
-    ``rebalance`` is retained for signature stability but both
-    variants now read :func:`quantized_embeddings`: the historical
-    rebalance=False fast path existed to keep the round-robin exchange
-    off broadcast query-side extractions, and a cached-relation read
-    has no exchange at all (the one inside the cache's stored plan ran
-    once at build)."""
-    return quantized_embeddings(spark, sf_dir)
 
 
 def _cos(a_qv: str, a_n: str, b_qv: str, b_n: str) -> F.Column:

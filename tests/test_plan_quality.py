@@ -224,12 +224,9 @@ def test_centroids_single_aggregation_pass(spark, sf_dir):
     exploded dims — no joins, no second pass."""
     plan = _plan(spark, "embedding_centroids", sf_dir)
     assert _n_nodes(plan, "HashAggregate") == 2
-    # one aggregation exchange + the shared quantized-relation cache's
-    # STORED build plan (round 11: similarity.quantized_embeddings),
-    # whose one-time scale_out round-robin exchange prints inside
-    # every consumer's formatted plan but executes once per session —
-    # the per-run executed plan has ONE exchange (the aggregation)
-    assert _n_nodes(plan, "Exchange") <= 3
+    # one aggregation exchange (+ the deliberate scale_out round-robin
+    # rebalance, which disappears at real scan sizes)
+    assert _n_nodes(plan, "Exchange") <= 2
 
 
 def test_minhash_signature_stage_has_no_shuffle(spark, sf_dir):
@@ -351,27 +348,6 @@ def test_shingle_cache_shared_across_dedup_consumers(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
         "dedup_components' pair input does not reuse the cached shingle relation"
     )
-
-
-def test_quantized_cache_shared_across_vector_consumers(spark, sf_dir):
-    """Round 11: the session-memoized quantized-embeddings table must
-    actually be REUSED — after any consumer populates it, every vector
-    consumer's plan reads the persisted relation instead of
-    re-quantizing the parquet scan (the shingle-cache discipline
-    applied to the ANN plane)."""
-    from mypipe_spark.plans.similarity import quantized_embeddings
-
-    quantized_embeddings(spark, sf_dir)
-    for name in (
-        "ann_topk_bruteforce",
-        "ann_topk_ivf",
-        "ann_recall_check",
-        "dedup_embedding_cosine",
-    ):
-        plan = _plan(spark, name, sf_dir)
-        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
-            f"{name} does not reuse the cached quantized relation"
-        )
 
 
 def test_shingle_cache_keyed_on_application_id(spark, sf_dir):

@@ -59,14 +59,8 @@ def evict_plan_caches() -> None:
     """Drop every session-persisted dedup-plane relation so each plan
     is the cold (uncached) pipeline shape."""
     from mypipe_spark.plans import dedup as D
-    from mypipe_spark.plans import similarity as S
 
-    for cache in (
-        D._SHINGLE_CACHE,
-        D._PAIR_CACHE,
-        D._SPLIT_CACHE,
-        S._QUANT_CACHE,
-    ):
+    for cache in (D._SHINGLE_CACHE, D._PAIR_CACHE, D._SPLIT_CACHE):
         for k in list(cache):
             try:
                 cache.pop(k).unpersist()
