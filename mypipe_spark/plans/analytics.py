@@ -58,8 +58,11 @@ def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
     and re-boxes on every row update — measured 1.59/1.83 s (min/med)
     for q1's four money sums at sf0.1 vs 0.17/0.23 s for the bare
     scan+group. Equivalent long form: quantize each value to exact
-    integer micro-units (``CAST(x AS DECIMAL(18,6))`` is long-backed
-    and value-identical to the DECIMAL(38,6) cast for |x| < 10¹²),
+    integer micro-units (``CAST(x AS DECIMAL(25,6))`` — value-identical
+    to the DECIMAL(38,6) cast up to the ~9.2·10¹² BIGINT micro
+    ceiling, and measured as cheap as the long-backed (18,6) cast:
+    the decimal tax was always the SUM buffer, never the per-row
+    quantization — tools/exp_quant_width.py),
     then sum the micro-units as TWO plain BIGINT sums — an arithmetic
     shift splits each micro into hi = micro >> 20 and lo = micro &
     (2²⁰−1), an identity that holds for either sign — and recombine
@@ -69,7 +72,7 @@ def _money(col: F.Column, alias: str, scale: int = 2) -> F.Column:
     oracle preflight); measured 0.91/1.06 s for the same four sums.
 
     Scale bounds (both ANSI-loud on breach, never silent): per row
-    |x| < 10¹² (DECIMAL(18,6) cast range); per group Σ|x| < 9.2·10¹⁸
+    |x| ≤ ~9.2·10¹² (BIGINT micro ceiling); per group Σ|x| < 9.2·10¹⁸
     base units and < 8.8·10¹² rows — TPC-H q1 at ~100 TB (SF 10⁵) has
     Σx ≈ 5.7·10¹⁵ per group, three orders of magnitude of headroom.
     Thin wrapper over catalog.money_sum_col so the split-sum formula
@@ -100,8 +103,10 @@ def _avg_sql_text(expr: str, intdiv: str) -> str:
     forces BigDecimal boxing per row (measured ~2× on q1's aggregate
     stage — see _money). Identical value, checked by the unchanged
     DuckDB twin through the two-SF preflight. Bounds (ANSI-loud):
-    per row |x| < 10¹² (DECIMAL(18,6) quantization, value-identical
-    to the DECIMAL(24,6) form below that bound); per group
+    per row |x| ≤ ~9.2·10¹² (the BIGINT micro ceiling — the
+    DECIMAL(25,6) quantization is value-identical to the
+    DECIMAL(24,6) form below that bound, preserving the round-3
+    pinned 5·10¹² per-row contract); per group
     Σ|x| < 9.2·10¹⁸ base units and < 8.8·10¹² rows."""
     if intdiv == "div":  # Spark: IntegralDivide takes decimals, yields BIGINT
         from .catalog import micro_sum_spark_sql

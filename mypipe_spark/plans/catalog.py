@@ -302,11 +302,16 @@ def micro_quant_sql(expr: str) -> str:
 # Values are bit-identical to the decimal path (same per-row HALF_UP
 # quantization at scale 6; the DuckDB oracles stay on the decimal
 # form, so every preflight hash-compare re-proves it). Bounds, both
-# ANSI-loud on breach: per row |x| < 10¹² (DECIMAL(18,6) range,
-# value-identical to the wider casts below that bound); per group
-# Σ|x| < 9.2·10¹⁸ base units AND < 8.8·10¹² rows — three orders of
-# magnitude above the 100 TB design point (TPC-H q1 at SF 10⁵ has
-# Σx ≈ 5.7·10¹⁵ over ~1.5·10¹¹ rows in its biggest group).
+# ANSI-loud on breach: per row |x| ≤ ~9.2·10¹² (the BIGINT micro-unit
+# ceiling; the DECIMAL(25,6) quantizer is value-identical to the wider
+# casts below that bound — the width is free, tools/exp_quant_width.py
+# measured d25 ≈ d18 within noise because the cost was always the
+# >18-digit SUM buffer, never the per-row cast; an earlier (18,6)
+# quantizer capped rows at 10¹² and broke the round-3-pinned _avg
+# contract at 5·10¹²); per group Σ|x| < 9.2·10¹⁸ base units AND
+# < 8.8·10¹² rows — three orders of magnitude above the 100 TB design
+# point (TPC-H q1 at SF 10⁵ has Σx ≈ 5.7·10¹⁵ over ~1.5·10¹¹ rows in
+# its biggest group).
 # ---------------------------------------------------------------------------
 
 MICRO_SPLIT_SHIFT = 20
@@ -315,8 +320,9 @@ MICRO_SPLIT_MASK = (1 << MICRO_SPLIT_SHIFT) - 1
 
 def micro_long_col(col):
     """Exact BIGINT micro-units of a money/qty Column — the long-backed
-    twin of :func:`micro_quant_sql` (identical value for |x| < 10¹²)."""
-    return (col.cast("decimal(18,6)") * 1000000).cast("bigint")
+    twin of :func:`micro_quant_sql` (identical value for
+    |x| ≤ ~9.2·10¹², the BIGINT micro ceiling)."""
+    return (col.cast("decimal(25,6)") * 1000000).cast("bigint")
 
 
 def micro_split_sum_cols(micro):
@@ -353,8 +359,9 @@ def money_sum_col(col, alias: str, scale: int = 2):
 
 def micro_quant_spark_sql(expr: str) -> str:
     """BIGINT micro-units of ``expr`` as SQL text — the Spark-side
-    long twin of :func:`micro_quant_sql` (same value below 10¹²)."""
-    return f"CAST(CAST({expr} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    long twin of :func:`micro_quant_sql` (same value up to the
+    ~9.2·10¹² BIGINT micro ceiling)."""
+    return f"CAST(CAST({expr} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
 
 
 def micro_split_sum_sql(micro_expr: str) -> str:
