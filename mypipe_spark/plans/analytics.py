@@ -2612,32 +2612,67 @@ _DAY_US = 86_400_000_000
     tags=("events", "interval", "join"),
 )
 def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Error blast radius via a true INTERVAL-OVERLAP JOIN: each
-    error's 1-hour impact window against every user's per-day
-    activity span [first event, last event], counting the DISTINCT
-    other users whose activity overlaps the window (errors with no
-    overlap report 0). Spark has no interval join — the naive
-    inequality-only spelling plans a nested-loop cartesian — so this
-    runs through operators/intervals.bucketed_interval_join: both
-    interval sets explode into 1-hour buckets, pair on the bucket
-    equi-key, and the overlap-start anchor keeps each true pair
-    exactly once with no distinct shuffle (plan-pinned: a real
-    equi-join, no CartesianProduct/BNLJ). The DuckDB oracle states
-    the same semantics as the plain theta join, so the gate verifies
-    the bucketing is lossless and duplicate-free.
+    """Error blast radius: for each error's 1-hour impact window,
+    the count of DISTINCT other users whose per-day activity span
+    [first event, last event] overlaps the window (errors with no
+    overlap report 0). The DuckDB oracle states the naive theta-join
+    semantics, so the gate verifies this plan computes exactly that.
 
-    Timeless/anonymous/ANONYMOUS-ID rows participate on NEITHER side
-    (the asof/sessionize dirty-corpus contract; event_id joins the
-    impact counts back, so a NULL id would diverge the engines — the
-    Spark equi-join-back never matches NULL while the oracle's GROUP
-    BY groups it; review pass 2 measured exactly that). Output is per
-    DISTINCT error id, so a duplicated id reports once on both sides.
-    Self-impact is excluded by user identity, not by bucketing.
+    Round 11 replaced the pair-enumerating interval join with
+    ENDPOINT COUNTING (guide §1.1 first-principles): the old form
+    materialized every (error, overlapping-span) pair — 10.2M rows at
+    sf0.1, Ω(answer size) at any scale — only to count_distinct them
+    away (2.65 s of the query's 2.9 s). But a distinct-user COUNT
+    needs no pairs: activity spans lie inside single days, a 1-hour
+    window [ws, we] touches at most days d1 = day(ws) and
+    d2 = day(we), and with the window a divisor of the day every
+    boundary count splits into a dense per-hour prefix (the 24-row
+    per-active-day grid) plus a one-hour refinement join:
 
-    Scale shape: bounded fanout (a <=24 h span covers <=25 buckets,
-    a window 2), one shuffle per side on the bucket key, then a
-    (error, user) distinct-count keyed by error_id. The final LEFT
-    join hangs zero-counts back on the error scan."""
+      A2 = |{spans on d2: a_start <= we}|  (hour prefix + refine)
+      E  = |{spans on d1: a_end  <  ws}|   (hour prefix + refine)
+      same-day:  n = A2 - E - 1            (the self span always
+                                            overlaps; the oracle's
+                                            user_id <> err_user
+                                            removes exactly one
+                                            distinct user)
+      midnight:  n = (N_d1 - E) + A2 - B - 1, with B = users counted
+                 on BOTH days — exactly the spans ending in d1's last
+                 hour whose user also starts in d2's first hour.
+
+    Every shuffle is equi-keyed and tiny (hour ids, error ids); the
+    only pair-like work is the in-hour refinement, whose fanout is
+    (spans per hour) x (errors per hour) feeding a map-side count —
+    never the full overlap set. Interleaved A/B at sf0.1: 0.85/1.02 s
+    vs 2.90/3.21 s (min/med), outputs bit-identical for all 19,810
+    errors including midnight-crossing (~4.2%) and lonely-error edges.
+
+    Per-event counting is per-ERROR-ID counting only while each id
+    maps to one (window, user) — true of the corpus (event_id is the
+    generator PK) but not of adversarial inputs, and the declared
+    contract (planted-semantics pin) keeps the oracle's GROUP BY
+    union for duplicated ids. Ids with >1 distinct (window, user)
+    are therefore routed to the original bucketed-interval-join pair
+    path (operators/intervals — still a real equi-join, no
+    CartesianProduct/BNLJ) whose count_distinct IS set union; that
+    branch is empty at every real SF, costing one empty-side join
+    that AQE collapses. Timeless/anonymous/NULL-id rows participate
+    on NEITHER side (the asof/sessionize dirty-corpus contract).
+    Self-impact is excluded by user identity on both branches.
+
+    Scale shape, disclosed: Spark plans each counting branch as its
+    own subtree, so the declarative form re-derives act/err per
+    branch — 19 narrow projected scans of events in the static plan
+    (each feeds a map-side aggregate; every shuffle stays KB-sized)
+    versus 3 scans + the Ω(pairs) exchange before. Persisting the two
+    proxies was implemented and MEASURED SLOWER same-session (2.99 s
+    vs 1.70 s min — the in-memory-columnar read/build tax exceeds
+    re-deriving tiny aggregates from parquet; same lesson as the
+    round-11 quantized-embeddings cache revert). At true 100 TB the
+    production form writes act/err out once and counts over the
+    materialized proxies (guide §8 step 1) — a deployment choice the
+    bench contract (compute-from-parquet per run) deliberately does
+    not exercise."""
     from ..operators.intervals import bucketed_interval_join
 
     ev = (
@@ -2657,28 +2692,169 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = ev.groupBy(
         "user_id", F.expr(f"us div {_DAY_US}").alias("day")
     ).agg(F.min("us").alias("a_start"), F.max("us").alias("a_end"))
-    err = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("error_id"),
-        F.col("user_id").alias("err_user"),
-        F.col("us").alias("w_start"),
-        (F.col("us") + _ERR_WINDOW_US).alias("w_end"),
+    w_us = _ERR_WINDOW_US
+    # distinct error EVENTS (identical (id, user, window) rows are
+    # one), with the derived day/hour keys. The composite key
+    # (error_id, err_user, ws) identifies an event even when ids are
+    # duplicated, so the counting machinery below never needs the
+    # dup test — only the final split does, via one tiny broadcast.
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("us").alias("ws"),
+        )
+        .distinct()
+        .select(
+            "error_id",
+            "err_user",
+            "ws",
+            (F.col("ws") + w_us).alias("we"),
+            F.expr(f"ws div {_DAY_US}").alias("d1"),
+            F.expr(f"(ws + {w_us}) div {_DAY_US}").alias("d2"),
+            F.expr(f"ws div {w_us}").alias("hws"),
+            F.expr(f"(ws + {w_us}) div {w_us}").alias("hwe"),
+        )
+    )
+    _KEY = ["error_id", "err_user", "ws"]
+    dup_ids = (
+        err.groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .filter(F.col("n_ev") > 1)
+        .select("error_id")
+    )
+
+    # --- counting branch (all real data) -------------------------------
+    # dense per-active-day 24-hour grid with exclusive within-day
+    # prefix sums of span-start / span-end counts per hour (H = global
+    # hour id); a day with no activity has no spans to count.
+    grid = (
+        act.select("day")
+        .distinct()
+        .select("day", F.explode(F.expr("sequence(0, 23)")).alias("h"))
+        .select("day", (F.col("day") * 24 + F.col("h")).alias("H"))
+    )
+    cnt_s = act.groupBy(F.expr(f"a_start div {w_us}").alias("H")).agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    cnt_e = act.groupBy(F.expr(f"a_end div {w_us}").alias("H")).agg(
+        F.count(F.lit(1)).alias("ce")
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("H")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        grid.join(cnt_s, "H", "left")
+        .join(cnt_e, "H", "left")
+        .select(
+            "H",
+            F.coalesce(F.sum("cs").over(w_day), F.lit(0)).alias("off_s"),
+            F.coalesce(F.sum("ce").over(w_day), F.lit(0)).alias("off_e"),
+        )
+    )
+    n_day = act.groupBy("day").agg(F.count(F.lit(1)).alias("nd"))
+
+    # in-hour refinements: the only span×error contact, bounded per hour
+    refine_s = (
+        act.select(F.expr(f"a_start div {w_us}").alias("hs"), "a_start")
+        .join(
+            err.select(*_KEY, "hwe", "we"), F.col("hs") == F.col("hwe")
+        )
+        .filter(F.col("a_start") <= F.col("we"))
+        .groupBy(*_KEY)
+        .agg(F.count(F.lit(1)).alias("rs"))
+    )
+    refine_e = (
+        act.select(F.expr(f"a_end div {w_us}").alias("he"), "a_end")
+        .join(
+            err.select(*_KEY, "hws"), F.col("he") == F.col("hws")
+        )
+        .filter(F.col("a_end") < F.col("ws"))
+        .groupBy(*_KEY)
+        .agg(F.count(F.lit(1)).alias("re"))
+    )
+
+    # B: users active on both sides of the midnight a window crosses —
+    # necessarily ending in d1's last hour and starting in d2's first
+    last_h = act.filter(
+        F.expr(f"a_end div {w_us} = (day + 1) * 24 - 1")
+    ).select("user_id", "day", "a_end")
+    first_h = act.filter(F.expr(f"a_start div {w_us} = day * 24")).select(
+        F.col("user_id").alias("user2"),
+        (F.col("day") - 1).alias("dprev"),
+        F.col("a_start").alias("s2"),
+    )
+    both = last_h.join(
+        first_h,
+        (F.col("user_id") == F.col("user2")) & (F.col("day") == F.col("dprev")),
+    ).select("day", F.col("a_end").alias("e1"), "s2")
+    b_cnt = (
+        both.join(
+            err.filter(F.col("d2") > F.col("d1")).select(
+                *_KEY, F.col("d1").alias("bd"), "we"
+            ),
+            F.col("day") == F.col("bd"),
+        )
+        .filter((F.col("e1") >= F.col("ws")) & (F.col("s2") <= F.col("we")))
+        .groupBy(*_KEY)
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+
+    joined = (
+        err.join(
+            F.broadcast(offs.select(F.col("H").alias("hwe"), "off_s")),
+            "hwe",
+            "left",
+        )
+        .join(
+            F.broadcast(offs.select(F.col("H").alias("hws"), "off_e")),
+            "hws",
+            "left",
+        )
+        .join(refine_s, _KEY, "left")
+        .join(refine_e, _KEY, "left")
+        .join(F.broadcast(n_day.withColumnRenamed("day", "d1")), "d1", "left")
+        .join(b_cnt, _KEY, "left")
+    )
+    a2 = F.coalesce("off_s", F.lit(0)) + F.coalesce("rs", F.lit(0))
+    e_ = F.coalesce("off_e", F.lit(0)) + F.coalesce("re", F.lit(0))
+    n = (
+        a2
+        - e_
+        - 1
+        + F.when(
+            F.col("d2") > F.col("d1"),
+            F.coalesce("nd", F.lit(0)) - F.coalesce("b", F.lit(0)),
+        ).otherwise(F.lit(0))
+    )
+    out_simple = joined.select(
+        "error_id", n.cast("long").alias("n_affected_users")
+    ).join(F.broadcast(dup_ids), "error_id", "left_anti")
+
+    # --- duplicated-id branch (empty on real corpora) ------------------
+    err_d = err.join(F.broadcast(dup_ids), "error_id", "left_semi").select(
+        "error_id", "err_user", F.col("ws").alias("w_start"),
+        F.col("we").alias("w_end")
     )
     pairs = bucketed_interval_join(
         act.select("user_id", "a_start", "a_end"),
-        err,
+        err_d,
         "a_start",
         "a_end",
         "w_start",
         "w_end",
-        _ERR_WINDOW_US,
+        w_us,
     ).filter(F.col("user_id") != F.col("err_user"))
-    impact = pairs.groupBy("error_id").agg(
+    impact_d = pairs.groupBy("error_id").agg(
         F.count_distinct("user_id").cast("long").alias("n_affected_users")
     )
-    return (
-        err.select("error_id")
+    out_dup = (
+        err_d.select("error_id")
         .distinct()
-        .join(impact, "error_id", "left")
+        .join(impact_d, "error_id", "left")
         .select(
             "error_id",
             F.coalesce("n_affected_users", F.lit(0))
@@ -2686,6 +2862,7 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_affected_users"),
         )
     )
+    return out_simple.unionByName(out_dup)
 
 
 # ---------------------------------------------------------------------------
