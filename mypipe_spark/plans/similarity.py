@@ -53,13 +53,52 @@ def _round_mean_sql(s: str, c: str, intdiv: str = "//") -> str:
 
 def _assemble_by_pos(pos: str, val: str) -> str:
     """``transform(array_sort(collect_list(struct(pos, val AS v))),
-    p -> p.v)`` — the ONE positional list-reassembly expression behind
-    every Spark-side centroid-vector construction (IVF, k-means,
-    embedding_outliers), so the "same centroid formula" guarantee
-    cannot drift across hand-copied spellings (review pass 4)."""
+    p -> p.v)`` — positional list reassembly after a per-(key, dim)
+    aggregation. Round 11 moved every centroid build to the wide
+    no-explode form below (_centroid_sums / _centroid_array_sql);
+    this stays as tools/exp_centroids.py's measured baseline."""
     return (
         f"transform(array_sort(collect_list(struct({pos}, {val} AS v))),"
         " p -> p.v)"
+    )
+
+
+def _centroid_sums(df: DataFrame, key: str, dims: int = 64) -> DataFrame:
+    """Per-``key`` exact integer per-dim sums in ONE map-side-
+    combinable aggregation WITHOUT exploding the corpus (guide §2.4
+    — aggregate first, explode after or never): ``dims`` long SUM
+    buffers plus one COUNT replace the posexplode →
+    groupBy(key, dim) → regroup-to-array pipeline (interleaved A/B at
+    sf0.1: 0.40/0.51 s vs 0.51/0.63 s min/med, −2 Exchange −1
+    Generate; value identity asserted in tools/exp_centroids.py and
+    by every consumer's DuckDB oracle). This mirrors the oracles'
+    ``UNNEST(range(1, dims+1))`` cross-join EXACTLY: ``element_at``
+    past the array end is NULL (skipped by SUM, as qv[i] is in
+    DuckDB) and ``c`` counts vectors per key, not per present dim —
+    the ONE shared spelling behind every Spark-side centroid build
+    (IVF probe, embedding_centroids, k-means update,
+    embedding_outliers), so the "same centroid formula" guarantee
+    cannot drift. Returns (key, c, s1..s{dims})."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("c"),
+        *[
+            F.sum(F.element_at("qv", i)).alias(f"s{i}")
+            for i in range(1, dims + 1)
+        ],
+    )
+
+
+def _centroid_array_sql(dims: int = 64, c: str = "c") -> str:
+    """``array(CAST(round_div(s_i, c) AS BIGINT), ...)`` over a
+    _centroid_sums row — the ROUND-mean centroid vector, exact
+    integer arithmetic, one expression per dim."""
+    return (
+        "array("
+        + ", ".join(
+            f"CAST({_round_mean_sql(f's{i}', c, 'div')} AS BIGINT)"
+            for i in range(1, dims + 1)
+        )
+        + ")"
     )
 
 
@@ -277,21 +316,11 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(F.col("qv").alias("qqv"), F.col("nrm2").alias("qn"))
     )
-    # centroids: posexplode → exact integer per-dim sums → repack ordered
-    cexp = (
-        n.select("label", F.posexplode("qv").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
-    )
+    # centroids: ONE wide aggregation (64 long sums + count, no
+    # corpus explode — _centroid_sums), then a row-local array repack
     cent = (
-        cexp.groupBy("label")
-        .agg(
-            F.expr(
-                _assemble_by_pos(
-                    "i", f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT)"
-                )
-            ).alias("cv")
-        )
+        _centroid_sums(n, "label", _DIMS)
+        .select("label", F.expr(_centroid_array_sql(_DIMS)).alias("cv"))
         .withColumn(
             "cn2", F.expr("aggregate(cv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
         )
@@ -671,20 +700,26 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     same formula the IVF probe uses), so the value is engine-exact —
     re-scaling to a rounded double would land on half-ulp cases where
     Spark (BigDecimal shortest-repr) and DuckDB (raw binary) round
-    differently. ONE map-side-combinable aggregation on (label, dim)
-    is the whole plan; at 100 TB this is the standard one-pass reduce
-    — no per-cell collect, no driver materialization."""
+    differently. ONE map-side-combinable aggregation on label (64
+    long sum buffers — _centroid_sums, no corpus explode) is the
+    whole plan; the long (label, dim) layout is produced by exploding
+    the |labels|-row RESULT, not the corpus. At 100 TB this is the
+    standard one-pass reduce — no per-cell collect, no driver
+    materialization."""
     n = _spark_quantized(spark, sf_dir)
     return (
-        n.select("label", F.posexplode("qv").alias("i0", "x"))
-        .groupBy("label", (F.col("i0") + 1).cast("int").alias("dim"))
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n_vecs"))
+        _centroid_sums(n, "label", _DIMS)
         .select(
             "label",
-            "dim",
-            F.expr(
-                f"CAST({_round_mean_sql('s', 'n_vecs', 'div')} AS BIGINT)"
-            ).alias("centroid_q"),
+            F.col("c").alias("n_vecs"),
+            F.posexplode(F.expr(_centroid_array_sql(_DIMS, "c"))).alias(
+                "i0", "centroid_q"
+            ),
+        )
+        .select(
+            "label",
+            (F.col("i0") + 1).cast("int").alias("dim"),
+            "centroid_q",
             "n_vecs",
         )
     )
@@ -792,15 +827,11 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = n.withColumn("cluster", assign_col(cents))
         if it < _KMEANS_ITERS:
             new_cents = (
-                assigned.select("cluster", F.posexplode("qv").alias("i", "x"))
-                .groupBy("cluster", "i")
-                .agg(
-                    F.expr(
-                        f"CAST({_round_mean_sql('SUM(x)', 'COUNT(*)', 'div')} AS BIGINT)"
-                    ).alias("v")
+                _centroid_sums(assigned, "cluster", _DIMS)
+                .select(
+                    "cluster",
+                    F.expr(_centroid_array_sql(_DIMS)).alias("cqv"),
                 )
-                .groupBy("cluster")
-                .agg(F.expr(_assemble_by_pos("i", "v")).alias("cqv"))
                 .collect()
             )
             cents = sorted((int(r["cluster"]), [int(x) for x in r["cqv"]]) for r in new_cents)
@@ -1119,10 +1150,11 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same centroid formula as embedding_centroids/the IVF probe, so
     index and audit can never disagree; ties break by vec_id.
 
-    Scale shape: ONE (label, dim) map-side-combinable aggregate
-    builds the centroid table (|labels| x 64 — broadcast onto the
-    corpus scan), squared distances are row-local zip_with folds, and
-    the top-k window runs per label over already-scored rows.
+    Scale shape: ONE per-label map-side-combinable aggregate (64
+    long sum buffers, no corpus explode — _centroid_sums) builds the
+    centroid table (|labels| x 64 — broadcast onto the corpus scan),
+    squared distances are row-local zip_with folds, and the top-k
+    window runs per label over already-scored rows.
 
     NULL-embedding rows are excluded on BOTH engines up front (the
     dirty-vector case embedding_validate quarantines): the oracle's
@@ -1130,18 +1162,8 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid divisor while Spark's posexplode drops them — a measured
     centroid divergence class (review pass 4)."""
     n = _spark_quantized(spark, sf_dir).filter(F.col("qv").isNotNull())
-    cent = (
-        n.select("label", F.posexplode("qv").alias("i0", "x"))
-        .groupBy("label", F.col("i0").alias("i"))
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.expr(
-                _assemble_by_pos(
-                    "i", f"CAST({_round_mean_sql('s', 'c', 'div')} AS BIGINT)"
-                )
-            ).alias("cv")
-        )
+    cent = _centroid_sums(n, "label", _DIMS).select(
+        "label", F.expr(_centroid_array_sql(_DIMS)).alias("cv")
     )
     d = n.join(F.broadcast(cent), "label").select(
         "vec_id",

@@ -220,8 +220,9 @@ def test_top_bigrams_aggregates_before_rank_window(spark, sf_dir):
 
 
 def test_centroids_single_aggregation_pass(spark, sf_dir):
-    """Index build is one aggregation (partial + final) over the
-    exploded dims — no joins, no second pass."""
+    """Index build is one aggregation (partial + final) — 64 wide
+    long-sum buffers per label, no corpus explode (round 11), no
+    joins, no second pass."""
     plan = _plan(spark, "embedding_centroids", sf_dir)
     assert _n_nodes(plan, "HashAggregate") == 2
     # one aggregation exchange (+ the deliberate scale_out round-robin
