@@ -2662,8 +2662,10 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape, disclosed: Spark plans each counting branch as its
     own subtree, so the declarative form re-derives act/err per
-    branch — 19 narrow projected scans of events in the static plan
-    (each feeds a map-side aggregate; every shuffle stays KB-sized)
+    branch — 21 narrow projected scans of events in the static plan
+    (each feeds a map-side aggregate; every shuffle stays KB-sized;
+    the duplicated-id branch's aggregation/explode/exchange inputs
+    are day-prefiltered to the dup set, i.e. empty on real corpora)
     versus 3 scans + the Ω(pairs) exchange before. Persisting the two
     proxies was implemented and MEASURED SLOWER same-session (2.99 s
     vs 1.70 s min — the in-memory-columnar read/build tax exceeds
@@ -2837,11 +2839,31 @@ def events_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- duplicated-id branch (empty on real corpora) ------------------
     err_d = err.join(F.broadcast(dup_ids), "error_id", "left_semi").select(
         "error_id", "err_user", F.col("ws").alias("w_start"),
-        F.col("we").alias("w_end")
+        F.col("we").alias("w_end"), "d1", "d2",
+    )
+    # The pair path only needs spans on a day some DUPLICATED window
+    # touches (spans lie within days; a window touches d1/d2 only), so
+    # its activity side rebuilds from events prefiltered by that tiny
+    # broadcast day set: with zero duplicated ids (every real corpus)
+    # the groupBy + bucket-explode + exchange under the interval join
+    # run on ZERO rows instead of the full corpus. Lossless for real
+    # duplicates — any span pairable with a window lies on that
+    # window's d1 or d2, hence in dup_days.
+    dup_days = err_d.select(
+        F.explode(F.array("d1", "d2")).alias("day")
+    ).distinct()
+    act_d = (
+        ev.join(
+            F.broadcast(dup_days),
+            F.expr(f"us div {_DAY_US}") == F.col("day"),
+            "left_semi",
+        )
+        .groupBy("user_id", F.expr(f"us div {_DAY_US}").alias("day"))
+        .agg(F.min("us").alias("a_start"), F.max("us").alias("a_end"))
     )
     pairs = bucketed_interval_join(
-        act.select("user_id", "a_start", "a_end"),
-        err_d,
+        act_d.select("user_id", "a_start", "a_end"),
+        err_d.drop("d1", "d2"),
         "a_start",
         "a_end",
         "w_start",
