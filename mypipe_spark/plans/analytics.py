@@ -3655,7 +3655,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum("vm").alias("mon"),
     )
-    head = u.agg(F.max("last_us").alias("head_us"))
+    # round 11: the recency anchor MAX(last_us) is a max of per-user
+    # maxes, identical to plain MAX(us) over the purchase rows — and
+    # exact_ntile_multi plans the base relation three times per action
+    # (eager boundary sketch + count side + ranking side), so deriving
+    # the anchor from u paid three corpus groupBy-user exchanges for a
+    # global max the scan already knows. From p it is a map-side
+    # 1-row aggregate, no exchange (A/B + bit-identity:
+    # tools/exp_rfm_head.py, OPTIMIZATION_r11.md).
+    head = p.agg(F.max("us").alias("head_us"))
     u2 = u.crossJoin(F.broadcast(head)).select(
         "user_id",
         F.expr(f"(head_us - last_us) div {_US_PER_DAY}").alias("recency_days"),
