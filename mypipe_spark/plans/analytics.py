@@ -3855,8 +3855,15 @@ def events_power_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row cross join."""
     from ..operators.scale import exact_ntile_multi
 
+    # round 11: no scale_out — the first real operator is the keyed
+    # groupBy(user_id) exchange, whose parallelism comes from the
+    # shuffle, not the scan partitioning; the round-robin repartition
+    # was a strictly redundant extra exchange, and exact_ntile_multi
+    # plans this subtree three times per action (A/B + bit-identity:
+    # tools/exp_power_scaleout.py — min 3.15 → 1.79 s at sf0.1). At
+    # 100 TB scale_out is a no-op by its own guard either way.
     u = (
-        scale_out(load_tables(spark, sf_dir)["events"])
+        load_tables(spark, sf_dir)["events"]
         .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
@@ -3925,8 +3932,13 @@ def events_burst_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user rollup (the group key equals the partition key, the
     debounce lesson); per-user histories are bounded, so frames never
     blow up a task."""
+    # round 11: no scale_out — the user_id window exchange right below
+    # is the first real operator and redistributes regardless of scan
+    # partitioning, so the round-robin repartition was a redundant
+    # extra exchange (A/B + bit-identity: tools/exp_events_scaleout.py
+    # — min 0.98 → 0.38 s at sf0.1; no-op at 100 TB by the guard).
     e = (
-        scale_out(load_tables(spark, sf_dir)["events"])
+        load_tables(spark, sf_dir)["events"]
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             "user_id",
@@ -3988,8 +4000,12 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup — the whole report is two aggregates over the shuffle key
     it diagnoses, the same pass a pipeline would piggyback on its
     first groupBy."""
+    # round 11: no scale_out — the keyed groupBy exchange is the first
+    # real operator; the round-robin repartition added nothing (A/B +
+    # bit-identity: tools/exp_events_scaleout.py — min 0.93 → 0.42 s
+    # at sf0.1; no-op at 100 TB by the guard).
     per_key = (
-        scale_out(load_tables(spark, sf_dir)["events"])
+        load_tables(spark, sf_dir)["events"]
         .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -4099,8 +4115,12 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one exchange on user_id shared by the LAG window and the
     rollup; state-free in batch (the window IS the history)."""
+    # round 11: no scale_out — the keep-flag window's user_id exchange
+    # is the first real operator and redistributes regardless of scan
+    # partitioning (A/B + bit-identity: tools/exp_events_scaleout.py —
+    # min 1.02 → 0.72 s at sf0.1; no-op at 100 TB by the guard).
     e = (
-        scale_out(load_tables(spark, sf_dir)["events"])
+        load_tables(spark, sf_dir)["events"]
         .filter(F.col("ts").isNotNull())
         .select(
             "event_id",
