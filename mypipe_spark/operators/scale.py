@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt"
 
+# Boundary-sketch accuracy for exact_ntile_multi's coarse buckets.
+# UNLIKE the catalog's PCTL_ACCURACY (which is part of declared sketch
+# outputs), this knob can NEVER change a result: the boundaries only
+# BALANCE the coarse buckets, and the rank arithmetic is exact for any
+# monotone bucketing applied consistently to both plan sides (the
+# frozen-literal design). It only trades sketch cost against balance:
+# rank error ≤ n/accuracy per boundary, i.e. at 1000 a bucket can be
+# off its 1/P share by ≤0.1% of n — negligible against the 1/32
+# bucket width. 10_000 (the round-10 value, inherited from
+# PCTL_ACCURACY) paid ~10x the GK merge work for balance precision the
+# buckets cannot use (A/B in tools/exp_ntile_sketch.py,
+# OPTIMIZATION_r11.md round 11).
+NTILE_SKETCH_ACCURACY = 1_000
+
 
 def write_bucketed(
     df: DataFrame,
@@ -259,7 +273,7 @@ def exact_ntile_multi(
                 F.percentile_approx(
                     order_cols[0],
                     F.array(*[F.lit(f) for f in fracs]),
-                    F.lit(10_000),
+                    F.lit(NTILE_SKETCH_ACCURACY),
                 ).alias(f"_b{i}")
                 for i, (_out, order_cols) in enumerate(axes)
             ]

@@ -546,3 +546,40 @@ def test_exact_ntile_multi_single_partition_short_circuits(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_exact_ntile_multi_sketch_accuracy_cannot_move_results(spark, monkeypatch):
+    """Round-11 pin for the NTILE_SKETCH_ACCURACY knob: the boundary
+    sketch only BALANCES the coarse buckets — the rank arithmetic is
+    exact for any monotone bucketing applied consistently to both plan
+    sides — so changing the accuracy (even to a degenerate 10, which
+    visibly moves the frozen boundaries) must leave every bucket
+    bit-identical to the window NTILE. Guards the round-11 default
+    drop 10_000 → 1_000 (tools/exp_ntile_sketch.py) and any future
+    retune."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mypipe_spark.operators import scale as S
+
+    df = spark.createDataFrame(
+        [(i, i % 11, (i * 29) % 251) for i in range(251)],
+        "id int, v int, w int",
+    ).repartition(8)
+    want = {
+        r["id"]: (r["v_q"], r["w_q"])
+        for r in df.select(
+            "id",
+            F.ntile(4).over(Window.orderBy("v", "id")).alias("v_q"),
+            F.ntile(4).over(Window.orderBy("w", "id")).alias("w_q"),
+        ).collect()
+    }
+    for acc in (10, 1_000, 10_000):
+        monkeypatch.setattr(S, "NTILE_SKETCH_ACCURACY", acc)
+        got = {
+            r["id"]: (r["v_q"], r["w_q"])
+            for r in S.exact_ntile_multi(
+                df, 4, [("v_q", ["v", "id"]), ("w_q", ["w", "id"])]
+            ).collect()
+        }
+        assert got == want, f"accuracy {acc} moved ntile buckets"
