@@ -28,19 +28,30 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt"
 
-# Boundary-sketch accuracy for exact_ntile_multi's coarse buckets.
-# UNLIKE the catalog's PCTL_ACCURACY (which is part of declared sketch
-# outputs), this knob can NEVER change a result: the boundaries only
-# BALANCE the coarse buckets, and the rank arithmetic is exact for any
-# monotone bucketing applied consistently to both plan sides (the
-# frozen-literal design). It only trades sketch cost against balance:
-# rank error ≤ n/accuracy per boundary, i.e. at 1000 a bucket can be
-# off its 1/P share by ≤0.1% of n — negligible against the 1/32
-# bucket width. 10_000 (the round-10 value, inherited from
-# PCTL_ACCURACY) paid ~10x the GK merge work for balance precision the
-# buckets cannot use (A/B in tools/exp_ntile_sketch.py,
+# Boundary-sketch accuracy FLOOR for exact_ntile_multi's coarse
+# buckets. UNLIKE the catalog's PCTL_ACCURACY (which is part of
+# declared sketch outputs), this knob can NEVER change a result: the
+# boundaries only BALANCE the coarse buckets, and the rank arithmetic
+# is exact for any monotone bucketing applied consistently to both
+# plan sides (the frozen-literal design). It only trades sketch cost
+# against balance, and balance needs accuracy >> P (P = the bucket
+# count, defaultParallelism by default): GK rank error is ≤ n/accuracy
+# per boundary while a bucket's fair share is n/P, so the effective
+# accuracy is max(this floor, 10·P) — at accuracy 10·P a bucket can be
+# off its share by ≤10%, and on a thousands-of-cores production
+# session a FIXED 1000 would equal or exceed the bucket width and
+# collapse buckets (round-11 ADVICE). The 1000 floor keeps bench-scale
+# cost down: 10_000 (the round-10 value, inherited from PCTL_ACCURACY)
+# paid ~10x the GK merge work for balance precision the 1/32-wide
+# local buckets cannot use (A/B in tools/exp_ntile_sketch.py,
 # OPTIMIZATION_r11.md round 11).
 NTILE_SKETCH_ACCURACY = 1_000
+# The >> multiplier of the accuracy-vs-P scaling above. A module
+# constant (not an inline literal) so the can't-move-results pin
+# (tests/test_scale.py) can sweep the EFFECTIVE accuracy down to a
+# degenerate value — with the factor fixed, max(acc, 10·P) floors at
+# 10·P and the degenerate-boundary case would be untestable.
+NTILE_SKETCH_MIN_PER_BUCKET = 10
 
 
 def write_bucketed(
@@ -273,7 +284,15 @@ def exact_ntile_multi(
                 F.percentile_approx(
                     order_cols[0],
                     F.array(*[F.lit(f) for f in fracs]),
-                    F.lit(NTILE_SKETCH_ACCURACY),
+                    # accuracy must stay >> P for the buckets to
+                    # balance (see NTILE_SKETCH_ACCURACY's comment);
+                    # inert at bench scale (10·32 < 1000)
+                    F.lit(
+                        max(
+                            NTILE_SKETCH_ACCURACY,
+                            NTILE_SKETCH_MIN_PER_BUCKET * P,
+                        )
+                    ),
                 ).alias(f"_b{i}")
                 for i, (_out, order_cols) in enumerate(axes)
             ]

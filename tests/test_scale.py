@@ -574,8 +574,14 @@ def test_exact_ntile_multi_sketch_accuracy_cannot_move_results(spark, monkeypatc
             F.ntile(4).over(Window.orderBy("w", "id")).alias("w_q"),
         ).collect()
     }
-    for acc in (10, 1_000, 10_000):
+    # sweep BOTH knobs: the effective accuracy is
+    # max(NTILE_SKETCH_ACCURACY, NTILE_SKETCH_MIN_PER_BUCKET · P), so
+    # the factor must drop to 0 for the degenerate accuracy-10 case to
+    # actually reach percentile_approx (round-12: the factor exists so
+    # a production-scale P keeps accuracy >> P; see scale.py)
+    for acc, factor in ((10, 0), (1_000, 10), (10_000, 10)):
         monkeypatch.setattr(S, "NTILE_SKETCH_ACCURACY", acc)
+        monkeypatch.setattr(S, "NTILE_SKETCH_MIN_PER_BUCKET", factor)
         got = {
             r["id"]: (r["v_q"], r["w_q"])
             for r in S.exact_ntile_multi(

@@ -35,12 +35,19 @@ NAMES = [
 ACCS = [10_000, 1_000, 100]
 
 
+# restore the value the module SHIPPED with, not a hardcoded copy of
+# it — if the default is ever retuned, a stale literal here would
+# silently leave the knob wrong for the rest of the session (r11
+# ADVICE)
+_ORIG_ACCURACY = S.NTILE_SKETCH_ACCURACY
+
+
 def build(name, acc):
     S.NTILE_SKETCH_ACCURACY = acc
     try:
         return getattr(A, name)(spark, sf_dir)
     finally:
-        S.NTILE_SKETCH_ACCURACY = 1_000
+        S.NTILE_SKETCH_ACCURACY = _ORIG_ACCURACY
 
 
 t = {(n, a): [] for n in NAMES for a in ACCS}
