@@ -36,6 +36,7 @@ from .catalog import (
     load_tables,
     micro_long_col,
     micro_quant_sql,
+    micro_quant_spark_sql,
     micro_split_sum_cols,
     micro_split_total_col,
     register,
@@ -3354,7 +3355,15 @@ def attribution_credits(events: DataFrame) -> DataFrame:
     events_attribution_linear, exposed (like streak_table) so tests
     can pin the band-join semantics and credit conservation on
     constructed corpora — the registered query only rolls these rows
-    up by day."""
+    up by day.
+
+    ``vm``/``credit_micro`` are BIGINT micro-units (round 12): the
+    credit arithmetic previously ran on DECIMAL(32,0), paying the
+    BigDecimal re-boxing buffer the round-11 long-split conversion
+    removed everywhere else. round_div_sql doubles its numerator, so
+    the BIGINT bound here is |value| ≤ ~4.6·10¹² (half the usual
+    micro ceiling) — ANSI-loud on breach, and three orders above any
+    per-purchase value at the 100 TB design point."""
     p = events.filter(
         (F.col("event_type") == "purchase")
         & F.col("ts").isNotNull()
@@ -3365,7 +3374,7 @@ def attribution_credits(events: DataFrame) -> DataFrame:
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
         F.expr("unix_micros(cast(ts as timestamp))").alias("pus"),
-        F.expr(micro_quant_sql("value")).alias("vm"),
+        F.expr(micro_quant_spark_sql("value")).alias("vm"),
     )
     c = events.filter(
         (F.col("event_type") == "click")
@@ -3457,10 +3466,16 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band join takes the as-of operator's time-bucketing
     treatment (operators/asof.py) rather than a wider shuffle."""
     cred = attribution_credits(load_tables(spark, sf_dir)["events"])
+    # credit_micro is BIGINT (round 12) — the day rollup sums through
+    # the hi/lo long split like every other money sum since round 11:
+    # two plain BIGINT buffers, one decimal recombine per day. The
+    # DuckDB oracle stays on the HUGEINT path, so the preflight hash
+    # gate re-proves value identity.
+    hi, lo = micro_split_sum_cols(F.col("credit_micro"))
     return cred.groupBy("day").agg(
         F.countDistinct("p_id").alias("n_purchases"),
         F.count(F.lit(1)).cast("long").alias("n_credits"),
-        (F.sum("credit_micro").cast("double") / F.lit(1000000.0)).alias(
+        (micro_split_total_col(hi, lo).cast("double") / F.lit(1000000.0)).alias(
             "credit"
         ),
     )

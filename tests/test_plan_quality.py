@@ -24,6 +24,17 @@ def _plan(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    """One formatted plan per catalog query, built ONCE and shared by
+    the whole-catalog sweeps below — each sweep independently
+    re-planning all 166 queries was ~40 s of duplicated driver work in
+    the full suite (round-12 test-gate fix). Plans are built on the
+    same session/sf_dir the per-query tests use, so the sweeps assert
+    on exactly what an individual test would see."""
+    return {name: _plan(spark, name, sf_dir) for name in sorted(_QUERIES)}
+
+
 def _n_nodes(plan: str, node: str) -> int:
     """Count physical operators via their formatted-mode detail headers
     ("(3) Exchange") — the tree section repeats each node, so a raw
@@ -141,17 +152,16 @@ def test_lsh_ann_broadcasts_query_and_prunes(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_no_catalog_query_plans_a_cartesian_product(spark, sf_dir):
+def test_no_catalog_query_plans_a_cartesian_product(all_plans):
     """Global guard across the entire catalog: no registered query may
     plan a CartesianProduct — the one operator shape that cannot
     survive a 100× scale-up. (1-row broadcast sides compile to
     BroadcastNestedLoopJoin, which is a map-side pass and fine.)"""
-    for name in sorted(_QUERIES):
-        plan = _plan(spark, name, sf_dir)
+    for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
 
 
-def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
+def test_only_declared_queries_leave_the_jvm(all_plans):
     """Python row/batch evaluation is the slow path: only the queries
     that deliberately use the Arrow-vectorized kernel may contain a
     Python eval operator; everything else must stay whole-stage
@@ -166,8 +176,7 @@ def test_only_declared_queries_leave_the_jvm(spark, sf_dir):
         "multimodal_media_dedup",
         "multimodal_resize_plan",
     }
-    for name in sorted(_QUERIES):
-        plan = _plan(spark, name, sf_dir)
+    for name, plan in all_plans.items():
         has_python = re.search(r"EvalPython|MapInPandas|ArrowEval", plan)
         if name in allowed:
             continue
