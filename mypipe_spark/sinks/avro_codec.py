@@ -414,11 +414,23 @@ def _udf(name: str):
     def dec_ref(payload_s: pd.Series, op_s: pd.Series) -> pd.DataFrame:
         return _decode_frame(payload_s, op_s, decode_reference_record)
 
-    _UDFS["enc_union"] = pandas_udf("binary")(enc_union)
-    _UDFS["enc_ref"] = pandas_udf("binary")(enc_ref)
-    _UDFS["enc_ref_strict"] = pandas_udf("binary")(enc_ref_strict)
-    _UDFS["dec_union"] = pandas_udf(_PAYLOAD_DDL)(dec_union)
-    _UDFS["dec_ref"] = pandas_udf(_PAYLOAD_DDL)(dec_ref)
+    # asNondeterministic: an optimizer fence, not a semantics change —
+    # these functions ARE pure, but the optimizer duplicates a
+    # deterministic UDF everywhere its output column is referenced
+    # (filter + projection + CASE arms), and frame_dead_letter_split's
+    # cascade referenced the decode through enough operators that one
+    # branch planned SEVEN ArrowEvalPython nodes (7 JVM↔Python round
+    # trips per batch, measured ~4-6 s per action on a 13-row frame
+    # stream). With the fence each codec call plans exactly once
+    # (round 12; the same fix the optimization guide prescribes for
+    # expensive UDFs under filter pushdown).
+    _UDFS["enc_union"] = pandas_udf("binary")(enc_union).asNondeterministic()
+    _UDFS["enc_ref"] = pandas_udf("binary")(enc_ref).asNondeterministic()
+    _UDFS["enc_ref_strict"] = (
+        pandas_udf("binary")(enc_ref_strict).asNondeterministic()
+    )
+    _UDFS["dec_union"] = pandas_udf(_PAYLOAD_DDL)(dec_union).asNondeterministic()
+    _UDFS["dec_ref"] = pandas_udf(_PAYLOAD_DDL)(dec_ref).asNondeterministic()
     return _UDFS[name]
 
 
