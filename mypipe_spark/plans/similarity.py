@@ -830,7 +830,16 @@ def ann_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle hash-matches an *iterative* algorithm."""
     from pyspark.sql import Window
 
-    n = _spark_quantized(spark, sf_dir)
+    # Lloyd's loop runs THREE driver actions per invocation (init
+    # collect, iteration-1 centroid collect, the returned assignment
+    # plan) and each re-planned the quantize-from-parquet subtree.
+    # Round 12: one eager in-query localCheckpoint (the Change-1
+    # ann_recall_check pattern — lives and dies with this invocation,
+    # no cross-invocation cache); every action reads the materialized
+    # UnsafeRows. Interleaved A/B at sf0.1: new wins 8/9 rounds, min
+    # 1.170 -> 1.033 s, bit-identical (tools/exp_kmeans_ckpt.py). At
+    # 100 TB this is 3 corpus scans -> 1 per index build.
+    n = _spark_quantized(spark, sf_dir).localCheckpoint(eager=True)
     cents = [
         (int(r["vec_id"]), [int(x) for x in r["qv"]])
         for r in n.filter(F.col("vec_id") < _KMEANS_K)

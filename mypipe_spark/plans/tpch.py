@@ -833,14 +833,33 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero included, which is why the outer join is load-bearing (an
     inner join would silently drop order-less customers). Double
     aggregation: per-customer counts, then the histogram; both
-    map-side-combinable, second input is tiny."""
+    map-side-combinable, second input is tiny.
+
+    Round 12 (guide §2.3 aggregate before you shuffle): orders are
+    counted per custkey BEFORE the outer join, so the custkey
+    exchange carries map-side-combined partial counts instead of
+    every order row, and the join probes |customers| x |custkeys with
+    orders| instead of row-for-row orders. Provably identical:
+    COUNT(o_orderkey) over a join group equals the pre-aggregated
+    COUNT(*) for matching custkeys (o_orderkey is never NULL), and
+    the same LEFT join supplies the zero-order customers (NULL count
+    -> 0). Interleaved A/B at sf0.1: a wash (med 1.135 vs 1.056 s,
+    bit-identical — tools/exp_q13_preagg.py); landed for the shuffle
+    byte term: at 100 TB orders is ~10x customers and the pre-agg
+    bounds that exchange at one partial count per (task, custkey)."""
     t = load_tables(spark, sf_dir)
-    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    cnt = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     return (
         t["customer"]
-        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        .join(cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count")
+        )
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
     )
@@ -870,13 +889,20 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue
     (ties all surface — no arbitrary pick). The scalar MAX is a
-    one-row broadcast joined back as a filter; physically the rev
-    subtree is planned twice (no cross-branch exchange reuse —
-    round-8 plan audit), the same deliberate trade as q11: a global
-    window over the per-supplier relation would serialize a
-    supplier-cardinality (SF-growing) relation through one task,
-    while the re-planned branch stays a parallel filtered scan.
-    Revenue is the exact-decimal rounded money value, so the
+    one-row broadcast joined back as a filter. The rev subtree was
+    planned twice through round 11 (no cross-branch exchange reuse —
+    round-8 plan audit; the global-window alternative was rejected
+    because it serializes a supplier-cardinality relation through one
+    task). Round 12 (guide §3.3 materializing an intermediate
+    truncates the plan): rev — |suppliers| rows, KB-scale — is
+    materialized with an eager in-query localCheckpoint, so the max
+    branch and the join branch read the SAME materialized rows and
+    lineitem is scanned once per invocation, not twice. No
+    cross-invocation cache (the checkpoint dies with the DataFrame).
+    Interleaved A/B at sf0.1: a wash (med 0.646 vs 0.644 s,
+    bit-identical — tools/exp_q15_ckpt.py); landed for the scan term:
+    at 100 TB lineitem is the biggest table and this halves its
+    passes. Revenue is the exact-decimal rounded money value, so the
     equality comparison is deterministic across engines."""
     t = load_tables(spark, sf_dir)
     rev = (
@@ -887,6 +913,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+        .localCheckpoint(eager=True)
     )
     mx = F.broadcast(rev.agg(F.max("total_revenue").alias("mx")))
     return (
