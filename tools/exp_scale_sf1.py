@@ -36,7 +36,7 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/exp_sf1x"
 COPIES = 10
 
-QUERIES = [
+QUERIES = sys.argv[1:] or [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "dedup_ngram_jaccard",
